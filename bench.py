@@ -1,0 +1,80 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: one representative per operator family — scan+agg, star
+join, window, as-of, streaming twin, and the LLM-data operators (dedup,
+similarity, text) whose 100 TB behavior the engine is designed around.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import dock_financial_data_pipelines_spark as engine
+from dock_financial_data_pipelines_spark.session import get_spark
+
+engine.load_all()
+
+HEADLINE = [
+    "flagship_segment_monthly_revenue",
+    "a1_pricing_summary",
+    "j1_inner_join",
+    "j9_star_join",
+    "j8_asof_join",
+    "w3_running_balance",
+    "w6_topk_per_group",
+    "x1_tumbling_window",
+    "x3_session_window",
+    "q_daily_statement",
+    "l2_term_frequency",
+    "l3_exact_dedup_keep_first",
+    "l4_minhash_lsh_neardup",
+    "l5_cosine_topk",
+    "l_quality_score",
+    "f6_json_extraction",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("dock-fdp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not first-run JIT + session setup.
+    engine.QUERIES["a1_pricing_summary"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = engine.QUERIES[name](spark, sf_dir)
+        # noop sink: materializes every column/row (count() would let
+        # Catalyst prune the projections we're trying to measure).
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

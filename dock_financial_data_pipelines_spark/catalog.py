@@ -1,0 +1,78 @@
+"""Fixture catalog: load driver-generated parquet tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table under
+``{sf_dir}/{name}.parquet``.
+
+At 100 TB these would be multi-file partitioned datasets; ``load`` keeps
+the read declarative (``spark.read.parquet``) so Catalyst's column
+pruning / predicate pushdown / partition pruning apply unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dock_financial_data_pipelines_spark.session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Also (re-)applies runtime tuning confs so
+    engine semantics (UTC timezone, AQE) hold on driver-owned sessions."""
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_nanos(df)
+
+
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong);
+    floor-truncate to microsecond timestamps, matching DuckDB."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the raw (nanos-as-long) schema,
+    converted to microsecond timestamps — the streaming twin of load()."""
+    from pyspark.sql import functions as F
+
+    tune(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # FileStreamSource wants a directory: stream the sf_dir with a glob
+    # pinned to the events table.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _normalize_nanos(stream.withColumn("ts", F.col("ts")))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

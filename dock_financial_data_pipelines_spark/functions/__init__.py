@@ -1,0 +1,136 @@
+"""Collection functions: arrays, maps, JSON (SURVEY.md §2-B F4-F6).
+
+F6 is the engine form of the reference's JSON envelope access
+(REPORT:39 `response.json()`, REPORT:73 `result.get("ticket")`):
+`get_json_object` / `from_json` over a JSON string column, executed
+JVM-side for every row instead of driver-side for one envelope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# F4 — array functions incl. higher-order transform/aggregate
+# ---------------------------------------------------------------------------
+@query(
+    "f4_array_functions",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+               AS total_token_chars,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',')
+               AS first5_sorted
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def f4_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+            F.array_contains(toks, "spark").alias("has_spark"),
+            F.expr(
+                "aggregate(transform(split(text, ' '), x -> length(x)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("total_token_chars"),
+            F.array_join(
+                F.slice(F.sort_array(F.array_distinct(toks)), 1, 5), ","
+            ).alias("first5_sorted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — map functions: build a map per user (event_type → count), explode
+# it back; the oracle states the equivalent direct aggregate, so the
+# map construction/flattening roundtrip is what's verified.
+# ---------------------------------------------------------------------------
+@query(
+    "f5_map_functions",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def f5_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    as_map = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias(
+            "type_counts"
+        )
+    )
+    return as_map.select(
+        "user_id", F.explode("type_counts").alias("event_type", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6 — JSON extraction over events.props
+# ---------------------------------------------------------------------------
+@query(
+    "f6_json_extraction",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    HAVING count(*) >= 5
+    """,
+)
+def f6_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .where(F.col("n") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6b — from_json with an explicit schema (typed envelope parsing)
+# ---------------------------------------------------------------------------
+@query(
+    "f6_from_json_typed",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def f6_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = StructType([StructField("k", IntegerType())])
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("parsed", F.from_json("props", schema))
+        .groupBy((F.col("parsed.k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,250 @@
+"""Aggregation operators (SURVEY.md §2-B A1-A7).
+
+A1 is the TPC-H Q1 pricing-summary shape — the engine restatement of the
+reference's daily balance report rollup (README:47-54). All hash
+aggregates: Spark does partial (map-side) + final aggregation
+automatically, so at 100 TB the shuffle carries only group keys ×
+partial states, not raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# A1 — grouped sum/avg/min/max/count (TPC-H Q1 pricing summary)
+# ---------------------------------------------------------------------------
+@query(
+    "a1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+@query(
+    "a2_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — approximate count-distinct (HLL). Sketch contents are
+# engine-specific, so no SQL oracle: rows-only check. At 100 TB this is
+# the *only* affordable distinct-count: one pass, bounded memory.
+# ---------------------------------------------------------------------------
+@query("a3_approx_count_distinct")
+def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — ROLLUP and CUBE
+# ---------------------------------------------------------------------------
+@query(
+    "a4_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "a4_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — HAVING
+# ---------------------------------------------------------------------------
+@query(
+    "a5_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY 1
+    HAVING sum(o_totalprice) > 1500000
+    """,
+)
+def a5_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_raw_total"),
+        )
+        .where(F.col("_raw_total") > 1500000)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round("_raw_total", 2).alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — pivot (event_type → columns); oracle uses FILTERed aggregates.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
+
+
+@query(
+    "a6_pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           round(sum(value) FILTER (WHERE event_type = 'click'), 2)    AS click,
+           round(sum(value) FILTER (WHERE event_type = 'view'), 2)     AS view,
+           round(sum(value) FILTER (WHERE event_type = 'signup'), 2)   AS signup,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+           round(sum(value) FILTER (WHERE event_type = 'error'), 2)    AS error
+    FROM events GROUP BY 1
+    """,
+)
+def a6_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit pivot values: avoids the extra distinct-values job and keeps
+    # the output schema stable (required at scale and for the oracle).
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — collect_set (order-insensitive via sort_array + join to string)
+# ---------------------------------------------------------------------------
+@query(
+    "a7_collect_set",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           count(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a7_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+                "statuses"
+            ),
+            F.countDistinct("l_linestatus").alias("n_statuses"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — grouping sets via SQL surface (D5 also: spark.sql entry point)
+# ---------------------------------------------------------------------------
+@query(
+    "a8_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -1,0 +1,354 @@
+"""Deduplication operators (SURVEY.md §2-B U3/U4, L3/L4 + the driver's
+dedup mandate: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+Scale design:
+- Exact dedup = hash-groupBy: one shuffle on the content hash; at 100 TB
+  shuffle only (hash, doc_id), never the text.
+- MinHash+LSH: shingle → k minhashes (one explode + k min-aggregates in a
+  single hash-aggregate pass) → band signatures → bucket-join. Candidate
+  pairs are verified with exact Jaccard. Cost is O(corpus) + O(pairs per
+  bucket), never O(n²).
+- SimHash: 64-bit signature via bit-majority of token hashes — one
+  explode + 64 conditional sums; near-dups = signatures at small Hamming
+  distance, bucketed by 16-bit chunks (pigeonhole: ≤3 differing bits →
+  at least one identical chunk).
+- All hashing uses xxhash64 (JVM-side, codegen). Only queries whose
+  semantics DuckDB can mirror exactly carry SQL oracles; LSH candidate
+  generation is probabilistic-recall and is checked rows-only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+# ---------------------------------------------------------------------------
+# L3 — exact dedup by content hash (md5 matches DuckDB's md5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l3_exact_dedup_summary",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_dups
+    FROM documents
+    """,
+)
+def l3_exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dups"),
+    )
+
+
+@query(
+    "l3_exact_dedup_keep_first",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS kept_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def l3_exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix dedup (boilerplate detection): dedup key = first 8 tokens.
+# Groups real near-boilerplate docs even when full texts are unique.
+# ---------------------------------------------------------------------------
+@query(
+    "l3_prefix_dedup",
+    oracle="""
+    SELECT array_to_string(string_split(text,' ')[1:8], ' ') AS prefix,
+           count(*) AS n_docs,
+           min(doc_id) AS kept_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def l3_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(
+            F.array_join(F.slice(_tokens(), 1, 8), " ").alias("prefix")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("kept_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4a — n-gram Jaccard similarity, exact (SQL-oracled ground truth for the
+# LSH variant below). Probe set (doc_id < 50) × corpus keeps the pair
+# count linear; at 100 TB exact all-pairs is replaced by LSH.
+# ---------------------------------------------------------------------------
+@query(
+    "l4_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split(text,' ')) AS tokset
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+               / len(list_distinct(a.tokset || b.tokset)), 6) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 50
+      AND CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+          / len(list_distinct(a.tokset || b.tokset)) >= 0.8
+    """,
+)
+def l4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_tokens()).alias("tokset")
+    )
+    probe = docs.where(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("doc_a"), F.col("tokset").alias("tokset_a")
+    )
+    cand = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("tokset").alias("tokset_b")
+    )
+    jacc = F.size(F.array_intersect("tokset_a", "tokset_b")).cast("double") / F.size(
+        F.array_union("tokset_a", "tokset_b")
+    )
+    return (
+        F.broadcast(probe)
+        .join(cand, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard_raw", jacc)
+        .where(F.col("jaccard_raw") >= 0.8)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4b — MinHash + LSH near-dup candidates (the 100 TB path).
+# k=12 hashes in 4 bands of 3; candidates verified with exact Jaccard.
+# Probabilistic recall → rows-only check.
+# ---------------------------------------------------------------------------
+_MINHASH_K = 12
+_BANDS = 4
+_ROWS_PER_BAND = _MINHASH_K // _BANDS
+
+
+def minhash_signatures(docs: DataFrame, shingle_width: int = 3) -> DataFrame:
+    """doc_id → [k minhash values] over token shingles, one shuffle."""
+    shingled = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, greatest(size(split(text,' ')) - {shingle_width}, 0)),"
+            f" i -> concat_ws(' ', slice(split(text,' '), i + 1, {shingle_width})))"
+        ).alias("shingles"),
+    ).select("doc_id", F.explode("shingles").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(_MINHASH_K)
+    ]
+    return shingled.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs."""
+    bands = []
+    for b in range(_BANDS):
+        cols = [f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("sig"),
+            )
+        )
+    banded = reduce(lambda a, b: a.unionByName(b), bands)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@query("l4_minhash_lsh_neardup")
+def l4_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    toksets = docs.select("doc_id", F.array_distinct(_tokens()).alias("tokset"))
+    jacc = F.size(F.array_intersect("tokset_a", "tokset_b")).cast("double") / F.size(
+        F.array_union("tokset_a", "tokset_b")
+    )
+    return (
+        pairs.join(
+            toksets.select(
+                F.col("doc_id").alias("doc_a"), F.col("tokset").alias("tokset_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            toksets.select(
+                F.col("doc_id").alias("doc_b"), F.col("tokset").alias("tokset_b")
+            ),
+            "doc_b",
+        )
+        .withColumn("jaccard_raw", jacc)
+        .where(F.col("jaccard_raw") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4c — SimHash signatures: 64 conditional sums over exploded token
+# hashes → bit-majority signature per doc. Rows-only (xxhash64 is
+# Spark-specific); the signature construction itself is deterministic.
+# ---------------------------------------------------------------------------
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token")).withColumn(
+        "h", F.xxhash64("token")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
+        ),
+        range(1, 63),  # bit 63 kept clear: keep the signature non-negative
+        F.when(F.col("b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+@query("l4_simhash_signatures")
+def l4_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load(spark, sf_dir, "documents"))
+
+
+@query("l4_simhash_neardup")
+def l4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ 3 via 16-bit chunk bucketing
+    (pigeonhole guarantees 100% recall at this radius)."""
+    sigs = simhash_signatures(load(spark, sf_dir, "documents"))
+    chunks = []
+    for c in range(4):
+        chunks.append(
+            sigs.select(
+                "doc_id",
+                "simhash",
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk_val"),
+            )
+        )
+    banded = reduce(lambda a, b: a.unionByName(b), chunks)
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4d — embedding-cosine near-dup: probe slice × corpus with an exact
+# cosine (same arithmetic on both sides → SQL oracle). The full-corpus
+# version at scale goes through the LSH/IVF path in similarity.py.
+# ---------------------------------------------------------------------------
+@query(
+    "l4_embedding_neardup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_inner_product(a.e, b.e)
+                 / (sqrt(list_inner_product(a.e, a.e))
+                    * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 100
+      AND list_inner_product(a.e, b.e)
+          / (sqrt(list_inner_product(a.e, a.e))
+             * sqrt(list_inner_product(b.e, b.e))) >= 0.9
+    """,
+)
+def l4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probe = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")
+    )
+    cand = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    norm_a = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(ea, ea, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    norm_b = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(eb, eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    return (
+        F.broadcast(probe)
+        .join(cand, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", dot / (norm_a * norm_b))
+        .where(F.col("cos_raw") >= 0.9)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )

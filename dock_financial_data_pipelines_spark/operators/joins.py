@@ -1,0 +1,286 @@
+"""Join operators (SURVEY.md §2-B J1-J9).
+
+The reference links accounts ↔ statements ↔ balances implicitly through
+its API URLs (STMTS:66 `accounts/{id}/statements`); here the linkage is
+explicit relational joins over the star schema.
+
+Scale notes:
+- Dimension joins (nation, region, supplier, small customer slices) use
+  explicit ``broadcast()`` — no shuffle of the fact side.
+- Fact-fact joins shuffle on the join key; AQE picks SMJ/SHJ and splits
+  skewed partitions (session.py turns skewJoin on).
+- The as-of join (J8) is expressed as range-join + aggregation; at 100 TB
+  the same plan partitions by the equality key (user/account) first, so
+  the range scan happens within co-located partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# J1 — inner equi-join (fact ⋈ fact): Catalyst picks the strategy.
+# ---------------------------------------------------------------------------
+@query(
+    "j1_inner_join",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           count(*) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — broadcast hash join over the dim chain customer→nation→region.
+# ---------------------------------------------------------------------------
+@query(
+    "j2_broadcast_dim_join",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — left outer join: customers keep rows with zero orders.
+# ---------------------------------------------------------------------------
+@query(
+    "j3_left_outer_join",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust GROUP BY 1
+    """,
+)
+def j3_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# J4 — left semi join (EXISTS)
+# ---------------------------------------------------------------------------
+@query(
+    "j4_semi_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    GROUP BY 1
+    """,
+)
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — left anti join (NOT EXISTS)
+# ---------------------------------------------------------------------------
+@query(
+    "j5_anti_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1999
+    )
+    GROUP BY 1
+    """,
+)
+def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    o99 = load(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1999)
+    return (
+        cust.join(o99, cust.c_custkey == o99.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — cross join (small × small only; guarded by explicit crossJoin)
+# ---------------------------------------------------------------------------
+@query(
+    "j6_cross_join",
+    oracle="""
+    SELECT r.r_name AS region, s.s_name AS supplier
+    FROM region r CROSS JOIN supplier s
+    WHERE s.s_acctbal > 3000
+    """,
+)
+def j6_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    supp = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 3000)
+    return region.crossJoin(supp).select(
+        F.col("r_name").alias("region"), F.col("s_name").alias("supplier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — theta / band join (non-equi): customers whose balance is within
+# ±100 of a supplier's balance. BroadcastNestedLoop with the tiny side
+# broadcast; at scale this becomes a band-partitioned range join.
+# ---------------------------------------------------------------------------
+@query(
+    "j7_band_join",
+    oracle="""
+    SELECT s.s_suppkey, count(*) AS n_close_customers
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+    GROUP BY 1
+    """,
+)
+def j7_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.join(
+            F.broadcast(supp),
+            F.col("c_acctbal").between(
+                F.col("s_acctbal") - 100, F.col("s_acctbal") + 100
+            ),
+            "inner",
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 — as-of join: for each event, the latest order of that customer at or
+# before the event timestamp (the reference's T+1 freshness semantics,
+# REPORT:59, generalized to point-in-time correctness).
+# Deterministic formulation: max(date) + count, not an arbitrary tie row.
+# ---------------------------------------------------------------------------
+@query(
+    "j8_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           strftime(max(o.o_orderdate), '%Y-%m-%d') AS last_order_date,
+           count(o.o_orderkey) AS n_prior_orders
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY 1, 2
+    """,
+)
+def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        ev.join(
+            orders,
+            (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order_date"),
+            F.count("o_orderkey").alias("n_prior_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — multi-way star join (TPC-H Q5 shape): revenue by nation for one
+# region and order-date window; dims broadcast, facts shuffle once.
+# ---------------------------------------------------------------------------
+@query(
+    "j9_star_join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def j9_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

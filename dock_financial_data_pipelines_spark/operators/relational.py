@@ -1,0 +1,535 @@
+"""Relational core: projection, predicates, scalar functions, sort/limit,
+set operations, exact dedup (SURVEY.md §2-B P1-P6, F1-F3, T1-T2, U1-U3).
+
+The reference's only "query" was string/date manipulation inside its DAG
+tasks (suffix filter REPORT:200, date arithmetic REPORT:59, URL concat
+REPORT:62, JSON field access REPORT:39) — here each becomes a first-class
+columnar operator over the fact tables, so Catalyst gets predicate
+pushdown / column pruning / constant folding for free (SURVEY.md §4.2).
+
+Scale notes: every query here is a scan→filter→project→(agg) pipeline
+with no shuffle other than the final aggregation; filters and projections
+compile to parquet pushdown + whole-stage codegen, which is exactly the
+shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY.md §7 step 1): the reference's daily balance report
+# (README:47-54) restated — per market segment and order month, total
+# billed amount and order count over a date window.
+# ---------------------------------------------------------------------------
+@query(
+    "flagship_segment_monthly_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS order_month,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS order_count,
+           count(*) AS line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def flagship_segment_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_month"
+            ),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("order_count"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — projection / alias / computed column
+# ---------------------------------------------------------------------------
+@query(
+    "p1_project_compute",
+    # Per-row money rounding uses floor(x*100 + 0.5)/100 in BOTH engines:
+    # price×rate products land exactly on .xx5 half-boundaries, where
+    # Spark's BigDecimal HALF_UP and DuckDB's float rounding disagree;
+    # this formula is pure IEEE arithmetic, so it is bit-identical.
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 + l_tax) * 100 + 0.5) / 100 AS gross_price,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net_price,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+)
+def p1_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def money(col):
+        return F.floor(col * 100 + 0.5).cast("double") / 100
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            money(F.col("l_extendedprice") * (1 + F.col("l_tax"))).alias(
+                "gross_price"
+            ),
+            money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "net_price"
+            ),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — comparison / range predicates
+# ---------------------------------------------------------------------------
+@query(
+    "p2_range_predicates",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_quantity > 25 AND l_discount >= 0.02 AND l_discount < 0.07
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY 1
+    """,
+)
+def p2_range_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_quantity") > 25)
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") < 0.07)
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — IN-list and BETWEEN
+# ---------------------------------------------------------------------------
+@query(
+    "p3_in_between",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 50000 AND 200000
+    GROUP BY 1
+    """,
+)
+def p3_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_totalprice").between(50000, 200000)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — LIKE / prefix / suffix / contains (generalizes the reference's
+# `.endswith(".zip")` suffix filter, REPORT:200)
+# ---------------------------------------------------------------------------
+@query(
+    "p4_string_predicates",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_parts,
+           sum(CASE WHEN p_type LIKE 'ECONOMY%' THEN 1 ELSE 0 END) AS n_economy,
+           sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_widget,
+           sum(CASE WHEN p_name LIKE '%gadget' THEN 1 ELSE 0 END) AS n_gadget_suffix
+    FROM part
+    GROUP BY 1
+    """,
+)
+def p4_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.when(F.col("p_type").startswith("ECONOMY"), 1).otherwise(0)).alias(
+            "n_economy"
+        ),
+        F.sum(F.when(F.col("p_name").contains("widget"), 1).otherwise(0)).alias(
+            "n_widget"
+        ),
+        F.sum(F.when(F.col("p_name").endswith("gadget"), 1).otherwise(0)).alias(
+            "n_gadget_suffix"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 — NULL semantics (the reference's null-guards R11 as data-quality ops)
+# ---------------------------------------------------------------------------
+@query(
+    "p5_null_semantics",
+    oracle="""
+    SELECT coalesce(nullif(l_returnflag, 'N'), 'NONE') AS flag,
+           count(*) AS n_rows,
+           count(nullif(l_returnflag, 'N')) AS n_nonnull,
+           sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS n_null
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def p5_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "nf", F.nullif(F.col("l_returnflag"), F.lit("N"))
+    )
+    return li.groupBy(F.coalesce(F.col("nf"), F.lit("NONE")).alias("flag")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("nf").alias("n_nonnull"),
+        F.sum(F.when(F.col("nf").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 — conditional expression (CASE WHEN)
+# ---------------------------------------------------------------------------
+@query(
+    "p6_case_when_bucketing",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def p6_case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — string functions (generalizes URL/path construction REPORT:62,99,138)
+# ---------------------------------------------------------------------------
+@query(
+    "f1_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           substr(c_name, 10, 9) AS cust_num,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+           length(c_name) AS name_len,
+           concat('dock/balances/', CAST(c_custkey AS VARCHAR), '.zip') AS s3_key,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           replace(c_name, 'Customer', 'Account') AS renamed
+    FROM customer
+    WHERE c_custkey < 60
+    """,
+)
+def f1_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 60)
+        .select(
+            "c_custkey",
+            F.upper("c_mktsegment").alias("seg_upper"),
+            F.substring("c_name", 10, 9).alias("cust_num"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+            F.length("c_name").alias("name_len"),
+            F.concat(
+                F.lit("dock/balances/"),
+                F.col("c_custkey").cast("string"),
+                F.lit(".zip"),
+            ).alias("s3_key"),
+            F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+            F.regexp_replace("c_name", "Customer", "Account").alias("renamed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — date/time functions (generalizes REPORT:59 date arithmetic)
+# ---------------------------------------------------------------------------
+@query(
+    "f2_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS order_quarter,
+           strftime(CAST(o_orderdate AS DATE) - INTERVAL 1 DAY, '%Y-%m-%d') AS prev_day,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders
+    WHERE o_orderkey < 300
+    """,
+)
+def f2_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("o_orderdate").cast("date")
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+            F.year(d).alias("order_year"),
+            F.month(d).alias("order_month"),
+            F.dayofmonth(d).alias("order_day"),
+            F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_quarter"
+            ),
+            F.date_format(F.date_sub(d, 1), "yyyy-MM-dd").alias("prev_day"),
+            F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).alias(
+                "days_since_epoch_start"
+            ),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — math / money functions
+# ---------------------------------------------------------------------------
+@query(
+    "f3_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000) AS dist_from_50k,
+           ceil(l_quantity / 10) AS qty_decile,
+           floor(l_discount * 100) AS disc_pct,
+           round(power(l_quantity, 2), 4) AS qty_sq,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def f3_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_extendedprice") - 50000).alias("dist_from_50k"),
+            F.ceil(F.col("l_quantity") / 10).alias("qty_decile"),
+            F.floor(F.col("l_discount") * 100).alias("disc_pct"),
+            F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+            F.greatest("l_discount", "l_tax").alias("max_rate"),
+            F.least("l_discount", "l_tax").alias("min_rate"),
+            (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod7"),
+            F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1 — multi-key sort with explicit null ordering; position captured as a
+# value column so the order itself is hash-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "t1_multikey_sort",
+    oracle="""
+    SELECT row_number() OVER (
+               ORDER BY o_orderstatus DESC, o_totalprice DESC, o_orderkey ASC
+           ) AS pos,
+           o_orderkey, o_orderstatus,
+           round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_totalprice > 350000
+    """,
+)
+def t1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy(
+        F.col("o_orderstatus").desc_nulls_last(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 350000)
+        .select(
+            F.row_number().over(w).alias("pos"),
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 — global top-k (TakeOrderedAndProject physical op)
+# ---------------------------------------------------------------------------
+@query(
+    "t2_global_topk",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def t2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "o_orderpriority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — UNION ALL / UNION DISTINCT
+# ---------------------------------------------------------------------------
+@query(
+    "u1_union_counts",
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey AS k FROM orders
+        UNION ALL
+        SELECT c_custkey AS k FROM customer
+    )
+    SELECT count(*) AS n_all, count(DISTINCT k) AS n_distinct FROM u
+    """,
+)
+def u1_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return a.unionByName(b).agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.countDistinct("k").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 — INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+@query(
+    "u2_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = orders.where(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.intersect(y97)
+
+
+@query(
+    "u2_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def u2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    y96 = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1996)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cust.exceptAll(y96.distinct()).distinct()
+
+
+# ---------------------------------------------------------------------------
+# U3 — exact dedup by key, keep-latest (the engine restatement of the
+# reference's idempotent overwrite semantics, REPORT:172 replace=True)
+# ---------------------------------------------------------------------------
+@query(
+    "u3_dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+           round(value, 2) AS value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def u3_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_epoch"),
+            F.round("value", 2).alias("value"),
+        )
+    )

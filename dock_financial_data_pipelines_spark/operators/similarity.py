@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (SURVEY.md §2-B L5).
+
+- ``l5_cosine_topk``: brute-force exact top-k — query set broadcast
+  against the corpus, dot products via JVM-side higher-order functions
+  (zip_with + aggregate — no Python in the loop), window top-k.
+  This is the correctness baseline.
+- ``l5_ann_lsh_topk``: the scale path — sign-random-projection LSH:
+  each vector hashed to a bucket by the signs of H pseudo-random
+  hyperplane projections; queries probe only their own bucket. At 100 TB
+  the corpus is bucketed once (one shuffle, persisted/bucketed table) and
+  each query touches 1/2^H of the data. Approximate → rows-only check.
+
+Hyperplanes are generated deterministically from a hash of
+(plane, dimension) so driver and executors agree without shipping state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _dot(a: str, b: str):
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+# ---------------------------------------------------------------------------
+# L5 — exact brute-force cosine top-k
+# ---------------------------------------------------------------------------
+@query(
+    "l5_cosine_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_inner_product(q.e, c.e)
+                 / (sqrt(list_inner_product(q.e, q.e))
+                    * sqrt(list_inner_product(c.e, c.e))) AS cos_raw
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+               ) AS pos
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, pos
+    FROM ranked WHERE pos <= 5
+    """,
+)
+def l5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    cos = _dot("qe", "ce") / (
+        F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(queries)
+        .join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", cos)
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5b — LSH-bucketed approximate top-k (sign random projection).
+# ---------------------------------------------------------------------------
+_N_PLANES = 4  # 16 buckets
+
+
+def _bucket_expr(vec_col: str) -> F.Column:
+    """LSH bucket id: sign bits of H deterministic pseudo-hyperplanes.
+
+    Hyperplane h's d-th component = hash(h, d) mapped to [-1, 1);
+    computed JVM-side per row: H aggregates over the vector, no shuffle.
+    """
+    bits = []
+    for h in range(_N_PLANES):
+        proj = F.expr(
+            "aggregate(zip_with({v}, sequence(0, size({v}) - 1),"
+            " (x, d) -> x * (CAST(pmod(xxhash64(concat('{h}#', CAST(d AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)".format(v=vec_col, h=h)
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("int")
+
+
+@query("l5_ann_lsh_topk")
+def l5_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("bucket", _bucket_expr("e"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("bucket").alias("cbucket"),
+    )
+    cos = _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(queries)
+        .join(
+            cand,
+            (F.col("qbucket") == F.col("cbucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos_raw", cos)
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "pos")
+    )

@@ -1,0 +1,279 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2-B L1, L2, L6 + language-ID, quality scoring, token
+counting, document fingerprinting from the driver mandate).
+
+All hot paths are JVM-side (split / explode / higher-order functions —
+whole-stage codegen), never Python row-at-a-time UDFs: at 100 TB the
+documents table is scanned once and every derived stat is computed
+inside the same codegen stage as the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+# ---------------------------------------------------------------------------
+# L1 — tokenize + word/char statistics per language
+# ---------------------------------------------------------------------------
+@query(
+    "l1_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           sum(length(text)) AS total_chars,
+           max(len(string_split(text, ' '))) AS max_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def l1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("n_tokens", F.size(_tokens()))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 — term-frequency table (explode → count). The shuffle carries
+# (term, partial_count) thanks to map-side combine, so vocabulary size —
+# not corpus size — bounds the exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "l2_term_frequency",
+    oracle="""
+    SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY 1
+    HAVING count(*) >= 10
+    """,
+)
+def l2_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .where(F.col("tf") >= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 — corpus breakdown by language × source
+# ---------------------------------------------------------------------------
+@query(
+    "l6_corpus_breakdown",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def l6_corpus_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID (n-gram/marker heuristic). The fixture text is synthetic, so
+# the marker sets are illustrative; the *operator shape* — score each doc
+# against K per-language marker sets with a JVM-side higher-order filter,
+# argmax with a fixed tie order — is the real deliverable and is fully
+# SQL-expressible for the oracle.
+# ---------------------------------------------------------------------------
+_MARKERS = {
+    "lang_a": ("the", "a", "fast", "slow"),
+    "lang_b": ("data", "table", "row", "query"),
+    "lang_c": ("spark", "stream", "batch", "window"),
+}
+
+
+def _marker_score(markers: tuple[str, ...]):
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(f"size(filter(split(text, ' '), x -> x IN ({in_list})))")
+
+
+@query(
+    "l_lang_id_heuristic",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+            len(list_filter(string_split(text,' '), x -> x IN ('the','a','fast','slow')))        AS s_a,
+            len(list_filter(string_split(text,' '), x -> x IN ('data','table','row','query')))   AS s_b,
+            len(list_filter(string_split(text,' '), x -> x IN ('spark','stream','batch','window'))) AS s_c
+        FROM documents
+    )
+    SELECT CASE WHEN s_a >= s_b AND s_a >= s_c THEN 'lang_a'
+                WHEN s_b >= s_c THEN 'lang_b'
+                ELSE 'lang_c' END AS predicted,
+           count(*) AS n_docs,
+           sum(s_a) AS sum_a, sum(s_b) AS sum_b, sum(s_c) AS sum_c
+    FROM scored GROUP BY 1
+    """,
+)
+def l_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        _marker_score(_MARKERS["lang_a"]).alias("s_a"),
+        _marker_score(_MARKERS["lang_b"]).alias("s_b"),
+        _marker_score(_MARKERS["lang_c"]).alias("s_c"),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_a") >= F.col("s_b")) & (F.col("s_a") >= F.col("s_c")), "lang_a"
+        )
+        .when(F.col("s_b") >= F.col("s_c"), "lang_b")
+        .otherwise("lang_c")
+    )
+    return scored.groupBy(predicted.alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("s_a").alias("sum_a"),
+        F.sum("s_b").alias("sum_b"),
+        F.sum("s_c").alias("sum_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / distinct-token ratio / stopword ratio / mean
+# token length → one weighted score per document.
+# ---------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@query(
+    "l_quality_score",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               len(string_split(text,' ')) AS n_tokens,
+               len(list_distinct(string_split(text,' '))) AS n_distinct,
+               len(list_filter(string_split(text,' '),
+                   x -> x IN ('the','a','of','and','to','in'))) AS n_stop,
+               length(text) AS n_char
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           round(CAST(n_char AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           round(0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+               + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+               + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality
+    FROM feats
+    """,
+)
+def l_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    feats = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(_tokens()).alias("n_tokens"),
+        F.size(F.array_distinct(_tokens())).alias("n_distinct"),
+        F.expr(f"size(filter(split(text,' '), x -> x IN ({stop_list})))").alias(
+            "n_stop"
+        ),
+        F.length("text").alias("n_char"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    avg_tok_len = F.col("n_char").cast("double") / F.col("n_tokens")
+    quality = (
+        0.4 * distinct_ratio
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+    )
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens plus a BPE-ish subword estimate
+# (ceil(len/4) subwords per word — the classic "~4 chars per token" rule),
+# computed with a higher-order aggregate, no UDF.
+# ---------------------------------------------------------------------------
+@query(
+    "l_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text,' ')) AS n_words,
+           list_sum(list_transform(string_split(text,' '),
+                    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS n_subwords_est
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def l_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(_tokens()).alias("n_words"),
+            F.expr(
+                "aggregate(split(text,' '), 0L,"
+                " (acc, x) -> acc + CAST(ceil(length(x) / 4.0) AS BIGINT))"
+            ).alias("n_subwords_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: polynomial rolling hash over the token stream
+# (per-token feature = 37*len + ascii(first char)), mod 2^31-1. Pure
+# arithmetic so Spark and DuckDB agree bit-for-bit; at scale this is a
+# single codegen'd projection.
+# ---------------------------------------------------------------------------
+@query(
+    "l_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(17 AS BIGINT),
+                   list_transform(string_split(text,' '),
+                       x -> CAST(37 * length(x) + ascii(substr(x,1,1)) AS BIGINT))),
+               (acc, v) -> (acc * 1000003 + v) % 2147483647
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def l_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "aggregate(split(text,' '), CAST(17 AS BIGINT),"
+            " (acc, x) -> (acc * 1000003"
+            "   + CAST(37 * length(x) + ascii(substring(x,1,1)) AS BIGINT))"
+            "   % 2147483647)"
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,189 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2-B D1-D5).
+
+Policy (SURVEY.md §4.3): built-in functions first; when Python is
+genuinely needed, Arrow-batched pandas UDFs (`@pandas_udf`,
+`applyInPandas`) — never row-at-a-time Python in a hot path. D1
+deliberately demonstrates the row-at-a-time form once (the reference's
+URL-builder, REPORT:62, is exactly this shape) so the surface is
+complete, but on a column the optimizer has already pruned to a small
+slice.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# D1 — Python scalar UDF: the reference's URL/path builder (REPORT:62)
+# ---------------------------------------------------------------------------
+@query(
+    "d1_python_udf_urls",
+    oracle="""
+    SELECT o_orderkey,
+           concat('https://api.dock.example/transactions?day=',
+                  strftime(o_orderdate, '%Y-%m-%d'),
+                  '&priority=', substr(o_orderpriority, 1, 1)) AS request_url
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def d1_python_udf_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(returnType=StringType())
+    def build_url(day: str, priority: str) -> str:
+        return (
+            f"https://api.dock.example/transactions?day={day}&priority={priority[0]}"
+        )
+
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            build_url(
+                F.date_format("o_orderdate", "yyyy-MM-dd"), F.col("o_orderpriority")
+            ).alias("request_url"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 — pandas scalar UDF (Arrow-vectorized)
+# ---------------------------------------------------------------------------
+@query(
+    "d2_pandas_udf_net_price",
+    # floor(x*100+0.5)/100 on both sides: see p1_project_compute.
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100), 2)
+               AS net_revenue,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def d2_pandas_udf_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return np.floor(price * (1.0 - discount) * 100 + 0.5) / 100
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .withColumn("np", net_price("l_extendedprice", "l_discount"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("np"), 2).alias("net_revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3 — pandas grouped-aggregate UDF: discount-weighted average price
+# ---------------------------------------------------------------------------
+@query(
+    "d3_grouped_agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS weighted_avg_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def d3_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(DoubleType())
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias(
+                "weighted_avg_price"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4 — applyInPandas (UDTF-style per-group transform): rows above the
+# group mean. The oracle states the same semantics with a window average.
+# ---------------------------------------------------------------------------
+@query(
+    "d4_apply_in_pandas_above_mean",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > grp_avg) AS n_above_mean,
+           count(*) AS n_total
+    FROM (
+        SELECT l_returnflag, l_quantity,
+               avg(l_quantity) OVER (PARTITION BY l_returnflag) AS grp_avg
+        FROM lineitem
+    ) GROUP BY 1
+    """,
+)
+def d4_apply_in_pandas_above_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = StructType(
+        [
+            StructField("l_returnflag", StringType()),
+            StructField("n_above_mean", LongType()),
+            StructField("n_total", LongType()),
+        ]
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean_q = pdf["l_quantity"].mean()
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n_above_mean": [int((pdf["l_quantity"] > mean_q).sum())],
+                "n_total": [len(pdf)],
+            }
+        )
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(per_group, schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5 — SQL-registered UDF used from spark.sql (SQL/DataFrame parity)
+# ---------------------------------------------------------------------------
+@query(
+    "d5_sql_registered_udf",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 2500 THEN 'low'
+                ELSE 'high' END AS balance_tier,
+           count(*) AS n_customers
+    FROM customer GROUP BY 1
+    """,
+)
+def d5_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def tier(bal: float) -> str:
+        if bal < 0:
+            return "overdrawn"
+        if bal < 2500:
+            return "low"
+        return "high"
+
+    spark.udf.register("balance_tier", tier, StringType())
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT balance_tier(c_acctbal) AS balance_tier,
+               count(*) AS n_customers
+        FROM customer GROUP BY 1
+        """
+    )

@@ -1,0 +1,217 @@
+"""Window functions (SURVEY.md §2-B W1-W6).
+
+W3 (running sum per account ordered by time) is the core financial-
+statement semantics the reference ships as files (STMTS:54 — an account
+statement over a period IS a running balance). Every window partitions
+by a key (user/customer), so at 100 TB the shuffle is a single hash
+repartition by that key; no global sort is ever required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# W1 — ranking family. rank/dense_rank/percent_rank/cume_dist use the
+# (possibly tied) price ordering — deterministic under ties; row_number
+# and ntile get a unique tiebreak key.
+# ---------------------------------------------------------------------------
+@query(
+    "w1_rank_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number()   OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           rank()         OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+           dense_rank()   OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+           ntile(4)       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+           round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC), 6) AS pct_rank,
+           round(cume_dist()    OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC), 6) AS cdist
+    FROM orders
+    WHERE o_custkey < 30
+    """,
+)
+def w1_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tied = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    uniq = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 30)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(uniq).alias("rn"),
+            F.rank().over(tied).alias("rnk"),
+            F.dense_rank().over(tied).alias("drnk"),
+            F.ntile(4).over(uniq).alias("quartile"),
+            F.round(F.percent_rank().over(tied), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(tied), 6).alias("cdist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — lag / lead (statement deltas per account)
+# ---------------------------------------------------------------------------
+@query(
+    "w2_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER w, 2) AS delta,
+           lead(event_type) OVER w AS next_type,
+           lag(event_id, 2) OVER w AS prev2_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("event_id", 2).over(w).alias("prev2_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — running sum: the account running balance (the statement operator)
+# ---------------------------------------------------------------------------
+@query(
+    "w3_running_balance",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_balance
+    FROM events
+    """,
+)
+def w3_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — moving aggregate over a time range (1-hour trailing window).
+# Ordering key is epoch seconds (bigint) so RANGE semantics match DuckDB.
+# ---------------------------------------------------------------------------
+@query(
+    "w4_moving_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ), 4) AS avg_1h,
+           count(*) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS n_1h
+    FROM events
+    """,
+)
+def w4_moving_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_epoch", F.unix_timestamp("ts").cast("bigint")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_epoch").rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — first/last value per partition
+# ---------------------------------------------------------------------------
+@query(
+    "w5_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           round(first_value(value) OVER w, 2) AS first_value_amt,
+           round(last_value(value)  OVER w, 2) AS last_value_amt
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.round(F.first("value").over(w), 2).alias("first_value_amt"),
+            F.round(F.last("value").over(w), 2).alias("last_value_amt"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6 — top-k per group (window + filter; Spark pushes the limit into the
+# sort within each partition)
+# ---------------------------------------------------------------------------
+@query(
+    "w6_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS total, rn
+    FROM (
+        SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey
+               ) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def w6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "rn",
+        )
+    )

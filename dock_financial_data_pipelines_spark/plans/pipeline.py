@@ -1,0 +1,143 @@
+"""Pipeline drivers: the reference's two Airflow DAGs restated as chained
+DataFrame stages (SURVEY.md §3.5, §2-A O1-O5).
+
+Reference pipeline 1 (`dock_balance_report`, REPORT:263-269):
+    request → ticket → wait → SFTP→S3 transfer → Lambda unzip
+Engine restatement: ingest (date-pruned scan) → transform (balance
+rollup) → publish (partitioned, idempotent overwrite). XCom strings
+(REPORT:77) become columns flowing through one lazy plan; the retry /
+single-active-run semantics (REPORT:21-22, 229) stay in the external
+scheduler, which simply re-runs the idempotent job.
+
+Reference pipeline 2 (`dock_digital_accounts_statements`,
+STMTS:240-245) → the per-account statement with running balance.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+from dock_financial_data_pipelines_spark.sources.sinks import write_partitioned
+
+
+def balance_report(spark: SparkSession, sf_dir: str, as_of: str) -> DataFrame:
+    """Daily balance report as of a date: per customer, account balance
+    plus total billed orders up to the date (README:47-54 restated)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") <= F.lit(as_of).cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.round(F.first("c_acctbal"), 2).alias("acctbal"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_billed"
+            ),
+        )
+        .withColumn("report_date", F.lit(as_of))
+    )
+
+
+@query(
+    "pipeline_balance_report",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           c.c_mktsegment AS mktsegment,
+           round(c.c_acctbal, 2) AS acctbal,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_billed,
+           '1998-12-31' AS report_date
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderdate <= TIMESTAMP '1998-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def pipeline_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return balance_report(spark, sf_dir, "1998-12-31")
+
+
+def statement_pipeline(
+    spark: SparkSession, sf_dir: str, start: str, end: str
+) -> DataFrame:
+    """Account statement for a period (STMTS:54): transactions in
+    [start, end) with per-account running balance."""
+    ev = load(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(start).cast("timestamp"))
+        & (F.col("ts") < F.lit(end).cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        F.col("user_id").alias("account_id"),
+        "event_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.col("event_type").alias("tx_type"),
+        F.round("value", 2).alias("amount"),
+        F.round(F.sum("value").over(w), 2).alias("running_balance"),
+    )
+
+
+@query(
+    "pipeline_account_statement",
+    oracle="""
+    SELECT user_id AS account_id,
+           event_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type AS tx_type,
+           round(value, 2) AS amount,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_balance
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    """,
+)
+def pipeline_account_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return statement_pipeline(spark, sf_dir, "2024-01-08", "2024-01-15")
+
+
+def run_daily_pipeline(spark: SparkSession, sf_dir: str, as_of: str, out: str) -> str:
+    """End-to-end ingest→transform→publish (the full DAG restatement):
+    idempotent by construction — dynamic overwrite of report_date."""
+    report = balance_report(spark, sf_dir, as_of)
+    write_partitioned(report, out, "report_date")
+    return out
+
+
+@query("pipeline_daily_publish")
+def pipeline_daily_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "dock_fdp_spark",
+        f"publish_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    # Run twice for the same date: second run must overwrite, not append
+    # (the reference's replace=True idempotence, REPORT:172).
+    run_daily_pipeline(spark, sf_dir, "1998-12-31", out)
+    run_daily_pipeline(spark, sf_dir, "1998-12-31", out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("report_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("total_billed"), 2).alias("total_billed_all"),
+        )
+    )

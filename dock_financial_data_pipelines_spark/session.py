@@ -1,0 +1,58 @@
+"""SparkSession construction + per-session tuning.
+
+Scale policy (SURVEY.md §4.3): AQE on (runtime re-planning, skew-join
+splitting, shuffle-partition coalescing), explicit broadcast threshold,
+UTC session timezone so date semantics match the oracle, Arrow for every
+pandas interchange. These are all *runtime-settable* SQL confs, so
+``tune()`` can also be applied to an externally provided session (the
+driver creates its own ``SparkSession`` for ``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to every session we touch. At 100 TB these
+# same settings hold; only shuffle.partitions scales with cluster size
+# (rule of thumb: 2-3× total executor cores; AQE coalesces the excess).
+_RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
+    # type for; read as long and convert in catalog.load (floor to µs,
+    # matching DuckDB's own ns→µs truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in some envs
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "dock-fdp-spark") -> SparkSession:
+    """Build the engine's own local session (tests, bench, CLI drivers)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.schemaInference", "true")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,267 @@
+"""Source readers (SURVEY.md §2-B S1-S4, S6).
+
+The reference ingests opaque files from SFTP to S3 and fans a Lambda out
+to unzip them (REPORT:151-220). The engine equivalents:
+
+- S1 parquet scan (columnar, pushdown) — the landed-data fast path.
+- S2 CSV with an explicit schema — the statement-file format.
+- S3 JSON-lines — the API landing zone (REPORT:39 response envelopes).
+- S4 binaryFile + distributed in-engine unzip via mapInPandas — replaces
+  the Lambda fan-out entirely (REPORT:209-215): the cluster IS the
+  decompression fleet, data never funnels through a single worker.
+- S6 date-pruned incremental read — the engine form of pushing the day
+  predicate into the source request (REPORT:59-62).
+
+Roundtrip queries write a temp copy in the target format first, then
+read it back through the engine path; the oracle states the same
+semantics over the original table, so the format conversion itself is
+what gets verified.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tempfile
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+
+def _workdir(tag: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "dock_fdp_spark", tag)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# S1 — parquet scan with pushdown-friendly filter + projection
+# ---------------------------------------------------------------------------
+@query(
+    "s1_parquet_scan",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS total_qty,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def s1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_quantity")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 — CSV scan with an explicit schema (no inference job at scale)
+# ---------------------------------------------------------------------------
+_CSV_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderdate", StringType()),
+    ]
+)
+
+
+@query(
+    "s2_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _workdir(f"csv_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(out)
+    )
+    return (
+        spark.read.schema(_CSV_SCHEMA)
+        .option("header", "true")
+        .csv(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3 — JSON-lines scan (API landing-zone envelopes, REPORT:39)
+# ---------------------------------------------------------------------------
+@query(
+    "s3_jsonl_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def s3_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _workdir(f"jsonl_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite")
+        .json(out)
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .json(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4 — binary/ZIP ingest + distributed unzip (replaces the reference's
+# Lambda fan-out, REPORT:209-215). ZIP archives are built once per
+# sf_dir from the documents table (one archive per 100 docs — the
+# "daily landed file"), then read back via binaryFile and exploded by a
+# mapInPandas unzip running on executors.
+# ---------------------------------------------------------------------------
+_UNZIP_SCHEMA = StructType(
+    [
+        StructField("archive", StringType()),
+        StructField("entry_name", StringType()),
+        StructField("entry_bytes", LongType()),
+    ]
+)
+
+
+def _build_zip_fixture(spark: SparkSession, sf_dir: str) -> str:
+    out = _workdir(f"zips_{os.path.basename(sf_dir.rstrip('/'))}")
+    marker = os.path.join(out, "_built")
+    if os.path.exists(marker):
+        return out
+    docs = (
+        load(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    )  # fixture-building only; bounded by the docs table (≤5k rows at sf0.1)
+    docs = docs.sort_values("doc_id")
+    for chunk_start in range(0, len(docs), 100):
+        chunk = docs.iloc[chunk_start : chunk_start + 100]
+        zpath = os.path.join(out, f"docs_{chunk_start:06d}.zip")
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for _, row in chunk.iterrows():
+                zf.writestr(f"doc_{int(row.doc_id):08d}.txt", row.text)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def unzip_binary_files(binary_df: DataFrame) -> DataFrame:
+    """Distributed unzip: each executor opens its own archives."""
+
+    def unzip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"archive": [], "entry_name": [], "entry_bytes": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    for info in zf.infolist():
+                        rows["archive"].append(os.path.basename(path))
+                        rows["entry_name"].append(info.filename)
+                        rows["entry_bytes"].append(len(zf.read(info)))
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(unzip, _UNZIP_SCHEMA)
+
+
+@query(
+    "s4_zip_ingest_unzip",
+    oracle="""
+    SELECT count(*) AS n_entries,
+           sum(length(text)) AS total_bytes,
+           count(DISTINCT doc_id) AS n_docs
+    FROM documents
+    """,
+)
+def s4_zip_ingest_unzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zip_dir = _build_zip_fixture(spark, sf_dir)
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(zip_dir)
+        .select("path", "content")
+    )
+    entries = unzip_binary_files(binary)
+    return entries.agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum("entry_bytes").alias("total_bytes"),
+        F.countDistinct("entry_name").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6 — date-partition-pruned incremental read: the engine form of the
+# reference's "request only yesterday" URL predicate (REPORT:59-62).
+# ---------------------------------------------------------------------------
+@query(
+    "s6_date_pruned_read",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY 1
+    """,
+)
+def s6_date_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

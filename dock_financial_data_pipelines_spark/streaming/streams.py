@@ -1,0 +1,173 @@
+"""Structured Streaming surface (SURVEY.md §2-B X4, X5, X7, X8).
+
+The reference's SFTP sensor + daily trigger (REPORT:121-148, REPORT:227)
+generalize to file-arrival streaming with ``trigger(availableNow=True)``:
+discover whatever landed, process it incrementally against a checkpoint,
+stop. These queries run a real ``readStream`` to completion and return
+the materialized result; they are smoke/rows-only (DuckDB cannot execute
+Structured Streaming), with their deterministic semantics covered by the
+batch twins.
+
+All state (checkpoints, sinks) goes under a per-run temp directory so
+re-runs start clean, mirroring the reference's ``catchup=False``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from dock_financial_data_pipelines_spark.catalog import events_stream_source
+from dock_financial_data_pipelines_spark.registry import query
+
+
+def _scratch() -> str:
+    d = os.path.join(
+        tempfile.gettempdir(), "dock_fdp_spark", "stream", uuid.uuid4().hex
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_stream_source(spark, sf_dir)
+
+
+def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    scratch = _scratch()
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = stream_df.sparkSession.table(name)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# X4 — watermarked tumbling-window aggregation over a file stream
+# ---------------------------------------------------------------------------
+@query("x4_stream_tumbling_watermark")
+def x4_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "x4_windows", "complete")
+
+
+# ---------------------------------------------------------------------------
+# X5 — streaming dedup within the watermark
+# ---------------------------------------------------------------------------
+@query("x5_stream_dedup_watermark")
+def x5_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "x5_dedup", "append")
+
+
+# ---------------------------------------------------------------------------
+# X7 — custom stateful per-key processing: running balance via
+# applyInPandasWithState (final state per user after draining the stream).
+# ---------------------------------------------------------------------------
+@query("x7_stateful_running_balance")
+def x7_stateful_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("balance", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "balance": [round(total, 2)]}
+        )
+
+    result = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    return _run_to_memory(result, "x7_state", "update")
+
+
+# ---------------------------------------------------------------------------
+# X8 — file-arrival ingest (the SFTP sensor restated): stream the landed
+# files into a parquet sink with a checkpoint, then read the sink back.
+# ---------------------------------------------------------------------------
+@query("x8_incremental_file_ingest")
+def x8_incremental_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scratch = _scratch()
+    sink = os.path.join(scratch, "sink")
+    enriched = _events_stream(spark, sf_dir).withColumn(
+        "ingest_date", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .partitionBy("ingest_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("ingest_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
