@@ -173,18 +173,23 @@ def minhash_signatures(docs: DataFrame, shingle_width: int = 3) -> DataFrame:
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signatures and self-join buckets → candidate pairs."""
-    bands = []
+    """Band the signatures and self-join buckets → candidate pairs.
+
+    The caller must hand in a *materialized* sigs frame (cached or
+    written out): this plan references it on both sides of the join, and
+    at scale the signatures table is persisted once and reused, never
+    recomputed per band."""
+    stack_args = []
     for b in range(_BANDS):
         cols = [f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("sig"),
-            )
-        )
-    banded = reduce(lambda a, b: a.unionByName(b), bands)
+        sig = " , ".join(f"CAST({c} AS STRING)" for c in cols)
+        stack_args.append(f"{b}, concat_ws('_', {sig})")
+    # One projection explodes every signature row into its 4 band keys —
+    # a single pass over sigs instead of a 4-way union re-scan.
+    banded = sigs.selectExpr(
+        "doc_id",
+        f"stack({_BANDS}, {', '.join(stack_args)}) AS (band, sig)",
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -204,7 +209,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 @query("l4_minhash_lsh_neardup")
 def l4_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # Materialize signatures: the LSH self-join reads them from both
+    # sides (at 100 TB this is a persisted signatures table, computed in
+    # one shuffle over the corpus, not recomputed per band).
+    sigs = minhash_signatures(docs).cache()
     pairs = lsh_candidate_pairs(sigs)
     toksets = docs.select("doc_id", F.array_distinct(_tokens()).alias("tokset"))
     jacc = F.size(F.array_intersect("tokset_a", "tokset_b")).cast("double") / F.size(

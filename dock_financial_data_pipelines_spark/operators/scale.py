@@ -1,0 +1,180 @@
+"""Scale-technique operators: skew salting, bucketed co-located joins,
+approximate and exact percentiles (SURVEY.md §4.3 policies made
+concrete and oracle-checked).
+
+``events.user_id`` has only ~15 distinct values at any scale factor —
+an extreme-skew key where a naive groupBy/join puts whole key volumes on
+single tasks. These operators demonstrate the two standard cures:
+
+- two-stage salted aggregation: groupBy (key, salt) partial → groupBy
+  key final. The first shuffle spreads each hot key over SALT buckets.
+- bucketed tables: pre-shuffle both join sides into the same bucket
+  layout once; subsequent joins are shuffle-free (SortMergeJoin with no
+  Exchange). At 100 TB this is the difference between re-shuffling
+  terabytes per query and none.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+_SALT_BUCKETS = 16
+
+
+def salted_sum(df: DataFrame, key: str, value: str, n_salt: int = _SALT_BUCKETS) -> DataFrame:
+    """Two-stage aggregation over a skewed key."""
+    partial = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)))
+        .groupBy(key, "_salt")
+        .agg(F.sum(value).alias("_psum"), F.count(F.lit(1)).alias("_pcnt"))
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_psum").alias("_sum"), F.sum("_pcnt").alias("_cnt")
+    )
+
+
+@query(
+    "a9_salted_skew_agg",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def a9_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = salted_sum(load(spark, sf_dir, "events"), "user_id", "value")
+    return agg.select(
+        "user_id",
+        F.col("_cnt").alias("n_events"),
+        F.round("_sum", 2).alias("total_value"),
+    )
+
+
+@query(
+    "j10_salted_skew_join",
+    oracle="""
+    SELECT e.event_type, c.c_mktsegment, count(*) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact ⋈ dim via salt replication: fact rows get a random
+    salt, each dim row is exploded to every salt value, and the join key
+    becomes (key, salt) — each hot key spreads over N tasks. (With a
+    dim this small broadcast is the better plan — j2 covers that; this
+    demonstrates the technique for dims too large to broadcast.)"""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(_SALT_BUCKETS)).cast(
+            "int"
+        ),
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1))))
+    )
+    return (
+        ev.hint("shuffle_hash")
+        .join(
+            cust,
+            (ev.user_id == cust.c_custkey) & (ev._salt == cust._salt),
+        )
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "s7_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n_lines,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def s7_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write both fact tables bucketed by the join key, then join the
+    bucketed tables: Catalyst elides the shuffle on both sides (no
+    Exchange above either scan). The one-time bucketing cost is paid at
+    ingest; every subsequent join is co-located."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    wh = os.path.join(tempfile.gettempdir(), "dock_fdp_spark", f"bucketed_{tag}")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(wh, "lineitem"))
+        .saveAsTable(f"bkt_lineitem_{tag}")
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(wh, "orders"))
+        .saveAsTable(f"bkt_orders_{tag}")
+    )
+    li = spark.table(f"bkt_lineitem_{tag}")
+    orders = spark.table(f"bkt_orders_{tag}")
+    # hint("merge"): at fixture scale AQE would broadcast instead; the
+    # point here is the SortMergeJoin with NO Exchange/Sort on either
+    # side (bucket layout + sortBy make both pre-partitioned and
+    # pre-sorted) — the plan shape that matters at 100 TB.
+    return (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "a10_exact_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def a10_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query("a11_approx_percentiles")
+def a11_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (one pass, bounded memory — the only
+    affordable form at 100 TB). Sketch internals are engine-specific →
+    rows-only check; a10 is the exact twin."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        )
+    )

@@ -144,6 +144,23 @@ def x7_stateful_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X6 — stream-static join: the streaming side joins the broadcastable
+# customer dimension per micro-batch (batch twin: x6_stream_static_join_twin).
+# ---------------------------------------------------------------------------
+@query("x6_stream_static_join")
+def x6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    cust = load(spark, sf_dir, "customer")
+    joined = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment", "event_type", "value")
+    )
+    return _run_to_memory(joined, "x6_joined", "append")
+
+
+# ---------------------------------------------------------------------------
 # X8 — file-arrival ingest (the SFTP sensor restated): stream the landed
 # files into a parquet sink with a checkpoint, then read the sink back.
 # ---------------------------------------------------------------------------
