@@ -40,6 +40,11 @@ HEADLINE = [
     "l5_cosine_topk",
     "l_quality_score",
     "f6_json_extraction",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "j8_asof_join_sortmerge",
+    "a9_salted_skew_agg",
+    "report_region_market_share",
 ]
 
 

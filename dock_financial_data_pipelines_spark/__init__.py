@@ -39,14 +39,17 @@ def load_all() -> None:
     import dock_financial_data_pipelines_spark.operators.dedup  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.joins  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.multimodal  # noqa: F401
+    import dock_financial_data_pipelines_spark.operators.quality  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.relational  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.scale  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.similarity  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.text  # noqa: F401
+    import dock_financial_data_pipelines_spark.operators.tpch  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.udfs  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.windows  # noqa: F401
     import dock_financial_data_pipelines_spark.plans.pipeline  # noqa: F401
     import dock_financial_data_pipelines_spark.sources.readers  # noqa: F401
+    import dock_financial_data_pipelines_spark.sources.pyds  # noqa: F401
     import dock_financial_data_pipelines_spark.sources.rest  # noqa: F401
     import dock_financial_data_pipelines_spark.sources.sinks  # noqa: F401
     import dock_financial_data_pipelines_spark.streaming.batch_twins  # noqa: F401

@@ -27,8 +27,8 @@ from dock_financial_data_pipelines_spark.registry import query
            len(list_distinct(string_split(text, ' '))) AS n_distinct,
            array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
            list_contains(string_split(text, ' '), 'spark') AS has_spark,
-           list_sum(list_transform(string_split(text, ' '), x -> length(x)))
-               AS total_token_chars,
+           CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+               AS BIGINT) AS total_token_chars,
            array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',')
                AS first5_sorted
     FROM documents
@@ -112,6 +112,51 @@ def f6_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .where(F.col("n") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4b — posexplode: token positions (UDTF-style lateral view)
+# ---------------------------------------------------------------------------
+@query(
+    "f4_posexplode_positions",
+    oracle="""
+    SELECT t.term, min(t.pos) AS first_pos, count(*) AS n
+    FROM (
+        SELECT unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents WHERE doc_id < 50
+    ) t
+    GROUP BY 1
+    """,
+)
+def f4_posexplode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select(F.posexplode(F.split("text", " ")).alias("pos", "term"))
+        .groupBy("term")
+        .agg(F.min("pos").alias("first_pos"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6c — json_tuple (multi-field extraction in one pass)
+# ---------------------------------------------------------------------------
+@query(
+    "f6_json_tuple",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events WHERE event_id < 500
+    """,
+)
+def f6_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") < 500)
+        .select("event_id", F.json_tuple("props", "k").alias("k"))
+        .select("event_id", F.col("k").cast("int").alias("k"))
     )
 
 

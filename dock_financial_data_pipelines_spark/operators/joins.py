@@ -242,6 +242,76 @@ def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J8b — as-of join, sort-merge formulation (the 100 TB path): union both
+# streams on the key, one sort per key partition, carry the latest order
+# forward with last_value(ignoreNulls). One shuffle + one sort — no
+# range join, no per-event scan of the order history.
+# ---------------------------------------------------------------------------
+@query(
+    "j8_asof_join_sortmerge",
+    oracle="""
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id,
+           o_orderkey AS asof_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS asof_date
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j8_asof_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    merged = ev.unionByName(orders)
+    # Orders sort before events at the same instant (is_event 0 < 1), so
+    # an order dated exactly at the event timestamp is visible to it;
+    # o_orderkey breaks same-date ties deterministically (latest key wins).
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "is_event",
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("_asof_ts"),
+    )
+    return (
+        carried.where((F.col("is_event") == 1) & F.col("asof_orderkey").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "asof_orderkey",
+            F.date_format("_asof_ts", "yyyy-MM-dd").alias("asof_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # J9 — multi-way star join (TPC-H Q5 shape): revenue by nation for one
 # region and order-date window; dims broadcast, facts shuffle once.
 # ---------------------------------------------------------------------------

@@ -91,7 +91,7 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_assets,
-           sum(length(text)) AS total_bytes
+           CAST(sum(length(text)) AS BIGINT) AS total_bytes
     FROM documents GROUP BY 1
     """,
 )
@@ -116,7 +116,7 @@ def l7_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(doc_id % 10 AS BIGINT) AS shard,
            count(*) AS n_assets,
-           sum(least(length(text), 32)) AS sampled_bytes
+           CAST(sum(least(length(text), 32)) AS BIGINT) AS sampled_bytes
     FROM documents GROUP BY 1
     """,
 )

@@ -1,0 +1,79 @@
+"""Data-quality check operators — the reference's inline null-guards
+(SURVEY.md §2-A R11: `if not x: raise ValueError`, REPORT:45-46/75-76/
+112-113) generalized into declarative, columnar assertions.
+
+Each check is a DataFrame → violations DataFrame transformation; a check
+passes when its violations frame is empty. ``run_checks`` evaluates a
+suite in ONE pass (a single aggregate over the table — at 100 TB you
+cannot afford one scan per rule) and returns a (check, violations)
+report frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    return f"not_null({col})", F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+
+
+def accepted_values(col: str, values: list) -> tuple[str, Column]:
+    return (
+        f"accepted_values({col})",
+        F.sum(F.when(~F.col(col).isin(values), 1).otherwise(0)),
+    )
+
+
+def in_range(col: str, lo, hi) -> tuple[str, Column]:
+    return (
+        f"in_range({col},{lo},{hi})",
+        F.sum(F.when(~F.col(col).between(lo, hi), 1).otherwise(0)),
+    )
+
+
+def unique_key(col: str) -> tuple[str, Column]:
+    return f"unique({col})", (F.count(F.lit(1)) - F.countDistinct(col))
+
+
+def run_checks(df: DataFrame, checks: list[tuple[str, Column]]) -> DataFrame:
+    """All checks in one aggregate pass → (check, violations) rows."""
+    agg = df.agg(*[expr.cast("bigint").alias(f"c{i}") for i, (_, expr) in enumerate(checks)])
+    stack_args = ", ".join(f"'{name}', c{i}" for i, (name, _) in enumerate(checks))
+    return agg.selectExpr(f"stack({len(checks)}, {stack_args}) AS (check, violations)")
+
+
+@query(
+    "q_data_quality_report",
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS "check",
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0,10000000)',
+           CAST(sum(CASE WHEN o_totalprice NOT BETWEEN 0 AND 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return run_checks(
+        orders,
+        [
+            not_null("o_custkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            in_range("o_totalprice", 0, 10_000_000),
+            unique_key("o_orderkey"),
+        ],
+    )

@@ -180,9 +180,9 @@ def p3_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            count(*) AS n_parts,
-           sum(CASE WHEN p_type LIKE 'ECONOMY%' THEN 1 ELSE 0 END) AS n_economy,
-           sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_widget,
-           sum(CASE WHEN p_name LIKE '%gadget' THEN 1 ELSE 0 END) AS n_gadget_suffix
+           CAST(sum(CASE WHEN p_type LIKE 'ECONOMY%' THEN 1 ELSE 0 END) AS BIGINT) AS n_economy,
+           CAST(sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS BIGINT) AS n_widget,
+           CAST(sum(CASE WHEN p_name LIKE '%gadget' THEN 1 ELSE 0 END) AS BIGINT) AS n_gadget_suffix
     FROM part
     GROUP BY 1
     """,
@@ -212,7 +212,7 @@ def p4_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(nullif(l_returnflag, 'N'), 'NONE') AS flag,
            count(*) AS n_rows,
            count(nullif(l_returnflag, 'N')) AS n_nonnull,
-           sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS n_null
+           CAST(sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
     FROM lineitem
     GROUP BY 1
     """,
@@ -347,8 +347,8 @@ def f2_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_extendedprice - 50000) AS dist_from_50k,
-           ceil(l_quantity / 10) AS qty_decile,
-           floor(l_discount * 100) AS disc_pct,
+           CAST(ceil(l_quantity / 10) AS BIGINT) AS qty_decile,
+           CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
            round(power(l_quantity, 2), 4) AS qty_sq,
            greatest(l_discount, l_tax) AS max_rate,
            least(l_discount, l_tax) AS min_rate,

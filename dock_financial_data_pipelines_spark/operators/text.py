@@ -28,9 +28,9 @@ def _tokens():
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-           sum(length(text)) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
            max(len(string_split(text, ' '))) AS max_tokens
     FROM documents GROUP BY 1
     """,
@@ -80,7 +80,7 @@ def l2_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l6_corpus_breakdown",
     oracle="""
     SELECT lang, source, count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(avg(n_chars), 4) AS avg_chars
     FROM documents GROUP BY 1, 2
     """,
@@ -130,7 +130,7 @@ def _marker_score(markers: tuple[str, ...]):
                 WHEN s_b >= s_c THEN 'lang_b'
                 ELSE 'lang_c' END AS predicted,
            count(*) AS n_docs,
-           sum(s_a) AS sum_a, sum(s_b) AS sum_b, sum(s_c) AS sum_c
+           CAST(sum(s_a) AS BIGINT) AS sum_a, CAST(sum(s_b) AS BIGINT) AS sum_b, CAST(sum(s_c) AS BIGINT) AS sum_c
     FROM scored GROUP BY 1
     """,
 )
@@ -227,8 +227,8 @@ def l_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            len(string_split(text,' ')) AS n_words,
-           list_sum(list_transform(string_split(text,' '),
-                    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS n_subwords_est
+           CAST(list_sum(list_transform(string_split(text,' '),
+                    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords_est
     FROM documents
     WHERE doc_id < 200
     """,

@@ -1,0 +1,157 @@
+"""TPC-H-shaped reporting queries over the fixture star schema — the
+"daily business reports" a consumer of the reference's balance/statement
+files would actually produce downstream (README:47-63), expressed as
+single declarative plans.
+
+Q1 lives in aggregations.py (a1_pricing_summary); here: Q3 (shipping
+priority), Q10 (returned-item reporting), and a market-share style
+report. All joins are dim-broadcast + single fact shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "acctbal", "nation")
+    )
+
+
+@query(
+    "report_region_market_share",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region,
+               year(o.o_orderdate) AS yr,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, yr,
+           round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY yr), 6) AS share
+    FROM rev
+    """,
+)
+def report_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.year("o_orderdate").alias("yr")
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+    )
+    w = Window.partitionBy("yr")
+    return rev.select(
+        "region",
+        "yr",
+        F.round("_rev", 2).alias("revenue"),
+        F.round(F.col("_rev") / F.sum("_rev").over(w), 6).alias("share"),
+    )

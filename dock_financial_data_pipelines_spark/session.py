@@ -39,7 +39,42 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in some envs
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Anything pickled by reference — the Python Data Source class, any
+    module-level function captured by a mapInPandas/UDF closure — needs
+    the package on the workers' sys.path. A driver-owned session (the
+    round driver's, a notebook's) won't have it, so ship a zip via
+    addPyFile once per SparkContext. On a real cluster this is the
+    same mechanism (--py-files)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_dock_fdp_shipped", False):
+        return
+    import tempfile
+    import uuid
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    final = os.path.join(tempfile.gettempdir(), "dock_fdp_spark_pkg.zip")
+    staging = f"{final}.{uuid.uuid4().hex}"
+    with zipfile.ZipFile(staging, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    os.replace(staging, final)
+    try:
+        sc.addPyFile(final)
+    except Exception:  # pragma: no cover - e.g. already added by name
+        pass
+    sc._dock_fdp_shipped = True
 
 
 def get_spark(app_name: str = "dock-fdp-spark") -> SparkSession:

@@ -216,7 +216,7 @@ def unzip_binary_files(binary_df: DataFrame) -> DataFrame:
     "s4_zip_ingest_unzip",
     oracle="""
     SELECT count(*) AS n_entries,
-           sum(length(text)) AS total_bytes,
+           CAST(sum(length(text)) AS BIGINT) AS total_bytes,
            count(DISTINCT doc_id) AS n_docs
     FROM documents
     """,

@@ -86,6 +86,41 @@ def x4_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X2/X3 streaming forms — sliding and session windows over the stream
+# (batch twins x2_sliding_window / x3_session_window carry the oracles).
+# ---------------------------------------------------------------------------
+@query("x2_stream_sliding_window")
+def x2_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "x2_sliding", "complete")
+
+
+@query("x3_stream_session_window")
+def x3_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "x3_sessions", "complete")
+
+
+# ---------------------------------------------------------------------------
 # X5 — streaming dedup within the watermark
 # ---------------------------------------------------------------------------
 @query("x5_stream_dedup_watermark")

@@ -1,0 +1,137 @@
+"""Physical-plan audit: assert the plan *shape* we designed for, not
+just the results (SURVEY.md §4.2/§4.3 — "the first plan that passes is
+not the plan you ship").
+
+Checks per query:
+- parquet filter pushdown reached the scan (PushedFilters non-empty)
+- dims joined by broadcast where intended (BroadcastHashJoin)
+- no row-at-a-time Python eval (BatchEvalPython) outside the queries
+  that deliberately demonstrate it (d1/d5)
+- whole-stage codegen present
+- bucketed join has no Exchange below the SortMergeJoin
+
+Run: python scripts/explain_audit.py   (prints PASS/FAIL per assertion)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dock_financial_data_pipelines_spark as engine
+from dock_financial_data_pipelines_spark.session import get_spark
+
+engine.load_all()
+
+SF = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan_of(spark, name: str, execute: bool = False) -> str:
+    df = engine.QUERIES[name](spark, SF)
+    if execute:
+        # AQE only materializes the final plan after the df itself runs
+        # (a noop write would execute a *separate* QueryExecution).
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+
+    def check(name: str, desc: str, ok: bool):
+        print(f"{'PASS' if ok else 'FAIL'}  {name:40s} {desc}")
+        if not ok:
+            failures.append((name, desc))
+
+    p = plan_of(spark, "s6_date_pruned_read")
+    check(
+        "s6_date_pruned_read",
+        "date predicate pushed to parquet scan",
+        "PushedFilters: [IsNotNull(o_orderdate)" in p
+        or "GreaterThanOrEqual(o_orderdate" in p,
+    )
+
+    p = plan_of(spark, "flagship_segment_monthly_revenue", execute=True)
+    check(
+        "flagship_segment_monthly_revenue",
+        "joins resolved as broadcast (no SMJ at this scale)",
+        "BroadcastHashJoin" in p,
+    )
+    check(
+        "flagship_segment_monthly_revenue",
+        "whole-stage codegen active ('*(n)' spans in the final plan)",
+        "*(" in p,
+    )
+    check(
+        "flagship_segment_monthly_revenue",
+        "no Python row-at-a-time eval in the hot path",
+        "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "j2_broadcast_dim_join")
+    check(
+        "j2_broadcast_dim_join",
+        "both dims broadcast",
+        p.count("BroadcastHashJoin") >= 2,
+    )
+
+    p = plan_of(spark, "j9_star_join")
+    check(
+        "j9_star_join",
+        "region filter applied before join (pushdown through star)",
+        "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)]" in p
+        or "EqualTo(r_name,ASIA)" in p,
+    )
+
+    p = plan_of(spark, "a1_pricing_summary")
+    check(
+        "a1_pricing_summary",
+        "partial aggregation before the exchange (map-side combine)",
+        "HashAggregate" in p and "Exchange" in p,
+    )
+    check(
+        "a1_pricing_summary",
+        "only the needed columns are read (column pruning)",
+        "l_comment" not in p,
+    )
+
+    p = plan_of(spark, "s7_bucketed_colocated_join")
+    join_idx = p.find("SortMergeJoin")
+    check(
+        "s7_bucketed_colocated_join",
+        "SortMergeJoin with no Exchange below it (bucket co-location)",
+        join_idx >= 0 and "Exchange" not in p[join_idx:],
+    )
+
+    p = plan_of(spark, "l2_term_frequency")
+    check(
+        "l2_term_frequency",
+        "explode + count stays fully JVM-side",
+        "BatchEvalPython" not in p and "Generate explode" in p,
+    )
+
+    p = plan_of(spark, "l5_cosine_topk")
+    check(
+        "l5_cosine_topk",
+        "query side broadcast (no full shuffle of the corpus)",
+        "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p,
+    )
+
+    p = plan_of(spark, "d2_pandas_udf_net_price")
+    check(
+        "d2_pandas_udf_net_price",
+        "pandas UDF runs Arrow-vectorized (ArrowEvalPython)",
+        "ArrowEvalPython" in p,
+    )
+
+    print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,6 +41,12 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
     o = _canon(oracle_pdf)
     for c in s.columns:
         sc, oc = s[c], o[c]
+        # int-vs-float dtype drift (e.g. DuckDB HUGEINT sums arriving as
+        # float64) would survive a value-coerced compare but break the
+        # driver's hash — treat it as a schema mismatch.
+        assert not (
+            (sc.dtype.kind in "iu") != (oc.dtype.kind in "iu")
+        ), f"{name}: dtype kind mismatch on {c}: spark={sc.dtype} oracle={oc.dtype}"
         if sc.dtype.kind == "f" or oc.dtype.kind == "f":
             import numpy as np
 
