@@ -378,6 +378,34 @@ def f3_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F3b — DecimalType money policy (SURVEY.md §4.3): balances accumulate in
+# DECIMAL(18,2) — exact, order-independent — never in floats. Output as
+# string so both engines' decimal renderings are compared exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "f3_decimal_money",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_exact,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_exact,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def f3_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(money).cast("decimal(18,2)").cast("string").alias("total_exact"),
+            F.min(money).cast("string").alias("min_exact"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # T1 — multi-key sort with explicit null ordering; position captured as a
 # value column so the order itself is hash-checked.
 # ---------------------------------------------------------------------------

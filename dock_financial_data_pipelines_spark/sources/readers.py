@@ -238,6 +238,30 @@ def s4_zip_ingest_unzip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S8 — ORC roundtrip (second columnar format; same pushdown machinery)
+# ---------------------------------------------------------------------------
+@query(
+    "s8_orc_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY 1
+    """,
+)
+def s8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _workdir(f"orc_{os.path.basename(sf_dir.rstrip('/'))}")
+    load(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # S6 — date-partition-pruned incremental read: the engine form of the
 # reference's "request only yesterday" URL predicate (REPORT:59-62).
 # ---------------------------------------------------------------------------

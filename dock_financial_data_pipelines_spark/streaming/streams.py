@@ -47,6 +47,46 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_stream_source(spark, sf_dir)
 
 
+def _events_stream_multibatch(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Stream events as N time-ordered files with maxFilesPerTrigger=1 →
+    N micro-batches, so watermark advancement / late-data handling and
+    state transitions actually execute (a single file = a single batch
+    never exercises them). The chunk split is deterministic (sorted by
+    ts, event_id)."""
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    chunk_dir = os.path.join(
+        tempfile.gettempdir(),
+        "dock_fdp_spark",
+        f"event_chunks_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(chunk_dir, "_built")
+    ev = load(spark, sf_dir, "events")
+    if not os.path.exists(marker):
+        from pyspark.sql import Window
+
+        ntile = F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
+        chunked = ev.withColumn("chunk", ntile)
+        for i in range(1, n_chunks + 1):
+            (
+                chunked.where(F.col("chunk") == i)
+                .drop("chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(chunk_dir, f"chunk_{i:02d}"))
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(chunk_dir, "chunk_*"))
+    )
+
+
 def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     scratch = _scratch()
     q = (
@@ -68,8 +108,11 @@ def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFra
 # ---------------------------------------------------------------------------
 @query("x4_stream_tumbling_watermark")
 def x4_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-batch source + append mode: the watermark advances between
+    # micro-batches and emits each window only once it is final — the
+    # actual late-data semantics, not a single-batch approximation.
     agg = (
-        _events_stream(spark, sf_dir)
+        _events_stream_multibatch(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"))
         .agg(
@@ -82,7 +125,7 @@ def x4_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_memory(agg, "x4_windows", "complete")
+    return _run_to_memory(agg, "x4_windows", "append")
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +212,7 @@ def x7_stateful_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     result = (
-        _events_stream(spark, sf_dir)
+        _events_stream_multibatch(spark, sf_dir)
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
