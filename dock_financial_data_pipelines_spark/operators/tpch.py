@@ -111,6 +111,78 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q18_large_orders",
+    # Written on the SQL surface with an IN-subquery so Catalyst's
+    # subquery decorrelation (rewrite to semi-join) is exercised.
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_name, o.o_orderkey,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               round(o.o_totalprice, 2) AS totalprice,
+               round(sum(l.l_quantity), 2) AS total_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        )
+        GROUP BY 1, 2, 3, 4
+        """
+    )
+
+
+@query(
+    "tpch_q22_scalar_subquery",
+    # Correlated + scalar subqueries on the SQL surface: customers above
+    # the global average balance with no orders (TPC-H Q22 shape).
+    oracle="""
+    SELECT substr(c_name, 10, 2) AS cntry,
+           count(*) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def tpch_q22_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT substr(c_name, 10, 2) AS cntry,
+               count(*) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+        """
+    )
+
+
+@query(
     "report_region_market_share",
     oracle="""
     WITH rev AS (

@@ -239,6 +239,107 @@ def x6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X9 — foreachBatch sink: per-micro-batch idempotent upsert into a
+# partitioned parquet target (batch id + dynamic overwrite = exactly-once
+# effect on re-runs — the streaming form of the reference's replace=True).
+# ---------------------------------------------------------------------------
+@query("x9_foreach_batch_sink")
+def x9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scratch = _scratch()
+    sink = os.path.join(scratch, "sink")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(
+                "ingest_date", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+            )
+            .write.mode("overwrite")
+            .partitionBy("ingest_date")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(sink)
+        )
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("ingest_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X10 — transformWithStateInPandas (Spark 4 stateful API): per-user
+# running count/balance kept in a ValueState, emitted per batch.
+# Registered only where google.protobuf is importable: the TWS state
+# server protocol needs it, and this container ships a broken protobuf
+# (the gate keeps the driver sweep green; x7 applyInPandasWithState
+# covers the same semantics everywhere).
+# ---------------------------------------------------------------------------
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def x10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("balance", DoubleType()),
+        ]
+    )
+
+    class RunningBalance(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            state_schema = StructType(
+                [StructField("n", LongType()), StructField("total", DoubleType())]
+            )
+            self.state = handle.getValueState("acct", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self.state.get() if self.state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "balance": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    result = (
+        _events_stream_multibatch(spark, sf_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningBalance(), out_schema, "Update", "ProcessingTime"
+        )
+    )
+    return _run_to_memory(result, "x10_tws", "update")
+
+
+if _has_protobuf():  # pragma: no cover - container protobuf is broken
+    query("x10_transform_with_state")(x10_transform_with_state)
+
+
+# ---------------------------------------------------------------------------
 # X8 — file-arrival ingest (the SFTP sensor restated): stream the landed
 # files into a parquet sink with a checkpoint, then read the sink back.
 # ---------------------------------------------------------------------------
