@@ -249,6 +249,68 @@ def l_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text normalization: lowercase, collapse whitespace, strip punctuation —
+# the standard cleanup pass before tokenization, all JVM-side regex.
+# ---------------------------------------------------------------------------
+@query(
+    "l_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[ ]+', ' ', 'g')) AS norm_text,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_no_vowels,
+           length(text) - length(replace(text, ' ', '')) AS n_spaces
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def l_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.lower("text"), "[ ]+", " ")).alias("norm_text"),
+            F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_no_vowels"),
+            (
+                F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+            ).alias("n_spaces"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-hash train/test split: assignment derives from md5(content), so
+# it is seed-free, engine-portable, and stable under re-partitioning and
+# incremental reprocessing — random() splits are none of those at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "l_train_test_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN ascii(substr(md5(text), 1, 1)) % 10 < 8
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def l_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = F.when(
+        F.ascii(F.substring(F.md5("text"), 1, 1)) % 10 < 8, "train"
+    ).otherwise("test")
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting: polynomial rolling hash over the token stream
 # (per-token feature = 37*len + ascii(first char)), mod 2^31-1. Pure
 # arithmetic so Spark and DuckDB agree bit-for-bit; at scale this is a

@@ -158,6 +158,45 @@ def d4_apply_in_pandas_above_mean(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# D6 — Python UDTF (table function, Spark 3.5+): expand each order into
+# scheduled installment rows (a statement-generation shape).
+# ---------------------------------------------------------------------------
+@query(
+    "d6_python_udtf_installments",
+    oracle="""
+    SELECT o.o_orderkey,
+           i.n AS installment,
+           floor(o.o_totalprice / 3 * 100 + 0.5) / 100 AS amount
+    FROM orders o CROSS JOIN (VALUES (1), (2), (3)) i(n)
+    WHERE o.o_orderkey < 100
+    """,
+)
+def d6_python_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey: bigint, installment: int, amount: double")
+    class Installments:
+        def eval(self, orderkey: int, totalprice: float):
+            import math
+
+            for n in (1, 2, 3):
+                # floor(x*100+0.5)/100: same IEEE ops as the oracle
+                # (python round() is half-even; see p1_project_compute)
+                yield orderkey, n, math.floor(totalprice / 3 * 100 + 0.5) / 100
+
+    spark.udtf.register("installments", Installments)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT i.o_orderkey, i.installment, i.amount
+        FROM orders o,
+        LATERAL installments(o.o_orderkey, o.o_totalprice) i
+        WHERE o.o_orderkey < 100
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # D5 — SQL-registered UDF used from spark.sql (SQL/DataFrame parity)
 # ---------------------------------------------------------------------------
 @query(
