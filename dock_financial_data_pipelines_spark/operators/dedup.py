@@ -313,6 +313,108 @@ def l4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup clusters — connected components over the near-duplicate graph:
+# every group of mutually-similar documents collapses to one canonical
+# doc (min doc_id). Implemented as iterative min-label propagation, the
+# Pregel-style formulation; at 100 TB the same loop runs with
+# checkpointed intermediate labels and the large-star/small-star
+# optimization — the per-iteration plan (join + min-aggregate) is
+# unchanged. The oracle computes the same components with a recursive
+# CTE, making this iterative algorithm exactly hash-checked.
+# ---------------------------------------------------------------------------
+_CC_THRESHOLD = 0.9
+_CC_NODE_LIMIT = 300  # bound the exact all-pairs edge build (probe slice)
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(node) × (src,dst) → (node, component=min reachable node id)."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select("node", F.col("node").alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(sym, labels.node == sym.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("n_comp", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per iter
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "l4_dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, list_distinct(string_split(text,' ')) AS t
+        FROM documents WHERE doc_id < {_CC_NODE_LIMIT}
+    ),
+    edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / len(list_distinct(a.t || b.t)) >= {_CC_THRESHOLD}
+    ),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM toks
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN sym e ON e.src = w.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
+    SELECT component,
+           count(*) AS cluster_size,
+           min(node) AS canonical_doc
+    FROM comp GROUP BY 1
+    """,
+)
+def l4_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _CC_NODE_LIMIT)
+        .select("doc_id", F.array_distinct(_tokens()).alias("tokset"))
+    )
+    a = docs.select(F.col("doc_id").alias("src"), F.col("tokset").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("dst"), F.col("tokset").alias("tb"))
+    jacc = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    edges = (
+        F.broadcast(a)
+        .join(b, F.col("src") < F.col("dst"))
+        .where(jacc >= _CC_THRESHOLD)
+        .select("src", "dst")
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comps = connected_components(nodes, edges)
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("canonical_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L4d — embedding-cosine near-dup: probe slice × corpus with an exact
 # cosine (same arithmetic on both sides → SQL oracle). The full-corpus
 # version at scale goes through the LSH/IVF path in similarity.py.
