@@ -157,7 +157,12 @@ _ROWS_PER_BAND = _MINHASH_K // _BANDS
 
 
 def minhash_signatures(docs: DataFrame, shingle_width: int = 3) -> DataFrame:
-    """doc_id → [k minhash values] over token shingles, one shuffle."""
+    """doc_id → [k minhash values] over token shingles, one shuffle.
+
+    xxhash64 takes the family index as a second hashed column, so each
+    of the k families is an independent hash without per-family string
+    concatenation (and without 64-bit multiply tricks, which ANSI mode
+    — Spark 4's default — would reject on overflow)."""
     shingled = docs.select(
         "doc_id",
         F.expr(
@@ -166,7 +171,7 @@ def minhash_signatures(docs: DataFrame, shingle_width: int = 3) -> DataFrame:
         ).alias("shingles"),
     ).select("doc_id", F.explode("shingles").alias("shingle"))
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
         for i in range(_MINHASH_K)
     ]
     return shingled.groupBy("doc_id").agg(*mins)

@@ -86,21 +86,39 @@ def l5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # L5b — LSH-bucketed approximate top-k (sign random projection).
 # ---------------------------------------------------------------------------
-_N_PLANES = 4  # 16 buckets
+_N_PLANES = 3  # per table: 8 buckets
+_N_TABLES = 4  # independent hash tables (union of probes)
+_EMB_DIM = 64
 
 
-def _bucket_expr(vec_col: str) -> F.Column:
-    """LSH bucket id: sign bits of H deterministic pseudo-hyperplanes.
+def _hyperplane(table: int, h: int, dim: int = _EMB_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5(table, h, d) —
+    computed once driver-side and embedded as an array literal, so
+    per-row work is a single zip_with dot product."""
+    import hashlib
 
-    Hyperplane h's d-th component = hash(h, d) mapped to [-1, 1);
-    computed JVM-side per row: H aggregates over the vector, no shuffle.
-    """
+    return [
+        int(hashlib.md5(f"{table}#{h}#{d}".encode()).hexdigest()[:8], 16)
+        / 0x80000000
+        - 1.0
+        for d in range(dim)
+    ]
+
+
+def _bucket_expr(vec_col: str, table: int) -> F.Column:
+    """LSH bucket id for one hash table: sign bits of H projections.
+
+    Recall math (sign-random-projection): per-plane collision
+    p = 1 - θ/π; one table catches p^H of true neighbors, L tables
+    1-(1-p^H)^L. Near-orthogonal vectors (θ≈70°, the fixture's regime)
+    give ~0.6 with H=3, L=4; clustered real embeddings do far better."""
     bits = []
     for h in range(_N_PLANES):
-        proj = F.expr(
-            "aggregate(zip_with({v}, sequence(0, size({v}) - 1),"
-            " (x, d) -> x * (CAST(pmod(xxhash64(concat('{h}#', CAST(d AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0)),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)".format(v=vec_col, h=h)
+        plane = F.array(*[F.lit(w) for w in _hyperplane(table, h)])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, w: x * w),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
         )
         bits.append(F.when(proj >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
     bucket = bits[0]
@@ -111,32 +129,38 @@ def _bucket_expr(vec_col: str) -> F.Column:
 
 @query("l5_ann_lsh_topk")
 def l5_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-        .withColumn("bucket", _bucket_expr("e"))
+    # Bucket every vector in each of the L tables (the bucket columns
+    # ride along the same scan), take candidates that collide in ANY
+    # table, and re-rank the candidate set exactly. At scale each table
+    # is a bucket-partitioned index; the "any table" union is L bucket
+    # joins over 1/2^H of the corpus each.
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    for t in range(_N_TABLES):
+        emb = emb.withColumn(f"b{t}", _bucket_expr("e", t))
+    bucket_cols = [f"b{t}" for t in range(_N_TABLES)]
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
-        F.col("bucket").alias("qbucket"),
+        *[F.col(b).alias(f"q{b}") for b in bucket_cols],
     )
     cand = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("ce"),
-        F.col("bucket").alias("cbucket"),
+        *bucket_cols,
     )
+    any_table_match = None
+    for b in bucket_cols:
+        m = F.col(f"q{b}") == F.col(b)
+        any_table_match = m if any_table_match is None else (any_table_match | m)
     cos = _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
     )
     return (
         F.broadcast(queries)
-        .join(
-            cand,
-            (F.col("qbucket") == F.col("cbucket"))
-            & (F.col("query_id") != F.col("neighbor_id")),
-        )
+        .join(cand, any_table_match & (F.col("query_id") != F.col("neighbor_id")))
         .withColumn("cos_raw", cos)
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= 5)

@@ -74,6 +74,64 @@ def l2_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L2b — TF-IDF: top-3 terms per document (probe slice). tf and df come
+# from one explode + two aggregates; idf is the smoothed ln form. The
+# doc-side tf table joins the term-side df table on term (df is tiny —
+# vocabulary-sized — so it broadcasts).
+# ---------------------------------------------------------------------------
+@query(
+    "l2_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf_raw
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE tf.doc_id < 50
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf_raw,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf_raw DESC, term
+               ) AS pos
+        FROM scored
+    )
+    SELECT doc_id, term, round(tfidf_raw, 6) AS tfidf, pos
+    FROM ranked WHERE pos <= 3
+    """,
+)
+def l2_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar cardinality; one cheap job
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.where(F.col("doc_id") < 50)
+        .join(F.broadcast(df), "term")
+        .withColumn("tfidf_raw", F.col("tf") * idf)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("term"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 3)
+        .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"), "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L6 — corpus breakdown by language × source
 # ---------------------------------------------------------------------------
 @query(
