@@ -528,6 +528,73 @@ def u2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# U5 — snapshot diff (changed-data detection between two loads): rows
+# only in A → 'removed', only in B → 'added'. The engine form of
+# auditing what a re-ingest changed (the reference just overwrote,
+# REPORT:172 — this makes the delta observable).
+# ---------------------------------------------------------------------------
+@query(
+    "u5_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_custkey, count(*) AS n_orders FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+    ),
+    snap_b AS (
+        SELECT o_custkey, count(*) AS n_orders FROM orders
+        WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1
+    )
+    SELECT 'removed' AS change_type, o_custkey, n_orders
+    FROM (SELECT * FROM snap_a EXCEPT SELECT * FROM snap_b)
+    UNION ALL
+    SELECT 'added' AS change_type, o_custkey, n_orders
+    FROM (SELECT * FROM snap_b EXCEPT SELECT * FROM snap_a)
+    """,
+)
+def u5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def snapshot(cutoff: str) -> DataFrame:
+        return (
+            orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+
+    snap_a, snap_b = snapshot("1998-01-01"), snapshot("1999-01-01")
+    removed = snap_a.exceptAll(snap_b).withColumn("change_type", F.lit("removed"))
+    added = snap_b.exceptAll(snap_a).withColumn("change_type", F.lit("added"))
+    return removed.unionByName(added).select("change_type", "o_custkey", "n_orders")
+
+
+# ---------------------------------------------------------------------------
+# A12 — histogram (fixed-width binning, one aggregate pass)
+# ---------------------------------------------------------------------------
+@query(
+    "a12_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS bin_min,
+           round(max(o_totalprice), 2) AS bin_max
+    FROM orders GROUP BY 1
+    """,
+)
+def a12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # U3 — exact dedup by key, keep-latest (the engine restatement of the
 # reference's idempotent overwrite semantics, REPORT:172 replace=True)
 # ---------------------------------------------------------------------------

@@ -24,7 +24,12 @@ def test_rows_only_runs_and_is_deterministic(spark, sf_dir, name):
     second = fn(spark, sf_dir)
     assert second.schema == schema1
     pdf2 = second.toPandas()
-    assert len(pdf1) == len(pdf2)
+    # Full value determinism, not just cardinality: sort canonically and
+    # require row-for-row equality between two executions.
+    cols = sorted(pdf1.columns)
+    a = pdf1[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    b = pdf2[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    assert a.equals(b), f"{name}: two runs produced different values"
 
 
 @pytest.mark.parametrize("name", sorted(_STREAMING))
