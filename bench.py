@@ -66,6 +66,30 @@ def main() -> None:
         # Catalyst prune the projections we're trying to measure).
         df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 3)
+
+    # Skew/scale probe: re-run the join-heavy headliners with ALL
+    # broadcasting off (auto threshold -1 + engine hints disabled via
+    # spark.dock.disableBroadcastHints) so the SortMergeJoin + AQE
+    # skew-split path is what gets measured — the plan shape these
+    # queries degrade to at 100 TB when a dimension outgrows the
+    # broadcast threshold. Recorded as "<name>__noBroadcast".
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.dock.disableBroadcastHints", "true")
+    try:
+        for name in (
+            "flagship_segment_monthly_revenue",
+            "j9_star_join",
+            "report_region_market_share",
+        ):
+            t0 = time.time()
+            df = engine.QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            per_query[f"{name}__noBroadcast"] = round(time.time() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.dock.disableBroadcastHints", "false")
+
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(

@@ -29,12 +29,101 @@ from dock_financial_data_pipelines_spark.registry import (  # noqa: F401
     query,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Driver sweep order. The correctness driver walks the registry in
+# insertion order and its budget may cut the tail (round 1 recorded
+# only the first 50 entries), so the registry is re-ordered after
+# module import: queries with no driver verdict yet run first (cheap
+# ones before expensive/streaming ones), and the 50 queries already
+# hash-verified in CORRECTNESS_r01.json run last. Names absent from
+# this list (future additions) keep their import order, after the
+# priority block and before the verified block.
+_SWEEP_FIRST = [
+    # set ops / dedup-latest / diff / histogram (untested in r1)
+    "u1_union_counts", "u2_intersect", "u2_except", "u3_dedup_keep_latest",
+    "u5_snapshot_diff", "a12_histogram",
+    # window functions W1-W6
+    "w1_rank_functions", "w2_lag_lead", "w3_running_balance",
+    "w4_moving_time_range", "w5_first_last", "w6_topk_per_group",
+    # text analysis L1/L2/L6 + text ops
+    "l1_token_stats", "l2_term_frequency", "l2_tfidf_top_terms",
+    "l6_corpus_breakdown", "l_lang_id_heuristic", "l_quality_score",
+    "l_token_count", "l_text_normalize", "l_train_test_split", "l_fingerprint",
+    # similarity L5
+    "l5_cosine_topk", "l5_ann_lsh_topk",
+    # UDF surface D1-D6
+    "d1_python_udf_urls", "d2_pandas_udf_net_price",
+    "d3_grouped_agg_weighted_avg", "d4_apply_in_pandas_above_mean",
+    "d5_sql_registered_udf", "d6_python_udtf_installments",
+    # skew/percentile extensions
+    "a9_salted_skew_agg", "a10_exact_percentiles", "a11_approx_percentiles",
+    "j10_salted_skew_join", "j8_asof_join_rangejoin_twin",
+    # TPC-H reports
+    "tpch_q3_shipping_priority", "tpch_q10_returned_items",
+    "tpch_q18_large_orders", "tpch_q22_scalar_subquery",
+    "report_region_market_share",
+    # batch twins of the streaming surface + daily statement
+    "x1_tumbling_window", "x2_sliding_window", "x3_session_window",
+    "x6_stream_static_join_twin", "x7_stateful_final_state_twin",
+    "q_daily_statement",
+    # pipelines (reference DAG restatements)
+    "pipeline_balance_report", "pipeline_account_statement",
+    "pipeline_daily_publish",
+    # sources/sinks S1-S8
+    "s1_parquet_scan", "s6_date_pruned_read", "s2_csv_roundtrip",
+    "s3_jsonl_roundtrip", "s5_partitioned_sink_roundtrip", "s8_orc_roundtrip",
+    "s7_bucketed_colocated_join", "s4_zip_ingest_unzip",
+    "r_python_datasource_manifest", "r_rest_ticketed_ingest",
+    "r_sftp_landing_flow",
+    # observability
+    "o_metrics_report",
+    # streaming (most expensive per query: real readStream runs)
+    "x6_stream_static_join", "x8_incremental_file_ingest",
+    "x5_stream_dedup_watermark", "x9_foreach_batch_sink",
+    "x2_stream_sliding_window", "x3_stream_session_window",
+    "x4_stream_tumbling_watermark", "x10_transform_with_state",
+    "x7_stateful_running_balance",
+]
+_SWEEP_LAST = [
+    # hash-verified green in CORRECTNESS_r01.json, re-run after the gap-closers
+    "f4_array_functions", "f5_map_functions", "f6_json_extraction",
+    "f4_posexplode_positions", "f6_json_tuple", "f6_from_json_typed",
+    "a1_pricing_summary", "a2_count_distinct", "a3_approx_count_distinct",
+    "a4_rollup", "a4_cube", "a5_having", "a6_pivot_event_types",
+    "a7_collect_set", "a8_grouping_sets",
+    "l3_exact_dedup_summary", "l3_exact_dedup_keep_first", "l3_prefix_dedup",
+    "l4_ngram_jaccard_pairs", "l4_minhash_lsh_neardup", "l4_simhash_signatures",
+    "l4_simhash_neardup", "l4_dedup_cluster_components", "l4_embedding_neardup",
+    "j1_inner_join", "j2_broadcast_dim_join", "j3_left_outer_join",
+    "j4_semi_join", "j5_anti_join", "j6_cross_join", "j7_band_join",
+    "j8_asof_join", "j8_asof_join_sortmerge", "j9_star_join",
+    "l7_multimodal_decode", "l7_binary_frame_sample",
+    "q_data_quality_report", "flagship_segment_monthly_revenue",
+    "p1_project_compute", "p2_range_predicates", "p3_in_between",
+    "p4_string_predicates", "p5_null_semantics", "p6_case_when_bucketing",
+    "f1_string_functions", "f2_date_functions", "f3_math_functions",
+    "f3_decimal_money", "t1_multikey_sort", "t2_global_topk",
+]
+
+
+def _reorder_registry() -> None:
+    known = set(_SWEEP_FIRST) | set(_SWEEP_LAST)
+    middle = [n for n in QUERIES if n not in known]
+    order = (
+        [n for n in _SWEEP_FIRST if n in QUERIES]
+        + middle
+        + [n for n in _SWEEP_LAST if n in QUERIES]
+    )
+    reordered = {n: QUERIES[n] for n in order}
+    QUERIES.clear()
+    QUERIES.update(reordered)
 
 
 def load_all() -> None:
     """Import every operator module so registry decorators run."""
     import dock_financial_data_pipelines_spark.functions  # noqa: F401
+    import dock_financial_data_pipelines_spark.observability  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.aggregations  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.dedup  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.joins  # noqa: F401
@@ -51,6 +140,9 @@ def load_all() -> None:
     import dock_financial_data_pipelines_spark.sources.readers  # noqa: F401
     import dock_financial_data_pipelines_spark.sources.pyds  # noqa: F401
     import dock_financial_data_pipelines_spark.sources.rest  # noqa: F401
+    import dock_financial_data_pipelines_spark.sources.transports  # noqa: F401
     import dock_financial_data_pipelines_spark.sources.sinks  # noqa: F401
     import dock_financial_data_pipelines_spark.streaming.batch_twins  # noqa: F401
     import dock_financial_data_pipelines_spark.streaming.streams  # noqa: F401
+
+    _reorder_registry()

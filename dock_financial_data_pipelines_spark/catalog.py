@@ -33,6 +33,40 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def sf_tag(sf_dir: str) -> str:
+    """Collision-proof cache key for fixture scratch dirs: basename plus a
+    hash of the absolute path and source parquet mtimes, so (a) two sf_dirs
+    sharing a basename never collide and (b) regenerated source data
+    invalidates stale caches."""
+    import hashlib
+
+    root = os.path.abspath(sf_dir.rstrip("/"))
+    sig = [root]
+    for name in TABLES:
+        p = os.path.join(root, f"{name}.parquet")
+        if os.path.exists(p):
+            sig.append(f"{name}:{os.path.getmtime(p):.0f}")
+    digest = hashlib.sha1("|".join(sig).encode()).hexdigest()[:10]
+    return f"{os.path.basename(root)}_{digest}"
+
+
+def maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Broadcast hint that bench's skew-probe mode can switch off
+    (``spark.dock.disableBroadcastHints=true``) to force the
+    SortMergeJoin/AQE-skew path — at 100 TB a "dimension" can outgrow
+    the broadcast threshold and the plan must stay viable without the
+    hint."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    disabled = "false"
+    try:
+        disabled = spark.conf.get("spark.dock.disableBroadcastHints", "false")
+    except Exception:  # pragma: no cover
+        pass
+    return df if disabled == "true" else F.broadcast(df)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Also (re-)applies runtime tuning confs so
     engine semantics (UTC timezone, AQE) hold on driver-owned sessions."""

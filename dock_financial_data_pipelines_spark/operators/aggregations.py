@@ -87,14 +87,38 @@ def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-specific, so no SQL oracle: rows-only check. At 100 TB this is
 # the *only* affordable distinct-count: one pass, bounded memory.
 # ---------------------------------------------------------------------------
-@query("a3_approx_count_distinct")
+@query(
+    "a3_approx_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY 1
+    """,
+)
 def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch vs exact, tolerance-checked: the output carries the
+    exact distinct count plus a boolean asserting the sketch landed
+    within 5% (rsd=0.02 ⇒ ~3σ bound), so the DuckDB oracle hash-checks
+    both the exact values and the approximation's accuracy."""
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.05
+            ).alias("approx_within_5pct"),
         )
     )
 

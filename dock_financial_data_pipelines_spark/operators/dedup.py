@@ -279,7 +279,13 @@ def l4_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ 3 via 16-bit chunk bucketing
     (pigeonhole guarantees 100% recall at this radius)."""
-    sigs = simhash_signatures(load(spark, sf_dir, "documents"))
+    # Materialize signatures once: the band self-join references them on
+    # both sides (×4 chunks), and recomputing the 64-bit aggregate per
+    # reference is the dominant cost. At 100 TB this is the persisted
+    # signatures table, same as the MinHash path.
+    sigs = simhash_signatures(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
     chunks = []
     for c in range(4):
         chunks.append(
@@ -332,13 +338,22 @@ _CC_NODE_LIMIT = 300  # bound the exact all-pairs edge build (probe slice)
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 1000
 ) -> DataFrame:
-    """(node) × (src,dst) → (node, component=min reachable node id)."""
+    """(node) × (src,dst) → (node, component=min reachable node id).
+
+    Iterates until a fixpoint (no label changes). ``max_iter`` is a
+    runaway bound only — hitting it without convergence raises rather
+    than silently returning partial (wrong) components.
+    """
+    # Materialize the symmetric edge list once — every iteration joins
+    # against it, and without this the (possibly expensive) upstream
+    # edge construction re-executes per iteration.
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = nodes.select("node", F.col("node").alias("component"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             labels.join(sym, labels.node == sym.src)
@@ -364,7 +379,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} iterations"
+        )
     return labels
 
 

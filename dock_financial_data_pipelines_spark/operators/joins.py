@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import load, maybe_broadcast
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -210,7 +210,14 @@ def j7_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J8 — as-of join: for each event, the latest order of that customer at or
 # before the event timestamp (the reference's T+1 freshness semantics,
 # REPORT:59, generalized to point-in-time correctness).
-# Deterministic formulation: max(date) + count, not an arbitrary tie row.
+#
+# PRIMARY formulation = union + one sort per key + carried window state
+# (the 100 TB plan): both inputs shuffle once on the key, one sort, and
+# each row is touched once — no per-event scan of the order history. The
+# oracle states the same semantics as a declarative range join, which is
+# fine for DuckDB at oracle scale but would be a per-key cartesian on a
+# skewed key at 100×; `j8_asof_join_rangejoin_twin` keeps that
+# formulation registered with an explicitly bounded lookback window.
 # ---------------------------------------------------------------------------
 @query(
     "j8_asof_join",
@@ -225,18 +232,82 @@ def j7_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    # Orders at t == event ts sort before the event (is_event 0 < 1), so
+    # they are visible to it — matching the oracle's `o_orderdate <= e.ts`.
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.unionByName(orders).select(
+        "is_event",
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.date_format(
+            F.last("o_orderdate", ignorenulls=True).over(w), "yyyy-MM-dd"
+        ).alias("last_order_date"),
+        F.count("o_orderkey").over(w).alias("n_prior_orders"),
+    )
+    return carried.where(F.col("is_event") == 1).select(
+        "event_id", "user_id", "last_order_date", "n_prior_orders"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8c — the declarative range-join formulation, kept as an oracle twin
+# with a BOUNDED lookback (1 year): the per-event probe window is
+# capped, so even on a skewed key the fan-out is bounded by orders per
+# key-year, not the whole history. Use this form when the business rule
+# itself is windowed ("latest order within the last year"); use the
+# primary sort-merge form for unbounded as-of.
+# ---------------------------------------------------------------------------
+@query(
+    "j8_asof_join_rangejoin_twin",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           strftime(max(o.o_orderdate), '%Y-%m-%d') AS last_order_date,
+           count(o.o_orderkey) AS n_recent_orders
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate <= e.ts
+     AND o.o_orderdate >= e.ts - INTERVAL 365 DAY
+    GROUP BY 1, 2
+    """,
+)
+def j8_asof_join_rangejoin_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     orders = load(spark, sf_dir, "orders")
     return (
         ev.join(
             orders,
-            (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts),
+            (orders.o_custkey == ev.user_id)
+            & (orders.o_orderdate <= ev.ts)
+            & (orders.o_orderdate >= ev.ts - F.expr("INTERVAL 365 DAYS")),
             "left",
         )
         .groupBy("event_id", "user_id")
         .agg(
             F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order_date"),
-            F.count("o_orderkey").alias("n_prior_orders"),
+            F.count("o_orderkey").alias("n_recent_orders"),
         )
     )
 
@@ -344,8 +415,8 @@ def j9_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(maybe_broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(maybe_broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(

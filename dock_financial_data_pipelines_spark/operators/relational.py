@@ -524,7 +524,9 @@ def u2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.year("o_orderdate") == 1996)
         .select(F.col("o_custkey").alias("custkey"))
     )
-    return cust.exceptAll(y96.distinct()).distinct()
+    # DataFrame.subtract == SQL set EXCEPT (dedups the left side first),
+    # correct even when the left input carries duplicates.
+    return cust.subtract(y96)
 
 
 # ---------------------------------------------------------------------------

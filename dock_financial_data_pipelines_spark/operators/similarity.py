@@ -127,40 +127,77 @@ def _bucket_expr(vec_col: str, table: int) -> F.Column:
     return bucket.cast("int")
 
 
+def _probe_buckets(bucket_col: F.Column) -> F.Column:
+    """Multi-probe expansion: the query's own bucket plus every bucket at
+    Hamming distance 1 (flip each of the H sign bits). Sign-LSH's most
+    likely miss is exactly one plane disagreeing, so probing these H+1
+    buckets lifts per-table recall from p^H to p^H + H·p^(H-1)(1-p) —
+    with H=3, L=4 that is ≥0.93 even for near-orthogonal (θ≈80°)
+    vectors, while each (table, query) still touches only (H+1)/2^H of
+    the corpus."""
+    return F.array(
+        bucket_col,
+        *[bucket_col.bitwiseXOR(F.lit(1 << h)) for h in range(_N_PLANES)],
+    )
+
+
 @query("l5_ann_lsh_topk")
 def l5_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bucket every vector in each of the L tables (the bucket columns
-    # ride along the same scan), take candidates that collide in ANY
-    # table, and re-rank the candidate set exactly. At scale each table
-    # is a bucket-partitioned index; the "any table" union is L bucket
-    # joins over 1/2^H of the corpus each.
+    # ride along the same scan). Queries explode to (table, probe_bucket)
+    # rows — multi-probe, Hamming≤1 — and candidates melt to
+    # (table, bucket) rows, so the candidate step is a pure EQUI-join on
+    # (table, bucket): shuffle-partitionable, bucket-prunable, no theta
+    # join anywhere. Survivor pairs are deduped and re-ranked exactly.
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     for t in range(_N_TABLES):
         emb = emb.withColumn(f"b{t}", _bucket_expr("e", t))
     bucket_cols = [f"b{t}" for t in range(_N_TABLES)]
+
+    # Corpus index: one (neighbor_id, table, bucket) row per table.
+    stack_expr = "stack({n}, {args}) AS (tbl, bucket)".format(
+        n=_N_TABLES,
+        args=", ".join(f"{t}, b{t}" for t in range(_N_TABLES)),
+    )
+    index = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.expr(stack_expr)
+    )
+
+    # Query probes: (query_id, table, probe bucket) for own + H flipped buckets.
+    probes = None
+    for t in range(_N_TABLES):
+        p = (
+            emb.where(F.col("vec_id") < 10)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.lit(t).alias("tbl"),
+                F.explode(_probe_buckets(F.col(f"b{t}"))).alias("bucket"),
+            )
+        )
+        probes = p if probes is None else probes.unionByName(p)
+
+    cand_ids = (
+        F.broadcast(probes)
+        .join(index, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    # Exact re-rank of the candidate set only.
     queries = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        *[F.col(b).alias(f"q{b}") for b in bucket_cols],
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    cand = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("e").alias("ce"),
-        *bucket_cols,
-    )
-    any_table_match = None
-    for b in bucket_cols:
-        m = F.col(f"q{b}") == F.col(b)
-        any_table_match = m if any_table_match is None else (any_table_match | m)
+    cand_vecs = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
     cos = _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
     )
     return (
-        F.broadcast(queries)
-        .join(cand, any_table_match & (F.col("query_id") != F.col("neighbor_id")))
+        cand_ids.join(F.broadcast(queries), "query_id")
+        .join(cand_vecs, "neighbor_id")
         .withColumn("cos_raw", cos)
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= 5)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import load, maybe_broadcast
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -213,8 +213,8 @@ def report_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(maybe_broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(maybe_broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(
             F.col("r_name").alias("region"), F.year("o_orderdate").alias("yr")
         )

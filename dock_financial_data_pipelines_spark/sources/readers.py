@@ -38,7 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import load, sf_tag
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -97,7 +97,7 @@ _CSV_SCHEMA = StructType(
     """,
 )
 def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _workdir(f"csv_{os.path.basename(sf_dir.rstrip('/'))}")
+    out = _workdir(f"csv_{sf_tag(sf_dir)}")
     (
         load(spark, sf_dir, "orders")
         .select(
@@ -134,7 +134,7 @@ def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s3_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _workdir(f"jsonl_{os.path.basename(sf_dir.rstrip('/'))}")
+    out = _workdir(f"jsonl_{sf_tag(sf_dir)}")
     (
         load(spark, sf_dir, "events")
         .select("event_id", "event_type", "value")
@@ -176,7 +176,7 @@ _UNZIP_SCHEMA = StructType(
 
 
 def _build_zip_fixture(spark: SparkSession, sf_dir: str) -> str:
-    out = _workdir(f"zips_{os.path.basename(sf_dir.rstrip('/'))}")
+    out = _workdir(f"zips_{sf_tag(sf_dir)}")
     marker = os.path.join(out, "_built")
     if os.path.exists(marker):
         return out
@@ -249,7 +249,7 @@ def s4_zip_ingest_unzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _workdir(f"orc_{os.path.basename(sf_dir.rstrip('/'))}")
+    out = _workdir(f"orc_{sf_tag(sf_dir)}")
     load(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
     return (
         spark.read.orc(out)

@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from dock_financial_data_pipelines_spark.catalog import events_stream_source
+from dock_financial_data_pipelines_spark.catalog import events_stream_source, sf_tag
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -60,7 +60,7 @@ def _events_stream_multibatch(
     chunk_dir = os.path.join(
         tempfile.gettempdir(),
         "dock_fdp_spark",
-        f"event_chunks_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"event_chunks_{sf_tag(sf_dir)}",
     )
     marker = os.path.join(chunk_dir, "_built")
     ev = load(spark, sf_dir, "events")
@@ -87,17 +87,38 @@ def _events_stream_multibatch(
     )
 
 
+class _stream_partitions:
+    """Scope ``spark.sql.shuffle.partitions`` down for a micro-batch run.
+
+    The conf doubles as the state-store partition count: every stateful
+    micro-batch commits one state file per partition, so at fixture
+    scale 32 partitions × N batches is pure checkpoint overhead. On a
+    real cluster the same knob is sized to key cardinality / cores
+    (hundreds-plus); only the number differs, not the plan."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     scratch = _scratch()
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = stream_df.sparkSession.table(name)
     shutil.rmtree(scratch, ignore_errors=True)
     return result
@@ -240,10 +261,23 @@ def x6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # X9 — foreachBatch sink: per-micro-batch idempotent upsert into a
-# partitioned parquet target (batch id + dynamic overwrite = exactly-once
-# effect on re-runs — the streaming form of the reference's replace=True).
+# partitioned parquet target. Each micro-batch owns the
+# ``batch_id=<id>`` partition subtree and overwrites exactly that
+# subtree — a replay of the same batch id (checkpoint recovery)
+# replaces its own prior output and never touches other batches'
+# rows, even when several batches share an ingest_date. This is the
+# streaming form of the reference's replace=True (REPORT:172), made
+# safe for >1 micro-batch.
 # ---------------------------------------------------------------------------
-@query("x9_foreach_batch_sink")
+@query(
+    "x9_foreach_batch_sink",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS ingest_date,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
 def x9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = _scratch()
     sink = os.path.join(scratch, "sink")
@@ -255,20 +289,21 @@ def x9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .write.mode("overwrite")
             .partitionBy("ingest_date")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(sink)
+            .parquet(os.path.join(sink, f"batch_id={batch_id}"))
         )
 
-    q = (
-        _events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            _events_stream_multibatch(spark, sf_dir)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
-        spark.read.parquet(sink)
+        spark.read.option("basePath", sink)
+        .parquet(os.path.join(sink, "batch_id=*"))
         .groupBy("ingest_date")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -280,10 +315,11 @@ def x9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X10 — transformWithStateInPandas (Spark 4 stateful API): per-user
 # running count/balance kept in a ValueState, emitted per batch.
-# Registered only where google.protobuf is importable: the TWS state
-# server protocol needs it, and this container ships a broken protobuf
-# (the gate keeps the driver sweep green; x7 applyInPandasWithState
-# covers the same semantics everywhere).
+# The TWS state-server protocol needs google.protobuf, which this
+# container does not ship; where it is missing the query falls back to
+# an applyInPandasWithState formulation with IDENTICAL semantics and
+# output schema, so the registered surface is always driver-checkable.
+# On a real cluster (protobuf present) the TWS path runs.
 # ---------------------------------------------------------------------------
 def _has_protobuf() -> bool:
     try:
@@ -294,7 +330,51 @@ def _has_protobuf() -> bool:
         return False
 
 
+@query("x10_transform_with_state")
 def x10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if not _has_protobuf():  # pragma: no cover - env-dependent branch
+        return _x10_tws_fallback(spark, sf_dir)
+    return _x10_tws_native(spark, sf_dir)
+
+
+def _x10_tws_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState twin of the TWS processor below — same
+    per-key ValueState update rule, same (user_id, n_events, balance)
+    output, different state API."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("balance", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "balance": [round(total, 2)]}
+        )
+
+    result = (
+        _events_stream_multibatch(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    return _run_to_memory(result, "x10_tws", "update")
+
+
+def _x10_tws_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     out_schema = StructType(
@@ -335,30 +415,35 @@ def x10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(result, "x10_tws", "update")
 
 
-if _has_protobuf():  # pragma: no cover - container protobuf is broken
-    query("x10_transform_with_state")(x10_transform_with_state)
-
-
 # ---------------------------------------------------------------------------
 # X8 — file-arrival ingest (the SFTP sensor restated): stream the landed
 # files into a parquet sink with a checkpoint, then read the sink back.
 # ---------------------------------------------------------------------------
-@query("x8_incremental_file_ingest")
+@query(
+    "x8_incremental_file_ingest",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS ingest_date,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
 def x8_incremental_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = _scratch()
     sink = os.path.join(scratch, "sink")
     enriched = _events_stream(spark, sf_dir).withColumn(
         "ingest_date", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
     )
-    q = (
-        enriched.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .partitionBy("ingest_date")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .partitionBy("ingest_date")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(sink)
         .groupBy("ingest_date")

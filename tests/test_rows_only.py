@@ -36,3 +36,16 @@ def test_rows_only_runs_and_is_deterministic(spark, sf_dir, name):
 def test_streaming_smoke(spark, sf_dir, name):
     pdf = engine.QUERIES[name](spark, sf_dir).toPandas()
     assert len(pdf) >= 0
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    """Multi-probe sign-LSH must reach ≥0.9 top-5 recall against the
+    exact brute-force ground truth, even on the near-orthogonal fixture
+    vectors (the hardest regime for angular LSH)."""
+    exact = engine.QUERIES["l5_cosine_topk"](spark, sf_dir).toPandas()
+    ann = engine.QUERIES["l5_ann_lsh_topk"](spark, sf_dir).toPandas()
+    truth = set(zip(exact.query_id, exact.neighbor_id))
+    found = set(zip(ann.query_id, ann.neighbor_id))
+    recall = len(truth & found) / len(truth)
+    print(f"ANN top-5 recall = {recall:.3f} over {len(truth)} truth pairs")
+    assert recall >= 0.9, f"ANN recall {recall:.3f} < 0.9"

@@ -1,0 +1,159 @@
+"""RequestsTransport + sensor/transfer landing flow: retry, timeout, and
+failure-injection paths for both the fake and the requests-backed
+transports (no network — failures injected via stub sessions)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dock_financial_data_pipelines_spark.sources.rest import (
+    DockIngestClient,
+    TransportError,
+)
+from dock_financial_data_pipelines_spark.sources.transports import (
+    LocalDirRemote,
+    RequestsTransport,
+    Sensor,
+    transfer_to_landing,
+)
+
+
+class _Resp:
+    def __init__(self, status_code=200, payload=None, bad_json=False):
+        self.status_code = status_code
+        self._payload = payload or {}
+        self._bad_json = bad_json
+
+    def json(self):
+        if self._bad_json:
+            raise ValueError("not json")
+        return self._payload
+
+
+class _StubSession:
+    """Scripted requests.Session stand-in: pops one response (or
+    exception) per call, recording the calls it saw."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = []
+
+    def _next(self, kind, url):
+        self.calls.append((kind, url))
+        item = self.script.pop(0)
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def post(self, url, **kwargs):
+        return self._next("post", url)
+
+    def get(self, url, **kwargs):
+        return self._next("get", url)
+
+
+def test_requests_transport_happy_path():
+    session = _StubSession(
+        [
+            _Resp(payload={"access_token": "tok-live"}),
+            _Resp(payload={"ticket": "T1"}),
+        ]
+    )
+    t = RequestsTransport(session=session)
+    client = DockIngestClient(transport=t)
+    assert client.authenticate() == "tok-live"
+    # re-auth per stage (reference behavior) would consume another auth
+    # response; here we call the transport directly for the second leg.
+    assert t.get("https://api.dock.example/x", "tok-live")["ticket"] == "T1"
+
+
+def test_requests_transport_maps_http_errors():
+    t = RequestsTransport(session=_StubSession([_Resp(status_code=503)]))
+    with pytest.raises(TransportError, match="503"):
+        t.get("https://api.dock.example/x", "tok")
+
+
+def test_requests_transport_maps_connection_errors():
+    t = RequestsTransport(session=_StubSession([ConnectionError("refused")]))
+    with pytest.raises(TransportError, match="refused"):
+        t.post("https://auth.dock.example/token", ("id", "secret"))
+
+
+def test_requests_transport_rejects_non_json():
+    t = RequestsTransport(session=_StubSession([_Resp(bad_json=True)]))
+    with pytest.raises(TransportError, match="non-JSON"):
+        t.get("https://api.dock.example/x", "tok")
+
+
+def test_client_retries_absorb_transient_http_faults():
+    # auth fails twice (503, connection reset) then succeeds — the
+    # with_retries policy (retries=3) must absorb both.
+    session = _StubSession(
+        [
+            _Resp(status_code=503),
+            ConnectionError("reset"),
+            _Resp(payload={"access_token": "tok-live"}),
+        ]
+    )
+    client = DockIngestClient(transport=RequestsTransport(session=session))
+    assert client.authenticate() == "tok-live"
+    assert len(session.calls) == 3
+
+
+def test_sensor_finds_file_after_polls(tmp_path):
+    upload = tmp_path / "upload"
+    upload.mkdir()
+    polls = {"n": 0}
+
+    class LateRemote(LocalDirRemote):
+        def listdir(self, path):
+            polls["n"] += 1
+            if polls["n"] >= 3:  # file "arrives" on the third poll
+                (upload / "balance_T1.zip").write_bytes(b"zip")
+            return super().listdir(path)
+
+    sensor = Sensor(remote=LateRemote(root=str(tmp_path)), path="upload", attempts=5)
+    found = sensor.wait_for(lambda n: n.endswith(".zip"))
+    assert found == os.path.join("upload", "balance_T1.zip")
+    assert polls["n"] == 3
+
+
+def test_sensor_times_out(tmp_path):
+    (tmp_path / "upload").mkdir()
+    sensor = Sensor(remote=LocalDirRemote(root=str(tmp_path)), path="upload", attempts=2)
+    with pytest.raises(TimeoutError):
+        sensor.wait_for(lambda n: n.endswith(".zip"))
+
+
+def test_transfer_retries_then_succeeds(tmp_path):
+    src = tmp_path / "remote" / "f.zip"
+    src.parent.mkdir()
+    src.write_bytes(b"payload")
+    attempts = {"n": 0}
+
+    class FlakyRemote(LocalDirRemote):
+        def fetch(self, remote_path, local_path):
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise OSError("sftp hiccup")
+            super().fetch(remote_path, local_path)
+
+    landed = transfer_to_landing(
+        FlakyRemote(root=str(tmp_path)), "remote/f.zip", str(tmp_path / "landing")
+    )
+    assert open(landed, "rb").read() == b"payload"
+    assert attempts["n"] == 3
+
+
+def test_transfer_retries_exhausted(tmp_path):
+    class DownRemote(LocalDirRemote):
+        def fetch(self, remote_path, local_path):
+            raise OSError("down")
+
+    with pytest.raises(OSError, match="down"):
+        transfer_to_landing(
+            DownRemote(root=str(tmp_path)), "remote/f.zip", str(tmp_path / "landing"),
+            retries=2,
+        )
