@@ -1,0 +1,86 @@
+"""Job driver: skip-if-done, retry, and idempotent-rerun semantics
+(the reference's Airflow task policies restated at job granularity —
+REPORT:21-22 retries, :172 replace=True, :229 catchup/max_active_runs)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dock_financial_data_pipelines_spark import driver
+
+
+def test_run_publishes_day_partition_and_marker(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_out")
+    res = driver.run_job(spark, "daily_events", sf_dir, "2024-01-05", out)
+    assert not res.skipped and res.attempts == 1 and res.rows > 0
+    assert os.path.isdir(os.path.join(out, "report_date=2024-01-05"))
+    marker = json.load(open(driver._marker(out, "2024-01-05")))
+    assert marker["rows"] == res.rows
+
+
+def test_second_run_skips_via_marker(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_out")
+    driver.run_job(spark, "daily_events", sf_dir, "2024-01-05", out)
+    res2 = driver.run_job(spark, "daily_events", sf_dir, "2024-01-05", out)
+    assert res2.skipped
+
+
+def test_forced_rerun_is_idempotent(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_out")
+    r1 = driver.run_job(spark, "daily_events", sf_dir, "2024-01-05", out)
+    r2 = driver.run_job(spark, "daily_events", sf_dir, "2024-01-05", out, force=True)
+    assert r2.rows == r1.rows  # dynamic overwrite replaced, not appended
+    total = spark.read.parquet(out).where("report_date = '2024-01-05'").count()
+    assert total == r1.rows
+
+
+def test_reruns_other_day_leaves_first_day_intact(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_out")
+    r1 = driver.run_job(spark, "daily_events", sf_dir, "2024-01-05", out)
+    driver.run_job(spark, "daily_events", sf_dir, "2024-01-06", out)
+    kept = spark.read.parquet(out).where("report_date = '2024-01-05'").count()
+    assert kept == r1.rows
+
+
+def test_retries_absorb_transient_failures(spark, sf_dir, tmp_path, monkeypatch):
+    out = str(tmp_path / "bal_out")
+    calls = {"n": 0}
+    real = driver.JOBS["daily_events"]
+
+    def flaky(spark_, sf, day):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient executor loss")
+        return real(spark_, sf, day)
+
+    monkeypatch.setitem(driver.JOBS, "daily_events", flaky)
+    res = driver.run_job(spark, "daily_events", sf_dir, "2024-01-05", out, retries=3)
+    assert res.attempts == 3 and res.rows > 0
+
+
+def test_retries_exhausted_reraises(spark, sf_dir, tmp_path, monkeypatch):
+    def always_fail(spark_, sf, day):
+        raise RuntimeError("hard failure")
+
+    monkeypatch.setitem(driver.JOBS, "daily_events", always_fail)
+    with pytest.raises(RuntimeError, match="hard failure"):
+        driver.run_job(
+            spark, "daily_events", sf_dir, "2024-01-05",
+            str(tmp_path / "x"), retries=1,
+        )
+
+
+def test_balance_report_job_runs(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "bal")
+    res = driver.run_job(spark, "balance_report", sf_dir, "1998-12-31", out)
+    assert res.rows > 0
+    pdf = (
+        spark.read.parquet(out)
+        .where("report_date = '1998-12-31'")
+        .limit(5)
+        .toPandas()
+    )
+    assert {"custkey", "mktsegment", "acctbal"} <= set(pdf.columns)
