@@ -51,7 +51,11 @@ _SWEEP_FIRST = [
     "l6_corpus_breakdown", "l_lang_id_heuristic", "l_quality_score",
     "l_token_count", "l_text_normalize", "l_train_test_split", "l_fingerprint",
     # similarity L5
-    "l5_cosine_topk", "l5_ann_lsh_topk",
+    "l5_cosine_topk", "l5_ann_lsh_topk", "l5_ivf_topk",
+    # round-2 additions: sampling, SCD2, quantile binning, TPC-H
+    "u6_stratified_sample", "u7_scd2_history", "w7_ntile_quartiles",
+    "tpch_q6_forecast_revenue", "tpch_q12_late_shipments",
+    "tpch_q14_promo_revenue",
     # UDF surface D1-D6
     "d1_python_udf_urls", "d2_pandas_udf_net_price",
     "d3_grouped_agg_weighted_avg", "d4_apply_in_pandas_above_mean",

@@ -630,3 +630,104 @@ def u3_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U6 — deterministic stratified sampling: a fixed-rate sample per
+# stratum keyed by a content hash, so every engine (and every re-run)
+# draws the SAME sample — the reproducibility property a training-data
+# pipeline needs for held-out splits. The md5-bucket expression is
+# engine-portable, which makes even the sampling itself oracle-checkable.
+# At 100 TB this is a map-only filter (no shuffle before the audit agg).
+# ---------------------------------------------------------------------------
+@query(
+    "u6_stratified_sample",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM customer GROUP BY 1
+    """,
+)
+def u6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    return (
+        load(spark, sf_dir, "customer")
+        .withColumn("in_sample", (bucket < 20).cast("long"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("in_sample").alias("n_sampled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U7 — SCD2 (slowly-changing-dimension type 2) history build: two
+# snapshots of per-user balances (mid-month and final) merge into
+# validity-interval rows — the warehouse-side form of the reference's
+# daily re-extraction (REPORT:59: each day's run restates state).
+# Changed users get two versions; unchanged get one open row.
+# ---------------------------------------------------------------------------
+@query(
+    "u7_scd2_history",
+    oracle="""
+    WITH snap_a AS (
+        SELECT user_id, round(sum(value), 2) AS balance
+        FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1
+    ),
+    snap_b AS (
+        SELECT user_id, round(sum(value), 2) AS balance
+        FROM events GROUP BY 1
+    )
+    SELECT a.user_id, 1 AS version, '2024-01-01' AS valid_from,
+           CASE WHEN b.balance <> a.balance THEN '2024-01-15' END AS valid_to,
+           a.balance
+    FROM snap_a a JOIN snap_b b USING (user_id)
+    UNION ALL
+    SELECT b.user_id, 2 AS version, '2024-01-15' AS valid_from,
+           NULL AS valid_to, b.balance
+    FROM snap_b b JOIN snap_a a USING (user_id)
+    WHERE b.balance <> a.balance
+    UNION ALL
+    SELECT b.user_id, 1 AS version, '2024-01-15' AS valid_from,
+           NULL AS valid_to, b.balance
+    FROM snap_b b LEFT JOIN snap_a a USING (user_id)
+    WHERE a.user_id IS NULL
+    """,
+)
+def u7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    snap_a = (
+        ev.where(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("bal_a"))
+    )
+    snap_b = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("bal_b"))
+    merged = snap_b.join(snap_a, "user_id", "left")
+    changed = F.col("bal_a").isNotNull() & (F.col("bal_b") != F.col("bal_a"))
+    v1_existing = merged.where(F.col("bal_a").isNotNull()).select(
+        "user_id",
+        F.lit(1).alias("version"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.when(changed, F.lit("2024-01-15")).alias("valid_to"),
+        F.col("bal_a").alias("balance"),
+    )
+    v2_changed = merged.where(changed).select(
+        "user_id",
+        F.lit(2).alias("version"),
+        F.lit("2024-01-15").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.col("bal_b").alias("balance"),
+    )
+    v1_new = merged.where(F.col("bal_a").isNull()).select(
+        "user_id",
+        F.lit(1).alias("version"),
+        F.lit("2024-01-15").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.col("bal_b").alias("balance"),
+    )
+    return v1_existing.unionByName(v2_changed).unionByName(v1_new)

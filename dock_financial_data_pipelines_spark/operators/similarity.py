@@ -203,3 +203,73 @@ def l5_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pos") <= 5)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# L5c — IVF (inverted-file) ANN: the clustered alternative to LSH.
+# Deterministic coarse centroids (a fixed, evenly-spaced slice of the
+# corpus — k-means seeding without the iterations, so driver and oracle
+# agree), corpus partitioned by nearest centroid in ONE pass, queries
+# probe the nProbe nearest cells and re-rank exactly. At 100 TB the
+# cell id is the partition key of the persisted index: a probe touches
+# nProbe/K of the corpus, and centroid assignment is a broadcast join.
+# ---------------------------------------------------------------------------
+_IVF_K = 8        # coarse cells
+_IVF_NPROBE = 3   # cells probed per query
+
+
+def _ivf_assign(emb: DataFrame, centroids: DataFrame, vec_col: str, n: int):
+    """(id, vec) × centroids → n nearest cell ids per row (cosine)."""
+    scored = emb.join(F.broadcast(centroids), how="cross").withColumn(
+        "_sim",
+        _dot(vec_col, "cvec")
+        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("cvec", "cvec"))),
+    )
+    w = Window.partitionBy(emb.columns[0]).orderBy(
+        F.col("_sim").desc(), F.col("cell")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("cvec", "_sim", "_rk")
+    )
+
+
+@query("l5_ivf_topk")
+def l5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # Deterministic centroid pick: every (corpus_size // K)-th vector.
+    centroids = (
+        emb.where((F.col("vec_id") % F.lit(500 // _IVF_K)) == 0)
+        .limit(_IVF_K)
+        .select(
+            (F.col("vec_id") / (500 // _IVF_K)).cast("int").alias("cell"),
+            F.col("e").alias("cvec"),
+        )
+    )
+    corpus = _ivf_assign(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")),
+        centroids, "ce", 1,
+    )
+    queries = _ivf_assign(
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        ),
+        centroids, "qe", _IVF_NPROBE,
+    )
+    cos = _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        queries.join(corpus, "cell")  # equi-join on the cell id
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qe", "ce")
+        .distinct()
+        .withColumn("cos_raw", cos)
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "pos")
+    )

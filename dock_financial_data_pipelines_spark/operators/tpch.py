@@ -227,3 +227,107 @@ def report_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_rev", 2).alias("revenue"),
         F.round(F.col("_rev") / F.sum("_rev").over(w), 6).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change: pure scan + filter + agg, the
+# pushdown/codegen benchmark query (no join, no shuffle beyond the
+# final 1-row combine).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12-shaped — late-shipment accounting by order priority (the fixture
+# schema carries no l_shipmode/l_receiptdate, so "late" is ship-lag
+# against the order date; the plan shape — fact-fact equi-join plus
+# conditional aggregation — is Q12's).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q12_late_shipments",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("long")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(late).alias("late_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion revenue share: broadcast part join + conditional
+# numerator over one fact scan.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4
+           ) AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

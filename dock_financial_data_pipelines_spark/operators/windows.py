@@ -215,3 +215,40 @@ def w6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W7 — quantile bucketing (ntile): per-segment account-balance quartiles,
+# the feature-binning primitive. Unique (balance, custkey) ordering makes
+# the tile assignment total and oracle-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "w7_ntile_quartiles",
+    oracle="""
+    WITH tiled AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey
+               ) AS quartile
+        FROM customer
+    )
+    SELECT c_mktsegment, quartile,
+           count(*) AS n,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi
+    FROM tiled GROUP BY 1, 2
+    """,
+)
+def w7_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        load(spark, sf_dir, "customer")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )

@@ -128,6 +128,39 @@ def main() -> int:
         "ArrowEvalPython" in p,
     )
 
+    p = plan_of(spark, "l5_ann_lsh_topk", execute=True)
+    check(
+        "l5_ann_lsh_topk",
+        "candidate step is an equi-join (BroadcastHashJoin), no NestedLoop",
+        "BroadcastHashJoin" in p and "NestedLoop" not in p,
+    )
+    check(
+        "l5_ann_lsh_topk",
+        "LSH bucketing fully JVM-side (no Python eval)",
+        "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "u6_stratified_sample")
+    check(
+        "u6_stratified_sample",
+        "sampling filter is map-side (single Exchange for the final agg)",
+        p.count("Exchange") <= 2 and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "tpch_q14_promo_revenue")
+    check(
+        "tpch_q14_promo_revenue",
+        "part dim broadcast; shipdate filter pushed to scan",
+        "BroadcastHashJoin" in p and "l_shipdate" in p,
+    )
+
+    p = plan_of(spark, "j8_asof_join")
+    check(
+        "j8_asof_join",
+        "primary as-of join is union+sort window (no join operator at all)",
+        "Join" not in p and "Window" in p and "Union" in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0

@@ -38,6 +38,19 @@ def test_streaming_smoke(spark, sf_dir, name):
     assert len(pdf) >= 0
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with nProbe=3 of 8 cells: recall is bounded by how often the
+    true neighbor's cell is probed — assert the floor and record the
+    figure (the LSH path is the high-recall option on this fixture)."""
+    exact = engine.QUERIES["l5_cosine_topk"](spark, sf_dir).toPandas()
+    ivf = engine.QUERIES["l5_ivf_topk"](spark, sf_dir).toPandas()
+    truth = set(zip(exact.query_id, exact.neighbor_id))
+    found = set(zip(ivf.query_id, ivf.neighbor_id))
+    recall = len(truth & found) / len(truth)
+    print(f"IVF top-5 recall = {recall:.3f} over {len(truth)} truth pairs")
+    assert recall >= 0.5, f"IVF recall {recall:.3f} < 0.5"
+
+
 def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     """Multi-probe sign-LSH must reach ≥0.9 top-5 recall against the
     exact brute-force ground truth, even on the near-orthogonal fixture
