@@ -272,3 +272,36 @@ def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# A13 — statistical aggregates: correlation, covariance, stddev — the
+# portfolio-risk numbers a financial consumer computes from balance
+# data. Single hash-aggregate, map-side partial, no extra pass.
+# ---------------------------------------------------------------------------
+@query(
+    "a13_stat_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_pop(l_quantity, l_discount), 6) AS qty_disc_covar,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a13_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias(
+                "qty_disc_covar"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -261,13 +261,17 @@ def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_event",
         "event_id",
         F.col("k").alias("user_id"),
-        F.date_format(
-            F.last("o_orderdate", ignorenulls=True).over(w), "yyyy-MM-dd"
-        ).alias("last_order_date"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("_last_dt"),
         F.count("o_orderkey").over(w).alias("n_prior_orders"),
     )
+    # Formatting only after the events-only filter: the window carries a
+    # raw timestamp, so the string conversion runs on output rows, not
+    # on every merged row.
     return carried.where(F.col("is_event") == 1).select(
-        "event_id", "user_id", "last_order_date", "n_prior_orders"
+        "event_id",
+        "user_id",
+        F.date_format("_last_dt", "yyyy-MM-dd").alias("last_order_date"),
+        "n_prior_orders",
     )
 
 

@@ -77,3 +77,43 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             unique_key("o_orderkey"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — z-score anomaly detection: events whose value sits more than 3
+# standard deviations from their user's mean — the data-quality screen a
+# statement pipeline runs before publishing (the reference only
+# null-guards envelope fields; the engine checks the *data*). Two-pass
+# formulation (per-key stats join back) keeps the stats exact; at scale
+# the stats side is tiny (one row per user) and broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id,
+           round(e.value, 2) AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s USING (user_id)
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .where((F.col("sigma") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )

@@ -10,7 +10,7 @@ inside the same codegen stage as the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dock_financial_data_pipelines_spark.catalog import load
@@ -396,4 +396,48 @@ def l_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   + CAST(37 * length(x) + ascii(substring(x,1,1)) AS BIGINT))"
             "   % 2147483647)"
         ).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L8 — bigram extraction + corpus top-k: tokens exploded with position,
+# bigram built via lag over (doc, position) — stays entirely in the
+# explode/window/agg JVM path, and the same formulation runs in the
+# oracle. At 100 TB the per-doc window is narrow (position within one
+# doc), so the shuffle key (doc_id) is perfectly parallel.
+# ---------------------------------------------------------------------------
+@query(
+    "l8_bigram_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, u.tok, u.pos
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS tok,
+                             generate_subscripts(string_split(lower(text), ' '), 1) AS pos) u
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || tok AS bigram
+        FROM toks
+    )
+    SELECT bigram, count(*) AS n
+    FROM bigrams WHERE bigram IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def l8_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        F.concat_ws(" ", F.lag("tok").over(w), F.col("tok")).alias("bigram"),
+        F.lag("tok").over(w).alias("_prev"),
+    ).where(F.col("_prev").isNotNull())
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
     )

@@ -252,3 +252,32 @@ def w7_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W8 — distribution ranks: cume_dist / percent_rank of order totals per
+# priority class (the "where does this order sit" percentile surface).
+# ---------------------------------------------------------------------------
+@query(
+    "w8_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(percent_rank() OVER w, 6) AS pr
+    FROM orders
+    WHERE o_totalprice > 350000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w8_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 350000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+        )
+    )

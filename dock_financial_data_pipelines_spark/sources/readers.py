@@ -289,3 +289,74 @@ def s6_date_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S9 — schema-evolution read (mergeSchema): a landed dataset whose later
+# days gained a column. The reference's dynamic JSON envelopes
+# (REPORT:39, dict.get with null-guards) become additive parquet schema
+# evolution: old files stay valid, new columns are null for old days,
+# and one mergeSchema read serves both. At 100 TB the merged-footer
+# read is a one-time planning cost; data files are untouched.
+# ---------------------------------------------------------------------------
+@query(
+    "s9_schema_evolution_read",
+    oracle="""
+    WITH early AS (
+        SELECT o_orderkey, o_totalprice, NULL::VARCHAR AS priority_class
+        FROM orders WHERE year(o_orderdate) <= 1996
+    ),
+    late AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 'expedite' ELSE 'standard' END AS priority_class
+        FROM orders WHERE year(o_orderdate) > 1996
+    ),
+    unioned AS (SELECT * FROM early UNION ALL SELECT * FROM late)
+    SELECT coalesce(priority_class, 'unknown') AS priority_class,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM unioned GROUP BY 1
+    """,
+)
+def s9_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _workdir(f"evolve_{sf_tag(sf_dir)}")
+    marker = os.path.join(out, "_built")
+    if not os.path.exists(marker):
+        orders = load(spark, sf_dir, "orders")
+        (
+            orders.where(F.year("o_orderdate") <= 1996)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "day=old"))
+        )
+        (
+            orders.where(F.year("o_orderdate") > 1996)
+            .select(
+                "o_orderkey",
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite"
+                )
+                .otherwise("standard")
+                .alias("priority_class"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "day=new"))
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", out)
+        .parquet(os.path.join(out, "day=*"))
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("priority_class", F.lit("unknown")).alias("priority_class")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
