@@ -45,6 +45,7 @@ HEADLINE = [
     "j8_asof_join_sortmerge",
     "a9_salted_skew_agg",
     "report_region_market_share",
+    "l5_ann_lsh_topk",
 ]
 
 

@@ -52,6 +52,7 @@ _SWEEP_FIRST = [
     "l_token_count", "l_text_normalize", "l_train_test_split", "l_fingerprint",
     # similarity L5
     "l5_cosine_topk", "l5_ann_lsh_topk", "l5_ivf_topk",
+    "l9_embedding_quantization",
     # round-2 additions: sampling, SCD2, quantile binning, TPC-H
     "u6_stratified_sample", "u7_scd2_history", "w7_ntile_quartiles",
     "tpch_q6_forecast_revenue", "tpch_q12_late_shipments",
@@ -72,7 +73,7 @@ _SWEEP_FIRST = [
     # batch twins of the streaming surface + daily statement
     "x1_tumbling_window", "x2_sliding_window", "x3_session_window",
     "x6_stream_static_join_twin", "x7_stateful_final_state_twin",
-    "q_daily_statement",
+    "x11_stream_stream_join_twin", "q_daily_statement",
     # pipelines (reference DAG restatements)
     "pipeline_balance_report", "pipeline_account_statement",
     "pipeline_daily_publish",
@@ -89,7 +90,7 @@ _SWEEP_FIRST = [
     "x5_stream_dedup_watermark", "x9_foreach_batch_sink",
     "x2_stream_sliding_window", "x3_stream_session_window",
     "x4_stream_tumbling_watermark", "x10_transform_with_state",
-    "x7_stateful_running_balance",
+    "x7_stateful_running_balance", "x11_stream_stream_join",
 ]
 _SWEEP_LAST = [
     # hash-verified green in CORRECTNESS_r01.json, re-run after the gap-closers

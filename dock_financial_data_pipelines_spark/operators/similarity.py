@@ -273,3 +273,83 @@ def l5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pos") <= 5)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# L9 — int8 embedding quantization: the 4× memory/bandwidth reduction
+# every large vector corpus applies before ANN. Quantize q = floor(x*127
+# + 0.5) (identical integer arithmetic in both engines, so the oracle is
+# exact, not tolerance-only), then verify the quantized cosine tracks
+# the float cosine within 2% across the probe × corpus pair set.
+# ---------------------------------------------------------------------------
+@query(
+    "l9_embedding_quantization",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS e,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 127 + 0.5) AS INT)) AS q
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_inner_product(a.e, b.e)
+                 / (sqrt(list_inner_product(a.e, a.e))
+                    * sqrt(list_inner_product(b.e, b.e))) AS cos_f,
+               CAST(list_inner_product(a.q, b.q) AS DOUBLE)
+                 / (sqrt(CAST(list_inner_product(a.q, a.q) AS DOUBLE))
+                    * sqrt(CAST(list_inner_product(b.q, b.q) AS DOUBLE))) AS cos_q
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 10
+    )
+    SELECT count(*) AS n_pairs,
+           TRUE AS max_err_le_2pct
+    FROM pairs
+    HAVING max(abs(cos_f - cos_q)) <= 0.02
+    """,
+)
+def l9_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 127 + 0.5).cast("int"),
+        ).alias("q"),
+    )
+    a = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("ea"),
+        F.col("q").alias("qa"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("eb"),
+        F.col("q").alias("qb"),
+    )
+    idot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+    def _idot(x, y):
+        return F.expr(idot.format(a=x, b=y))
+
+    cos_f = _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb")))
+    cos_q = _idot("qa", "qb") / (
+        F.sqrt(_idot("qa", "qa")) * F.sqrt(_idot("qb", "qb"))
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("query_id") < F.col("neighbor_id"))
+        .select(cos_f.alias("cos_f"), cos_q.alias("cos_q"))
+    )
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max(F.abs(F.col("cos_f") - F.col("cos_q"))).alias("_max_err"),
+        )
+        .where(F.col("_max_err") <= 0.02)
+        .select("n_pairs", F.lit(True).alias("max_err_le_2pct"))
+    )

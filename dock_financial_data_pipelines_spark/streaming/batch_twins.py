@@ -224,3 +224,51 @@ def q_daily_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tx",
         F.round(F.sum("daily_net").over(w), 2).alias("running_balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X11 twin — the stream-stream attribution join as one batch range join,
+# hash-checked against the oracle (the streaming form emits exactly
+# these pairs once the watermark passes).
+# ---------------------------------------------------------------------------
+@query(
+    "x11_stream_stream_join_twin",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def x11_stream_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_timestamp("p_ts").cast("bigint").alias("purchase_epoch"),
+        F.unix_timestamp("c_ts").cast("bigint").alias("click_epoch"),
+    )

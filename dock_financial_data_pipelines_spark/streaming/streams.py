@@ -452,3 +452,46 @@ def x8_incremental_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X11 — stream-stream join: purchases joined to the same user's clicks
+# in the preceding 30 minutes, both sides watermarked so Spark can bound
+# the join state and emit finalized pairs (the attribution join every
+# event pipeline runs). Batch twin x11_stream_stream_join_twin carries
+# the SQL oracle.
+# ---------------------------------------------------------------------------
+@query("x11_stream_stream_join")
+def x11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream_multibatch(spark, sf_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_timestamp("p_ts").cast("bigint").alias("purchase_epoch"),
+        F.unix_timestamp("c_ts").cast("bigint").alias("click_epoch"),
+    )
+    return _run_to_memory(joined, "x11_joined", "append")
