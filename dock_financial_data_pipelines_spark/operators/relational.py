@@ -731,3 +731,86 @@ def u7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal_b").alias("balance"),
     )
     return v1_existing.unionByName(v2_changed).unionByName(v1_new)
+
+
+# ---------------------------------------------------------------------------
+# SQL surface — the whole query as SQL text over registered views (the
+# spark.sql entry path a SQL-first consumer uses). The statement below
+# is dialect-shared, so the oracle is the IDENTICAL string.
+# ---------------------------------------------------------------------------
+_SQL_SURFACE_STMT = """
+SELECT c.c_mktsegment AS mktsegment,
+       o.o_orderstatus AS orderstatus,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total,
+       round(avg(o.o_totalprice), 4) AS avg_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 10000
+GROUP BY 1, 2
+"""
+
+
+@query("sql_surface_report", oracle=_SQL_SURFACE_STMT)
+def sql_surface_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import load as _load
+
+    _load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SQL_SURFACE_STMT)
+
+
+# ---------------------------------------------------------------------------
+# U8 — CDC apply: a change feed folds into a base snapshot with
+# last-write-wins updates and tombstone deletes — the MERGE INTO
+# semantics of a warehouse upsert, expressed engine-agnostically.
+# Feed mapping over events: 'error' = tombstone for the user's record,
+# anything else = upsert carrying the event's value; latest change wins
+# (ts, event_id ordered).
+# ---------------------------------------------------------------------------
+@query(
+    "u8_cdc_apply",
+    oracle="""
+    WITH latest_change AS (
+        SELECT user_id, event_type, value
+        FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT c.c_custkey AS custkey,
+           round(coalesce(lc.value, c.c_acctbal), 2) AS current_balance,
+           CASE WHEN lc.user_id IS NULL THEN 'unchanged' ELSE 'updated' END AS cdc_status
+    FROM customer c
+    LEFT JOIN latest_change lc
+      ON lc.user_id = c.c_custkey AND lc.event_type <> 'error'
+    WHERE NOT EXISTS (
+        SELECT 1 FROM latest_change d
+        WHERE d.user_id = c.c_custkey AND d.event_type = 'error'
+    )
+    """,
+)
+def u8_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    tombstones = latest.where(F.col("event_type") == "error").select("user_id")
+    upserts = latest.where(F.col("event_type") != "error")
+    return (
+        cust.join(tombstones, cust.c_custkey == tombstones.user_id, "left_anti")
+        .join(upserts, cust.c_custkey == upserts.user_id, "left")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.round(F.coalesce("value", "c_acctbal"), 2).alias("current_balance"),
+            F.when(F.col("user_id").isNull(), "unchanged")
+            .otherwise("updated")
+            .alias("cdc_status"),
+        )
+    )

@@ -226,3 +226,45 @@ def d5_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer GROUP BY 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# D7 — mapInArrow: the zero-copy Arrow batch surface (Spark 3.3+). Same
+# distributed shape as mapInPandas but the UDF sees pyarrow RecordBatch
+# objects directly — the fastest lane for columnar Python libraries
+# (no pandas conversion at all). Here: net-price computation on Arrow
+# arrays, verified against plain SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "d7_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net_price
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def d7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    def net(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ep = batch.column("l_extendedprice")
+            disc = batch.column("l_discount")
+            raw = pc.multiply(ep, pc.subtract(pa.scalar(1.0), disc))
+            money = pc.divide(
+                pc.floor(pc.add(pc.multiply(raw, pa.scalar(100.0)), pa.scalar(0.5))),
+                pa.scalar(100.0),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), money], ["l_orderkey", "net_price"]
+            )
+
+    src = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 200)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return src.mapInArrow(net, "l_orderkey bigint, net_price double")
