@@ -64,6 +64,7 @@ _SWEEP_FIRST = [
     "d3_grouped_agg_weighted_avg", "d4_apply_in_pandas_above_mean",
     "d5_sql_registered_udf", "d6_python_udtf_installments",
     "d7_map_in_arrow", "sql_surface_report", "u8_cdc_apply",
+    "a14_rolling_wau",
     # skew/percentile extensions
     "a9_salted_skew_agg", "a10_exact_percentiles", "a11_approx_percentiles",
     "j10_salted_skew_join", "j8_asof_join_rangejoin_twin",

@@ -305,3 +305,49 @@ def a13_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A14 — rolling 7-day distinct active users (sliding-window DAU/WAU):
+# each event lands in 7 overlapping daily windows (F.window with slide),
+# then a per-window distinct count. The explode-by-window formulation
+# shuffles each row at most 7× — the affordable exact form; beyond that
+# scale the HLL sketch (A3) merges per-day sketches instead.
+# ---------------------------------------------------------------------------
+@query(
+    "a14_rolling_wau",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS window_end_day,
+           count(DISTINCT e.user_id) AS active_users,
+           count(*) AS n_events
+    FROM days
+    JOIN events e
+      ON e.ts >= days.d - INTERVAL 6 DAY
+     AND e.ts < days.d + INTERVAL 1 DAY
+    GROUP BY 1
+    """,
+)
+def a14_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # window('ts','7 days','1 day'): the window ENDING on day d covers
+    # (d-6 .. d]; keep only windows whose end-1-day is an observed event
+    # day so the frame matches the oracle's day list.
+    days = ev.select(F.date_trunc("day", "ts").alias("d")).distinct()
+    win = ev.groupBy(F.window("ts", "7 days", "1 day").alias("w")).agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        win.join(
+            days,
+            F.col("w.end") - F.expr("INTERVAL 1 DAY") == F.col("d"),
+        )
+        .select(
+            F.date_format(F.col("d"), "yyyy-MM-dd").alias("window_end_day"),
+            "active_users",
+            "n_events",
+        )
+    )
