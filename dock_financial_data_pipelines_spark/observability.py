@@ -86,23 +86,38 @@ class MetricsStore:
 
 
 def _walk_plan_metrics(jplan, acc: dict) -> None:
-    """Sum SQLMetric values over a JVM SparkPlan tree (py4j, read-only)."""
+    """Sum SQLMetric values over a JVM SparkPlan tree (py4j, read-only).
+
+    AQE wraps the plan in AdaptiveSparkPlanExec (whose ``children()`` is
+    empty — the real tree hangs off ``executedPlan()``), and materialized
+    stages appear as QueryStageExec nodes wrapping their stage via
+    ``plan()``; descend through both."""
     it = jplan.metrics().iterator()
     while it.hasNext():
         kv = it.next()
         key = kv._1()
         if key in _METRIC_KEYS:
             acc[_METRIC_KEYS[key]] += max(0, kv._2().value())
+    for unwrap in ("executedPlan", "plan"):
+        try:
+            inner = getattr(jplan, unwrap)()
+            _walk_plan_metrics(inner, acc)
+        except Exception:
+            pass
     kids = jplan.children().iterator()
     while kids.hasNext():
         _walk_plan_metrics(kids.next(), acc)
 
 
 def run_with_metrics(name: str, df: DataFrame, store: MetricsStore) -> int:
-    """Execute ``df`` (count action), recording wall time, rows, and
-    executed-plan metrics into ``store``. Returns the row count."""
+    """Execute ``df`` and record wall time, rows, and executed-plan
+    metrics into ``store``. Returns the row count.
+
+    The action is ``collect()`` on *this* DataFrame: ``count()`` or a
+    noop write would run a different QueryExecution, leaving the metrics
+    of ``df.queryExecution()`` untouched (all zeros)."""
     t0 = time.monotonic()
-    n_rows = df.count()
+    n_rows = len(df.collect())
     wall_ms = (time.monotonic() - t0) * 1000.0
     acc = {v: 0 for v in _METRIC_KEYS.values()}
     ok = False
@@ -130,9 +145,13 @@ def o_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
 
+    # Keep every collected result bounded (aggregates / tiny projections):
+    # the recorder's action is collect() on the measured plan itself.
     run_with_metrics(
         "scan_filter",
-        orders.where(F.col("o_totalprice") > 1000).select("o_orderkey"),
+        orders.where(F.col("o_totalprice") > 1000).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
         store,
     )
     run_with_metrics(
@@ -142,7 +161,9 @@ def o_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_with_metrics(
         "join_dim",
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n")),
         store,
     )
     return store.to_df(spark).select(

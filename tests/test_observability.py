@@ -1,0 +1,43 @@
+"""Metrics surface (SURVEY §2-A R15): run_with_metrics must record wall
+time, row counts, and executed-plan SQLMetrics (shuffle bytes) for real
+queries on a live session."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.observability import (
+    MetricsStore,
+    run_with_metrics,
+)
+
+
+def test_metrics_captured_for_shuffle_query(spark, sf_dir):
+    store = MetricsStore()
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("t"))
+    )
+    n = run_with_metrics("per_customer_agg", agg, store)
+    assert n > 0 and len(store.runs) == 1
+    m = store.runs[0]
+    assert m.query_name == "per_customer_agg"
+    assert m.n_rows == n
+    assert m.wall_ms > 0
+    assert m.plan_metrics_ok, "executed-plan metrics were not readable"
+    # A wide groupBy must have shuffled something.
+    assert m.shuffle_bytes_written > 0
+    assert m.shuffle_records_written > 0
+
+
+def test_metrics_store_accumulates_and_exports(spark, sf_dir):
+    store = MetricsStore()
+    run_with_metrics("scan", load(spark, sf_dir, "region"), store)
+    run_with_metrics("scan2", load(spark, sf_dir, "nation"), store)
+    df = store.to_df(spark)
+    rows = {r.query_name: r for r in df.collect()}
+    assert set(rows) == {"scan", "scan2"}
+    assert rows["scan"].n_rows == 5 and rows["scan2"].n_rows == 25
+    assert rows["scan"].files_read >= 1
