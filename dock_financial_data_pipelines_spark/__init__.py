@@ -42,7 +42,8 @@ __version__ = "0.2.0"
 _SWEEP_FIRST = [
     # set ops / dedup-latest / diff / histogram (untested in r1)
     "u1_union_counts", "u2_intersect", "u2_except", "u3_dedup_keep_latest",
-    "u5_snapshot_diff", "a12_histogram",
+    "u5_snapshot_diff", "a12_histogram", "u2_intersect_all",
+    "u2_except_all", "a15_string_agg", "f4_explode_outer_nulls",
     # window functions W1-W6
     "w1_rank_functions", "w2_lag_lead", "w3_running_balance",
     "w4_moving_time_range", "w5_first_last", "w6_topk_per_group",

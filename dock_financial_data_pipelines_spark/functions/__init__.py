@@ -179,3 +179,40 @@ def f6_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("parsed.k") % 10).alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# F4c — explode_outer: rows with empty/null arrays survive as one null
+# row (LEFT JOIN LATERAL semantics) — the difference that silently drops
+# data when plain explode is misused on sparse columns.
+# ---------------------------------------------------------------------------
+@query(
+    "f4_explode_outer_nulls",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'F'
+                    THEN string_split(o_orderpriority, '-')
+                    ELSE NULL END AS parts
+        FROM orders WHERE o_orderkey < 300
+    )
+    SELECT s.o_orderkey, u.part
+    FROM src s
+    LEFT JOIN LATERAL (SELECT unnest(s.parts) AS part) u ON TRUE
+    """,
+)
+def f4_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderstatus") == "F",
+                F.split("o_orderpriority", "-"),
+            ).alias("parts"),
+        )
+    )
+    return src.select(
+        "o_orderkey", F.explode_outer("parts").alias("part")
+    )

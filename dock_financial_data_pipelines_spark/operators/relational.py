@@ -814,3 +814,73 @@ def u8_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cdc_status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U2b — bag semantics: INTERSECT ALL / EXCEPT ALL (duplicates preserved
+# by multiplicity — the semantics u2's set forms deliberately collapse).
+# ---------------------------------------------------------------------------
+@query(
+    "u2_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def u2_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = orders.where(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.intersectAll(y97)
+
+
+@query(
+    "u2_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def u2_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = orders.where(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.exceptAll(y97)
+
+
+# ---------------------------------------------------------------------------
+# A15 — ordered string aggregation (listagg): per-priority CSV of
+# order statuses. Deterministic via sort before join: Spark's
+# collect_list order is nondeterministic, so sort_array fixes it —
+# matching the oracle's ORDER BY inside string_agg.
+# ---------------------------------------------------------------------------
+@query(
+    "a15_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def a15_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
