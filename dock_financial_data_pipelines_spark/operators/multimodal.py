@@ -130,3 +130,58 @@ def l7_binary_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assets"),
         F.sum(F.octet_length("frame")).alias("sampled_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L7c — media transform (resize) plumbing: binary in → binary out with
+# updated metadata, over iterator-of-batches mapInPandas. The "resize"
+# is a deterministic stub (truncate payload to a byte budget — the
+# container ships no image libs); the REAL parts are the contract a
+# production transform drops into: binary columns both directions,
+# struct metadata rewrite, Arrow batching, and per-batch bounded memory.
+# ---------------------------------------------------------------------------
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes_in", LongType()),
+        StructField("n_bytes_out", LongType()),
+    ]
+)
+
+_RESIZE_BUDGET = 64  # stub "target resolution" in bytes
+
+
+def resize_assets(assets: DataFrame, budget: int = _RESIZE_BUDGET) -> DataFrame:
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": pdf["asset_id"],
+                "content": [bytes(c)[:budget] for c in pdf["content"]],
+                "mime": [m["mime"] for m in pdf["meta"]],
+                "n_bytes_in": [int(m["n_bytes"]) for m in pdf["meta"]],
+                "n_bytes_out": [min(len(bytes(c)), budget) for c in pdf["content"]],
+            }
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(resize, _RESIZE_SCHEMA)
+
+
+@query(
+    "l7_resize_stub",
+    oracle=f"""
+    SELECT count(*) AS n_assets,
+           CAST(sum(least(length(text), {_RESIZE_BUDGET})) AS BIGINT) AS total_out_bytes,
+           CAST(sum(length(text)) AS BIGINT) AS total_in_bytes
+    FROM documents
+    """,
+)
+def l7_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = to_multimodal(load(spark, sf_dir, "documents"))
+    resized = resize_assets(assets)
+    return resized.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes_out").alias("total_out_bytes"),
+        F.sum("n_bytes_in").alias("total_in_bytes"),
+    )

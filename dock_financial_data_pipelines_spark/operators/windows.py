@@ -281,3 +281,47 @@ def w8_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w), 6).alias("pr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W9 — finite-window EWMA: exponentially weighted moving average of each
+# user's last 10 event values (α=0.3 decay over recency rank). The
+# closed-form weighted sum over a bounded lookback keeps pow() exponents
+# small (the unbounded recursive EWMA underflows pow at big n); both
+# engines evaluate the identical arithmetic, so the oracle is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "w9_ewma_last10",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS r
+        FROM events
+    )
+    SELECT user_id,
+           round(sum(value * power(0.7, r - 1)) / sum(power(0.7, r - 1)), 4)
+               AS ewma10,
+           count(*) AS n_used
+    FROM ranked WHERE r <= 10
+    GROUP BY 1
+    """,
+)
+def w9_ewma_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    decay = F.pow(F.lit(0.7), F.col("r") - 1)
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 10)
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * decay) / F.sum(decay), 4
+            ).alias("ewma10"),
+            F.count(F.lit(1)).alias("n_used"),
+        )
+    )
