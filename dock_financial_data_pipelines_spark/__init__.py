@@ -58,7 +58,8 @@ _SWEEP_FIRST = [
     "u6_stratified_sample", "u7_scd2_history", "w7_ntile_quartiles",
     "tpch_q6_forecast_revenue", "tpch_q12_late_shipments",
     "tpch_q14_promo_revenue", "a13_stat_aggregates",
-    "w8_distribution_ranks", "w9_ewma_last10", "l8_bigram_topk",
+    "w8_distribution_ranks", "w9_ewma_last10", "w10_sessionize_gaps",
+    "a16_unpivot_melt", "l8_bigram_topk",
     "l7_resize_stub", "s9_schema_evolution_read",
     "q_anomaly_zscore",
     # UDF surface D1-D6

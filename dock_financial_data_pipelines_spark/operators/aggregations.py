@@ -351,3 +351,41 @@ def a14_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A16 — unpivot/melt: wide per-segment aggregate back to long
+# (metric, value) rows — the inverse of A6's pivot and the shape
+# feature-store exports want.
+# ---------------------------------------------------------------------------
+@query(
+    "a16_unpivot_melt",
+    oracle="""
+    WITH wide AS (
+        SELECT c_mktsegment,
+               round(sum(c_acctbal), 2) AS total_bal,
+               round(avg(c_acctbal), 4) AS avg_bal,
+               CAST(count(*) AS DOUBLE) AS n_customers
+        FROM customer GROUP BY 1
+    )
+    SELECT c_mktsegment, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (total_bal, avg_bal, n_customers))
+    """,
+)
+def a16_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["total_bal", "avg_bal", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -325,3 +325,46 @@ def w9_ewma_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_used"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W10 — gap-based sessionization, the lag → flag → cumulative-sum
+# composition (the manual form of X3's session_window, portable to any
+# engine): a new session starts after a >30-minute silence.
+# ---------------------------------------------------------------------------
+@query(
+    "w10_sessionize_gaps",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, session_no, count(*) AS n_events
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def w10_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = (
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("new_session", new_session)
+        .withColumn("session_no", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
