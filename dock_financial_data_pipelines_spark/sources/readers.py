@@ -360,3 +360,108 @@ def s9_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S10 — small-file compaction: the maintenance job every date-partitioned
+# 100 TB dataset needs. A fragmented write (many files per partition)
+# is rewritten 1-file-per-partition via repartition on the partition
+# key; the oracle checks the data survived compaction byte-exact, and
+# the query output carries the before/after file counts.
+# ---------------------------------------------------------------------------
+@query(
+    "s10_compact_small_files",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d')) AS n_days,
+           round(sum(value), 2) AS total_value,
+           TRUE AS compacted_fewer_files
+    FROM events
+    """,
+)
+def s10_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    base = _workdir(f"compact_{sf_tag(sf_dir)}")
+    frag, tight = os.path.join(base, "frag"), os.path.join(base, "tight")
+    marker = os.path.join(base, "_built")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    if not os.path.exists(marker):
+        # Fragmented layout: default parallelism → many files per day.
+        ev.repartition(8).write.mode("overwrite").partitionBy("day").parquet(frag)
+        # Compaction: repartition BY the partition column → exactly one
+        # task (one file) per day partition.
+        (
+            spark.read.option("basePath", frag).parquet(frag)
+            .repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(tight)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    n_frag = len(glob.glob(os.path.join(frag, "day=*", "*.parquet")))
+    n_tight = len(glob.glob(os.path.join(tight, "day=*", "*.parquet")))
+    return (
+        spark.read.option("basePath", tight).parquet(tight)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("day").alias("n_days"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .withColumn("compacted_fewer_files", F.lit(n_tight < n_frag))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S12 — incremental rollup + merge (the materialized-view pattern): daily
+# pre-aggregates are maintained incrementally, and a period query merges
+# rollups instead of rescanning raw events. The oracle computes the same
+# period directly from raw data — proving rollup-merge ≡ direct scan,
+# which is the correctness obligation of any incremental MV.
+# ---------------------------------------------------------------------------
+@query(
+    "s12_rollup_merge",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+    GROUP BY 1
+    """,
+)
+def s12_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _workdir(f"rollup_{sf_tag(sf_dir)}")
+    marker = os.path.join(base, "_built")
+    if not os.path.exists(marker):
+        daily = (
+            load(spark, sf_dir, "events")
+            .groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                "user_id",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),  # raw, rounded only at merge
+            )
+        )
+        daily.write.mode("overwrite").partitionBy("day").parquet(
+            os.path.join(base, "daily")
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    rollups = spark.read.option("basePath", os.path.join(base, "daily")).parquet(
+        os.path.join(base, "daily")
+    )
+    # Partition-pruned merge: only the 14 daily rollups in range are read.
+    return (
+        rollups.where((F.col("day") >= "2024-01-08") & (F.col("day") < "2024-01-22"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+        )
+    )
