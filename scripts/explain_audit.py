@@ -161,6 +161,20 @@ def main() -> int:
         "Join" not in p and "Window" in p and "Union" in p,
     )
 
+    p = plan_of(spark, "s12_rollup_merge")
+    check(
+        "s12_rollup_merge",
+        "rollup merge reads only the date range (PartitionFilters on day)",
+        "PartitionFilters" in p and "day" in p.split("PartitionFilters", 1)[1][:200],
+    )
+
+    p = plan_of(spark, "w10_sessionize_gaps")
+    check(
+        "w10_sessionize_gaps",
+        "sessionization is one shuffle on user_id + windows (no join)",
+        "Join" not in p and "Window" in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
