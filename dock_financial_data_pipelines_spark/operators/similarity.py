@@ -214,8 +214,10 @@ def l5_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cell id is the partition key of the persisted index: a probe touches
 # nProbe/K of the corpus, and centroid assignment is a broadcast join.
 # ---------------------------------------------------------------------------
-_IVF_K = 8        # coarse cells
-_IVF_NPROBE = 3   # cells probed per query
+_IVF_K = 8        # coarse cells (at scale: ~sqrt(corpus); fixture keeps 8)
+_IVF_NPROBE = 4   # cells probed per query — recall/cost dial. The ratio
+                  # nProbe/K (not nProbe itself) is the probed fraction;
+                  # production raises K with corpus size so 4/K shrinks.
 
 
 def _ivf_assign(emb: DataFrame, centroids: DataFrame, vec_col: str, n: int):
