@@ -24,3 +24,15 @@ def test_connected_components_long_chain_converges(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
     comps = {r.component for r in connected_components(nodes, edges).collect()}
     assert comps == {0}
+
+
+def test_maybe_broadcast_respects_disable_conf(spark, sf_dir):
+    from dock_financial_data_pipelines_spark.catalog import load, maybe_broadcast
+
+    nation = load(spark, sf_dir, "nation")
+    assert "ResolvedHint" in maybe_broadcast(nation)._jdf.queryExecution().analyzed().toString()
+    spark.conf.set("spark.dock.disableBroadcastHints", "true")
+    try:
+        assert "ResolvedHint" not in maybe_broadcast(nation)._jdf.queryExecution().analyzed().toString()
+    finally:
+        spark.conf.set("spark.dock.disableBroadcastHints", "false")

@@ -157,3 +157,16 @@ def test_transfer_retries_exhausted(tmp_path):
             DownRemote(root=str(tmp_path)), "remote/f.zip", str(tmp_path / "landing"),
             retries=2,
         )
+
+
+def test_sftp_remote_requires_paramiko():
+    import importlib.util
+
+    from dock_financial_data_pipelines_spark.sources.transports import SftpRemote
+
+    if importlib.util.find_spec("paramiko") is not None:
+        import pytest as _pytest
+
+        _pytest.skip("paramiko present in this environment")
+    with pytest.raises(RuntimeError, match="paramiko"):
+        SftpRemote("sftp.dock.example", "user", "pw")
