@@ -50,6 +50,24 @@ def sf_tag(sf_dir: str) -> str:
     return f"{os.path.basename(root)}_{digest}"
 
 
+def dec_sum(col, scale: int = 4, out: int = 2):
+    """Order-independent money sum.
+
+    round(sum(double), 2) is flaky across engines: different
+    accumulation orders yield doubles a few ulp apart, and when the true
+    sum sits near a .xx5 boundary the rounded cent differs (observed on
+    the flagship revenue at sf0.1). Per-row cast to DECIMAL is exact for
+    products of 2-decimal money terms (price × (1±rate) has ≤4–6
+    decimal digits), decimal accumulation is exact and
+    order-independent, and the final cast back to double keeps the
+    output schema. The SQL twin is
+    ``round(sum(CAST(expr AS DECIMAL(27,scale))), out)::DOUBLE``."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(f"decimal(27,{scale})")), out).cast("double")
+
+
 def maybe_broadcast(df: DataFrame) -> DataFrame:
     """Broadcast hint that bench's skew-probe mode can switch off
     (``spark.dock.disableBroadcastHints=true``) to force the

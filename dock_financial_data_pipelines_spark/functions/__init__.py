@@ -93,7 +93,7 @@ def f5_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
     FROM events
     GROUP BY 1
     HAVING count(*) >= 5
@@ -109,7 +109,9 @@ def f6_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .where(F.col("n") >= 5)
     )

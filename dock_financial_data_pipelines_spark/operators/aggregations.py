@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import dec_sum, load
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -24,9 +24,9 @@ from dock_financial_data_pipelines_spark.registry import query
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum(CAST(l_extendedprice AS DECIMAL(27,2))), 2)::DOUBLE AS sum_base_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2)::DOUBLE AS sum_disc_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))), 2)::DOUBLE AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 6) AS avg_disc,
@@ -46,9 +46,9 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dec_sum("l_extendedprice", scale=2).alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax")), scale=6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -152,7 +152,7 @@ def a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)::DOUBLE AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -163,7 +163,7 @@ def a4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            dec_sum("o_totalprice", scale=2).alias("total"),
         )
     )
 
@@ -175,7 +175,7 @@ def a4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_having",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_spend
+           round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)::DOUBLE AS total_spend
     FROM orders
     GROUP BY 1
     HAVING sum(o_totalprice) > 1500000
@@ -187,13 +187,13 @@ def a5_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("_raw_total"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("_raw_total"),
         )
         .where(F.col("_raw_total") > 1500000)
         .select(
             "o_custkey",
             "n_orders",
-            F.round("_raw_total", 2).alias("total_spend"),
+            F.round("_raw_total", 2).cast("double").alias("total_spend"),
         )
     )
 
@@ -208,11 +208,11 @@ _EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
     "a6_pivot_event_types",
     oracle="""
     SELECT user_id,
-           round(sum(value) FILTER (WHERE event_type = 'click'), 2)    AS click,
-           round(sum(value) FILTER (WHERE event_type = 'view'), 2)     AS view,
-           round(sum(value) FILTER (WHERE event_type = 'signup'), 2)   AS signup,
-           round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
-           round(sum(value) FILTER (WHERE event_type = 'error'), 2)    AS error
+           round(sum(CAST(value AS DECIMAL(27,6))) FILTER (WHERE event_type = 'click'), 2)::DOUBLE    AS click,
+           round(sum(CAST(value AS DECIMAL(27,6))) FILTER (WHERE event_type = 'view'), 2)::DOUBLE     AS view,
+           round(sum(CAST(value AS DECIMAL(27,6))) FILTER (WHERE event_type = 'signup'), 2)::DOUBLE   AS signup,
+           round(sum(CAST(value AS DECIMAL(27,6))) FILTER (WHERE event_type = 'purchase'), 2)::DOUBLE AS purchase,
+           round(sum(CAST(value AS DECIMAL(27,6))) FILTER (WHERE event_type = 'error'), 2)::DOUBLE    AS error
     FROM events GROUP BY 1
     """,
 )
@@ -223,7 +223,7 @@ def a6_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.round(F.sum("value"), 2))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2).cast("double"))
     )
 
 
@@ -363,7 +363,7 @@ def a14_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
         SELECT c_mktsegment,
-               round(sum(c_acctbal), 2) AS total_bal,
+               round(sum(CAST(c_acctbal AS DECIMAL(27,2))), 2)::DOUBLE AS total_bal,
                round(avg(c_acctbal), 4) AS avg_bal,
                CAST(count(*) AS DOUBLE) AS n_customers
         FROM customer GROUP BY 1
@@ -378,7 +378,7 @@ def a16_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            dec_sum("c_acctbal", scale=2).alias("total_bal"),
             F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
             F.count(F.lit(1)).cast("double").alias("n_customers"),
         )

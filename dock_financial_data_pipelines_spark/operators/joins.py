@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load, maybe_broadcast
+from dock_financial_data_pipelines_spark.catalog import dec_sum, load, maybe_broadcast
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -31,7 +31,7 @@ from dock_financial_data_pipelines_spark.registry import query
     oracle="""
     SELECT o.o_orderstatus AS status,
            count(*) AS n_lines,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))), 2)::DOUBLE AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
     """,
@@ -44,9 +44,9 @@ def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
         )
     )
 
@@ -59,7 +59,7 @@ def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
            count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_acctbal
+           round(sum(CAST(c.c_acctbal AS DECIMAL(27,2))), 2)::DOUBLE AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -76,7 +76,7 @@ def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            dec_sum("c_acctbal", scale=2).alias("total_acctbal"),
         )
     )
 
@@ -394,7 +394,7 @@ def j8_asof_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j9_star_join",
     oracle="""
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))), 2)::DOUBLE AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -423,9 +423,9 @@ def j9_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(maybe_broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

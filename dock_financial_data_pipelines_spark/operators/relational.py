@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import dec_sum, load
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -33,7 +33,7 @@ from dock_financial_data_pipelines_spark.registry import query
     oracle="""
     SELECT c.c_mktsegment AS mktsegment,
            strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS order_month,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))), 2)::DOUBLE AS revenue,
            count(DISTINCT o.o_orderkey) AS order_count,
            count(*) AS line_count
     FROM lineitem l
@@ -62,7 +62,7 @@ def flagship_segment_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFr
             ),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.countDistinct("o_orderkey").alias("order_count"),
@@ -118,7 +118,7 @@ def p1_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(*) AS n,
-           round(sum(l_extendedprice), 2) AS sum_price
+           round(sum(CAST(l_extendedprice AS DECIMAL(27,2))), 2)::DOUBLE AS sum_price
     FROM lineitem
     WHERE l_quantity > 25 AND l_discount >= 0.02 AND l_discount < 0.07
           AND l_shipdate >= TIMESTAMP '1996-01-01'
@@ -137,7 +137,7 @@ def p2_range_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            dec_sum("l_extendedprice", scale=2).alias("sum_price"),
         )
     )
 
@@ -238,7 +238,7 @@ def p5_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice < 150000 THEN 'medium'
                 ELSE 'large' END AS bucket,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)::DOUBLE AS total
     FROM orders
     GROUP BY 1
     """,
@@ -252,7 +252,7 @@ def p6_case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return orders.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        dec_sum("o_totalprice", scale=2).alias("total"),
     )
 
 
@@ -676,11 +676,11 @@ def u6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u7_scd2_history",
     oracle="""
     WITH snap_a AS (
-        SELECT user_id, round(sum(value), 2) AS balance
+        SELECT user_id, round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS balance
         FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1
     ),
     snap_b AS (
-        SELECT user_id, round(sum(value), 2) AS balance
+        SELECT user_id, round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS balance
         FROM events GROUP BY 1
     )
     SELECT a.user_id, 1 AS version, '2024-01-01' AS valid_from,
@@ -704,9 +704,9 @@ def u7_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_a = (
         ev.where(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
         .groupBy("user_id")
-        .agg(F.round(F.sum("value"), 2).alias("bal_a"))
+        .agg(dec_sum("value", scale=6).alias("bal_a"))
     )
-    snap_b = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("bal_b"))
+    snap_b = ev.groupBy("user_id").agg(dec_sum("value", scale=6).alias("bal_b"))
     merged = snap_b.join(snap_a, "user_id", "left")
     changed = F.col("bal_a").isNotNull() & (F.col("bal_b") != F.col("bal_a"))
     v1_existing = merged.where(F.col("bal_a").isNotNull()).select(
@@ -742,7 +742,7 @@ _SQL_SURFACE_STMT = """
 SELECT c.c_mktsegment AS mktsegment,
        o.o_orderstatus AS orderstatus,
        count(*) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS total,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(27,2))), 2) AS DOUBLE) AS total,
        round(avg(o.o_totalprice), 4) AS avg_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_totalprice > 10000
@@ -752,7 +752,7 @@ GROUP BY 1, 2
 
 @query("sql_surface_report", oracle=_SQL_SURFACE_STMT)
 def sql_surface_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dock_financial_data_pipelines_spark.catalog import load as _load
+    from dock_financial_data_pipelines_spark.catalog import dec_sum, load as _load
 
     _load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     _load(spark, sf_dir, "customer").createOrReplaceTempView("customer")

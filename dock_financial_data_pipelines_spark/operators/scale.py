@@ -33,7 +33,10 @@ def salted_sum(df: DataFrame, key: str, value: str, n_salt: int = _SALT_BUCKETS)
     partial = (
         df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)))
         .groupBy(key, "_salt")
-        .agg(F.sum(value).alias("_psum"), F.count(F.lit(1)).alias("_pcnt"))
+        .agg(
+            F.sum(F.col(value).cast("decimal(27,6)")).alias("_psum"),
+            F.count(F.lit(1)).alias("_pcnt"),
+        )
     )
     return partial.groupBy(key).agg(
         F.sum("_psum").alias("_sum"), F.sum("_pcnt").alias("_cnt")
@@ -44,7 +47,7 @@ def salted_sum(df: DataFrame, key: str, value: str, n_salt: int = _SALT_BUCKETS)
     "a9_salted_skew_agg",
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -53,7 +56,7 @@ def a9_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "user_id",
         F.col("_cnt").alias("n_events"),
-        F.round("_sum", 2).alias("total_value"),
+        F.round("_sum", 2).cast("double").alias("total_value"),
     )
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load, maybe_broadcast
+from dock_financial_data_pipelines_spark.catalog import dec_sum, load, maybe_broadcast
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -21,7 +21,7 @@ from dock_financial_data_pipelines_spark.registry import query
     "tpch_q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))), 2)::DOUBLE AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -52,9 +52,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -66,7 +66,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))), 2)::DOUBLE AS revenue,
            round(c.c_acctbal, 2) AS acctbal,
            n.n_name AS nation
     FROM customer c
@@ -100,9 +100,9 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -158,7 +158,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT substr(c_name, 10, 2) AS cntry,
            count(*) AS n_custs,
-           round(sum(c_acctbal), 2) AS total_bal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(27,2))), 2) AS DOUBLE) AS total_bal
     FROM customer c
     WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -173,7 +173,7 @@ def tpch_q22_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT substr(c_name, 10, 2) AS cntry,
                count(*) AS n_custs,
-               round(sum(c_acctbal), 2) AS total_bal
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(27,2))), 2) AS DOUBLE) AS total_bal
         FROM customer c
         WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -188,7 +188,7 @@ def tpch_q22_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rev AS (
         SELECT r.r_name AS region,
                year(o.o_orderdate) AS yr,
-               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4)))::DOUBLE AS revenue
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -218,7 +218,15 @@ def report_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("r_name").alias("region"), F.year("o_orderdate").alias("yr")
         )
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(27,4)"
+                )
+            )
+            .cast("double")
+            .alias("_rev")
+        )
     )
     w = Window.partitionBy("yr")
     return rev.select(
@@ -237,7 +245,7 @@ def report_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))), 2)::DOUBLE AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -256,9 +264,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

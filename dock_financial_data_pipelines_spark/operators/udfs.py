@@ -61,7 +61,8 @@ def d1_python_udf_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floor(x*100+0.5)/100 on both sides: see p1_project_compute.
     oracle="""
     SELECT l_returnflag,
-           round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100), 2)
+           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100
+                        AS DECIMAL(27,2))), 2)::DOUBLE
                AS net_revenue,
            count(*) AS n
     FROM lineitem GROUP BY 1
@@ -79,7 +80,9 @@ def d2_pandas_udf_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("np", net_price("l_extendedprice", "l_discount"))
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.sum("np"), 2).alias("net_revenue"),
+            F.round(F.sum(F.col("np").cast("decimal(27,2)")), 2)
+            .cast("double")
+            .alias("net_revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )

@@ -89,10 +89,10 @@ def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w3_running_balance",
     oracle="""
     SELECT event_id, user_id,
-           round(sum(value) OVER (
+           round(sum(CAST(value AS DECIMAL(27,6))) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_balance
+           ), 2)::DOUBLE AS running_balance
     FROM events
     """,
 )
@@ -105,7 +105,9 @@ def w3_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("running_balance"),
+        F.round(F.sum(F.col("value").cast("decimal(27,6)")).over(w), 2)
+        .cast("double")
+        .alias("running_balance"),
     )
 
 
@@ -260,16 +262,23 @@ def w7_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "w8_distribution_ranks",
+    # cume_dist/percent_rank are exact rationals k/n that frequently land
+    # ON the .5 rounding tie (e.g. 0.0640625 at 6 digits); round() then
+    # differs across engines (HALF_UP vs half-even — observed at sf0.1),
+    # so both sides use the tie-free floor(x*1e6 + 0.5)/1e6 convention.
     oracle="""
     SELECT o_orderkey, o_orderpriority,
-           round(cume_dist() OVER w, 6) AS cd,
-           round(percent_rank() OVER w, 6) AS pr
+           floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cd,
+           floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pr
     FROM orders
     WHERE o_totalprice > 350000
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
 )
 def w8_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def r6(c):
+        return F.floor(c * 1e6 + 0.5).cast("double") / 1e6
+
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return (
         load(spark, sf_dir, "orders")
@@ -277,8 +286,8 @@ def w8_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_orderpriority",
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            r6(F.cume_dist().over(w)).alias("cd"),
+            r6(F.percent_rank().over(w)).alias("pr"),
         )
     )
 
@@ -301,7 +310,8 @@ def w8_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id,
-           round(sum(value * power(0.7, r - 1)) / sum(power(0.7, r - 1)), 4)
+           round(sum(CAST(value * power(0.7, r - 1) AS DECIMAL(27,8)))::DOUBLE
+                 / sum(CAST(power(0.7, r - 1) AS DECIMAL(27,8)))::DOUBLE, 4)
                AS ewma10,
            count(*) AS n_used
     FROM ranked WHERE r <= 10
@@ -320,7 +330,9 @@ def w9_ewma_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.round(
-                F.sum(F.col("value") * decay) / F.sum(decay), 4
+                F.sum((F.col("value") * decay).cast("decimal(27,8)")).cast("double")
+                / F.sum(decay.cast("decimal(27,8)")).cast("double"),
+                4,
             ).alias("ewma10"),
             F.count(F.lit(1)).alias("n_used"),
         )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import dec_sum, load
 from dock_financial_data_pipelines_spark.registry import query
 from dock_financial_data_pipelines_spark.sources.sinks import write_partitioned
 
@@ -90,7 +90,9 @@ def statement_pipeline(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         F.col("event_type").alias("tx_type"),
         F.round("value", 2).alias("amount"),
-        F.round(F.sum("value").over(w), 2).alias("running_balance"),
+        F.round(F.sum(F.col("value").cast("decimal(27,6)")).over(w), 2)
+        .cast("double")
+        .alias("running_balance"),
     )
 
 
@@ -102,7 +104,7 @@ def statement_pipeline(
            strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type AS tx_type,
            round(value, 2) AS amount,
-           round(sum(value) OVER (
+           round(sum(CAST(value AS DECIMAL(27,6))) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ), 2) AS running_balance
@@ -138,6 +140,8 @@ def pipeline_daily_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_date")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("total_billed"), 2).alias("total_billed_all"),
+            F.round(F.sum(F.col("total_billed").cast("decimal(27,2)")), 2)
+            .cast("double")
+            .alias("total_billed_all"),
         )
     )

@@ -38,7 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from dock_financial_data_pipelines_spark.catalog import load, sf_tag
+from dock_financial_data_pipelines_spark.catalog import dec_sum, load, sf_tag
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -92,7 +92,7 @@ _CSV_SCHEMA = StructType(
     "s2_csv_roundtrip",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)::DOUBLE AS total
     FROM orders GROUP BY 1
     """,
 )
@@ -118,7 +118,7 @@ def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            dec_sum("o_totalprice", scale=2).alias("total"),
         )
     )
 
@@ -129,7 +129,7 @@ def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s3_jsonl_roundtrip",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    SELECT event_type, count(*) AS n, round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -154,7 +154,7 @@ def s3_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum("value", scale=6).alias("total_value"),
         )
     )
 
@@ -244,7 +244,7 @@ def s4_zip_ingest_unzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s8_orc_roundtrip",
     oracle="""
     SELECT c_mktsegment, count(*) AS n,
-           round(sum(c_acctbal), 2) AS total_bal
+           round(sum(CAST(c_acctbal AS DECIMAL(27,2))), 2)::DOUBLE AS total_bal
     FROM customer GROUP BY 1
     """,
 )
@@ -256,7 +256,7 @@ def s8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            dec_sum("c_acctbal", scale=2).alias("total_bal"),
         )
     )
 
@@ -269,7 +269,7 @@ def s8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s6_date_pruned_read",
     oracle="""
     SELECT o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)::DOUBLE AS total
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
       AND o_orderdate <  TIMESTAMP '1997-07-01'
@@ -286,7 +286,7 @@ def s6_date_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            dec_sum("o_totalprice", scale=2).alias("total"),
         )
     )
 
@@ -315,7 +315,7 @@ def s6_date_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned AS (SELECT * FROM early UNION ALL SELECT * FROM late)
     SELECT coalesce(priority_class, 'unknown') AS priority_class,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)::DOUBLE AS total
     FROM unioned GROUP BY 1
     """,
 )
@@ -357,7 +357,7 @@ def s9_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            dec_sum("o_totalprice", scale=2).alias("total"),
         )
     )
 
@@ -374,7 +374,7 @@ def s9_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*) AS n_rows,
            count(DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d')) AS n_days,
-           round(sum(value), 2) AS total_value,
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value,
            TRUE AS compacted_fewer_files
     FROM events
     """,
@@ -409,7 +409,7 @@ def s10_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("day").alias("n_days"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum("value", scale=6).alias("total_value"),
         )
         .withColumn("compacted_fewer_files", F.lit(n_tight < n_frag))
     )
@@ -427,7 +427,7 @@ def s10_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
     GROUP BY 1
@@ -445,7 +445,7 @@ def s12_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.sum("value").alias("sum_value"),  # raw, rounded only at merge
+                F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_value"),
             )
         )
         daily.write.mode("overwrite").partitionBy("day").parquet(
@@ -462,6 +462,6 @@ def s12_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.round(F.sum("sum_value"), 2).alias("total_value"),
+            F.round(F.sum("sum_value"), 2).cast("double").alias("total_value"),
         )
     )

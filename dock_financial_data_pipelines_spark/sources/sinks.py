@@ -34,7 +34,7 @@ def write_partitioned(
     oracle="""
     SELECT year(o_orderdate) AS order_year,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)::DOUBLE AS total
     FROM orders GROUP BY 1
     """,
 )
@@ -57,6 +57,8 @@ def s5_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("order_year").cast("bigint").alias("order_year"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(27,2)")), 2)
+            .cast("double")
+            .alias("total"),
         )
     )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import dec_sum, load
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -25,7 +25,7 @@ from dock_financial_data_pipelines_spark.registry import query
     oracle="""
     SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -35,7 +35,7 @@ def x1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum("value", scale=6).alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
@@ -58,7 +58,7 @@ def x1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events CROSS JOIN (VALUES (0), (300)) offsets(k)
     )
     SELECT window_start, count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
     FROM shifted GROUP BY 1
     """,
 )
@@ -68,7 +68,7 @@ def x2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum("value", scale=6).alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
@@ -104,7 +104,7 @@ def x2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
     FROM sessions GROUP BY user_id, session_id
     """,
 )
@@ -114,7 +114,7 @@ def x3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum("value", scale=6).alias("total_value"),
         )
         .select(
             "user_id",
@@ -134,7 +134,7 @@ def x3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment, e.event_type,
            count(*) AS n,
-           round(sum(e.value), 2) AS total_value
+           round(sum(CAST(e.value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """,
@@ -147,7 +147,7 @@ def x6_stream_static_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum("value", scale=6).alias("total_value"),
         )
     )
 
@@ -161,7 +161,7 @@ def x6_stream_static_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           round(sum(value), 2) AS balance,
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS balance,
            CAST(floor(epoch(max(ts))) AS BIGINT) AS last_seen
     FROM events GROUP BY 1
     """,
@@ -172,7 +172,7 @@ def x7_stateful_final_state_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("balance"),
+            dec_sum("value", scale=6).alias("balance"),
             F.unix_timestamp(F.max("ts")).cast("bigint").alias("last_seen"),
         )
     )
@@ -188,15 +188,15 @@ def x7_stateful_final_state_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT user_id,
                strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-               round(sum(value), 2) AS daily_net,
+               round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS daily_net,
                count(*) AS n_tx
         FROM events GROUP BY 1, 2
     )
     SELECT user_id, day, daily_net, n_tx,
-           round(sum(daily_net) OVER (
+           round(sum(CAST(daily_net AS DECIMAL(27,2))) OVER (
                PARTITION BY user_id ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_balance
+           ), 2)::DOUBLE AS running_balance
     FROM daily
     """,
 )
@@ -208,7 +208,7 @@ def q_daily_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         )
         .agg(
-            F.round(F.sum("value"), 2).alias("daily_net"),
+            dec_sum("value", scale=6).alias("daily_net"),
             F.count(F.lit(1)).alias("n_tx"),
         )
     )
@@ -222,7 +222,9 @@ def q_daily_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "daily_net",
         "n_tx",
-        F.round(F.sum("daily_net").over(w), 2).alias("running_balance"),
+        F.round(F.sum(F.col("daily_net").cast("decimal(27,2)")).over(w), 2)
+        .cast("double")
+        .alias("running_balance"),
     )
 
 

@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from dock_financial_data_pipelines_spark.catalog import events_stream_source, sf_tag
+from dock_financial_data_pipelines_spark.catalog import dec_sum, events_stream_source, sf_tag
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -140,7 +140,7 @@ def x4_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum("value", scale=6).alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_start"),
@@ -276,7 +276,7 @@ def x6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS ingest_date,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -309,7 +309,7 @@ def x9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ingest_date")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum("value", scale=6).alias("total_value"),
         )
     )
 
@@ -426,7 +426,7 @@ def _x10_tws_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS ingest_date,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -451,7 +451,7 @@ def x8_incremental_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ingest_date")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum("value", scale=6).alias("total_value"),
         )
     )
 
