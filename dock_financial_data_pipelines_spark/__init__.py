@@ -85,6 +85,7 @@ _SWEEP_FIRST = [
     # sources/sinks S1-S8
     "s1_parquet_scan", "s6_date_pruned_read", "s2_csv_roundtrip",
     "s3_jsonl_roundtrip", "s5_partitioned_sink_roundtrip", "s8_orc_roundtrip",
+    "s11_xml_roundtrip",
     "s7_bucketed_colocated_join", "s4_zip_ingest_unzip",
     "s10_compact_small_files", "s12_rollup_merge",
     "r_python_datasource_manifest", "r_rest_ticketed_ingest",

@@ -465,3 +465,54 @@ def s12_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sum_value"), 2).cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S11 — XML roundtrip (Spark 4 built-in XML source): the
+# bank-statement-interchange format classic. Explicit schema on read (no
+# inference job at scale), same aggregation oracle discipline as CSV/ORC.
+# ---------------------------------------------------------------------------
+@query(
+    "s11_xml_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           count(*) AS n_suppliers,
+           round(sum(CAST(s_acctbal AS DECIMAL(27,2))), 2)::DOUBLE AS total_bal
+    FROM supplier GROUP BY 1
+    """,
+)
+def s11_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _workdir(f"xml_{sf_tag(sf_dir)}")
+    marker = os.path.join(out, "_built")
+    data_dir = os.path.join(out, "suppliers")
+    if not os.path.exists(marker):
+        (
+            load(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_nationkey", "s_acctbal")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "suppliers")
+            .option("rowTag", "supplier")
+            .save(data_dir)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    xml_schema = StructType(
+        [
+            StructField("s_suppkey", LongType()),
+            StructField("s_nationkey", LongType()),
+            StructField("s_acctbal", DoubleType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(xml_schema)
+        .load(data_dir)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dec_sum("s_acctbal", scale=2).alias("total_bal"),
+        )
+    )
