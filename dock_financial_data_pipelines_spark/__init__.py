@@ -61,7 +61,8 @@ _SWEEP_FIRST = [
     "w8_distribution_ranks", "w9_ewma_last10", "w10_sessionize_gaps",
     "a16_unpivot_melt", "l8_bigram_topk",
     "l7_resize_stub", "s9_schema_evolution_read",
-    "q_anomaly_zscore",
+    "q_anomaly_zscore", "a17_bitmap_distinct", "a18_hll_sketch_merge",
+    "f6_variant_extract",
     # UDF surface D1-D6
     "d1_python_udf_urls", "d2_pandas_udf_net_price",
     "d3_grouped_agg_weighted_avg", "d4_apply_in_pandas_above_mean",

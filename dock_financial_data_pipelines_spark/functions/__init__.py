@@ -218,3 +218,34 @@ def f4_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.select(
         "o_orderkey", F.explode_outer("parts").alias("part")
     )
+
+
+# ---------------------------------------------------------------------------
+# F6d — VARIANT (Spark 4's semi-structured type): parse once into a
+# binary variant, then typed path extraction — the columnar-shredding
+# path for JSON at scale (parse cost paid once, not per extraction).
+# Oracle via DuckDB's JSON extraction over the same payloads.
+# ---------------------------------------------------------------------------
+@query(
+    "f6_variant_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+               AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def f6_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import load as _load
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json(F.col("props"))
+    )
+    k = F.expr("variant_get(v, '$.k', 'int')")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("k").alias("max_k"))
+    )

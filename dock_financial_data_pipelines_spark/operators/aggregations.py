@@ -389,3 +389,76 @@ def a16_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# A17 — bitmap-exact distinct count: bitmap_construct_agg builds a
+# per-group roaring-style bitmap in one pass; bitmap_count reads the
+# cardinality. Unlike HLL this is EXACT and the bitmaps are mergeable
+# (bitmap_or_agg), so incremental daily rollups can maintain exact
+# distincts — the oracle is plain count(DISTINCT).
+# ---------------------------------------------------------------------------
+@query(
+    "a17_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def a17_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Canonical two-level bitmap pattern: bucket by bitmap_bucket_number
+    # (each bucket covers 32768 positions), one bitmap per
+    # (group, bucket), cardinalities summed per group. The +1 shift keeps
+    # id 0 addressable (bit positions are 1-based).
+    ev = load(spark, sf_dir, "events").withColumn("_id1", F.col("user_id") + 1)
+    per_bucket = (
+        ev.groupBy("event_type", F.expr("bitmap_bucket_number(_id1)").alias("_b"))
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(_id1))").alias("_bm"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(_bm)")).alias("n_users"),
+        F.sum("_n").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A18 — mergeable HLL sketch rollup (Apache DataSketches, Spark 3.5+):
+# per-day sketches built once, then UNION-merged to answer the
+# whole-period distinct — the sketch form of S12's rollup-merge, and the
+# only affordable incremental distinct at 100 TB. Tolerance oracle: the
+# merged estimate must land within 5% of the exact distinct.
+# ---------------------------------------------------------------------------
+@query(
+    "a18_hll_sketch_merge",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_users,
+           CAST(count(DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d')) AS BIGINT)
+               AS n_daily_sketches,
+           TRUE AS merged_within_5pct
+    FROM events
+    """,
+)
+def a18_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est_users"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return merged.crossJoin(exact).select(
+        "exact_users",
+        "n_daily_sketches",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("merged_within_5pct"),
+    )
