@@ -462,3 +462,49 @@ def a18_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("merged_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A19 — multi-grain time rollup: one GROUPING SETS pass produces daily,
+# monthly, and grand-total rows (grain tagged via grouping()) — the
+# single-scan form of the reference's per-day report plus its monthly
+# consolidation.
+# ---------------------------------------------------------------------------
+@query(
+    "a19_time_grain_rollup",
+    oracle="""
+    SELECT CASE WHEN day IS NOT NULL THEN 'day'
+                WHEN month IS NOT NULL THEN 'month'
+                ELSE 'total' END AS grain,
+           day, month,
+           count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
+    FROM (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               strftime(date_trunc('month', ts), '%Y-%m') AS month,
+               value
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((day), (month), ())
+    """,
+)
+def a19_time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        "value",
+    )
+    ev.createOrReplaceTempView("_a19_src")
+    return ev.sparkSession.sql(
+        """
+        SELECT CASE WHEN day IS NOT NULL THEN 'day'
+                    WHEN month IS NOT NULL THEN 'month'
+                    ELSE 'total' END AS grain,
+               day, month,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE)
+                   AS total_value
+        FROM _a19_src
+        GROUP BY GROUPING SETS ((day), (month), ())
+        """
+    )
