@@ -62,7 +62,9 @@ _SWEEP_FIRST = [
     "a16_unpivot_melt", "l8_bigram_topk",
     "l7_resize_stub", "s9_schema_evolution_read",
     "q_anomaly_zscore", "a17_bitmap_distinct", "a18_hll_sketch_merge",
-    "a19_time_grain_rollup",
+    "a19_time_grain_rollup", "t3_pagination_offset",
+    "a20_conditional_bool_aggs", "l_regexp_extract_all",
+    "l4_dedup_keep_best",
     "f6_variant_extract",
     # UDF surface D1-D6
     "d1_python_udf_urls", "d2_pandas_udf_net_price",

@@ -487,3 +487,91 @@ def l4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_raw") >= 0.9)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# L4f — canonical selection: within each near-dup cluster keep the
+# highest-quality member (longest text; ties → lowest doc_id) — the
+# decision rule an LLM-data pipeline applies after clustering, rather
+# than blindly keeping the lowest id. Reuses the CC component labels;
+# the oracle recomputes them with the recursive CTE and applies the
+# same argmax.
+# ---------------------------------------------------------------------------
+@query(
+    "l4_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, list_distinct(string_split(text,' ')) AS t, length(text) AS len
+        FROM documents WHERE doc_id < {_CC_NODE_LIMIT}
+    ),
+    edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / len(list_distinct(a.t || b.t)) >= {_CC_THRESHOLD}
+    ),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM toks
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN sym e ON e.src = w.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+    ranked AS (
+        SELECT c.component, c.node AS doc_id, t.len,
+               row_number() OVER (
+                   PARTITION BY c.component ORDER BY t.len DESC, c.node
+               ) AS rk
+        FROM comp c JOIN toks t ON t.doc_id = c.node
+    )
+    SELECT component, doc_id AS kept_doc, len AS kept_len,
+           CAST((SELECT count(*) FROM comp c2 WHERE c2.component = ranked.component)
+                AS BIGINT) AS cluster_size
+    FROM ranked WHERE rk = 1
+    """,
+)
+def l4_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _CC_NODE_LIMIT)
+        .select(
+            "doc_id",
+            F.array_distinct(_tokens()).alias("tokset"),
+            F.length("text").alias("len"),
+        )
+    )
+    a = docs.select(F.col("doc_id").alias("src"), F.col("tokset").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("dst"), F.col("tokset").alias("tb"))
+    jacc = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    edges = (
+        F.broadcast(a)
+        .join(b, F.col("src") < F.col("dst"))
+        .where(jacc >= _CC_THRESHOLD)
+        .select("src", "dst")
+    )
+    comps = connected_components(
+        docs.select(F.col("doc_id").alias("node")), edges
+    )
+    sized = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("len").desc(), F.col("doc_id")
+    )
+    return (
+        comps.join(docs.select(F.col("doc_id"), "len"),
+                   comps.node == F.col("doc_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .join(sized, "component")
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("len").cast("bigint").alias("kept_len"),
+            "cluster_size",
+        )
+    )

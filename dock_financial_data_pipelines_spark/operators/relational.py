@@ -884,3 +884,55 @@ def a15_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T3 — keyset-stable pagination: ORDER BY + LIMIT/OFFSET. Spark's
+# offset() is pushed into the same TakeOrdered as the limit; the unique
+# (totalprice, orderkey) ordering makes every page deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "t3_pagination_offset",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+    """,
+)
+def t3_pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(20)
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A20 — conditional / boolean aggregates: count_if, bool_and, bool_or —
+# the data-quality assertion primitives (every/any semantics).
+# ---------------------------------------------------------------------------
+@query(
+    "a20_conditional_bool_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def a20_conditional_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
