@@ -444,15 +444,16 @@ def l8_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L — regexp_extract_all: pull every number out of free text and explode
-# into rows (the pattern-mining primitive; one regex pass per doc).
+# L — regexp_extract_all: pull every long word (5+ letters) out of free
+# text and explode into rows (the pattern-mining primitive; one regex
+# pass per doc).
 # ---------------------------------------------------------------------------
 @query(
     "l_regexp_extract_all",
     oracle="""
     SELECT num, count(*) AS n
     FROM (
-        SELECT unnest(regexp_extract_all(text, '[0-9]+')) AS num
+        SELECT unnest(regexp_extract_all(text, '[a-z]{5,}')) AS num
         FROM documents WHERE doc_id < 100
     )
     GROUP BY 1 ORDER BY n DESC, num LIMIT 15
@@ -462,7 +463,7 @@ def l_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 100)
-        .select(F.explode(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("num"))
+        .select(F.explode(F.regexp_extract_all("text", F.lit("[a-z]{5,}"), 0)).alias("num"))
         .groupBy("num")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "num")
