@@ -75,6 +75,7 @@ _SWEEP_FIRST = [
     # skew/percentile extensions
     "a9_salted_skew_agg", "a10_exact_percentiles", "a11_approx_percentiles",
     "j10_salted_skew_join", "j8_asof_join_rangejoin_twin",
+    "j11_interval_overlap_join",
     # TPC-H reports
     "tpch_q3_shipping_priority", "tpch_q10_returned_items",
     "tpch_q18_large_orders", "tpch_q22_scalar_subquery",

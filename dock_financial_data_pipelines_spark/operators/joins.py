@@ -429,3 +429,98 @@ def j9_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J11 — interval-overlap join, bucketized: which user sessions overlap
+# in time (concurrency analysis)? The naive formulation is a theta join
+# (O(n²) comparisons); the scalable one explodes each interval into the
+# hour buckets it touches, EQUI-joins on the bucket, dedups candidate
+# pairs, and verifies the exact overlap — comparisons bounded by
+# pairs-per-bucket, the same candidate-then-verify shape as LSH dedup.
+# Sessions are derived with the W10 gap rule (30-minute silence).
+# ---------------------------------------------------------------------------
+@query(
+    "j11_interval_overlap_join",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_no,
+               ts
+        FROM flagged
+    ),
+    intervals AS (
+        SELECT user_id, session_no,
+               min(ts) AS s_start, max(ts) AS s_end
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT a.user_id AS user_a, a.session_no AS sess_a,
+           b.user_id AS user_b, b.session_no AS sess_b
+    FROM intervals a JOIN intervals b
+      ON a.user_id < b.user_id
+     AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    """,
+)
+def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    intervals = (
+        ev.withColumn(
+            "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn("session_no", F.sum("new_session").over(wrun).cast("bigint"))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .localCheckpoint(eager=True)  # both join sides read this
+    )
+    hour = 3600
+    bucketed = intervals.select(
+        "user_id",
+        "session_no",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                (F.col("s_start").cast("long") / hour).cast("long"),
+                (F.col("s_end").cast("long") / hour).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_no").alias("sess_a"),
+        F.col("s_start").alias("start_a"),
+        F.col("s_end").alias("end_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_no").alias("sess_b"),
+        F.col("s_start").alias("start_b"),
+        F.col("s_end").alias("end_b"),
+        "bucket",
+    )
+    return (
+        a.join(b, ["bucket"])  # equi-join on the hour bucket
+        .where(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a"))
+        )
+        .select("user_a", "sess_a", "user_b", "sess_b")
+        .distinct()
+    )
