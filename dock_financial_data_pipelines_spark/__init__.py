@@ -61,7 +61,8 @@ _SWEEP_FIRST = [
     "w8_distribution_ranks", "w9_ewma_last10", "w10_sessionize_gaps",
     "a16_unpivot_melt", "l8_bigram_topk",
     "l7_resize_stub", "s9_schema_evolution_read",
-    "q_anomaly_zscore", "a17_bitmap_distinct", "a18_hll_sketch_merge",
+    "q_anomaly_zscore", "q_referential_integrity", "q_date_spine_gapfill",
+    "a17_bitmap_distinct", "a18_hll_sketch_merge",
     "a19_time_grain_rollup", "t3_pagination_offset",
     "a20_conditional_bool_aggs", "l_regexp_extract_all",
     "l4_dedup_keep_best",

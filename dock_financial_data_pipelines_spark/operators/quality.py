@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import dec_sum, load
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -115,5 +115,106 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.round("value", 2).alias("value"),
             F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — referential-integrity audit: orphaned foreign keys across the
+# star schema, each an anti-join (the check dbt's `relationships` test
+# runs, expressed as one scan per edge).
+# ---------------------------------------------------------------------------
+@query(
+    "q_referential_integrity",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer' AS fk_edge,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'events.user_id -> customer',
+           CAST(count(*) AS BIGINT)
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+
+    def orphans(child, key, parent, pkey, edge):
+        return (
+            child.join(parent, child[key] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(edge).alias("fk_edge"), "n_orphans")
+        )
+
+    return (
+        orphans(orders, "o_custkey", cust, "c_custkey",
+                "orders.o_custkey -> customer")
+        .unionByName(
+            orphans(li, "l_orderkey", orders, "o_orderkey",
+                    "lineitem.l_orderkey -> orders")
+        )
+        .unionByName(
+            orphans(ev, "user_id", cust, "c_custkey",
+                    "events.user_id -> customer")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — calendar-spine gap fill: a generated continuous date spine
+# left-joined against per-day activity, so silent days appear as
+# explicit zero rows — the difference between "no row" and "zero
+# activity" that daily reporting depends on.
+# ---------------------------------------------------------------------------
+@query(
+    "q_date_spine_gapfill",
+    oracle="""
+    WITH spine AS (
+        SELECT CAST(d AS DATE) AS day
+        FROM generate_series(DATE '2024-01-01', DATE '2024-02-09',
+                             INTERVAL 1 DAY) AS t(d)
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n, round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           coalesce(d.n, 0) AS n_events,
+           coalesce(d.total, 0.0) AS total_value
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+)
+def q_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = load(spark, sf_dir, "events").sparkSession.sql(
+        """
+        SELECT explode(sequence(DATE '2024-01-01', DATE '2024-02-09',
+                                INTERVAL 1 DAY)) AS day
+        """
+    )
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("value", scale=6).alias("total"),
+        )
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("total", F.lit(0.0)).alias("total_value"),
         )
     )
