@@ -469,3 +469,41 @@ def l_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "num")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# L — GPT-2-style pre-tokenization: the BPE pretokenizer regex
+# (contraction suffixes | space-prefixed letter runs | digit runs |
+# punctuation runs) applied corpus-wide in one JVM regex pass — the
+# realistic "how many tokens is this corpus" estimator, vs the chars/4
+# heuristic in l_token_count. The identical pattern runs in the oracle
+# (Java and RE2 agree on this subset — no lookarounds).
+# ---------------------------------------------------------------------------
+_BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+)
+
+
+@query(
+    "l_bpe_pretokenize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                    '{_BPE_PRETOKEN_PATTERN.replace(chr(39), chr(39) * 2)}'))
+                AS INTEGER) AS n_pretokens,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def l_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all("text", F.lit(_BPE_PRETOKEN_PATTERN), 0)
+            ).alias("n_pretokens"),
+            F.size(_tokens()).alias("n_words"),
+        )
+    )
