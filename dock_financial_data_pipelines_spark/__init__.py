@@ -51,7 +51,7 @@ _SWEEP_FIRST = [
     "l1_token_stats", "l2_term_frequency", "l2_tfidf_top_terms",
     "l6_corpus_breakdown", "l_lang_id_heuristic", "l_quality_score",
     "l_token_count", "l_bpe_pretokenize", "l_text_normalize",
-    "l_train_test_split", "l_fingerprint",
+    "l_train_test_split", "l_contamination_check", "l_fingerprint",
     # similarity L5
     "l5_cosine_topk", "l5_ann_lsh_topk", "l5_ivf_topk",
     "l9_embedding_quantization",

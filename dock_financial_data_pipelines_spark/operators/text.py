@@ -507,3 +507,79 @@ def l_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(_tokens()).alias("n_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L — train/test contamination check: test documents sharing any 8-gram
+# with a train document leak evaluation data. Shingles explode once per
+# side, the overlap is an EQUI-join on the shingle (distinct pairs
+# bounded by shared-shingle count, never |train|×|test|), and the
+# summary counts contaminated test docs — the audit every LLM data
+# pipeline must run before publishing a split.
+# ---------------------------------------------------------------------------
+@query(
+    "l_contamination_check",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN ascii(substr(md5(text), 1, 1)) % 10 < 8
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id, split,
+               unnest(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 7, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')
+               )) AS sh
+        FROM assigned
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM shingled t JOIN shingled tr
+          ON t.sh = tr.sh AND t.split = 'test' AND tr.split = 'train'
+    )
+    SELECT (SELECT count(*) FROM assigned WHERE split = 'test') AS n_test_docs,
+           (SELECT count(*) FROM contaminated) AS n_contaminated,
+           (SELECT count(*) FROM assigned WHERE split = 'train') AS n_train_docs
+    """,
+)
+def l_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = 8
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "split",
+        F.when(F.ascii(F.substring(F.md5("text"), 1, 1)) % 10 < 8, "train").otherwise(
+            "test"
+        ),
+    )
+    shingled = docs.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(text,' ')) - {w - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(split(text,' '), i, {w})))"
+            )
+        ).alias("sh"),
+    ).localCheckpoint(eager=True)  # both join sides read this
+    test_side = shingled.where(F.col("split") == "test").select("doc_id", "sh")
+    train_side = shingled.where(F.col("split") == "train").select(
+        F.col("sh").alias("sh_tr")
+    ).distinct()
+    contaminated = (
+        test_side.join(train_side, test_side.sh == train_side.sh_tr)
+        .select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    counts = docs.agg(
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test_docs"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train_docs"),
+    )
+    return counts.crossJoin(contaminated).select(
+        "n_test_docs", "n_contaminated", "n_train_docs"
+    )
