@@ -57,6 +57,7 @@ _SWEEP_FIRST = [
     "l9_embedding_quantization",
     # round-2 additions: sampling, SCD2, quantile binning, TPC-H
     "u6_stratified_sample", "u7_scd2_history", "w7_ntile_quartiles",
+    "tpch_q4_priority_check",
     "tpch_q6_forecast_revenue", "tpch_q12_late_shipments",
     "tpch_q14_promo_revenue", "a13_stat_aggregates",
     "w8_distribution_ranks", "w9_ewma_last10", "w10_sessionize_gaps",

@@ -337,3 +337,44 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order-priority checking: orders with at least one late line
+# (EXISTS with a correlated predicate), counted by priority. Catalyst
+# decorrelates the subquery into a semi-join; the fixture has no
+# l_commitdate, so "late" is ship-lag > 90 days (as in Q12's adaptation).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q4_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY 1
+        """
+    )
