@@ -32,83 +32,63 @@ from dock_financial_data_pipelines_spark.registry import (  # noqa: F401
 __version__ = "0.2.0"
 
 # Driver sweep order. The correctness driver walks the registry in
-# insertion order and its budget may cut the tail (round 1 recorded
-# only the first 50 entries), so the registry is re-ordered after
-# module import: queries with no driver verdict yet run first (cheap
-# ones before expensive/streaming ones), and the 50 queries already
-# hash-verified in CORRECTNESS_r01.json run last. Names absent from
-# this list (future additions) keep their import order, after the
-# priority block and before the verified block.
+# insertion order and records the FIRST 50 entries per round (observed
+# in rounds 1 and 2), so the registry is re-ordered after module
+# import. Round-3 rotation: across r01+r02 exactly 100 of 164 queries
+# carry a driver verdict; 53 never-checked queries have SQL oracles
+# and 11 are rows-only. The first 50 slots below are all SQL-oracled
+# never-checked queries (the 3 least critical fall to 51-53); the 11
+# rows-only streaming queries follow; every query already verified in
+# CORRECTNESS_r01.json or CORRECTNESS_r02.json runs last. Names absent
+# from both lists (future additions) keep their import order, after
+# the priority block and before the verified block — new work must
+# never displace the verification backlog.
 _SWEEP_FIRST = [
-    # set ops / dedup-latest / diff / histogram (untested in r1)
-    "u1_union_counts", "u2_intersect", "u2_except", "u3_dedup_keep_latest",
-    "u5_snapshot_diff", "a12_histogram", "u2_intersect_all",
-    "u2_except_all", "a15_string_agg", "f4_explode_outer_nulls",
-    # window functions W1-W6
-    "w1_rank_functions", "w2_lag_lead", "w3_running_balance",
-    "w4_moving_time_range", "w5_first_last", "w6_topk_per_group",
-    # text analysis L1/L2/L6 + text ops
-    "l1_token_stats", "l2_term_frequency", "l2_tfidf_top_terms",
-    "l6_corpus_breakdown", "l_lang_id_heuristic", "l_quality_score",
-    "l_token_count", "l_bpe_pretokenize", "l_text_normalize",
-    "l_train_test_split", "l_contamination_check", "l_fingerprint",
-    # similarity L5
-    "l5_cosine_topk", "l5_ann_lsh_topk", "l5_ivf_topk",
-    "l9_embedding_quantization",
-    # round-2 additions: sampling, SCD2, quantile binning, TPC-H
-    "u6_stratified_sample", "u7_scd2_history", "w7_ntile_quartiles",
-    "tpch_q4_priority_check",
-    "tpch_q6_forecast_revenue", "tpch_q12_late_shipments",
-    "tpch_q14_promo_revenue", "a13_stat_aggregates",
-    "w8_distribution_ranks", "w9_ewma_last10", "w10_sessionize_gaps",
-    "a16_unpivot_melt", "l8_bigram_topk",
-    "l7_resize_stub", "s9_schema_evolution_read",
-    "q_anomaly_zscore", "q_referential_integrity", "q_date_spine_gapfill",
-    "a17_bitmap_distinct", "a18_hll_sketch_merge",
-    "a19_time_grain_rollup", "t3_pagination_offset",
-    "a20_conditional_bool_aggs", "l_regexp_extract_all",
-    "l4_dedup_keep_best",
-    "f6_variant_extract",
-    # UDF surface D1-D6
+    # --- slots 1-50: SQL-oracled, never driver-checked ---------------
+    # sources/sinks S1-S12 (minus s9, verified r2)
+    "s1_parquet_scan", "s2_csv_roundtrip", "s3_jsonl_roundtrip",
+    "s4_zip_ingest_unzip", "s5_partitioned_sink_roundtrip",
+    "s6_date_pruned_read", "s7_bucketed_colocated_join",
+    "s8_orc_roundtrip", "s10_compact_small_files", "s11_xml_roundtrip",
+    "s12_rollup_merge",
+    # UDF surface D1-D7
     "d1_python_udf_urls", "d2_pandas_udf_net_price",
     "d3_grouped_agg_weighted_avg", "d4_apply_in_pandas_above_mean",
     "d5_sql_registered_udf", "d6_python_udtf_installments",
-    "d7_map_in_arrow", "sql_surface_report", "u8_cdc_apply",
-    "a14_rolling_wau",
-    # skew/percentile extensions
-    "a9_salted_skew_agg", "a10_exact_percentiles", "a11_approx_percentiles",
-    "j10_salted_skew_join", "j8_asof_join_rangejoin_twin",
-    "j11_interval_overlap_join",
-    # TPC-H reports
-    "tpch_q3_shipping_priority", "tpch_q10_returned_items",
-    "tpch_q18_large_orders", "tpch_q22_scalar_subquery",
-    "report_region_market_share",
+    "d7_map_in_arrow",
     # batch twins of the streaming surface + daily statement
     "x1_tumbling_window", "x2_sliding_window", "x3_session_window",
     "x6_stream_static_join_twin", "x7_stateful_final_state_twin",
     "x11_stream_stream_join_twin", "q_daily_statement",
+    # TPC-H reports
+    "tpch_q3_shipping_priority", "tpch_q10_returned_items",
+    "tpch_q18_large_orders", "tpch_q22_scalar_subquery",
+    "report_region_market_share",
     # pipelines (reference DAG restatements)
     "pipeline_balance_report", "pipeline_account_statement",
-    "pipeline_daily_publish",
-    # sources/sinks S1-S8
-    "s1_parquet_scan", "s6_date_pruned_read", "s2_csv_roundtrip",
-    "s3_jsonl_roundtrip", "s5_partitioned_sink_roundtrip", "s8_orc_roundtrip",
-    "s11_xml_roundtrip",
-    "s7_bucketed_colocated_join", "s4_zip_ingest_unzip",
-    "s10_compact_small_files", "s12_rollup_merge",
-    "r_python_datasource_manifest", "r_rest_ticketed_ingest",
-    "r_sftp_landing_flow",
-    # observability
-    "o_metrics_report",
-    # streaming (most expensive per query: real readStream runs)
-    "x6_stream_static_join", "x8_incremental_file_ingest",
-    "x5_stream_dedup_watermark", "x9_foreach_batch_sink",
+    # aggregation extensions
+    "a9_salted_skew_agg", "a10_exact_percentiles", "a11_approx_percentiles",
+    "a14_rolling_wau", "a17_bitmap_distinct", "a18_hll_sketch_merge",
+    "a19_time_grain_rollup", "a20_conditional_bool_aggs",
+    # join extensions
+    "j10_salted_skew_join", "j8_asof_join_rangejoin_twin",
+    "j11_interval_overlap_join",
+    # remaining SQL-oracled singles
+    "u8_cdc_apply", "t3_pagination_offset", "sql_surface_report",
+    "f6_variant_extract", "l4_dedup_keep_best", "l_regexp_extract_all",
+    "r_python_datasource_manifest",
+    # --- slots 51-53: SQL-oracled spillover (next round's head) ------
+    "r_sftp_landing_flow", "x8_incremental_file_ingest",
+    "x9_foreach_batch_sink",
+    # --- rows-only (no SQL oracle; driver records spark_rows) --------
+    "pipeline_daily_publish", "r_rest_ticketed_ingest", "o_metrics_report",
+    "x6_stream_static_join", "x5_stream_dedup_watermark",
     "x2_stream_sliding_window", "x3_stream_session_window",
     "x4_stream_tumbling_watermark", "x10_transform_with_state",
     "x7_stateful_running_balance", "x11_stream_stream_join",
 ]
 _SWEEP_LAST = [
-    # hash-verified green in CORRECTNESS_r01.json, re-run after the gap-closers
+    # hash-verified green in CORRECTNESS_r01.json
     "f4_array_functions", "f5_map_functions", "f6_json_extraction",
     "f4_posexplode_positions", "f6_json_tuple", "f6_from_json_typed",
     "a1_pricing_summary", "a2_count_distinct", "a3_approx_count_distinct",
@@ -126,6 +106,25 @@ _SWEEP_LAST = [
     "p4_string_predicates", "p5_null_semantics", "p6_case_when_bucketing",
     "f1_string_functions", "f2_date_functions", "f3_math_functions",
     "f3_decimal_money", "t1_multikey_sort", "t2_global_topk",
+    # hash-verified green in CORRECTNESS_r02.json
+    "u1_union_counts", "u2_intersect", "u2_except", "u3_dedup_keep_latest",
+    "u5_snapshot_diff", "a12_histogram", "u2_intersect_all",
+    "u2_except_all", "a15_string_agg", "f4_explode_outer_nulls",
+    "w1_rank_functions", "w2_lag_lead", "w3_running_balance",
+    "w4_moving_time_range", "w5_first_last", "w6_topk_per_group",
+    "l1_token_stats", "l2_term_frequency", "l2_tfidf_top_terms",
+    "l6_corpus_breakdown", "l_lang_id_heuristic", "l_quality_score",
+    "l_token_count", "l_bpe_pretokenize", "l_text_normalize",
+    "l_train_test_split", "l_contamination_check", "l_fingerprint",
+    "l5_cosine_topk", "l5_ann_lsh_topk", "l5_ivf_topk",
+    "l9_embedding_quantization",
+    "u6_stratified_sample", "u7_scd2_history", "w7_ntile_quartiles",
+    "tpch_q4_priority_check", "tpch_q6_forecast_revenue",
+    "tpch_q12_late_shipments", "tpch_q14_promo_revenue",
+    "a13_stat_aggregates", "w8_distribution_ranks", "w9_ewma_last10",
+    "w10_sessionize_gaps", "a16_unpivot_melt", "l8_bigram_topk",
+    "l7_resize_stub", "s9_schema_evolution_read",
+    "q_anomaly_zscore", "q_referential_integrity", "q_date_spine_gapfill",
 ]
 
 
