@@ -39,16 +39,17 @@ def test_streaming_smoke(spark, sf_dir, name):
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
-    """IVF with nProbe=3 of 8 cells: recall is bounded by how often the
-    true neighbor's cell is probed — assert the floor and record the
-    figure (the LSH path is the high-recall option on this fixture)."""
+    """IVF with Lloyd-trained centroids, nProbe=4 of 8 cells, and 2-way
+    corpus multi-assignment: ≥0.8 top-5 recall against exact brute force
+    (0.92 measured on the near-orthogonal fixture — the hardest regime
+    for a coarse quantizer)."""
     exact = engine.QUERIES["l5_cosine_topk"](spark, sf_dir).toPandas()
     ivf = engine.QUERIES["l5_ivf_topk"](spark, sf_dir).toPandas()
     truth = set(zip(exact.query_id, exact.neighbor_id))
     found = set(zip(ivf.query_id, ivf.neighbor_id))
     recall = len(truth & found) / len(truth)
     print(f"IVF top-5 recall = {recall:.3f} over {len(truth)} truth pairs")
-    assert recall >= 0.5, f"IVF recall {recall:.3f} < 0.5"
+    assert recall >= 0.8, f"IVF recall {recall:.3f} < 0.8"
 
 
 def test_ann_lsh_recall_vs_exact(spark, sf_dir):
