@@ -130,9 +130,12 @@ def run_job(
                 from pyspark.sql import functions as F
 
                 df = df.withColumn("report_date", F.lit(day))
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # Per-write option, not a session conf: a session-wide
+            # "dynamic" would silently leak into every later plain
+            # overwrite on a shared session and leave stale partitions.
             (
                 df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("report_date")
                 .parquet(out_dir)
             )

@@ -85,13 +85,25 @@ class MetricsStore:
         )
 
 
-def _walk_plan_metrics(jplan, acc: dict) -> None:
+def _walk_plan_metrics(jplan, acc: dict, seen: set | None = None) -> None:
     """Sum SQLMetric values over a JVM SparkPlan tree (py4j, read-only).
 
     AQE wraps the plan in AdaptiveSparkPlanExec (whose ``children()`` is
     empty — the real tree hangs off ``executedPlan()``), and materialized
     stages appear as QueryStageExec nodes wrapping their stage via
-    ``plan()``; descend through both."""
+    ``plan()``; descend through both. Node ids already visited are
+    skipped so a subtree reachable twice — a ReusedExchangeExec pointing
+    at an exchange also walked via its original parent, or a node
+    exposing both an unwrap and children — is summed exactly once."""
+    if seen is None:
+        seen = set()
+    try:
+        node_id = jplan.id()
+        if node_id in seen:
+            return
+        seen.add(node_id)
+    except Exception:
+        pass  # id() missing on some wrappers: walk it, unwraps still dedup
     it = jplan.metrics().iterator()
     while it.hasNext():
         kv = it.next()
@@ -101,24 +113,40 @@ def _walk_plan_metrics(jplan, acc: dict) -> None:
     for unwrap in ("executedPlan", "plan"):
         try:
             inner = getattr(jplan, unwrap)()
-            _walk_plan_metrics(inner, acc)
+            _walk_plan_metrics(inner, acc, seen)
         except Exception:
             pass
     kids = jplan.children().iterator()
     while kids.hasNext():
-        _walk_plan_metrics(kids.next(), acc)
+        _walk_plan_metrics(kids.next(), acc, seen)
 
 
-def run_with_metrics(name: str, df: DataFrame, store: MetricsStore) -> int:
+def run_with_metrics(
+    name: str, df: DataFrame, store: MetricsStore, max_rows: int = 100_000
+) -> int:
     """Execute ``df`` and record wall time, rows, and executed-plan
     metrics into ``store``. Returns the row count.
 
     The action is ``collect()`` on *this* DataFrame: ``count()`` or a
     noop write would run a different QueryExecution, leaving the metrics
-    of ``df.queryExecution()`` untouched (all zeros)."""
+    of ``df.queryExecution()`` untouched (all zeros). Because of that,
+    the recorder is for *bounded* results (aggregates, reports, samples):
+    a result wider than ``max_rows`` raises so an unbounded collect can
+    never silently ship inside a job — pre-aggregate or ``limit`` the
+    measured query instead (raise the cap explicitly if a larger bounded
+    result is intended)."""
     t0 = time.monotonic()
-    n_rows = len(df.collect())
+    rows = df.collect()
+    n_rows = len(rows)
+    del rows
     wall_ms = (time.monotonic() - t0) * 1000.0
+    if n_rows > max_rows:
+        raise ValueError(
+            f"run_with_metrics({name!r}): result has {n_rows} rows "
+            f"(> max_rows={max_rows}). The recorder collects the measured "
+            "plan to the driver; aggregate or limit the query, or pass an "
+            "explicit larger max_rows."
+        )
     acc = {v: 0 for v in _METRIC_KEYS.values()}
     ok = False
     try:

@@ -552,16 +552,26 @@ def l_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "test"
         ),
     )
-    shingled = docs.select(
-        "doc_id",
-        "split",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(split(text,' ')) - {w - 1}, 1)),"
-                f" i -> concat_ws(' ', slice(split(text,' '), i, {w})))"
-            )
-        ).alias("sh"),
-    ).localCheckpoint(eager=True)  # both join sides read this
+    # The overlap join keys on xxhash64(shingle), not the raw 8-gram
+    # string: at 100 TB the shingle strings are ~8× the corpus in
+    # shuffle bytes, while the hash shuffles a fixed 8 B/row. A 64-bit
+    # collision inflating the audit count is ~n²/2^65 — negligible for
+    # a contamination audit — and the oracle keeps the exact-string
+    # form, so a collision at fixture scale would fail the hash compare.
+    shingled = (
+        docs.select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(text,' ')) - {w - 1}, 1)),"
+                    f" i -> concat_ws(' ', slice(split(text,' '), i, {w})))"
+                )
+            ).alias("sh_raw"),
+        )
+        .select("doc_id", "split", F.xxhash64("sh_raw").alias("sh"))
+        .localCheckpoint(eager=True)  # both join sides read this
+    )
     test_side = shingled.where(F.col("split") == "test").select("doc_id", "sh")
     train_side = shingled.where(F.col("split") == "train").select(
         F.col("sh").alias("sh_tr")

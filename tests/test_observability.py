@@ -32,6 +32,42 @@ def test_metrics_captured_for_shuffle_query(spark, sf_dir):
     assert m.shuffle_records_written > 0
 
 
+def test_unbounded_collect_is_guarded(spark, sf_dir):
+    import pytest
+
+    store = MetricsStore()
+    wide = load(spark, sf_dir, "lineitem")  # 60k rows at sf0.001
+    with pytest.raises(ValueError, match="max_rows"):
+        run_with_metrics("unbounded_scan", wide, store, max_rows=1000)
+    assert store.runs == []  # a rejected run is not recorded
+    # The same query passes with an explicit, intentional cap.
+    n = run_with_metrics("bounded_scan", wide.limit(10), store, max_rows=1000)
+    assert n == 10 and len(store.runs) == 1
+
+
+def test_reused_exchange_not_double_counted(spark, sf_dir):
+    """A self-join over one shuffled aggregate reuses the exchange; the
+    walker must sum its shuffle metrics once, not once per reference."""
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("t"))
+    )
+    store = MetricsStore()
+    run_with_metrics("agg_once", agg.agg(F.count(F.lit(1)).alias("n")), store)
+    joined = agg.alias("a").join(agg.alias("b"), "o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    run_with_metrics("agg_selfjoin", joined, store)
+    once, twice = store.runs
+    assert once.plan_metrics_ok and twice.plan_metrics_ok
+    # With dedup the reused side contributes 0 extra shuffle-write bytes:
+    # the self-join writes at most ~1 aggregate's worth more than the
+    # single run (join-side exchanges), never the 2x of double-counting
+    # plus join shuffles.
+    assert twice.shuffle_bytes_written < 2.5 * max(once.shuffle_bytes_written, 1)
+
+
 def test_metrics_store_accumulates_and_exports(spark, sf_dir):
     store = MetricsStore()
     run_with_metrics("scan", load(spark, sf_dir, "region"), store)
