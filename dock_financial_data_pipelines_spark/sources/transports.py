@@ -137,6 +137,68 @@ class SftpRemote:
         self._sftp.get(remote_path, local_path)
 
 
+class S3Remote:
+    """Object-store RemoteFileSystem — the S3 side of the reference's
+    SFTP→S3 copy (REPORT:166-178), restated behind the same protocol so
+    the sensor/transfer stages are storage-agnostic.
+
+    ``client`` is injectable (any object with ``list_objects_v2`` /
+    ``download_file`` / ``upload_file``) so the flow is unit-testable
+    with a fake; with no client it is boto3-gated exactly like
+    ``SftpRemote`` is paramiko-gated — a clear construction-time error
+    in this no-network sandbox, a standard ``boto3.client("s3")`` in
+    production. The *data plane* never goes through this class: Spark
+    reads/writes ``s3a://`` URIs natively (see ``sinks.SinkLocation`` /
+    ``sinks.s3a_conf``); this is the driver-side control plane for
+    landing small upstream archives."""
+
+    def __init__(self, bucket: str, prefix: str = "", client: object = None):
+        if client is None:  # pragma: no cover - env-dependent
+            try:
+                import boto3
+            except ImportError as exc:
+                raise RuntimeError(
+                    "S3Remote requires boto3; install it, inject a client, "
+                    "or use LocalDirRemote"
+                ) from exc
+            client = boto3.client("s3")
+        self._bucket = bucket
+        self._prefix = prefix.strip("/")
+        self._client = client
+
+    def _key(self, path: str) -> str:
+        parts = [p for p in (self._prefix, path.strip("/")) if p]
+        return "/".join(parts)
+
+    def listdir(self, path: str) -> list[str]:
+        prefix = self._key(path)
+        prefix = prefix + "/" if prefix else ""
+        names: list[str] = []
+        token: Optional[str] = None
+        while True:  # paginate: object listings are capped at 1000 keys
+            kwargs = {"Bucket": self._bucket, "Prefix": prefix}
+            if token:
+                kwargs["ContinuationToken"] = token
+            resp = self._client.list_objects_v2(**kwargs)
+            for obj in resp.get("Contents", []):
+                rel = obj["Key"][len(prefix):]
+                if rel and "/" not in rel:  # direct children only
+                    names.append(rel)
+            if not resp.get("IsTruncated"):
+                return sorted(names)
+            token = resp.get("NextContinuationToken")
+
+    def fetch(self, remote_path: str, local_path: str) -> None:
+        os.makedirs(os.path.dirname(local_path), exist_ok=True)
+        self._client.download_file(self._bucket, self._key(remote_path), local_path)
+
+    def put(self, local_path: str, remote_path: str) -> None:
+        """Publish direction (landing → bucket), used by idempotent
+        publish steps; S3 PUT is atomic per object, so a re-run simply
+        rewrites the same key."""
+        self._client.upload_file(local_path, self._bucket, self._key(remote_path))
+
+
 # ---------------------------------------------------------------------------
 # Sensor + transfer stages
 # ---------------------------------------------------------------------------

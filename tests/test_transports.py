@@ -159,6 +159,111 @@ def test_transfer_retries_exhausted(tmp_path):
         )
 
 
+class _FakeS3Client:
+    """In-memory stand-in for boto3's S3 client: a dict of key → bytes,
+    paginated listings (page size 2 to exercise continuation), and
+    recorded uploads."""
+
+    def __init__(self, objects=None, page_size=2):
+        self.objects = dict(objects or {})
+        self.page_size = page_size
+        self.uploads = []
+
+    def list_objects_v2(self, Bucket, Prefix="", ContinuationToken=None):
+        keys = sorted(k for k in self.objects if k.startswith(Prefix))
+        start = int(ContinuationToken) if ContinuationToken else 0
+        page = keys[start : start + self.page_size]
+        truncated = start + self.page_size < len(keys)
+        resp = {"Contents": [{"Key": k} for k in page], "IsTruncated": truncated}
+        if truncated:
+            resp["NextContinuationToken"] = str(start + self.page_size)
+        return resp
+
+    def download_file(self, bucket, key, local_path):
+        if key not in self.objects:
+            raise OSError(f"NoSuchKey: {key}")
+        with open(local_path, "wb") as fh:
+            fh.write(self.objects[key])
+
+    def upload_file(self, local_path, bucket, key):
+        with open(local_path, "rb") as fh:
+            self.objects[key] = fh.read()
+        self.uploads.append((bucket, key))
+
+
+def test_s3_remote_lists_direct_children_with_pagination(tmp_path):
+    from dock_financial_data_pipelines_spark.sources.transports import S3Remote
+
+    client = _FakeS3Client(
+        {
+            "exports/upload/a.zip": b"a",
+            "exports/upload/b.zip": b"b",
+            "exports/upload/c.zip": b"c",
+            "exports/upload/nested/d.zip": b"d",  # not a direct child
+            "exports/other/e.zip": b"e",
+        }
+    )
+    remote = S3Remote("dock-bucket", prefix="exports", client=client)
+    assert remote.listdir("upload") == ["a.zip", "b.zip", "c.zip"]
+
+
+def test_s3_remote_fetch_put_roundtrip(tmp_path):
+    from dock_financial_data_pipelines_spark.sources.transports import S3Remote
+
+    client = _FakeS3Client({"landing/f.zip": b"payload"})
+    remote = S3Remote("dock-bucket", client=client)
+    local = str(tmp_path / "out" / "f.zip")
+    remote.fetch("landing/f.zip", local)
+    assert open(local, "rb").read() == b"payload"
+    remote.put(local, "published/f.zip")
+    assert client.objects["published/f.zip"] == b"payload"
+    assert client.uploads == [("dock-bucket", "published/f.zip")]
+
+
+def test_s3_remote_drives_sensor_and_transfer(tmp_path):
+    """The S3-backed remote satisfies the same protocol, so the landing
+    flow (sense → transfer) runs unchanged against an object store."""
+    from dock_financial_data_pipelines_spark.sources.transports import S3Remote
+
+    client = _FakeS3Client({"upload/balance_T9.zip": b"zipbytes"})
+    remote = S3Remote("dock-bucket", client=client)
+    sensor = Sensor(remote=remote, path="upload", attempts=2)
+    found = sensor.wait_for(lambda n: n.endswith(".zip"))
+    landed = transfer_to_landing(remote, found, str(tmp_path / "landing"))
+    assert open(landed, "rb").read() == b"zipbytes"
+
+
+def test_s3_remote_requires_boto3_without_injected_client():
+    import importlib.util
+
+    from dock_financial_data_pipelines_spark.sources.transports import S3Remote
+
+    if importlib.util.find_spec("boto3") is not None:
+        pytest.skip("boto3 present in this environment")
+    with pytest.raises(RuntimeError, match="boto3"):
+        S3Remote("dock-bucket")
+
+
+def test_sink_location_resolves_schemes():
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        SinkLocation,
+        s3a_conf,
+    )
+
+    local = SinkLocation()
+    assert local.base_uri.startswith("file://")
+    prod = SinkLocation(base_uri="s3a://dock-reports/prod/")
+    assert (
+        prod.path("balance_report", "report_date=2026-08-13")
+        == "s3a://dock-reports/prod/balance_report/report_date=2026-08-13"
+    )
+    conf = s3a_conf(bucket_region="us-east-1")
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert conf["spark.hadoop.fs.s3a.endpoint.region"] == "us-east-1"
+    # no secret material is ever embedded in the conf surface
+    assert not any("secret" in k.lower() or "key" in v for k, v in conf.items())
+
+
 def test_sftp_remote_requires_paramiko():
     import importlib.util
 
