@@ -49,8 +49,24 @@ HEADLINE = [
 ]
 
 
+def _time_one(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = engine.QUERIES[name](spark, sf_dir)
+    # noop sink: materializes every column/row (count() would let
+    # Catalyst prune the projections we're trying to measure).
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("dock-fdp-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -59,38 +75,40 @@ def main() -> None:
     # plan, not first-run JIT + session setup.
     engine.QUERIES["a1_pricing_summary"](spark, sf_dir).collect()
 
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = engine.QUERIES[name](spark, sf_dir)
-        # noop sink: materializes every column/row (count() would let
-        # Catalyst prune the projections we're trying to measure).
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
+    # n_runs passes over the whole suite (pass-major order, so run k of
+    # query A is separated from run k+1 by the full suite — adjacent
+    # repeats would overstate cache warmth). Reported headline value is
+    # the per-query MIN (least scheduler noise, the comparator for
+    # round-over-round deltas); medians ride along for variance.
+    samples: dict[str, list[float]] = {}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            samples.setdefault(name, []).append(_time_one(spark, name, sf_dir))
 
-    # Skew/scale probe: re-run the join-heavy headliners with ALL
-    # broadcasting off (auto threshold -1 + engine hints disabled via
-    # spark.dock.disableBroadcastHints) so the SortMergeJoin + AQE
-    # skew-split path is what gets measured — the plan shape these
-    # queries degrade to at 100 TB when a dimension outgrows the
-    # broadcast threshold. Recorded as "<name>__noBroadcast".
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.dock.disableBroadcastHints", "true")
-    try:
-        for name in (
-            "flagship_segment_monthly_revenue",
-            "j9_star_join",
-            "report_region_market_share",
-        ):
-            t0 = time.time()
-            df = engine.QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            per_query[f"{name}__noBroadcast"] = round(time.time() - t0, 3)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-        spark.conf.set("spark.dock.disableBroadcastHints", "false")
+        # Skew/scale probe: re-run the join-heavy headliners with ALL
+        # broadcasting off (auto threshold -1 + engine hints disabled via
+        # spark.dock.disableBroadcastHints) so the SortMergeJoin + AQE
+        # skew-split path is what gets measured — the plan shape these
+        # queries degrade to at 100 TB when a dimension outgrows the
+        # broadcast threshold. Recorded as "<name>__noBroadcast".
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.dock.disableBroadcastHints", "true")
+        try:
+            for name in (
+                "flagship_segment_monthly_revenue",
+                "j9_star_join",
+                "report_region_market_share",
+            ):
+                samples.setdefault(f"{name}__noBroadcast", []).append(
+                    _time_one(spark, name, sf_dir)
+                )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+            spark.conf.set("spark.dock.disableBroadcastHints", "false")
 
+    per_query = {n: round(min(xs), 3) for n, xs in samples.items()}
+    medians = {n: round(_median(xs), 3) for n, xs in samples.items()}
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
@@ -99,6 +117,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "queries_median": medians,
+                "n_runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
