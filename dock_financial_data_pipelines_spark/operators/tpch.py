@@ -378,3 +378,643 @@ def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+# ===========================================================================
+# The remaining TPC-H query shapes, adapted to the fixture schema. The
+# fixture carries no partsupp table and no l_commitdate/l_receiptdate/
+# p_container/p_mfgr columns, so the queries that depend on them
+# (Q2/Q9/Q11/Q16/Q17/Q19/Q20/Q21) substitute fixture-derivable stand-ins
+# — each adaptation is noted per query; the PLAN SHAPE (the thing that
+# matters at 100 TB: join topology, subquery decorrelation, disjunctive
+# pushdown) is the original query's.
+#
+# Join-heavy queries use the DataFrame API with maybe_broadcast dims;
+# subquery-heavy ones use the SQL surface so Catalyst's decorrelation
+# (correlated scalar/EXISTS → joins) is exercised end-to-end.
+# ===========================================================================
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))), 2)::DOUBLE AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: revenue from local suppliers (customer and supplier share a
+    nation) within one region-year. Two fact-side equi-joins plus three
+    broadcast dims; the c_nationkey = s_nationkey condition rides the
+    supplier join, so no extra shuffle."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            maybe_broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(maybe_broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(maybe_broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))), 2)::DOUBLE AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN region r1  ON n1.n_regionkey = r1.r_regionkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    JOIN region r2  ON n2.n_regionkey = r2.r_regionkey
+    WHERE ((r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+        OR (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: bilateral trade volume between two trading blocs by nation
+    pair and year (the original's two fixed nations become two fixed
+    REGIONS so the answer is non-degenerate at every fixture SF; the
+    symmetric-disjunction shape is Q7's). The pair filter lands on
+    broadcast nation+region copies, so the fact side still shuffles
+    only on its join keys."""
+    supp = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("r_name").alias("supp_region"),
+    )
+    n2 = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("r_name").alias("cust_region"),
+    )
+    pair = (
+        (F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA")
+    ) | ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(maybe_broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(maybe_broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q8_national_market_share",
+    oracle="""
+    WITH all_nations AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4)) AS volume,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_nations
+    GROUP BY 1
+    """,
+)
+def tpch_q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's share of ECONOMY-part revenue sold into AMERICA,
+    by year (p_mfgr absent; p_type carries the product filter). Both
+    numerator and denominator accumulate in DECIMAL so the share is
+    order-independent before the final double division."""
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,4)"
+    )
+    return (
+        maybe_broadcast(part)
+        .join(li, F.col("p_partkey") == li.l_partkey)
+        .join(maybe_broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(maybe_broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(maybe_broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(maybe_broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("volume", volume)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(F.lit(0).cast("decimal(27,4)"))
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          - 0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(27,4))), 2)::DOUBLE AS profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: profit on 'red' parts by supplier nation and year. The fixture
+    has no partsupp, so unit cost is proxied as 0.6 * p_retailprice —
+    the four-way fact join topology and nation/year rollup are Q9's."""
+    part = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        maybe_broadcast(part)
+        .join(li, F.col("p_partkey") == li.l_partkey)
+        .join(maybe_broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(maybe_broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dec_sum(amount).alias("profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH flows AS (
+        SELECT l.l_partkey,
+               CAST(l.l_quantity * p.p_retailprice AS DECIMAL(27,4)) AS v
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT l_partkey AS partkey, round(sum(v), 2)::DOUBLE AS value
+    FROM flows
+    GROUP BY 1
+    HAVING sum(v) > (SELECT 1.5 * sum(v) / count(DISTINCT l_partkey) FROM flows)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: parts whose flow value through a region's suppliers
+    exceeds 1.5x the per-part average for the region (partsupp absent:
+    value is shipped quantity x retail price; the fixed-fraction
+    threshold becomes an average-relative one so the answer is
+    non-degenerate at every fixture SF). SQL surface: the HAVING's scalar
+    subquery over the same CTE is Catalyst's scalar-subquery-to-
+    broadcast rewrite; at scale the threshold is one extra 1-row stage,
+    never a recompute of the flow."""
+    from dock_financial_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH flows AS (
+            SELECT l.l_partkey,
+                   CAST(l.l_quantity * p.p_retailprice AS DECIMAL(27,4)) AS v
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            JOIN part p     ON l.l_partkey = p.p_partkey
+            WHERE r.r_name = 'EUROPE'
+        )
+        SELECT l_partkey AS partkey, CAST(round(sum(v), 2) AS DOUBLE) AS value
+        FROM flows
+        GROUP BY 1
+        HAVING sum(v) > (SELECT 1.5 * sum(v) / count(DISTINCT l_partkey) FROM flows)
+        """
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of per-customer order counts (the o_comment
+    NOT LIKE filter becomes an order-priority exclusion). The join-side
+    predicate must stay in the LEFT JOIN's ON clause — as a WHERE it
+    would silently drop the zero-order customers the query exists to
+    count."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2)::DOUBLE AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the quarter's top revenue supplier via a scalar-max subquery
+    over a derived revenue view (the original's CREATE VIEW inlined as a
+    CTE). DECIMAL accumulation makes the max comparison exact — a
+    double-accumulated revenue could disagree between the two scans."""
+    from dock_financial_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(round(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """
+    )
+
+
+@query(
+    "tpch_q16_parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: distinct supplier counts per (brand, type, size) bucket,
+    excluding flagged suppliers (complaint comments become negative
+    account balances; lineitem stands in for partsupp as the
+    part-supplier bridge). NOT IN over a filtered dim is a broadcast
+    null-aware anti-join."""
+    from dock_financial_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#11'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(CAST(l.l_extendedprice AS DECIMAL(27,4))) / 7.0, 2)::DOUBLE AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11' AND p.p_type = 'SMALL'
+      AND l.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue lost if below-half-average-quantity orders were not
+    taken (p_container filter becomes p_type). The correlated average
+    decorrelates into a per-part aggregate joined back to the fact — at
+    scale that is one extra partial agg over the probed parts only."""
+    from dock_financial_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(27,4))) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#11' AND p.p_type = 'SMALL'
+          AND l.l_quantity < (
+              SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))), 2)::DOUBLE AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 10 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: revenue under three disjunctive brand/size/quantity bands
+    (p_container ranges become p_size ranges). The OR-of-ANDs spans both
+    join sides, but Catalyst derives single-side prefilters (any-band
+    brand/size on part, any-band quantity on lineitem) so the join never
+    sees unbandable rows."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    bands = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#16")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .where(bands)
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    oracle="""
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1
+        HAVING sum(l.l_quantity) > 100
+    )
+    """,
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: suppliers who moved real volume of 'small*' parts in a year
+    (partsupp availqty absent: the excess-stock threshold becomes a
+    shipped-quantity threshold over the same nested IN-subquery shape).
+    The IN decorrelates to a semi-join against the aggregated inner."""
+    from dock_financial_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_name, n.n_name AS nation
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE 'small%'
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1
+            HAVING sum(l.l_quantity) > 100
+        )
+        """
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: suppliers solely responsible for late multi-supplier orders
+    (no l_receiptdate/l_commitdate: "late" is ship-lag > 90 days, as in
+    the Q4/Q12 adaptations). EXISTS + NOT EXISTS over the same fact
+    decorrelate into a semi- and an anti-join, both equi on l_orderkey —
+    three passes over lineitem co-partitioned on one key at scale."""
+    from dock_financial_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY 1
+        """
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH offer AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               min(l.l_extendedprice / l.l_quantity) AS unit_price
+        FROM lineitem l
+        GROUP BY 1, 2
+    )
+    SELECT round(s.s_acctbal, 2) AS acctbal, s.s_name, n.n_name AS nation,
+           p.p_partkey, p.p_type
+    FROM part p
+    JOIN offer o    ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON o.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+      AND o.unit_price = (
+          SELECT min(o2.unit_price) FROM offer o2
+          WHERE o2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: for each qualifying part, the supplier offering it cheapest
+    (partsupp absent: the offer relation is each supplier's minimum
+    observed unit price from lineitem). The correlated min decorrelates
+    to a per-part aggregate joined back — the original Q2 plan shape.
+    Unit prices are IEEE-double divisions of identical operands in both
+    engines, so the min-equality matches exactly."""
+    from dock_financial_data_pipelines_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH offer AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   min(l.l_extendedprice / l.l_quantity) AS unit_price
+            FROM lineitem l
+            GROUP BY 1, 2
+        )
+        SELECT round(s.s_acctbal, 2) AS acctbal, s.s_name, n.n_name AS nation,
+               p.p_partkey, p.p_type
+        FROM part p
+        JOIN offer o    ON p.p_partkey = o.l_partkey
+        JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+          AND o.unit_price = (
+              SELECT min(o2.unit_price) FROM offer o2
+              WHERE o2.l_partkey = p.p_partkey
+          )
+        """
+    )
