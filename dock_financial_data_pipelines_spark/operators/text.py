@@ -593,3 +593,237 @@ def l_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(contaminated).select(
         "n_test_docs", "n_contaminated", "n_train_docs"
     )
+
+
+# ---------------------------------------------------------------------------
+# L-repetition — Gopher-style repetition quality filters. The strongest
+# cheap signal for machine-generated / boilerplate text is word- and
+# bigram-level repetition; per document: distinct-word ratio, the
+# fraction of tokens taken by the single most frequent word, and the
+# fraction of bigrams taken by the most frequent bigram, plus the
+# keep/drop verdict. One scan, two explode+agg branches re-joined on
+# doc_id — everything JVM-side, no Python in the loop.
+# ---------------------------------------------------------------------------
+@query(
+    "l_repetition_stats",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    word_stats AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_words,
+               count(*) AS n_distinct,
+               max(cnt) AS top_word_cnt
+        FROM (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+               )) AS bg
+        FROM documents
+    ),
+    bigram_stats AS (
+        SELECT doc_id, sum(cnt) AS n_bigrams, max(cnt) AS top_bigram_cnt
+        FROM (SELECT doc_id, bg, count(*) AS cnt FROM bigrams GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT w.doc_id,
+           w.n_words,
+           round(CAST(w.n_distinct AS DOUBLE) / w.n_words, 6) AS distinct_ratio,
+           round(CAST(w.top_word_cnt AS DOUBLE) / w.n_words, 6) AS top_word_frac,
+           round(CAST(b.top_bigram_cnt AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_frac,
+           (CAST(w.n_distinct AS DOUBLE) / w.n_words >= 0.3
+            AND CAST(w.top_word_cnt AS DOUBLE) / w.n_words <= 0.2
+            AND CAST(b.top_bigram_cnt AS DOUBLE) / b.n_bigrams <= 0.1) AS keep
+    FROM word_stats w JOIN bigram_stats b USING (doc_id)
+    """,
+)
+def l_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    word_stats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_word_cnt"),
+        )
+    )
+    bigram_expr = F.expr(
+        "transform(sequence(1, greatest(size(split(text,' ')) - 1, 0)),"
+        " i -> concat(split(text,' ')[i-1], ' ', split(text,' ')[i]))"
+    )
+    bigram_stats = (
+        docs.select("doc_id", F.explode(bigram_expr).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram_cnt"))
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_words")
+    top_word_frac = F.col("top_word_cnt").cast("double") / F.col("n_words")
+    top_bigram_frac = F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams")
+    return (
+        word_stats.join(bigram_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(distinct_ratio, 6).alias("distinct_ratio"),
+            F.round(top_word_frac, 6).alias("top_word_frac"),
+            F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+            (
+                (distinct_ratio >= 0.3)
+                & (top_word_frac <= 0.2)
+                & (top_bigram_frac <= 0.1)
+            ).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L-pii — PII scrub: redact emails and phone-shaped tokens before a
+# corpus ships. The fixture text carries no PII, so the query plants
+# deterministic synthetic PII on every 5th document first (same rule in
+# the oracle) — the scrub itself (regexp_count + regexp_replace, one
+# pass, JVM-side) is what is being verified. At 100 TB this is a
+# map-only stage: no shuffle until the 1-row audit aggregate.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PII_PHONE = "555-[0-9]{4}"
+
+
+@query(
+    "l_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+               regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+        FROM seeded
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+           CAST(sum(n_emails) AS BIGINT) AS n_emails,
+           CAST(sum(n_phones) AS BIGINT) AS n_phones,
+           CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+           CAST(sum(CASE WHEN clean LIKE '%@%' THEN 1 ELSE 0 END) AS BIGINT) AS residual_at_signs
+    FROM scrubbed
+    """,
+)
+def l_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("clean"),
+    )
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((F.col("n_emails") + F.col("n_phones")) > 0).cast("long")).alias(
+            "n_pii_docs"
+        ),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        F.sum(F.length("clean")).alias("clean_chars"),
+        F.sum(F.col("clean").like("%@%").cast("long")).alias("residual_at_signs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L-url — URL/domain statistics: the domain-frequency table that drives
+# blocklist/allowlist filtering in web-corpus pipelines. Synthetic URLs
+# are planted deterministically (every 3rd doc links to one of 7
+# domains), then extracted with regexp_extract_all + explode and
+# aggregated per domain — extraction is map-side; the only shuffle is
+# the per-domain count.
+# ---------------------------------------------------------------------------
+_URL_RE = "https://[a-z0-9.]+/[a-z0-9]*"
+_DOMAIN_RE = "https://([a-z0-9.]+)/"
+
+
+@query(
+    "l_url_domain_stats",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example.org/page' || CAST(doc_id AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents
+    ),
+    urls AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '{_URL_RE}')) AS url
+        FROM seeded
+    )
+    SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain,
+           count(*) AS n_urls,
+           count(DISTINCT doc_id) AS n_docs
+    FROM urls
+    GROUP BY 1
+    """,
+)
+def l_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.org/page"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(text, '{_URL_RE}', 0)")).alias("url"),
+    )
+    return (
+        urls.select("doc_id", F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
