@@ -175,6 +175,40 @@ def main() -> int:
         "Join" not in p and "Window" in p,
     )
 
+    # --- round-3 TPC-H additions -------------------------------------
+    p = plan_of(spark, "tpch_q19_discounted_revenue", execute=True)
+    check(
+        "tpch_q19_discounted_revenue",
+        "disjunctive bands: single-side prefilters derived (scan not bare)",
+        "p_brand" in p and "l_quantity" in p and "BroadcastHashJoin" in p,
+    )
+
+    p = plan_of(spark, "tpch_q21_waiting_suppliers", execute=True)
+    check(
+        "tpch_q21_waiting_suppliers",
+        "EXISTS/NOT EXISTS decorrelated to semi + anti equi-joins",
+        ("LeftSemi" in p or "ExistenceJoin" in p) and "LeftAnti" in p,
+    )
+    check(
+        "tpch_q21_waiting_suppliers",
+        "no NestedLoop anywhere in the decorrelated plan",
+        "NestedLoop" not in p,
+    )
+
+    p = plan_of(spark, "tpch_q17_small_quantity_revenue", execute=True)
+    check(
+        "tpch_q17_small_quantity_revenue",
+        "correlated avg decorrelated to per-part aggregate + equi-join",
+        "HashAggregate" in p and "NestedLoop" not in p,
+    )
+
+    p = plan_of(spark, "tpch_q5_local_supplier_volume", execute=True)
+    check(
+        "tpch_q5_local_supplier_volume",
+        "region/nation dims broadcast; no Python in the plan",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
