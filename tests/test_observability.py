@@ -77,3 +77,58 @@ def test_metrics_store_accumulates_and_exports(spark, sf_dir):
     assert set(rows) == {"scan", "scan2"}
     assert rows["scan"].n_rows == 5 and rows["scan2"].n_rows == 25
     assert rows["scan"].files_read >= 1
+
+
+def test_hashed_shingle_join_shuffles_less_than_raw(spark, sf_dir):
+    """The contamination audit's xxhash64(shingle) join key must shuffle
+    measurably fewer bytes than joining on the raw 8-gram string — the
+    100 TB shuffle-width claim in SCALE.md, held by a live measurement
+    (broadcast disabled so both variants take the shuffle-join path)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        w = 8
+        docs = load(spark, sf_dir, "documents").withColumn(
+            "split",
+            F.when(
+                F.ascii(F.substring(F.md5("text"), 1, 1)) % 10 < 8, "train"
+            ).otherwise("test"),
+        )
+        shingled = docs.select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(text,' ')) - {w-1}, 1)),"
+                    f" i -> concat_ws(' ', slice(split(text,' '), i, {w})))"
+                )
+            ).alias("sh_raw"),
+        )
+
+        def audit(sh_col, label, store):
+            s = shingled.select("doc_id", "split", sh_col.alias("sh"))
+            test_side = s.where(F.col("split") == "test").select("doc_id", "sh")
+            train_side = (
+                s.where(F.col("split") == "train")
+                .select(F.col("sh").alias("sh_tr"))
+                .distinct()
+            )
+            contaminated = (
+                test_side.join(train_side, test_side.sh == train_side.sh_tr)
+                .select("doc_id")
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            run_with_metrics(label, contaminated, store)
+
+        store = MetricsStore()
+        audit(F.col("sh_raw"), "raw_string_join", store)
+        audit(F.xxhash64("sh_raw"), "hashed_join", store)
+        raw, hashed = store.runs
+        assert raw.shuffle_records_written == hashed.shuffle_records_written
+        assert hashed.shuffle_bytes_written < 0.6 * raw.shuffle_bytes_written, (
+            f"hashed join shuffled {hashed.shuffle_bytes_written} B vs raw "
+            f"{raw.shuffle_bytes_written} B — expected <60%"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
