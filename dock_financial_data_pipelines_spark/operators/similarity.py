@@ -154,6 +154,13 @@ def l5_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for t in range(_N_TABLES):
         emb = emb.withColumn(f"b{t}", _bucket_expr("e", t))
+    # Materialize the bucketed index ONCE: the probe set, the corpus
+    # index and the exact re-rank all read it, and without this the
+    # L×H projection expressions are inlined into three separate scans.
+    # This is also the production shape — at 100 TB the signed-
+    # projection index is persisted (a table bucketed by (tbl, bucket)),
+    # built in one pass, and queries only probe it.
+    emb = emb.localCheckpoint(eager=True)
     bucket_cols = [f"b{t}" for t in range(_N_TABLES)]
 
     # Corpus index: one (neighbor_id, table, bucket) row per table.
@@ -165,18 +172,25 @@ def l5_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.expr(stack_expr)
     )
 
-    # Query probes: (query_id, table, probe bucket) for own + H flipped buckets.
-    probes = None
-    for t in range(_N_TABLES):
-        p = (
-            emb.where(F.col("vec_id") < 10)
-            .select(
-                F.col("vec_id").alias("query_id"),
-                F.lit(t).alias("tbl"),
-                F.explode(_probe_buckets(F.col(f"b{t}"))).alias("bucket"),
-            )
+    # Query probes: (query_id, table, probe bucket) for own + H flipped
+    # buckets — one stack over the checkpointed index (no union-of-L
+    # re-scans), then one explode of the per-table probe arrays.
+    probe_stack = "stack({n}, {args}) AS (tbl, pbs)".format(
+        n=_N_TABLES,
+        args=", ".join(f"{t}, _p{t}" for t in range(_N_TABLES)),
+    )
+    probes = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            *[
+                _probe_buckets(F.col(f"b{t}")).alias(f"_p{t}")
+                for t in range(_N_TABLES)
+            ],
         )
-        probes = p if probes is None else probes.unionByName(p)
+        .select("query_id", F.expr(probe_stack))
+        .select("query_id", "tbl", F.explode("pbs").alias("bucket"))
+    )
 
     cand_ids = (
         F.broadcast(probes)
