@@ -218,3 +218,118 @@ def q_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total", F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion — ordered-stage attribution over the event stream:
+# how many users viewed, then clicked after their first view, then
+# purchased after that click. Each stage is a per-user min-timestamp
+# aggregate joined to the previous stage (strictly-after semantics), so
+# the whole funnel is three shuffles on user_id — at 100 TB the three
+# stage frames co-partition on the same key and AQE keeps the final
+# 1-row combine trivial.
+# ---------------------------------------------------------------------------
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    # three 1-row aggregates combined — the crossJoins are 1-row x 1-row
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            purchases.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts — the week-over-week retention grid: users bucketed
+# by first-seen week, counted per (cohort_week, weeks-since-cohort).
+# Both engines truncate weeks to Monday, and the offset divides an
+# exact multiple of 7 days, so the grid is integer-exact. Two shuffles:
+# first-seen per user, then the distinct (user, offset) roll-up.
+# ---------------------------------------------------------------------------
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           count(*) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_users"))
