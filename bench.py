@@ -46,6 +46,12 @@ HEADLINE = [
     "a9_salted_skew_agg",
     "report_region_market_share",
     "l5_ann_lsh_topk",
+    # round-3 additions: decorrelated subqueries, text quality filters,
+    # event-stream analytics
+    "tpch_q21_waiting_suppliers",
+    "tpch_q5_local_supplier_volume",
+    "l_repetition_stats",
+    "q_retention_cohorts",
 ]
 
 
