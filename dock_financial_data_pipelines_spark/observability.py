@@ -160,11 +160,26 @@ def run_with_metrics(
 
 # ---------------------------------------------------------------------------
 # o_metrics_report — run a representative query mix under the metrics
-# recorder and return the run log. Rows-only check: wall times are
-# non-deterministic by nature; the stable part (names, row counts,
-# schema) is what the driver records.
+# recorder and return the run log. Wall times and shuffle bytes are
+# non-deterministic, so the query projects only the stable columns —
+# which ARE SQL-derivable (each n_rows is the cardinality of the
+# measured aggregate), so the run log is held to a real oracle.
 # ---------------------------------------------------------------------------
-@query("o_metrics_report")
+@query(
+    "o_metrics_report",
+    oracle="""
+    SELECT 'scan_filter' AS query_name, CAST(1 AS BIGINT) AS n_rows,
+           TRUE AS plan_metrics_ok
+    UNION ALL
+    SELECT 'group_agg', (SELECT count(DISTINCT o_orderstatus) FROM orders), TRUE
+    UNION ALL
+    SELECT 'join_dim',
+           (SELECT count(DISTINCT c.c_mktsegment)
+            FROM customer c WHERE EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)),
+           TRUE
+    """,
+)
 def o_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dock_financial_data_pipelines_spark.catalog import load
 

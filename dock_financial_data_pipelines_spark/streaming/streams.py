@@ -4,9 +4,12 @@ The reference's SFTP sensor + daily trigger (REPORT:121-148, REPORT:227)
 generalize to file-arrival streaming with ``trigger(availableNow=True)``:
 discover whatever landed, process it incrementally against a checkpoint,
 stop. These queries run a real ``readStream`` to completion and return
-the materialized result; they are smoke/rows-only (DuckDB cannot execute
-Structured Streaming), with their deterministic semantics covered by the
-batch twins.
+the materialized result. Where the drained stream is deterministic —
+single-batch complete/append sinks (x2/x3/x5/x6) and the per-day
+ingest/sink aggregates (x8/x9) — the REAL streaming run carries its own
+SQL oracle; only the genuinely order/watermark-dependent runs
+(multi-batch late-data x4, stateful x7/x10, stream-stream x11) stay
+rows-only, with their semantics covered by the SQL-oracled batch twins.
 
 All state (checkpoints, sinks) goes under a per-run temp directory so
 re-runs start clean, mirroring the reference's ``catchup=False``.
@@ -155,7 +158,22 @@ def x4_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X2/X3 streaming forms — sliding and session windows over the stream
 # (batch twins x2_sliding_window / x3_session_window carry the oracles).
 # ---------------------------------------------------------------------------
-@query("x2_stream_sliding_window")
+@query(
+    "x2_stream_sliding_window",
+    # The source is one parquet file → one micro-batch, and the sink is
+    # complete-mode: the drained stream's result equals the batch
+    # sliding-window aggregate, so the REAL readStream run is held to a
+    # SQL oracle (each event belongs to exactly two 10-min/5-min
+    # windows, which the oracle enumerates).
+    oracle="""
+    WITH shifted AS (
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - k AS window_start
+        FROM events CROSS JOIN (VALUES (0), (300)) offsets(k)
+    )
+    SELECT window_start, count(*) AS n_events
+    FROM shifted GROUP BY 1
+    """,
+)
 def x2_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         _events_stream(spark, sf_dir)
@@ -170,7 +188,34 @@ def x2_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "x2_sliding", "complete")
 
 
-@query("x3_stream_session_window")
+@query(
+    "x3_stream_session_window",
+    # Single-batch complete-mode run ≡ batch session windows; the
+    # oracle rebuilds session_window(30 min) per user with the
+    # lag→flag→cumsum identity (new session when the gap is >= the 30
+    # min gap duration — session_window extends [ts, ts+gap)).
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
 def x3_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         _events_stream(spark, sf_dir)
@@ -189,7 +234,13 @@ def x3_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X5 — streaming dedup within the watermark
 # ---------------------------------------------------------------------------
-@query("x5_stream_dedup_watermark")
+@query(
+    "x5_stream_dedup_watermark",
+    # event_id is unique in the fixture, so the watermark-bounded dedup
+    # must pass every row through exactly once — the drained stream
+    # equals a plain projection, independent of arrival order.
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
 def x5_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = (
         _events_stream(spark, sf_dir)
@@ -248,7 +299,15 @@ def x7_stateful_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X6 — stream-static join: the streaming side joins the broadcastable
 # customer dimension per micro-batch (batch twin: x6_stream_static_join_twin).
 # ---------------------------------------------------------------------------
-@query("x6_stream_static_join")
+@query(
+    "x6_stream_static_join",
+    # Stateless per-row enrichment: the drained append-mode stream
+    # equals the batch join row-for-row.
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
 def x6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dock_financial_data_pipelines_spark.catalog import load
 
