@@ -1,0 +1,73 @@
+"""Generate the next round's driver-sweep rotation.
+
+The correctness driver records the FIRST 50 registry entries per round
+(see pkg/__init__.py). This script reads every CORRECTNESS_r*.json in
+the repo root, computes which registered queries still lack a driver
+verdict, and prints the `_SWEEP_FIRST` / `_SWEEP_LAST` blocks for the
+next round: never-checked SQL-oracled queries first (up to the 50-slot
+budget), rows-only queries after, everything already verified last.
+
+Run at the start of a round, then paste the output into
+dock_financial_data_pipelines_spark/__init__.py:
+
+    python scripts/sweep_rotate.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dock_financial_data_pipelines_spark as engine
+
+BUDGET = 50
+
+
+def main() -> int:
+    engine.load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            # Any driver row counts as "has a verdict"; hash-green rows
+            # and rows-only (no_oracle) rows alike move to the back.
+            verified.add(name)
+        print(f"# read {os.path.basename(path)}: {len(rows)} entries")
+
+    allq = list(engine.QUERIES)
+    never = [n for n in allq if n not in verified]
+    sql_never = [n for n in never if n in engine.ORACLES]
+    rows_never = [n for n in never if n not in engine.ORACLES]
+
+    print(f"# registry={len(allq)} verified={len(verified & set(allq))} "
+          f"never-checked={len(never)} (sql={len(sql_never)}, "
+          f"rows-only={len(rows_never)})")
+    if len(sql_never) > BUDGET:
+        print(f"# NOTE: {len(sql_never) - BUDGET} SQL-oracled queries spill "
+              f"past the {BUDGET}-slot budget; they head the next rotation.")
+
+    def block(names: list[str]) -> str:
+        return "".join(f'    "{n}",\n' for n in names)
+
+    print("\n_SWEEP_FIRST = [")
+    print("    # SQL-oracled, never driver-checked (slots 1-%d)" % min(
+        BUDGET, len(sql_never)))
+    print(block(sql_never), end="")
+    print("    # rows-only (no SQL oracle; driver records spark_rows)")
+    print(block(rows_never), end="")
+    print("]")
+    print("_SWEEP_LAST = [")
+    print(block([n for n in allq if n in verified]), end="")
+    print("]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
