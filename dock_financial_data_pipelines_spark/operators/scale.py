@@ -210,3 +210,53 @@ def a11_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p90_within_2pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A21 — winsorized statistics: per-group p05/p95 clamp then re-aggregate.
+# The robust-metrics pattern for skewed money columns: the per-group
+# percentile frame is tiny (|groups| rows), so the clamp is a broadcast
+# join back onto the fact — two passes over the data, no extra wide
+# shuffle. Spark's `percentile` and DuckDB's `quantile_cont` both
+# linear-interpolate, so the bounds (and therefore the clamped sums)
+# agree exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "a21_winsorized_stats",
+    oracle="""
+    WITH bounds AS (
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderstatus,
+           count(*) AS n,
+           round(avg(o.o_totalprice), 4) AS raw_mean,
+           round(avg(least(greatest(o.o_totalprice, b.lo), b.hi)), 4) AS winsor_mean,
+           CAST(sum(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM orders o JOIN bounds b ON o.o_orderstatus = b.o_orderstatus
+    GROUP BY 1
+    """,
+)
+def a21_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    outside = (F.col("o_totalprice") < F.col("lo")) | (
+        F.col("o_totalprice") > F.col("hi")
+    )
+    return (
+        orders.join(F.broadcast(bounds), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+            F.round(F.avg(clamped), 4).alias("winsor_mean"),
+            F.sum(outside.cast("long")).alias("n_clamped"),
+        )
+    )
