@@ -724,10 +724,13 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15: the quarter's top revenue supplier via a scalar-max subquery
-    over a derived revenue view (the original's CREATE VIEW inlined as a
-    CTE). DECIMAL accumulation makes the max comparison exact — a
-    double-accumulated revenue could disagree between the two scans."""
+    """Q15: the quarter's top revenue supplier. The oracle keeps the
+    original scalar-max-subquery form; the engine replaces the twice-
+    referenced revenue view with ONE aggregate plus an unbounded window
+    max — Catalyst inlines re-referenced CTEs (measured: the subquery
+    form scanned lineitem 6x with zero exchange reuse), while the window
+    form scans the fact once and runs the max over |suppliers| rows.
+    DECIMAL accumulation keeps the max equality exact."""
     from dock_financial_data_pipelines_spark.catalog import register_views
 
     register_views(spark, sf_dir)
@@ -740,10 +743,15 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
             GROUP BY 1
+        ),
+        ranked AS (
+            SELECT supplier_no, total_revenue,
+                   max(total_revenue) OVER () AS max_revenue
+            FROM revenue
         )
         SELECT s.s_suppkey, s.s_name, CAST(round(r.total_revenue, 2) AS DOUBLE) AS total_revenue
-        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        FROM supplier s JOIN ranked r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = r.max_revenue
         """
     )
 
@@ -989,10 +997,14 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2: for each qualifying part, the supplier offering it cheapest
     (partsupp absent: the offer relation is each supplier's minimum
-    observed unit price from lineitem). The correlated min decorrelates
-    to a per-part aggregate joined back — the original Q2 plan shape.
-    Unit prices are IEEE-double divisions of identical operands in both
-    engines, so the min-equality matches exactly."""
+    observed unit price from lineitem). The oracle keeps the original
+    correlated-min form; the engine computes the per-part best price
+    with a window min over the offer aggregate — Catalyst inlines
+    re-referenced CTEs (measured: the correlated form scanned lineitem
+    4x), while the window form scans the fact once and the min runs
+    over the already-aggregated (part, supplier) frame. Unit prices are
+    IEEE-double divisions of identical operands in both engines, so the
+    min-equality matches exactly."""
     from dock_financial_data_pipelines_spark.catalog import register_views
 
     register_views(spark, sf_dir)
@@ -1003,18 +1015,20 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                    min(l.l_extendedprice / l.l_quantity) AS unit_price
             FROM lineitem l
             GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT l_partkey, l_suppkey, unit_price,
+                   min(unit_price) OVER (PARTITION BY l_partkey) AS best_price
+            FROM offer
         )
         SELECT round(s.s_acctbal, 2) AS acctbal, s.s_name, n.n_name AS nation,
                p.p_partkey, p.p_type
         FROM part p
-        JOIN offer o    ON p.p_partkey = o.l_partkey
+        JOIN best o     ON p.p_partkey = o.l_partkey
+                       AND o.unit_price = o.best_price
         JOIN supplier s ON o.l_suppkey = s.s_suppkey
         JOIN nation n   ON s.s_nationkey = n.n_nationkey
         JOIN region r   ON n.n_regionkey = r.r_regionkey
         WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
-          AND o.unit_price = (
-              SELECT min(o2.unit_price) FROM offer o2
-              WHERE o2.l_partkey = p.p_partkey
-          )
         """
     )
