@@ -652,6 +652,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dock_financial_data_pipelines_spark.catalog import register_views
 
     register_views(spark, sf_dir)
+    # Engine form: the oracle keeps the scalar-subquery HAVING; here the
+    # threshold is a window over the grouped flows (sum/count OVER ()),
+    # so the 4-way join runs once — the subquery form recomputed it
+    # (partial ReusedExchange aside), and at 100 TB a second pass over
+    # the fact join is the dominant cost.
     return spark.sql(
         """
         WITH flows AS (
@@ -663,11 +668,17 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN region r   ON n.n_regionkey = r.r_regionkey
             JOIN part p     ON l.l_partkey = p.p_partkey
             WHERE r.r_name = 'EUROPE'
+        ),
+        grouped AS (
+            SELECT l_partkey, sum(v) AS pv FROM flows GROUP BY 1
         )
-        SELECT l_partkey AS partkey, CAST(round(sum(v), 2) AS DOUBLE) AS value
-        FROM flows
-        GROUP BY 1
-        HAVING sum(v) > (SELECT 1.5 * sum(v) / count(DISTINCT l_partkey) FROM flows)
+        SELECT l_partkey AS partkey, CAST(round(pv, 2) AS DOUBLE) AS value
+        FROM (
+            SELECT l_partkey, pv,
+                   1.5 * sum(pv) OVER () / count(*) OVER () AS threshold
+            FROM grouped
+        )
+        WHERE pv > threshold
         """
     )
 
