@@ -132,7 +132,33 @@ def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFra
 # ---------------------------------------------------------------------------
 # X4 — watermarked tumbling-window aggregation over a file stream
 # ---------------------------------------------------------------------------
-@query("x4_stream_tumbling_watermark")
+@query(
+    "x4_stream_tumbling_watermark",
+    # The multi-batch append run IS deterministic and therefore
+    # oracle-able: chunks are time-ordered (nothing ever arrives late,
+    # so no window loses events), and availableNow ends with a no-data
+    # micro-batch that advances the watermark to global max(ts) - 10 min
+    # and flushes every window whose end <= that watermark (Spark
+    # truncates the watermark to milliseconds — the oracle reproduces
+    # the µs → ms truncation exactly). The withheld tail windows are
+    # precisely those the oracle's inequality excludes.
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+               count(*) AS n_events,
+               round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
+        FROM events GROUP BY 1
+    ),
+    wm AS (
+        SELECT (CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 600000) * 1000
+               AS w_us
+        FROM events
+    )
+    SELECT a.window_start, a.n_events, a.total_value
+    FROM agg a, wm
+    WHERE (a.window_start + 300) * 1000000 <= wm.w_us
+    """,
+)
 def x4_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multi-batch source + append mode: the watermark advances between
     # micro-batches and emits each window only once it is final — the
