@@ -548,7 +548,30 @@ def x8_incremental_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event pipeline runs). Batch twin x11_stream_stream_join_twin carries
 # the SQL oracle.
 # ---------------------------------------------------------------------------
-@query("x11_stream_stream_join")
+@query(
+    "x11_stream_stream_join",
+    # INNER stream-stream joins emit matches eagerly (the watermark only
+    # bounds state eviction), and with time-ordered chunks no click a
+    # later purchase still needs can be evicted: the click-state
+    # watermark trails by the 30-minute join range, so every valid pair
+    # survives. The drained stream therefore equals the batch interval
+    # join, and the REAL streaming run carries the same oracle as its
+    # batch twin.
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
 def x11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream_multibatch(spark, sf_dir)
     purchases = (
