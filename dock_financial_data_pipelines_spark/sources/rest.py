@@ -160,7 +160,24 @@ def ingest_control_plane(
     return spark.createDataFrame(rows)
 
 
-@query("r_rest_ticketed_ingest")
+@query(
+    "r_rest_ticketed_ingest",
+    # The faked control plane is deterministic end-to-end, so the full
+    # auth→request→poll→manifest flow (including the injected transient
+    # fault the retry policy must absorb) is held to its exact expected
+    # output — any change in ticketing, naming, or manifest shape fails
+    # the hash compare.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('2024-01-01', 'T20240101', 'balance_T20240101.zip',
+         '{"bucket": "dock-landing", "keys": ["balance_T20240101.zip"]}'),
+        ('2024-01-02', 'T20240102', 'balance_T20240102.zip',
+         '{"bucket": "dock-landing", "keys": ["balance_T20240102.zip"]}'),
+        ('2024-01-03', 'T20240103', 'balance_T20240103.zip',
+         '{"bucket": "dock-landing", "keys": ["balance_T20240103.zip"]}')
+    ) AS t(day, ticket, file_name, manifest)
+    """,
+)
 def r_rest_ticketed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoke the full auth→request→poll→manifest flow, including one
     transient fault absorbed by the retry policy."""
