@@ -5,10 +5,11 @@ generalize to file-arrival streaming with ``trigger(availableNow=True)``:
 discover whatever landed, process it incrementally against a checkpoint,
 stop. These queries run a real ``readStream`` to completion and return
 the materialized result. Where the drained stream is deterministic —
-single-batch complete/append sinks (x2/x3/x5/x6) and the per-day
-ingest/sink aggregates (x8/x9) — the REAL streaming run carries its own
-SQL oracle; only the genuinely order/watermark-dependent runs
-(multi-batch late-data x4, stateful x7/x10, stream-stream x11) stay
+single-batch complete/append sinks (x2/x3/x5/x6), the per-day
+ingest/sink aggregates (x8/x9), the time-ordered multi-batch watermark
+run (x4) and the eager inner stream-stream join (x11) — the REAL
+streaming run carries its own SQL oracle; only the pandas-stateful runs
+(x7/x10, whose float accumulation order is engine-private) stay
 rows-only, with their semantics covered by the SQL-oracled batch twins.
 
 All state (checkpoints, sinks) goes under a per-run temp directory so
