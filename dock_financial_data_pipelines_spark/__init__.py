@@ -80,7 +80,10 @@ _SWEEP_FIRST = [
     # --- slots 51-53: SQL-oracled spillover (next round's head) ------
     "r_sftp_landing_flow", "x8_incremental_file_ingest",
     "x9_foreach_batch_sink",
-    # --- rows-only (no SQL oracle; driver records spark_rows) --------
+    # --- r4 backlog continues: streaming/control-plane runs. Most of
+    # these gained SQL oracles mid-round-3 (x2/x3/x4/x5/x6/x11,
+    # o_metrics_report, r_rest_ticketed_ingest); x7/x10 and
+    # pipeline_daily_publish stay rows-only by design. ---------------
     "pipeline_daily_publish", "r_rest_ticketed_ingest", "o_metrics_report",
     "x6_stream_static_join", "x5_stream_dedup_watermark",
     "x2_stream_sliding_window", "x3_stream_session_window",
