@@ -524,3 +524,115 @@ def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_a", "sess_a", "user_b", "sess_b")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# J12 — currency conversion via as-of join: every financial reporting
+# pipeline prices foreign-currency facts with the latest FX rate
+# published ON OR BEFORE the transaction date. Five currencies with
+# deterministic pseudo-random fixes every 3 days, orders assigned a
+# currency by customer key, so the as-of carry across unpublished days
+# is genuinely exercised PER KEY. The engine uses the union + sort +
+# last_value carry plan partitioned by currency (the j8 primary shape:
+# one shuffle on the key, windows never global, no join operator); the
+# oracle cross-checks with DuckDB's native keyed ASOF JOIN — two
+# independent as-of implementations must agree exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "j12_currency_asof_convert",
+    oracle="""
+    WITH rates AS (
+        SELECT cur, CAST(d AS DATE) AS rate_date,
+               4.5 + cur
+                   + ((date_diff('day', DATE '1970-01-01', CAST(d AS DATE))
+                       * 7919 + cur * 131) % 1000) / 1000.0 AS rate
+        FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+                                            DATE '2001-12-31',
+                                            INTERVAL 3 DAY)) AS d)
+        CROSS JOIN (VALUES (0), (1), (2), (3), (4)) currencies(cur)
+    ),
+    fx_orders AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(o_custkey % 5 AS INT) AS cur,
+               CAST(o_orderdate AS DATE) AS ev_date,
+               year(o_orderdate) AS yr
+        FROM orders
+    ),
+    priced AS (
+        SELECT o.yr, o.cur, o.o_totalprice * r.rate AS converted
+        FROM fx_orders o
+        ASOF JOIN rates r ON o.cur = r.cur AND o.ev_date >= r.rate_date
+    )
+    SELECT yr, cur,
+           count(*) AS n_orders,
+           round(sum(CAST(converted AS DECIMAL(27,4))), 2)::DOUBLE AS revenue_converted
+    FROM priced GROUP BY 1, 2
+    """,
+)
+def j12_currency_asof_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_custkey") % 5).cast("int").alias("cur"),
+        F.col("o_orderdate").cast("date").alias("ev_date"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    day_num = F.datediff("ev_date", F.lit("1970-01-01").cast("date"))
+    rates = (
+        orders.sparkSession.range(5)
+        .select(F.col("id").cast("int").alias("cur"))
+        .crossJoin(
+            orders.sparkSession.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.lit("1995-01-01").cast("date"),
+                        F.lit("2001-12-31").cast("date"),
+                        F.expr("INTERVAL 3 DAYS"),
+                    )
+                ).alias("ev_date")
+            )
+        )
+        .select(
+            "cur",
+            "ev_date",
+            (
+                4.5
+                + F.col("cur")
+                + ((day_num * 7919 + F.col("cur") * 131) % 1000) / 1000.0
+            ).alias("rate"),
+        )
+    )
+    # Union + per-currency event-time sort + last_value carry: rate rows
+    # sort before fact rows on the same date (is_rate desc) so a
+    # same-day fix applies to that day's orders. The window partitions
+    # on the currency key — no global ordering anywhere.
+    unioned = rates.select(
+        "cur", "ev_date", F.lit(1).alias("is_rate"), "rate",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("int").alias("yr"),
+    ).unionByName(
+        orders.select(
+            "cur", "ev_date", F.lit(0).alias("is_rate"),
+            F.lit(None).cast("double").alias("rate"),
+            "o_totalprice", "yr",
+        )
+    )
+    w = (
+        Window.partitionBy("cur")
+        .orderBy("ev_date", F.col("is_rate").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    priced = (
+        unioned.withColumn("carried", F.last("rate", ignorenulls=True).over(w))
+        .where(F.col("is_rate") == 0)
+        .select(
+            "yr", "cur",
+            (F.col("o_totalprice") * F.col("carried")).alias("converted"),
+        )
+    )
+    return priced.groupBy("yr", "cur").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("converted").alias("revenue_converted"),
+    )

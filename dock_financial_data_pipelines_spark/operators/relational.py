@@ -936,3 +936,61 @@ def a20_conditional_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U9 — GDPR erasure (right-to-be-forgotten): drop every event belonging
+# to a deterministic erasure cohort and report the audit trail the
+# compliance run must emit (rows before/after, rows erased, users
+# erased, proof that no erased user survives). The erase itself is one
+# broadcast anti-join — at 100 TB the rewrite touches only the
+# partitions holding the cohort (partition pruning on the date key),
+# and the audit aggregate rides the same scan.
+# ---------------------------------------------------------------------------
+@query(
+    "u9_gdpr_erasure",
+    oracle="""
+    WITH erase AS (
+        SELECT c_custkey AS user_id FROM customer WHERE c_custkey % 37 = 0
+    ),
+    kept AS (
+        SELECT e.* FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM erase x WHERE x.user_id = e.user_id)
+    )
+    SELECT (SELECT count(*) FROM events) AS rows_before,
+           (SELECT count(*) FROM kept) AS rows_after,
+           (SELECT count(*) FROM events) - (SELECT count(*) FROM kept) AS rows_erased,
+           (SELECT count(DISTINCT e.user_id) FROM events e
+             JOIN erase x ON x.user_id = e.user_id) AS users_erased,
+           (SELECT count(*) FROM kept k
+             JOIN erase x ON x.user_id = k.user_id) AS residual_rows
+    """,
+)
+def u9_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    erase = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 37 == 0)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    kept = events.join(F.broadcast(erase), "user_id", "left_anti")
+    erased_users = (
+        events.join(F.broadcast(erase), "user_id", "left_semi")
+        .agg(F.countDistinct("user_id").alias("users_erased"))
+    )
+    residual = (
+        kept.join(F.broadcast(erase), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("residual_rows"))
+    )
+    before = events.agg(F.count(F.lit(1)).alias("rows_before"))
+    after = kept.agg(F.count(F.lit(1)).alias("rows_after"))
+    return (
+        before.crossJoin(after)  # 1-row x 1-row combines
+        .withColumn("rows_erased", F.col("rows_before") - F.col("rows_after"))
+        .crossJoin(erased_users)
+        .crossJoin(residual)
+        .select(
+            "rows_before", "rows_after", "rows_erased",
+            "users_erased", "residual_rows",
+        )
+    )
