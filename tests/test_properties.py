@@ -56,3 +56,86 @@ def test_int8_quantization_error_bound(vec):
     for x in vec:
         q = math.floor(x * 127 + 0.5)
         assert abs(q / 127 - x) <= 0.5 / 127 + 1e-12
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=9131, max_value=11688))  # day numbers 1995..2001
+def test_fx_asof_carry_closed_form(day_num):
+    """j12's as-of carry over 3-day-cadence fixes has a closed form:
+    the rate applied on day d is the fix published on
+    d - ((d - base) % 3). The union+window carry and DuckDB's ASOF JOIN
+    must both equal it — validated here in plain arithmetic."""
+    base = 9131  # 1995-01-01
+    fix_day = day_num - ((day_num - base) % 3)
+    for cur in range(5):
+        expected = 4.5 + cur + ((fix_day * 7919 + cur * 131) % 1000) / 1000.0
+        got = duckdb.execute(
+            """
+            WITH rates AS (
+                SELECT CAST(d AS DATE) AS rate_date,
+                       4.5 + ? + ((date_diff('day', DATE '1970-01-01',
+                                             CAST(d AS DATE)) * 7919
+                                   + ? * 131) % 1000) / 1000.0 AS rate
+                FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+                                                    DATE '2001-12-31',
+                                                    INTERVAL 3 DAY)) AS d)
+            )
+            SELECT rate FROM rates
+            WHERE rate_date <= DATE '1970-01-01' + INTERVAL (?) DAY
+            ORDER BY rate_date DESC LIMIT 1
+            """,
+            [cur, cur, day_num],
+        ).fetchone()[0]
+        assert got == expected, (day_num, cur, got, expected)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_repetition_stats_invariants(words):
+    """l_repetition_stats ratio identities on arbitrary token streams:
+    distinct_ratio and top fractions live in (0, 1], a constant stream
+    maximizes both, and top_word_frac >= 1/n_distinct always."""
+    from collections import Counter
+
+    n = len(words)
+    wc = Counter(words)
+    bigrams = Counter(zip(words, words[1:]))
+    distinct_ratio = len(wc) / n
+    top_word_frac = max(wc.values()) / n
+    top_bigram_frac = max(bigrams.values()) / (n - 1)
+    assert 0 < distinct_ratio <= 1
+    assert 0 < top_word_frac <= 1
+    assert 0 < top_bigram_frac <= 1
+    assert top_word_frac >= 1 / len(wc) - 1e-12
+    if len(wc) == 1:
+        assert top_word_frac == 1.0 and top_bigram_frac == 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=5,
+        max_size=200,
+    )
+)
+def test_winsorized_mean_bounds(xs):
+    """a21's winsorized mean is always within [p05, p95] (linear-
+    interpolated, DuckDB quantile_cont ≡ Spark percentile), and
+    clamping never increases |mean - median|-style spread beyond the
+    raw extremes."""
+    lo, hi = duckdb.execute(
+        "SELECT quantile_cont(x, 0.05), quantile_cont(x, 0.95) "
+        "FROM (SELECT unnest(?) AS x)",
+        [xs],
+    ).fetchone()
+    clamped = [min(max(x, lo), hi) for x in xs]
+    wmean = sum(clamped) / len(clamped)
+    assert lo - 1e-9 <= wmean <= hi + 1e-9
+    assert min(xs) <= wmean <= max(xs)
