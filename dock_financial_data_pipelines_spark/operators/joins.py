@@ -559,13 +559,14 @@ def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     ),
     priced AS (
-        SELECT o.yr, o.cur, o.o_totalprice * r.rate AS converted
+        SELECT o.yr, o.cur,
+               floor(o.o_totalprice * r.rate * 100 + 0.5) / 100 AS converted
         FROM fx_orders o
         ASOF JOIN rates r ON o.cur = r.cur AND o.ev_date >= r.rate_date
     )
     SELECT yr, cur,
            count(*) AS n_orders,
-           round(sum(CAST(converted AS DECIMAL(27,4))), 2)::DOUBLE AS revenue_converted
+           round(sum(CAST(converted AS DECIMAL(27,2))), 2)::DOUBLE AS revenue_converted
     FROM priced GROUP BY 1, 2
     """,
 )
@@ -629,10 +630,17 @@ def j12_currency_asof_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("is_rate") == 0)
         .select(
             "yr", "cur",
-            (F.col("o_totalprice") * F.col("carried")).alias("converted"),
+            # money-round each converted amount BEFORE accumulation with
+            # the cross-engine-exact floor(x*100+0.5)/100 primitive: a
+            # raw double->DECIMAL(…,4) cast can land on a rounding
+            # boundary where Spark and DuckDB disagree by 1e-4.
+            (
+                F.floor(F.col("o_totalprice") * F.col("carried") * 100 + 0.5)
+                / 100
+            ).alias("converted"),
         )
     )
     return priced.groupBy("yr", "cur").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dec_sum("converted").alias("revenue_converted"),
+        dec_sum("converted", scale=2).alias("revenue_converted"),
     )
