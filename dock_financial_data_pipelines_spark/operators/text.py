@@ -644,8 +644,16 @@ def l_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both frequency shuffles key on xxhash64 of the token/bigram, not
+    # the raw string (the contamination-audit trick): counts, distinct
+    # counts and maxima are hash-invariant modulo a ~n²/2^65 collision,
+    # and the raw-string oracle would fail the hash compare if one ever
+    # merged two terms at fixture scale.
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    words = docs.select(
+        "doc_id",
+        F.explode(F.expr("transform(split(text,' '), x -> xxhash64(x))")).alias("w"),
+    )
     word_stats = (
         words.groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -658,7 +666,7 @@ def l_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bigram_expr = F.expr(
         "transform(sequence(1, greatest(size(split(text,' ')) - 1, 0)),"
-        " i -> concat(split(text,' ')[i-1], ' ', split(text,' ')[i]))"
+        " i -> xxhash64(concat(split(text,' ')[i-1], ' ', split(text,' ')[i])))"
     )
     bigram_stats = (
         docs.select("doc_id", F.explode(bigram_expr).alias("bg"))
