@@ -333,3 +333,55 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "week_offset",
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix — P(next event type | current event type) per
+# user journey: the Markov view of the event stream that powers
+# next-action prediction and anomaly screens. One shuffle on user_id
+# for the lead() ordering, then a tiny (|types|²) aggregate; the
+# probability normalization is a window over that matrix, never the
+# fact.
+# ---------------------------------------------------------------------------
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT cur_type, next_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT cur_type, next_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY cur_type), 6) AS prob
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("cur_type")
+    return pairs.select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("prob"),
+    )
