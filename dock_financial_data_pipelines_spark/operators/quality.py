@@ -385,3 +385,41 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Balance as-of snapshot — reconstruct every account's balance AS OF a
+# cutoff from the event log (the point-in-time view behind the
+# reference's daily balance report, REPORT:47-54, generalized to any
+# historical date): last event and cumulative value per user over
+# events at or before the cutoff, plus days-stale at the cutoff. One
+# date-pruned scan (at 100 TB the cutoff prunes ingest-date
+# partitions), one shuffle on user_id.
+# ---------------------------------------------------------------------------
+@query(
+    "q_balance_asof_snapshot",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS balance,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_event_epoch,
+           date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-15')
+               AS days_stale
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-15'
+    GROUP BY 1
+    """,
+)
+def q_balance_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "2024-01-15"
+    ev = load(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit(cutoff).cast("timestamp")
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", scale=6).alias("balance"),
+        F.unix_timestamp(F.max("ts")).cast("bigint").alias("last_event_epoch"),
+        F.datediff(F.lit(cutoff).cast("date"), F.max("ts").cast("date")).alias(
+            "days_stale"
+        ),
+    )
