@@ -131,14 +131,51 @@ _SWEEP_LAST = [
 ]
 
 
-def _reorder_registry() -> None:
-    known = set(_SWEEP_FIRST) | set(_SWEEP_LAST)
-    middle = [n for n in QUERIES if n not in known]
-    order = (
-        [n for n in _SWEEP_FIRST if n in QUERIES]
-        + middle
-        + [n for n in _SWEEP_LAST if n in QUERIES]
-    )
+def _load_driver_verified() -> set:
+    """Names with ANY driver verdict, read from every CORRECTNESS_r*.json
+    at the repo root. Self-updating: when a round's results land, the
+    next import automatically demotes the newly-verified names — the
+    failure mode that cost round 2 its verification budget (a manual
+    list that new registrations silently displaced) cannot recur."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified: set = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                verified |= set(json.load(fh))
+        except Exception:
+            pass  # malformed/partial file: treat as no verdicts
+    return verified
+
+
+def _reorder_registry(verified: set | None = None) -> None:
+    """Order the registry for the driver's 50-slot budget:
+
+    1. never driver-checked, has a SQL oracle  (hash-verifiable)
+    2. never driver-checked, rows-only         (spark_rows evidence)
+    3. already has a driver verdict            (re-run only after 1-2)
+
+    Within each class the curated `_SWEEP_FIRST`/`_SWEEP_LAST` order is
+    the priority tiebreaker; names in neither list (new registrations)
+    follow the curated ones in import order — new work can never
+    displace the verification backlog."""
+    if verified is None:
+        verified = _load_driver_verified()
+    curated = {n: i for i, n in enumerate(_SWEEP_FIRST + _SWEEP_LAST)}
+    imported = {n: i for i, n in enumerate(QUERIES)}
+
+    def key(n: str):
+        if n not in verified:
+            cls = 0 if n in ORACLES else 1
+        else:
+            cls = 2
+        return (cls, curated.get(n, len(curated)), imported[n])
+
+    order = sorted(QUERIES, key=key)
     reordered = {n: QUERIES[n] for n in order}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -84,3 +84,46 @@ def test_balance_report_job_runs(spark, sf_dir, tmp_path):
         .toPandas()
     )
     assert {"custkey", "mktsegment", "acctbal"} <= set(pdf.columns)
+
+
+def test_sweep_rotation_self_updates():
+    """The registry order must adapt to driver verdicts automatically:
+    never-checked SQL-oracled queries first, rows-only next, verified
+    last — and when a simulated new CORRECTNESS round lands, its names
+    demote without any manual list edit."""
+    import json
+
+    import dock_financial_data_pipelines_spark as engine
+
+    engine.load_all()
+    verified = set()
+    for r in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        with open(os.path.join(os.path.dirname(__file__), "..", r)) as fh:
+            verified |= set(json.load(fh))
+
+    def classes(names, ver):
+        out = []
+        for n in names:
+            if n not in ver:
+                out.append(0 if n in engine.ORACLES else 1)
+            else:
+                out.append(2)
+        return out
+
+    try:
+        order = list(engine.QUERIES)
+        cls = classes(order, verified)
+        assert cls == sorted(cls), "classes must be contiguous 0,1,2 blocks"
+        assert cls[:50] == [0] * 50, "budget slots must be oracled backlog"
+
+        # Simulate the next round's verdicts landing: the first 50 names
+        # must demote and the remaining backlog must surface.
+        fake = verified | set(order[:50])
+        engine._reorder_registry(fake)
+        order2 = list(engine.QUERIES)
+        cls2 = classes(order2, fake)
+        assert cls2 == sorted(cls2)
+        n_backlog = sum(1 for c in cls2 if c < 2)
+        assert not set(order2[:n_backlog]) & fake, "verified names must demote"
+    finally:
+        engine._reorder_registry()  # restore the real order for other tests
