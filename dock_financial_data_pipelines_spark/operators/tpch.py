@@ -154,14 +154,20 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q22_scalar_subquery",
     # Correlated + scalar subqueries on the SQL surface: customers above
-    # the global average balance with no orders (TPC-H Q22 shape).
+    # the global average balance with no RECENT orders (TPC-H Q22
+    # shape; the recency bound keeps the answer non-degenerate at every
+    # fixture SF — with no bound, every customer has some order and
+    # both engines would vacuously return zero rows).
     oracle="""
     SELECT substr(c_name, 10, 2) AS cntry,
            count(*) AS n_custs,
            CAST(round(sum(CAST(c_acctbal AS DECIMAL(27,2))), 2) AS DOUBLE) AS total_bal
     FROM customer c
     WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+          )
     GROUP BY 1
     """,
 )
@@ -176,7 +182,10 @@ def tpch_q22_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(sum(CAST(c_acctbal AS DECIMAL(27,2))), 2) AS DOUBLE) AS total_bal
         FROM customer c
         WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+          )
         GROUP BY 1
         """
     )
