@@ -443,6 +443,10 @@ def l4_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L4d — embedding-cosine near-dup: probe slice × corpus with an exact
 # cosine (same arithmetic on both sides → SQL oracle). The full-corpus
 # version at scale goes through the LSH/IVF path in similarity.py.
+# Threshold 0.4: the fixture vectors are near-orthogonal (p99 of the
+# pair-cosine distribution is ~0.29, max ~0.5), so the conventional 0.9
+# returned zero rows at every SF and the oracle compare was vacuous;
+# 0.4 selects the genuinely most-similar tail (tens of pairs per SF).
 # ---------------------------------------------------------------------------
 @query(
     "l4_embedding_neardup",
@@ -456,7 +460,7 @@ def l4_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.vec_id < 100
       AND list_inner_product(a.e, b.e)
           / (sqrt(list_inner_product(a.e, a.e))
-             * sqrt(list_inner_product(b.e, b.e))) >= 0.9
+             * sqrt(list_inner_product(b.e, b.e))) >= 0.4
     """,
 )
 def l4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,7 +488,7 @@ def l4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probe)
         .join(cand, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_raw", dot / (norm_a * norm_b))
-        .where(F.col("cos_raw") >= 0.9)
+        .where(F.col("cos_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )
 
