@@ -282,7 +282,40 @@ def x5_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X7 — custom stateful per-key processing: running balance via
 # applyInPandasWithState (final state per user after draining the stream).
 # ---------------------------------------------------------------------------
-@query("x7_stateful_running_balance")
+@query(
+    "x7_stateful_running_balance",
+    # The custom stateful operator IS oracle-able: state accumulates
+    # integer CENTS (money-rounded per event with the cross-engine
+    # floor(x*100+0.5) primitive), so accumulation order cannot perturb
+    # the result, and the update-mode sink emits exactly one row per
+    # (user, micro-batch-with-activity). The micro-batches are the
+    # deterministic ntile(4) time-split of the events table, so the
+    # oracle reproduces the full update log: per-user cumulative counts
+    # and cent totals at each chunk boundary where the user was active.
+    oracle="""
+    WITH chunked AS (
+        SELECT user_id, value,
+               ntile(4) OVER (ORDER BY ts, event_id) AS chunk
+        FROM events
+    ),
+    per AS (
+        SELECT user_id, chunk,
+               count(*) AS n,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM chunked GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(n) OVER (
+               PARTITION BY user_id ORDER BY chunk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_events,
+           CAST(sum(cents) OVER (
+               PARTITION BY user_id ORDER BY chunk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS balance
+    FROM per
+    """,
+)
 def x7_stateful_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -296,20 +329,28 @@ def x7_stateful_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_schema = StructType(
         [
             StructField("n", LongType()),
-            StructField("total", DoubleType()),
+            StructField("cents", LongType()),
         ]
     )
 
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, total = state.get if state.exists else (0, 0.0)
+        import math
+
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            # integer-cent accumulation: order-independent, and the
+            # same floor(x*100+0.5) per-event rounding the SQL side
+            # applies — float-sum state would diverge by accumulation
+            # order and could never be hash-checked.
+            cents += int(
+                sum(math.floor(v * 100 + 0.5) for v in pdf["value"].tolist())
+            )
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "balance": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "balance": [cents / 100.0]}
         )
 
     result = (
