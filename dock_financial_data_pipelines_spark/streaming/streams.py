@@ -459,7 +459,36 @@ def _has_protobuf() -> bool:
         return False
 
 
-@query("x10_transform_with_state")
+@query(
+    "x10_transform_with_state",
+    # Same hard check as x7: integer-cent state makes both the TWS and
+    # the fallback branch emit the identical, order-independent update
+    # log, reproducible in SQL at each deterministic ntile(4)
+    # micro-batch boundary.
+    oracle="""
+    WITH chunked AS (
+        SELECT user_id, value,
+               ntile(4) OVER (ORDER BY ts, event_id) AS chunk
+        FROM events
+    ),
+    per AS (
+        SELECT user_id, chunk,
+               count(*) AS n,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM chunked GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(n) OVER (
+               PARTITION BY user_id ORDER BY chunk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_events,
+           CAST(sum(cents) OVER (
+               PARTITION BY user_id ORDER BY chunk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS balance
+    FROM per
+    """,
+)
 def x10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _has_protobuf():  # pragma: no cover - env-dependent branch
         return _x10_tws_fallback(spark, sf_dir)
@@ -480,17 +509,21 @@ def _x10_tws_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     state_schema = StructType(
-        [StructField("n", LongType()), StructField("total", DoubleType())]
+        [StructField("n", LongType()), StructField("cents", LongType())]
     )
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        import math
+
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int(
+                sum(math.floor(v * 100 + 0.5) for v in pdf["value"].tolist())
+            )
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "balance": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "balance": [cents / 100.0]}
         )
 
     result = (
@@ -517,18 +550,22 @@ def _x10_tws_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     class RunningBalance(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             state_schema = StructType(
-                [StructField("n", LongType()), StructField("total", DoubleType())]
+                [StructField("n", LongType()), StructField("cents", LongType())]
             )
             self.state = handle.getValueState("acct", state_schema)
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total = self.state.get() if self.state.exists() else (0, 0.0)
+            import math
+
+            n, cents = self.state.get() if self.state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self.state.update((n, total))
+                cents += int(
+                    sum(math.floor(v * 100 + 0.5) for v in pdf["value"].tolist())
+                )
+            self.state.update((n, cents))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "balance": [round(total, 2)]}
+                {"user_id": [key[0]], "n_events": [n], "balance": [cents / 100.0]}
             )
 
         def close(self) -> None:
