@@ -131,48 +131,71 @@ _SWEEP_LAST = [
 ]
 
 
-def _load_driver_verified() -> set:
-    """Names with ANY driver verdict, read from every CORRECTNESS_r*.json
-    at the repo root. Self-updating: when a round's results land, the
-    next import automatically demotes the newly-verified names — the
-    failure mode that cost round 2 its verification budget (a manual
-    list that new registrations silently displaced) cannot recur."""
+def _load_driver_verdicts() -> tuple[set, set]:
+    """(any_verdict, hash_verdict) name sets, read from every
+    CORRECTNESS_r*.json at the repo root. Self-updating: when a round's
+    results land, the next import automatically demotes the
+    newly-verified names — the failure mode that cost round 2 its
+    verification budget (a manual list that new registrations silently
+    displaced) cannot recur. ``hash_verdict`` holds names with at least
+    one full rows+schema+hash green row; a name whose only rows are
+    ``err: no_oracle`` (rows-only evidence) is in ``any_verdict`` only,
+    so it can be re-queued for a hash check once it gains an oracle."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     verified: set = set()
+    hash_verified: set = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
-                verified |= set(json.load(fh))
+                rows = json.load(fh)
+            verified |= set(rows)
+            hash_verified |= {
+                n
+                for n, row in rows.items()
+                if isinstance(row, dict) and row.get("hash_match")
+            }
         except Exception:
             pass  # malformed/partial file: treat as no verdicts
-    return verified
+    return verified, hash_verified
 
 
-def _reorder_registry(verified: set | None = None) -> None:
+def _load_driver_verified() -> set:
+    """Names with ANY driver verdict (rows-only counts). See
+    :func:`_load_driver_verdicts` for the hash/rows-only split."""
+    return _load_driver_verdicts()[0]
+
+
+def _reorder_registry(verified: set | None = None, hash_verified: set | None = None) -> None:
     """Order the registry for the driver's 50-slot budget:
 
-    1. never driver-checked, has a SQL oracle  (hash-verifiable)
-    2. never driver-checked, rows-only         (spark_rows evidence)
-    3. already has a driver verdict            (re-run only after 1-2)
+    1. never driver-checked, has a SQL oracle    (hash-verifiable)
+    2. never driver-checked, rows-only           (spark_rows evidence)
+    3. checked but never hash-green, oracle NOW  (upgrade re-runs — e.g.
+       a query whose only verdict predates its oracle)
+    4. already hash-green or rows-only-by-design (re-run only after 1-3)
 
     Within each class the curated `_SWEEP_FIRST`/`_SWEEP_LAST` order is
     the priority tiebreaker; names in neither list (new registrations)
     follow the curated ones in import order — new work can never
     displace the verification backlog."""
     if verified is None:
-        verified = _load_driver_verified()
+        verified, hash_verified = _load_driver_verdicts()
+    if hash_verified is None:
+        hash_verified = set()
     curated = {n: i for i, n in enumerate(_SWEEP_FIRST + _SWEEP_LAST)}
     imported = {n: i for i, n in enumerate(QUERIES)}
 
     def key(n: str):
         if n not in verified:
             cls = 0 if n in ORACLES else 1
+        elif n not in hash_verified and n in ORACLES:
+            cls = 2  # rows-only verdict but an oracle exists: upgrade it
         else:
-            cls = 2
+            cls = 3
         return (cls, curated.get(n, len(curated)), imported[n])
 
     order = sorted(QUERIES, key=key)

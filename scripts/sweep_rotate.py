@@ -31,24 +31,24 @@ def main() -> int:
     engine.load_all()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    verified: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         with open(path) as fh:
             rows = json.load(fh)
-        for name, row in rows.items():
-            # Any driver row counts as "has a verdict"; hash-green rows
-            # and rows-only (no_oracle) rows alike move to the back.
-            verified.add(name)
         print(f"# read {os.path.basename(path)}: {len(rows)} entries")
+    verified, hash_verified = engine._load_driver_verdicts()
 
     allq = list(engine.QUERIES)
     never = [n for n in allq if n not in verified]
     sql_never = [n for n in never if n in engine.ORACLES]
     rows_never = [n for n in never if n not in engine.ORACLES]
+    upgrades = [n for n in allq
+                if n in verified and n not in hash_verified
+                and n in engine.ORACLES]
 
     print(f"# registry={len(allq)} verified={len(verified & set(allq))} "
           f"never-checked={len(never)} (sql={len(sql_never)}, "
-          f"rows-only={len(rows_never)})")
+          f"rows-only={len(rows_never)}) upgrade-reruns={len(upgrades)} "
+          f"{upgrades}")
     if len(sql_never) > BUDGET:
         print(f"# NOTE: {len(sql_never) - BUDGET} SQL-oracled queries spill "
               f"past the {BUDGET}-slot budget; they head the next rotation.")

@@ -88,42 +88,55 @@ def test_balance_report_job_runs(spark, sf_dir, tmp_path):
 
 def test_sweep_rotation_self_updates():
     """The registry order must adapt to driver verdicts automatically:
-    never-checked SQL-oracled queries first, rows-only next, verified
+    never-checked SQL-oracled queries first, rows-only next, upgrade
+    re-runs (rows-only verdict but an oracle now exists) next, verified
     last — and when a simulated new CORRECTNESS round lands, its names
-    demote without any manual list edit."""
-    import json
-
+    demote without any manual list edit. Round-3 regression: this test
+    hardcoded r01+r02 while the runtime globs CORRECTNESS_r*.json, so
+    it broke the moment r03 landed; it now uses the runtime's loader."""
     import dock_financial_data_pipelines_spark as engine
 
     engine.load_all()
-    verified = set()
-    for r in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        with open(os.path.join(os.path.dirname(__file__), "..", r)) as fh:
-            verified |= set(json.load(fh))
+    verified, hash_verified = engine._load_driver_verdicts()
 
-    def classes(names, ver):
+    def classes(names, ver, hv):
         out = []
         for n in names:
             if n not in ver:
                 out.append(0 if n in engine.ORACLES else 1)
-            else:
+            elif n not in hv and n in engine.ORACLES:
                 out.append(2)
+            else:
+                out.append(3)
         return out
 
     try:
         order = list(engine.QUERIES)
-        cls = classes(order, verified)
-        assert cls == sorted(cls), "classes must be contiguous 0,1,2 blocks"
-        assert cls[:50] == [0] * 50, "budget slots must be oracled backlog"
+        cls = classes(order, verified, hash_verified)
+        assert cls == sorted(cls), "classes must be contiguous 0..3 blocks"
+        n0 = cls.count(0)
+        head = min(n0, 50)
+        assert cls[:head] == [0] * head, "budget head must be oracled backlog"
 
-        # Simulate the next round's verdicts landing: the first 50 names
-        # must demote and the remaining backlog must surface.
+        # Upgrade slot: any query whose only driver rows are rows-only
+        # but which now carries an oracle must outrank hash-green
+        # re-runs (a3_approx_count_distinct after round 3).
+        upgrades = [n for n in order if classes([n], verified, hash_verified) == [2]]
+        if "a3_approx_count_distinct" not in verified:
+            pass  # not yet driver-checked at all; class 0/1 covers it
+        elif "a3_approx_count_distinct" not in hash_verified:
+            assert "a3_approx_count_distinct" in upgrades
+
+        # Simulate the next round's verdicts landing (as full hash
+        # verdicts): the head names must demote and any remaining
+        # backlog must surface.
         fake = verified | set(order[:50])
-        engine._reorder_registry(fake)
+        fake_hash = hash_verified | set(order[:50])
+        engine._reorder_registry(fake, fake_hash)
         order2 = list(engine.QUERIES)
-        cls2 = classes(order2, fake)
+        cls2 = classes(order2, fake, fake_hash)
         assert cls2 == sorted(cls2)
-        n_backlog = sum(1 for c in cls2 if c < 2)
-        assert not set(order2[:n_backlog]) & fake, "verified names must demote"
+        n_backlog = sum(1 for c in cls2 if c < 3)
+        assert not set(order2[:n_backlog]) & fake_hash, "verified names must demote"
     finally:
         engine._reorder_registry()  # restore the real order for other tests
