@@ -130,23 +130,28 @@ def run_with_metrics(
     The action is ``collect()`` on *this* DataFrame: ``count()`` or a
     noop write would run a different QueryExecution, leaving the metrics
     of ``df.queryExecution()`` untouched (all zeros). Because of that,
-    the recorder is for *bounded* results (aggregates, reports, samples):
-    a result wider than ``max_rows`` raises so an unbounded collect can
-    never silently ship inside a job — pre-aggregate or ``limit`` the
+    the recorder is for *bounded* results (aggregates, reports, samples).
+    Before collecting, a ``limit(max_rows + 1).count()`` probe (a
+    CollectLimit plan — it stops producing past the cap, so the probe
+    itself is bounded) rejects oversized results, so an unbounded result
+    is never materialized on the driver — pre-aggregate or ``limit`` the
     measured query instead (raise the cap explicitly if a larger bounded
-    result is intended)."""
+    result is intended). The probe runs the plan an extra time; for a
+    recorder that's the right trade — metrics runs are measurements, not
+    the production path."""
+    probe = df.limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"run_with_metrics({name!r}): result exceeds max_rows="
+            f"{max_rows} (probe saw {probe} rows before collecting). The "
+            "recorder collects the measured plan to the driver; aggregate "
+            "or limit the query, or pass an explicit larger max_rows."
+        )
     t0 = time.monotonic()
     rows = df.collect()
     n_rows = len(rows)
     del rows
     wall_ms = (time.monotonic() - t0) * 1000.0
-    if n_rows > max_rows:
-        raise ValueError(
-            f"run_with_metrics({name!r}): result has {n_rows} rows "
-            f"(> max_rows={max_rows}). The recorder collects the measured "
-            "plan to the driver; aggregate or limit the query, or pass an "
-            "explicit larger max_rows."
-        )
     acc = {v: 0 for v in _METRIC_KEYS.values()}
     ok = False
     try:

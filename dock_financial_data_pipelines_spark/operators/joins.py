@@ -627,7 +627,13 @@ def j12_currency_asof_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     priced = (
         unioned.withColumn("carried", F.last("rate", ignorenulls=True).over(w))
-        .where(F.col("is_rate") == 0)
+        # Inner-ASOF semantics: a fact dated before its currency's first
+        # rate fix has no carried rate and must DROP, exactly as the
+        # oracle's inner ASOF JOIN drops it. Without this filter such
+        # orders would be kept with a NULL rate (counted in n_orders,
+        # skipped by dec_sum) — latent-only today because the fixture
+        # rates series starts on the earliest possible order date.
+        .where((F.col("is_rate") == 0) & F.col("carried").isNotNull())
         .select(
             "yr", "cur",
             # money-round each converted amount BEFORE accumulation with

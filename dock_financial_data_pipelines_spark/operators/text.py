@@ -644,54 +644,65 @@ def l_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Both frequency shuffles key on xxhash64 of the token/bigram, not
-    # the raw string (the contamination-audit trick): counts, distinct
-    # counts and maxima are hash-invariant modulo a ~n²/2^65 collision,
-    # and the raw-string oracle would fail the hash compare if one ever
-    # merged two terms at fixture scale.
+    # Single corpus scan: words and bigrams explode together as tagged
+    # (kind, key) structs, so the whole query is one scan + two shuffles
+    # (terms, then doc_id) and no join — the previous shape scanned the
+    # corpus twice and rejoined. Frequency shuffles key on xxhash64 of
+    # the token/bigram, not the raw string (the contamination-audit
+    # trick): counts, distinct counts and maxima are hash-invariant
+    # modulo a ~n²/2^65 collision, and the raw-string oracle would fail
+    # the hash compare if one ever merged two terms at fixture scale.
+    # A 1-word doc must yield ZERO bigrams: sequence(1, size-1) would be
+    # sequence(1, 0) = [1, 0] (Spark sequences run descending), so the
+    # bigram arm is guarded with an explicit size >= 2 test — matching
+    # DuckDB's empty range(1, 1) and the oracle's inner join dropping
+    # bigram-less docs.
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select(
+    terms = docs.select(
         "doc_id",
-        F.explode(F.expr("transform(split(text,' '), x -> xxhash64(x))")).alias("w"),
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(split(text,' '),"
+                "   x -> named_struct('kind', 0, 'k', xxhash64(x))),"
+                " CASE WHEN size(split(text,' ')) < 2"
+                "      THEN array()"
+                "      ELSE transform(sequence(1, size(split(text,' ')) - 1),"
+                "        i -> named_struct('kind', 1, 'k',"
+                "          xxhash64(concat(split(text,' ')[i-1], ' ',"
+                "                          split(text,' ')[i])))) END)"
+            )
+        ).alias("t"),
     )
-    word_stats = (
-        words.groupBy("doc_id", "w")
+    stats = (
+        terms.groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").alias("n_words"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("cnt").alias("top_word_cnt"),
+            F.sum(F.when(F.col("t.kind") == 0, F.col("cnt"))).alias("n_words"),
+            F.count(F.when(F.col("t.kind") == 0, F.lit(1))).alias("n_distinct"),
+            F.max(F.when(F.col("t.kind") == 0, F.col("cnt"))).alias("top_word_cnt"),
+            F.sum(F.when(F.col("t.kind") == 1, F.col("cnt"))).alias("n_bigrams"),
+            F.max(F.when(F.col("t.kind") == 1, F.col("cnt"))).alias("top_bigram_cnt"),
         )
-    )
-    bigram_expr = F.expr(
-        "transform(sequence(1, greatest(size(split(text,' ')) - 1, 0)),"
-        " i -> xxhash64(concat(split(text,' ')[i-1], ' ', split(text,' ')[i])))"
-    )
-    bigram_stats = (
-        docs.select("doc_id", F.explode(bigram_expr).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram_cnt"))
+        # Inner-join semantics of the two-branch oracle: a doc with no
+        # bigrams (single word) has no bigram_stats row and is dropped.
+        .where(F.col("n_bigrams").isNotNull())
     )
     distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_words")
     top_word_frac = F.col("top_word_cnt").cast("double") / F.col("n_words")
     top_bigram_frac = F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams")
-    return (
-        word_stats.join(bigram_stats, "doc_id")
-        .select(
-            "doc_id",
-            "n_words",
-            F.round(distinct_ratio, 6).alias("distinct_ratio"),
-            F.round(top_word_frac, 6).alias("top_word_frac"),
-            F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
-            (
-                (distinct_ratio >= 0.3)
-                & (top_word_frac <= 0.2)
-                & (top_bigram_frac <= 0.1)
-            ).alias("keep"),
-        )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        (
+            (distinct_ratio >= 0.3)
+            & (top_word_frac <= 0.2)
+            & (top_bigram_frac <= 0.1)
+        ).alias("keep"),
     )
 
 

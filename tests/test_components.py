@@ -36,3 +36,50 @@ def test_maybe_broadcast_respects_disable_conf(spark, sf_dir):
         assert "ResolvedHint" not in maybe_broadcast(nation)._jdf.queryExecution().analyzed().toString()
     finally:
         spark.conf.set("spark.dock.disableBroadcastHints", "false")
+
+
+def test_repetition_stats_one_word_doc_yields_no_bigram_row(spark, tmp_path):
+    """ADVICE r3: sequence(1, size-1) on a 1-word doc is Spark's
+    DESCENDING [1, 0], which fabricated two junk bigrams while the
+    DuckDB oracle's range(1, 1) is empty. The engine must now drop
+    bigram-less docs exactly like the oracle's inner join."""
+    from dock_financial_data_pipelines_spark.operators.text import (
+        l_repetition_stats,
+    )
+
+    spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "a a a b")],
+        ["doc_id", "text"],
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in l_repetition_stats(spark, str(tmp_path)).collect()}
+    assert set(rows) == {2, 3}, "1-word doc must drop (no bigrams)"
+    assert rows[2].n_words == 2 and rows[2].top_bigram_frac == 1.0
+    # doc 3: words a,a,a,b -> bigrams (a a),(a a),(a b): top 2/3.
+    assert rows[3].n_words == 4
+    assert abs(rows[3].top_bigram_frac - 2 / 3) < 1e-6
+
+
+def test_currency_asof_drops_facts_before_first_rate(spark, tmp_path):
+    """ADVICE r3: an order dated before its currency's first rate fix
+    (1995-01-01) must DROP, matching the oracle's inner ASOF JOIN —
+    the carry window would otherwise keep it with a NULL rate."""
+    import datetime
+
+    from dock_financial_data_pipelines_spark.operators.joins import (
+        j12_currency_asof_convert,
+    )
+
+    orders = [
+        # pre-first-fix order: must not appear in any group's n_orders
+        (1, 10, "O", 100.0, datetime.datetime(1994, 6, 1), "1-URGENT"),
+        (2, 10, "O", 200.0, datetime.datetime(1995, 6, 1), "1-URGENT"),
+        (3, 11, "O", 300.0, datetime.datetime(1996, 1, 2), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    res = j12_currency_asof_convert(spark, str(tmp_path)).collect()
+    assert sum(r.n_orders for r in res) == 2
+    assert {(r.yr, r.cur) for r in res} == {(1995, 0), (1996, 1)}

@@ -37,6 +37,12 @@ def test_unbounded_collect_is_guarded(spark, sf_dir):
 
     store = MetricsStore()
     wide = load(spark, sf_dir, "lineitem")  # 60k rows at sf0.001
+    # Prove the oversized result is never materialized on the driver:
+    # the guard must fire off the limit(max_rows+1) probe, BEFORE any
+    # collect() on the measured DataFrame.
+    wide.collect = lambda *a, **k: pytest.fail(
+        "run_with_metrics collected an oversized result"
+    )
     with pytest.raises(ValueError, match="max_rows"):
         run_with_metrics("unbounded_scan", wide, store, max_rows=1000)
     assert store.runs == []  # a rejected run is not recorded
