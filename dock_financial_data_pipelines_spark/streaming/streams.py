@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -464,8 +465,14 @@ def _has_protobuf() -> bool:
     # Same hard check as x7: integer-cent state makes both the TWS and
     # the fallback branch emit the identical, order-independent update
     # log, reproducible in SQL at each deterministic ntile(4)
-    # micro-batch boundary.
-    oracle="""
+    # micro-batch boundary. The impl_path column makes the executed
+    # branch auditable in the driver record: each branch literal-tags
+    # its own rows ('native' in _x10_tws_native, 'fallback' in
+    # _x10_tws_fallback), while the oracle's expected tag is baked at
+    # registration time from the same protobuf probe that picks the
+    # branch — so a green hash row proves the probed env and the
+    # executed code path agree (round-3 verdict ask #6).
+    oracle=f"""
     WITH chunked AS (
         SELECT user_id, value,
                ntile(4) OVER (ORDER BY ts, event_id) AS chunk
@@ -485,7 +492,8 @@ def _has_protobuf() -> bool:
            CAST(sum(cents) OVER (
                PARTITION BY user_id ORDER BY chunk
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) / 100.0 AS balance
+           ) AS DOUBLE) / 100.0 AS balance,
+           '{"native" if _has_protobuf() else "fallback"}' AS impl_path
     FROM per
     """,
 )
@@ -506,6 +514,7 @@ def _x10_tws_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("user_id", LongType()),
             StructField("n_events", LongType()),
             StructField("balance", DoubleType()),
+            StructField("impl_path", StringType()),
         ]
     )
     state_schema = StructType(
@@ -522,8 +531,14 @@ def _x10_tws_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sum(math.floor(v * 100 + 0.5) for v in pdf["value"].tolist())
             )
         state.update((n, cents))
+        # Branch-local literal, NOT the probe: proves this code ran.
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "balance": [cents / 100.0]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "balance": [cents / 100.0],
+                "impl_path": ["fallback"],
+            }
         )
 
     result = (
@@ -544,6 +559,7 @@ def _x10_tws_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("user_id", LongType()),
             StructField("n_events", LongType()),
             StructField("balance", DoubleType()),
+            StructField("impl_path", StringType()),
         ]
     )
 
@@ -564,8 +580,14 @@ def _x10_tws_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sum(math.floor(v * 100 + 0.5) for v in pdf["value"].tolist())
                 )
             self.state.update((n, cents))
+            # Branch-local literal, NOT the probe: proves this code ran.
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "balance": [cents / 100.0]}
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "balance": [cents / 100.0],
+                    "impl_path": ["native"],
+                }
             )
 
         def close(self) -> None:
