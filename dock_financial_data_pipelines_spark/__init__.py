@@ -218,6 +218,7 @@ def load_all() -> None:
     import dock_financial_data_pipelines_spark.operators.similarity  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.text  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.tpch  # noqa: F401
+    import dock_financial_data_pipelines_spark.operators.training  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.udfs  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.windows  # noqa: F401
     import dock_financial_data_pipelines_spark.plans.pipeline  # noqa: F401

@@ -1,0 +1,562 @@
+"""Training-data preparation operators (round-4 additions to the
+driver's LLM-data mandate): sequence packing, quality-rule filters
+(Gopher-style), RAG chunking, chunk-level exact dedup, unigram
+language-model scoring, token-budget mixture sampling — plus two
+finance-domain audits (Benford first-digit, ledger reconciliation)
+matching the reference's balance-report/statement domain
+(REPORT: script-dag-dock-report, STMTS: script-dag-dock-statements —
+the reference moves statement files; these operators are the analytics
+a consumer of those files runs).
+
+Scale notes (100 TB): every operator here is one or two corpus scans
+with equi-key shuffles only — no all-pairs joins, no driver-side loops,
+no Python UDFs. Frequency shuffles key on xxhash64 of content, never
+raw text (counts are hash-invariant; the raw-string DuckDB oracles
+would surface any collision at fixture scale). Sequence packing and
+mixture sampling are the two operators that would otherwise tempt a
+single global ordering; both are sharded (pack: per doc_id%N shard
+windows; mixture: per-language rates joined back broadcast-style) so no
+stage ever needs a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load, maybe_broadcast
+from dock_financial_data_pipelines_spark.registry import query
+
+_PACK_CAPACITY = 512  # tokens per packed training sequence
+_PACK_SHARDS = 8  # independent packing streams (doc_id % N)
+
+
+# ---------------------------------------------------------------------------
+# l_pack_sequences — standard LLM pretraining packing: concatenate the
+# corpus in deterministic (shard, doc_id) order and cut fixed
+# _PACK_CAPACITY-token sequences; documents may span a cut. Per-shard
+# prefix sums assign each doc its [first_seq, last_seq] span; exploding
+# the span and summing integer overlaps yields exact per-sequence
+# occupancy with no text ever shuffled. At 100 TB each shard's window
+# is independent — shards scale out; within a shard the running sum is
+# the only order-dependent step (Spark executes it as a single-pass
+# window per shard partition).
+# ---------------------------------------------------------------------------
+@query(
+    "l_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, doc_id, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum
+        FROM d
+    ),
+    spans AS (
+        SELECT shard, cum, cum - n_tok AS prev,
+               unnest(range((cum - n_tok) // {_PACK_CAPACITY},
+                            (cum - 1) // {_PACK_CAPACITY} + 1)) AS seq_id
+        FROM c
+    )
+    SELECT shard, seq_id,
+           count(*) AS n_docs,
+           CAST(sum(least(cum, (seq_id + 1) * {_PACK_CAPACITY})
+                    - greatest(prev, seq_id * {_PACK_CAPACITY}))
+                AS BIGINT) AS n_tokens
+    FROM spans GROUP BY 1, 2
+    """,
+)
+def l_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    C, S = _PACK_CAPACITY, _PACK_SHARDS
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % S).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    spans = c.select(
+        "shard",
+        "cum",
+        (F.col("cum") - F.col("n_tok")).alias("prev"),
+        F.explode(
+            F.expr(f"sequence((cum - n_tok) div {C}, (cum - 1) div {C})")
+        ).alias("seq_id"),
+    )
+    return spans.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.least(F.col("cum"), (F.col("seq_id") + 1) * C)
+            - F.greatest(F.col("prev"), F.col("seq_id") * C)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_gopher_quality — Gopher-style per-document quality rules (word
+# count, mean word length, stopword floor), reported as a per-source
+# rule-failure breakdown. All counters are integers; everything runs in
+# one codegen stage over one scan (higher-order array functions, no
+# explode, no shuffle before the 20-group aggregate).
+# ---------------------------------------------------------------------------
+_STOPWORDS = "'the', 'a', 'of', 'to', 'and', 'in', 'is'"
+
+
+@query(
+    "l_gopher_quality",
+    oracle=f"""
+    WITH stats AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                                            x -> length(x))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_len,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN ({_STOPWORDS}))) AS stop_cnt
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_words < 40 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_min_words,
+           CAST(sum(CASE WHEN mean_len < 3 OR mean_len > 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fail_mean_word_len,
+           CAST(sum(CASE WHEN stop_cnt < 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_stopwords,
+           CAST(sum(CASE WHEN n_words >= 40 AND mean_len >= 3
+                          AND mean_len <= 10 AND stop_cnt >= 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM stats GROUP BY 1
+    """,
+)
+def l_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    stats = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(toks).alias("n_words"),
+        (
+            F.expr("aggregate(transform(split(text,' '), x -> length(x)),"
+                   " 0L, (acc, x) -> acc + x)").cast("double")
+            / F.size(toks)
+        ).alias("mean_len"),
+        F.size(
+            F.expr(f"filter(split(text,' '), x -> x IN ({_STOPWORDS}))")
+        ).alias("stop_cnt"),
+    )
+    fail_words = F.col("n_words") < 40
+    fail_len = (F.col("mean_len") < 3) | (F.col("mean_len") > 10)
+    fail_stop = F.col("stop_cnt") < 2
+    as_cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        as_cnt(fail_words).alias("n_fail_min_words"),
+        as_cnt(fail_len).alias("n_fail_mean_word_len"),
+        as_cnt(fail_stop).alias("n_fail_stopwords"),
+        as_cnt(~fail_words & ~fail_len & ~fail_stop).alias("n_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_chunk_overlap — RAG-style sliding-window chunking: 24-word windows
+# with stride 16 (8-word overlap). Pure per-row explode of window
+# starts; chunk text is rebuilt only to measure it (the chunk table a
+# real pipeline would sink carries the same columns plus the slice).
+# Map-only at any scale: no shuffle at all until a sink.
+# ---------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_STRIDE = 24, 16
+
+
+@query(
+    "l_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, toks, n,
+               unnest(range(1, n + 1, {_CHUNK_STRIDE})) AS start_word
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start_word - 1) / {_CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_idx,
+           CAST(start_word AS BIGINT) AS start_word,
+           CAST(least({_CHUNK_W}, n - start_word + 1) AS BIGINT)
+               AS n_words_chunk,
+           CAST(length(array_to_string(
+               list_slice(toks, start_word, start_word + {_CHUNK_W} - 1), ' '))
+               AS BIGINT) AS n_chars_chunk
+    FROM starts
+    """,
+)
+def l_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W, S = _CHUNK_W, _CHUNK_STRIDE
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    starts = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.expr(f"sequence(1, n, {S})")).alias("start_word"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"(start_word - 1) div {S} + 1").cast("long").alias("chunk_idx"),
+        F.col("start_word").cast("long"),
+        F.least(F.lit(W), F.col("n") - F.col("start_word") + 1)
+        .cast("long")
+        .alias("n_words_chunk"),
+        F.length(
+            F.array_join(F.slice(F.col("toks"), F.col("start_word"), W), " ")
+        )
+        .cast("long")
+        .alias("n_chars_chunk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_chunk_exact_dedup — chunk-level exact dedup (the cheap approximation
+# of substring dedup used to de-boilerplate corpora): cut non-overlapping
+# 8-word chunks, count identical chunks corpus-wide, report per-doc
+# duplicated-chunk fractions. The corpus-wide frequency shuffle keys on
+# xxhash64(chunk), never chunk text (the oracle groups raw strings —
+# counts are hash-invariant); the join back to docs is the same hashed
+# key. Duplicate chunks exist in the fixtures because the dedup tables
+# plant exact/near-duplicate documents (see l3/l4).
+# ---------------------------------------------------------------------------
+_DCHUNK = 8
+
+
+@query(
+    "l_chunk_exact_dedup",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id,
+               array_to_string(list_slice(string_split(text, ' '),
+                                          start_word,
+                                          start_word + {_DCHUNK} - 1),
+                               ' ') AS chunk
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, len(string_split(text, ' ')) + 1,
+                                  {_DCHUNK})) AS start_word
+              FROM documents)
+    ),
+    freq AS (SELECT chunk, count(*) AS n FROM chunks GROUP BY 1)
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           floor(CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS dup_frac,
+           (CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*) <= 0.5) AS keep
+    FROM chunks c JOIN freq f USING (chunk)
+    GROUP BY 1
+    """,
+)
+def l_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    D = _DCHUNK
+    chunks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, size(split(text,' ')), {D})")
+            ).alias("start_word"),
+            F.split("text", " ").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.array_join(F.slice("toks", F.col("start_word"), D), " ")
+            ).alias("chunk_h"),
+        )
+    )
+    freq = chunks.groupBy("chunk_h").agg(F.count(F.lit(1)).alias("n"))
+    joined = chunks.join(freq, "chunk_h")
+    dup = F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"), dup.alias("n_dup_chunks")
+    )
+    frac = F.col("n_dup_chunks").cast("double") / F.col("n_chunks")
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        (F.floor(frac * 1e6 + 0.5) / 1e6).alias("dup_frac"),
+        (frac <= 0.5).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_unigram_logprob — unigram language-model scoring (the classic
+# perplexity proxy for corpus quality): corpus word distribution, then
+# each document's mean negative log2-probability. Two scans (one builds
+# the vocabulary, one scores), both shuffling on hashed words only. The
+# per-word -log2 p is quantized to DECIMAL(27,6) BEFORE summation so
+# cross-row accumulation is exact and order-independent on both engines.
+# The corpus total enters via a 1-row broadcast cross join (scalar
+# combine — same pattern as the contamination audit).
+# ---------------------------------------------------------------------------
+@query(
+    "l_unigram_logprob",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+    scored AS (
+        SELECT words.doc_id,
+               -log2(CAST(v.cnt AS DOUBLE) / t.total) AS lp
+        FROM words JOIN vocab v ON words.w = v.w CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           floor(CAST(sum(CAST(lp AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+                 * 1e4 + 0.5) / 1e4 AS avg_neg_log2p
+    FROM scored GROUP BY 1
+    """,
+)
+def l_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(split(text,' '), x -> xxhash64(x))")
+        ).alias("w"),
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = words.join(maybe_broadcast(vocab), "w").crossJoin(
+        maybe_broadcast(total)
+    )
+    lp = -F.log2(F.col("cnt").cast("double") / F.col("total"))
+    return (
+        scored.select("doc_id", lp.cast("decimal(27,6)").alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            (
+                F.floor(
+                    F.sum("lp").cast("double") / F.count(F.lit(1)) * 1e4 + 0.5
+                )
+                / 1e4
+            ).alias("avg_neg_log2p"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_token_budget_mixture — domain-mixture sampling: give every language
+# the same token budget and derive a per-language deterministic sampling
+# rate; documents are kept by a hash-threshold rule so the sample is
+# reproducible, order-free, and needs no global sort or count beyond the
+# per-language totals (a tiny aggregate joined back broadcast-style).
+# The keep rule uses integer arithmetic ((doc_id * 2654435761) % 10000)
+# rather than xxhash64 because the oracle must compute the identical
+# value in SQL.
+# ---------------------------------------------------------------------------
+_MIX_BUDGET = 1000  # tokens per language
+
+
+@query(
+    "l_token_budget_mixture",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+               CAST((doc_id * 2654435761) % 10000 AS DOUBLE) / 10000.0 AS u
+        FROM documents
+    ),
+    totals AS (
+        SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS lang_tokens FROM d GROUP BY 1
+    ),
+    rated AS (
+        SELECT d.*, t.lang_tokens,
+               least(1.0, {_MIX_BUDGET} / t.lang_tokens) AS rate
+        FROM d JOIN totals t USING (lang)
+    )
+    SELECT lang,
+           CAST(lang_tokens AS BIGINT) AS lang_tokens,
+           floor(any_value(rate) * 1e6 + 0.5) / 1e6 AS rate,
+           CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_kept,
+           CAST(sum(CASE WHEN u < rate THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_kept
+    FROM rated GROUP BY 1, 2
+    """,
+)
+def l_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        (((F.col("doc_id") * 2654435761) % 10000).cast("double") / 10000.0)
+        .alias("u"),
+    )
+    totals = d.groupBy("lang").agg(
+        F.sum("n_tok").cast("double").alias("lang_tokens")
+    )
+    rated = d.join(maybe_broadcast(totals), "lang").withColumn(
+        "rate", F.least(F.lit(1.0), F.lit(float(_MIX_BUDGET)) / F.col("lang_tokens"))
+    )
+    kept = F.col("u") < F.col("rate")
+    return rated.groupBy("lang", F.col("lang_tokens").cast("long").alias("lang_tokens")).agg(
+        (F.floor(F.first("rate") * 1e6 + 0.5) / 1e6).alias("rate"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_benford_first_digit — Benford's-law audit over order totals (the
+# finance-domain anomaly screen a balance-report consumer runs): first
+# significant digit distribution vs log10(1 + 1/d). One scan, one
+# 9-group aggregate; the total enters via an unpartitioned window over
+# the 9-row aggregate (not the base table).
+# ---------------------------------------------------------------------------
+@query(
+    "q_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                      1, 1) AS digit,
+               count(*) AS n
+        FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    )
+    SELECT digit, n,
+           floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS frac,
+           floor(log10(1.0 + 1.0 / CAST(digit AS BIGINT)) * 1e6 + 0.5) / 1e6
+               AS benford_frac,
+           floor(abs(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+                     - log10(1.0 + 1.0 / CAST(digit AS BIGINT)))
+                 * 1e6 + 0.5) / 1e6 AS abs_dev
+    FROM digits
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digits = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    frac = F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    benford = F.log10(1.0 + 1.0 / F.col("digit").cast("long"))
+    return digits.select(
+        "digit",
+        "n",
+        (F.floor(frac * 1e6 + 0.5) / 1e6).alias("frac"),
+        (F.floor(benford * 1e6 + 0.5) / 1e6).alias("benford_frac"),
+        (F.floor(F.abs(frac - benford) * 1e6 + 0.5) / 1e6).alias("abs_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ledger_reconciliation — the statement-vs-ledger audit from the
+# reference's domain: recompute each order's total from its line items
+# (per-line money-rounded to integer cents, then exactly summed) and
+# reconcile against the order header, bucketing by RELATIVE drift (the
+# synthetic fixtures do not derive o_totalprice from lineitems, so an
+# exact-match bucket would be structurally empty — the audit instead
+# grades drift severity, every bucket live at every SF). Integer cents
+# end-to-end; the only double is the per-row relative-drift ratio
+# (deterministic division). One shuffle (per-order line aggregate) +
+# one equi-join on the order key.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ledger_reconciliation",
+    oracle="""
+    WITH derived AS (
+        SELECT l_orderkey,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+                   AS derived_cents
+        FROM lineitem GROUP BY 1
+    ),
+    recon AS (
+        SELECT year(o.o_orderdate) AS yr,
+               CASE
+                 WHEN d.l_orderkey IS NULL THEN 'no_lines'
+                 WHEN abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                          - d.derived_cents)
+                      / CAST(d.derived_cents AS DOUBLE) <= 0.25
+                     THEN 'within_25pct'
+                 WHEN abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                          - d.derived_cents)
+                      / CAST(d.derived_cents AS DOUBLE) <= 1.0
+                     THEN 'within_100pct'
+                 ELSE 'over_100pct'
+               END AS status,
+               CASE WHEN d.l_orderkey IS NULL THEN 0
+                    ELSE abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                             - d.derived_cents) END AS drift_cents
+        FROM orders o LEFT JOIN derived d ON o.o_orderkey = d.l_orderkey
+    )
+    SELECT yr, status, count(*) AS n_orders,
+           CAST(sum(drift_cents) AS BIGINT) AS total_drift_cents
+    FROM recon GROUP BY 1, 2
+    """,
+)
+def q_ledger_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+        + 0.5
+    ).cast("long")
+    derived = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(line_cents).alias("derived_cents"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("order_cents"),
+    )
+    rel = (
+        F.abs(F.col("order_cents") - F.col("derived_cents"))
+        / F.col("derived_cents").cast("double")
+    )
+    recon = orders.join(
+        derived, orders.o_orderkey == derived.l_orderkey, "left"
+    ).select(
+        "yr",
+        F.when(F.col("l_orderkey").isNull(), "no_lines")
+        .when(rel <= 0.25, "within_25pct")
+        .when(rel <= 1.0, "within_100pct")
+        .otherwise("over_100pct")
+        .alias("status"),
+        F.when(F.col("l_orderkey").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.abs(F.col("order_cents") - F.col("derived_cents")))
+        .alias("drift_cents"),
+    )
+    return recon.groupBy("yr", "status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("drift_cents").cast("long").alias("total_drift_cents"),
+    )

@@ -209,6 +209,48 @@ def main() -> int:
         "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
     )
 
+    # --- round-4 training-data operators -----------------------------
+    p = plan_of(spark, "l_pack_sequences")
+    check(
+        "l_pack_sequences",
+        "packing windows are sharded (partial sort per shard, no global sort)",
+        "Window" in p and "partitionBy" not in p.lower().replace("window", "")
+        and p.count("Exchange") <= 2,
+    )
+    check(
+        "l_pack_sequences",
+        "fully JVM-side (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_unigram_logprob", execute=True)
+    check(
+        "l_unigram_logprob",
+        "vocab joined broadcast at this SF; hashed-word shuffle only",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_chunk_exact_dedup", execute=True)
+    check(
+        "l_chunk_exact_dedup",
+        "chunk frequency + join keyed on xxhash64, JVM-side",
+        "xxhash64" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_chunk_overlap")
+    check(
+        "l_chunk_overlap",
+        "map-only chunking: no shuffle Exchange at all",
+        "Exchange" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_ledger_reconciliation", execute=True)
+    check(
+        "q_ledger_reconciliation",
+        "single line-agg shuffle + equi-join, no NestedLoop",
+        "NestedLoop" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
