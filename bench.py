@@ -52,6 +52,12 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "l_repetition_stats",
     "q_retention_cohorts",
+    # round-4 additions (appended AFTER existing entries so round-over-
+    # round stays attributable query-for-query): training-data prep
+    "l_pack_sequences",
+    "l_chunk_exact_dedup",
+    "l_unigram_logprob",
+    "q_ledger_reconciliation",
 ]
 
 

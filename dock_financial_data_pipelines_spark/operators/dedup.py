@@ -163,13 +163,20 @@ def minhash_signatures(docs: DataFrame, shingle_width: int = 3) -> DataFrame:
     of the k families is an independent hash without per-family string
     concatenation (and without 64-bit multiply tricks, which ANSI mode
     — Spark 4's default — would reject on overflow)."""
-    shingled = docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, greatest(size(split(text,' ')) - {shingle_width}, 0)),"
-            f" i -> concat_ws(' ', slice(split(text,' '), i + 1, {shingle_width})))"
-        ).alias("shingles"),
-    ).select("doc_id", F.explode("shingles").alias("shingle"))
+    # Tokenize once into a projected column: Spark does not CSE
+    # `split(text,' ')` across lambda references, so the inline form
+    # re-splits the text once per shingle (O(n²) characters per doc).
+    shingled = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, greatest(size(ws) - {shingle_width}, 0)),"
+                f" i -> concat_ws(' ', slice(ws, i + 1, {shingle_width})))"
+            ).alias("shingles"),
+        )
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
         for i in range(_MINHASH_K)

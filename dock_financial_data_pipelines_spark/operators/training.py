@@ -141,18 +141,24 @@ _STOPWORDS = "'the', 'a', 'of', 'to', 'and', 'in', 'is'"
     """,
 )
 def l_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = F.split(F.col("text"), " ")
-    stats = load(spark, sf_dir, "documents").select(
-        "source",
-        F.size(toks).alias("n_words"),
-        (
-            F.expr("aggregate(transform(split(text,' '), x -> length(x)),"
-                   " 0L, (acc, x) -> acc + x)").cast("double")
-            / F.size(toks)
-        ).alias("mean_len"),
-        F.size(
-            F.expr(f"filter(split(text,' '), x -> x IN ({_STOPWORDS}))")
-        ).alias("stop_cnt"),
+    # ws projected once — Spark does not CSE split() across references.
+    stats = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.split("text", " ").alias("ws"))
+        .select(
+            "source",
+            F.size("ws").alias("n_words"),
+            (
+                F.expr(
+                    "aggregate(transform(ws, x -> length(x)),"
+                    " 0L, (acc, x) -> acc + x)"
+                ).cast("double")
+                / F.size("ws")
+            ).alias("mean_len"),
+            F.size(
+                F.expr(f"filter(ws, x -> x IN ({_STOPWORDS}))")
+            ).alias("stop_cnt"),
+        )
     )
     fail_words = F.col("n_words") < 40
     fail_len = (F.col("mean_len") < 3) | (F.col("mean_len") > 10)
@@ -203,10 +209,10 @@ _CHUNK_W, _CHUNK_STRIDE = 24, 16
 )
 def l_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     W, S = _CHUNK_W, _CHUNK_STRIDE
-    t = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.split("text", " ").alias("toks"),
-        F.size(F.split("text", " ")).alias("n"),
+    t = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", "toks", F.size("toks").alias("n"))
     )
     starts = t.select(
         "doc_id",
@@ -273,12 +279,13 @@ def l_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     D = _DCHUNK
     chunks = (
         load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
-            F.explode(
-                F.expr(f"sequence(1, size(split(text,' ')), {D})")
-            ).alias("start_word"),
-            F.split("text", " ").alias("toks"),
+            "toks",
+            F.explode(F.expr(f"sequence(1, size(toks), {D})")).alias(
+                "start_word"
+            ),
         )
         .select(
             "doc_id",
