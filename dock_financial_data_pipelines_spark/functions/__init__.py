@@ -249,3 +249,45 @@ def f6_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("k") % 10).alias("k_mod"))
         .agg(F.count(F.lit(1)).alias("n"), F.max("k").alias("max_k"))
     )
+
+
+# ---------------------------------------------------------------------------
+# F8 — bitwise scalar + aggregate surface: per-row shifts/masks and the
+# order-independent bit_and/bit_or/bit_xor aggregates (flag-register
+# folding — how permission masks and feature flags are reduced at
+# scale without a distinct). All integer ops: exact on both engines
+# under any execution order.
+# ---------------------------------------------------------------------------
+@query(
+    "f8_bitwise_aggs",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           bit_and(user_id | 4096) AS and_mask,
+           bit_or(user_id & 255) AS or_low_byte,
+           bit_xor(event_id) AS xor_ids,
+           CAST(sum(CASE WHEN (user_id >> 3) & 1 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bit3_set
+    FROM events GROUP BY 1
+    """,
+)
+def f8_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import load as _load
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.expr("user_id | 4096").alias("masked"),
+        F.expr("user_id & 255").alias("low_byte"),
+        F.expr("(shiftright(user_id, 3) & 1) = 1").alias("bit3"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_and("masked").alias("and_mask"),
+        F.bit_or("low_byte").alias("or_low_byte"),
+        F.bit_xor("event_id").alias("xor_ids"),
+        F.sum(F.when(F.col("bit3"), 1).otherwise(0)).cast("long").alias(
+            "n_bit3_set"
+        ),
+    )

@@ -9,7 +9,7 @@ partial states, not raw rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dock_financial_data_pipelines_spark.catalog import dec_sum, load
@@ -507,4 +507,62 @@ def a19_time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _a19_src
         GROUP BY GROUPING SETS ((day), (month), ())
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# A22 — exact median + deterministic mode per group. Median is the
+# interpolated 0.5-percentile (Spark `median` ≡ DuckDB `quantile_cont`);
+# mode is computed as an explicit count + rank with a total-order
+# tiebreak (highest count, then lowest value) rather than the engines'
+# `mode()` functions, whose tie behavior is unspecified — the registry's
+# "window outputs need total orderings" rule applied to an aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "a22_median_mode",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderstatus,
+               count(*) AS n,
+               floor(quantile_cont(o_totalprice, 0.5) * 1e6 + 0.5) / 1e6
+                   AS median_price
+        FROM orders GROUP BY 1
+    ),
+    pc AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    md AS (
+        SELECT o_orderstatus, o_orderpriority AS mode_priority
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                           ORDER BY cnt DESC, o_orderpriority)
+                         AS rk
+              FROM pc)
+        WHERE rk = 1
+    )
+    SELECT m.o_orderstatus, m.n, m.median_price, d.mode_priority
+    FROM med m JOIN md d USING (o_orderstatus)
+    """,
+)
+def a22_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.floor(F.median("o_totalprice") * 1e6 + 0.5) / 1e6).alias(
+            "median_price"
+        ),
+    )
+    pc = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    md = (
+        pc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    return med.join(md, "o_orderstatus").select(
+        "o_orderstatus", "n", "median_price", "mode_priority"
     )

@@ -516,3 +516,35 @@ def s11_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("s_acctbal", scale=2).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S13 — plain-text source (spark.read/write.text): the rawest landing
+# format a corpus arrives in (one document per line). The roundtrip
+# writes the documents table out as UTF-8 lines and recomputes corpus
+# stats from the re-read lines alone — proving the text path loses
+# nothing (fixture text contains no newlines; a production reader would
+# escape them at write time). One map-only write + one scan.
+# ---------------------------------------------------------------------------
+@query(
+    "s13_text_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           CAST(max(length(text)) AS BIGINT) AS max_line_chars
+    FROM documents
+    """,
+)
+def s13_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _workdir(f"text_{sf_tag(sf_dir)}")
+    load(spark, sf_dir, "documents").select("text").write.mode(
+        "overwrite"
+    ).text(out)
+    lines = spark.read.text(out)  # single `value` column
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.sum(F.size(F.split("value", " "))).cast("long").alias("total_words"),
+        F.max(F.length("value")).cast("long").alias("max_line_chars"),
+    )
