@@ -169,9 +169,11 @@ _MARKERS = {
 }
 
 
-def _marker_score(markers: tuple[str, ...]):
+def _marker_score(markers: tuple[str, ...], col: str = "ws"):
+    # Counts over a PRE-SPLIT token column — Spark does not CSE split()
+    # across references, so callers project it once.
     in_list = ", ".join(f"'{m}'" for m in markers)
-    return F.expr(f"size(filter(split(text, ' '), x -> x IN ({in_list})))")
+    return F.expr(f"size(filter({col}, x -> x IN ({in_list})))")
 
 
 @query(
@@ -193,7 +195,9 @@ def _marker_score(markers: tuple[str, ...]):
     """,
 )
 def l_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
     scored = docs.select(
         "doc_id",
         _marker_score(_MARKERS["lang_a"]).alias("s_a"),
