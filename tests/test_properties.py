@@ -142,3 +142,75 @@ def test_winsorized_mean_bounds(xs):
     # IEEE double — the bound holds only up to accumulation rounding.
     span = max(abs(min(xs)), abs(max(xs)), 1.0)
     assert min(xs) - 1e-12 * span <= wmean <= max(xs) + 1e-12 * span
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=80),
+    st.integers(min_value=8, max_value=64),
+)
+def test_pack_sequences_occupancy_identities(tok_counts, capacity):
+    """l_pack_sequences invariants, mirrored in pure python on one
+    shard: per-sequence occupancies sum to the corpus token count,
+    every non-final sequence is exactly full, and a doc spans
+    ceil-consistent sequence ranges."""
+    cum = 0
+    occ: dict = {}
+    docs_per_seq: dict = {}
+    for n in tok_counts:
+        prev, cum = cum, cum + n
+        first, last = prev // capacity, (cum - 1) // capacity
+        for s in range(first, last + 1):
+            lo, hi = max(prev, s * capacity), min(cum, (s + 1) * capacity)
+            occ[s] = occ.get(s, 0) + (hi - lo)
+            docs_per_seq[s] = docs_per_seq.get(s, 0) + 1
+    assert sum(occ.values()) == sum(tok_counts)
+    last_seq = max(occ)
+    for s, filled in occ.items():
+        if s != last_seq:
+            assert filled == capacity, "non-final sequences must be full"
+        assert 0 < filled <= capacity
+        assert docs_per_seq[s] >= 1
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100000),  # doc_id
+            st.integers(min_value=1, max_value=300),  # n_tok
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=100, max_value=5000),  # budget
+)
+def test_token_budget_mixture_bounds(docs, budget):
+    """l_token_budget_mixture invariants for one language: the rate is
+    in (0, 1], saturates when the language fits the budget, and the
+    deterministic keep rule is reproducible."""
+    total = sum(n for _, n in docs)
+    rate = min(1.0, budget / total)
+    assert 0 < rate <= 1
+    if total <= budget:
+        assert rate == 1.0
+    kept1 = {d for d, _ in docs if ((d * 2654435761) % 10000) / 10000.0 < rate}
+    kept2 = {d for d, _ in docs if ((d * 2654435761) % 10000) / 10000.0 < rate}
+    assert kept1 == kept2, "hash sampling must be reproducible"
+    if rate == 1.0:
+        assert len(kept1) == len({d for d, _ in docs}), "rate 1 keeps all"
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(min_value=1.0, max_value=9.5e5), min_size=9, max_size=200))
+def test_benford_fractions_sum_to_one(prices):
+    """q_benford_first_digit identities: observed fractions sum to 1,
+    and the Benford expectation itself sums to 1 over digits 1-9."""
+    import math
+    from collections import Counter
+
+    digits = Counter(str(int(math.floor(p)))[0] for p in prices)
+    total = sum(digits.values())
+    assert abs(sum(n / total for n in digits.values()) - 1.0) < 1e-9
+    benford = sum(math.log10(1 + 1 / d) for d in range(1, 10))
+    assert abs(benford - 1.0) < 1e-12
