@@ -567,3 +567,99 @@ def q_ledger_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("drift_cents").cast("long").alias("total_drift_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing materializers — the library surface behind l_pack_sequences:
+# not registered as queries (the stats query above carries the oracle);
+# these produce the actual training sequences a pipeline would sink.
+# ---------------------------------------------------------------------------
+def pack_assignments(
+    docs: DataFrame, capacity: int = _PACK_CAPACITY, shards: int = _PACK_SHARDS
+) -> DataFrame:
+    """Token-exact packing plan: one row per (document × sequence it
+    touches) with the half-open token spans on both sides —
+    ``doc_tok_start/end`` inside the document, ``seq_tok_start/end``
+    inside the packed sequence. Deterministic in (doc_id) order within
+    each ``doc_id % shards`` stream; same sharded prefix-sum machinery
+    as l_pack_sequences, so the plan is one window + one bounded
+    explode, no global sort. Columns: shard, seq_id, doc_id,
+    doc_tok_start, doc_tok_end, seq_tok_start, seq_tok_end."""
+    from pyspark.sql import Window as W
+
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "prev", F.col("cum") - F.col("n_tok")
+    )
+    spans = c.select(
+        "shard",
+        "doc_id",
+        "prev",
+        "cum",
+        F.explode(
+            F.expr(f"sequence(prev div {capacity}, (cum - 1) div {capacity})")
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("prev"), F.col("seq_id") * capacity)
+    hi = F.least(F.col("cum"), (F.col("seq_id") + 1) * capacity)
+    return spans.select(
+        "shard",
+        "seq_id",
+        "doc_id",
+        (lo - F.col("prev")).cast("long").alias("doc_tok_start"),
+        (hi - F.col("prev")).cast("long").alias("doc_tok_end"),
+        (lo - F.col("seq_id") * capacity).cast("long").alias("seq_tok_start"),
+        (hi - F.col("seq_id") * capacity).cast("long").alias("seq_tok_end"),
+    )
+
+
+def packed_sequence_texts(
+    docs: DataFrame, capacity: int = _PACK_CAPACITY, shards: int = _PACK_SHARDS
+) -> DataFrame:
+    """Materialize the packed sequences themselves: join the assignment
+    plan back to the tokenized docs, slice each document's contribution,
+    and reassemble per (shard, seq_id) with an order-safe
+    sort_array(collect_list(struct(offset, slice))) — no window over
+    text, no global sort; the only wide ops are the doc_id equi-join
+    and the (shard, seq_id) aggregation. Returns shard, seq_id,
+    n_tokens, text (space-joined token sequence)."""
+    plan = pack_assignments(docs, capacity, shards)
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    sliced = plan.join(toks, "doc_id").select(
+        "shard",
+        "seq_id",
+        "seq_tok_start",
+        F.expr(
+            "slice(ws, CAST(doc_tok_start + 1 AS INT),"
+            " CAST(doc_tok_end - doc_tok_start AS INT))"
+        ).alias("piece"),
+    )
+    return (
+        sliced.groupBy("shard", "seq_id")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.expr(
+                        "transform(sort_array(collect_list("
+                        "struct(seq_tok_start, piece))), x -> x.piece)"
+                    )
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(
+            "shard",
+            "seq_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            "text",
+        )
+    )

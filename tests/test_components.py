@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from dock_financial_data_pipelines_spark.operators.dedup import connected_components
 
 
@@ -83,3 +85,46 @@ def test_currency_asof_drops_facts_before_first_rate(spark, tmp_path):
     res = j12_currency_asof_convert(spark, str(tmp_path)).collect()
     assert sum(r.n_orders for r in res) == 2
     assert {(r.yr, r.cur) for r in res} == {(1995, 0), (1996, 1)}
+
+
+def test_pack_materializer_reassembles_corpus_exactly(spark, sf_dir):
+    """packed_sequence_texts must be a lossless re-cut of the corpus:
+    per shard, concatenating sequences in seq_id order reproduces the
+    concatenation of documents in doc_id order token-for-token, and
+    every non-final sequence is exactly at capacity."""
+    from dock_financial_data_pipelines_spark.catalog import load
+    from dock_financial_data_pipelines_spark.operators.training import (
+        pack_assignments,
+        packed_sequence_texts,
+    )
+
+    C, S = 64, 4
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    seqs = packed_sequence_texts(docs, capacity=C, shards=S).collect()
+    by_shard: dict = {}
+    for r in seqs:
+        by_shard.setdefault(r.shard, []).append(r)
+    src = {
+        s: [
+            w
+            for row in docs.where(F.col("doc_id") % S == s)
+            .orderBy("doc_id")
+            .collect()
+            for w in row.text.split(" ")
+        ]
+        for s in range(S)
+    }
+    for s, rows in by_shard.items():
+        rows.sort(key=lambda r: r.seq_id)
+        rebuilt = [w for r in rows for w in r.text.split(" ")]
+        assert rebuilt == src[s], f"shard {s} token stream differs"
+        for r in rows[:-1]:
+            assert r.n_tokens == C, "non-final sequence must be full"
+        assert 0 < rows[-1].n_tokens <= C
+
+    # The assignment plan agrees with the stats query's occupancy.
+    plan = pack_assignments(docs, capacity=C, shards=S)
+    tot = plan.groupBy().agg(
+        F.sum(F.col("doc_tok_end") - F.col("doc_tok_start")).alias("t")
+    ).collect()[0].t
+    assert tot == sum(len(v) for v in src.values())
