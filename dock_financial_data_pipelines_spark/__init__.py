@@ -172,16 +172,18 @@ def _load_driver_verified() -> set:
 def _reorder_registry(verified: set | None = None, hash_verified: set | None = None) -> None:
     """Order the registry for the driver's 50-slot budget:
 
-    1. never driver-checked, has a SQL oracle    (hash-verifiable)
-    2. never driver-checked, rows-only           (spark_rows evidence)
+    1. never driver-checked, has a SQL oracle, curated (hash-verifiable)
+    2. never driver-checked, rows-only, curated  (spark_rows evidence)
     3. checked but never hash-green, oracle NOW  (upgrade re-runs — e.g.
        a query whose only verdict predates its oracle)
-    4. already hash-green or rows-only-by-design (re-run only after 1-3)
+    4. never driver-checked, NOT in a curated list (registrations newer
+       than the round's committed sweep plan — they queue behind the
+       plan's upgrade re-runs so mid-round additions can never push a
+       planned slot out of the budget, and surface next round)
+    5. already hash-green or rows-only-by-design (re-run only after 1-4)
 
     Within each class the curated `_SWEEP_FIRST`/`_SWEEP_LAST` order is
-    the priority tiebreaker; names in neither list (new registrations)
-    follow the curated ones in import order — new work can never
-    displace the verification backlog."""
+    the priority tiebreaker; uncurated names follow in import order."""
     if verified is None:
         verified, hash_verified = _load_driver_verdicts()
     if hash_verified is None:
@@ -191,11 +193,14 @@ def _reorder_registry(verified: set | None = None, hash_verified: set | None = N
 
     def key(n: str):
         if n not in verified:
-            cls = 0 if n in ORACLES else 1
+            if n not in curated:
+                cls = 3  # new this round: behind the committed plan
+            else:
+                cls = 0 if n in ORACLES else 1
         elif n not in hash_verified and n in ORACLES:
             cls = 2  # rows-only verdict but an oracle exists: upgrade it
         else:
-            cls = 3
+            cls = 4
         return (cls, curated.get(n, len(curated)), imported[n])
 
     order = sorted(QUERIES, key=key)

@@ -94,14 +94,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_nanos(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong);
-    floor-truncate to microsecond timestamps, matching DuckDB."""
+    """Normalize fixture timestamp flavors to session-timezone TIMESTAMP:
+
+    - TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong);
+      floor-truncate to microsecond timestamps, matching DuckDB.
+    - TIMESTAMP_NTZ columns (no isAdjustedToUTC flag, inferred when the
+      inferTimestampNTZ conf wasn't applied before the scan) are cast to
+      TIMESTAMP — identical wall-clock under the UTC session timezone,
+      and required by watermarks and numeric epoch casts."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -477,7 +477,10 @@ def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # unix_timestamp, not cast("long"): the parquet ts column is
+    # TIMESTAMP_NTZ (no UTC flag) and Spark refuses a direct numeric cast;
+    # with the UTC session timezone both forms yield the same epoch.
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
     intervals = (
         ev.withColumn(
             "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
@@ -495,8 +498,8 @@ def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_end",
         F.explode(
             F.sequence(
-                (F.col("s_start").cast("long") / hour).cast("long"),
-                (F.col("s_end").cast("long") / hour).cast("long"),
+                (F.unix_timestamp("s_start") / hour).cast("long"),
+                (F.unix_timestamp("s_end") / hour).cast("long"),
             )
         ).alias("bucket"),
     )

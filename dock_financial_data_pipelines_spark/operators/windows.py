@@ -369,7 +369,9 @@ def w9_ewma_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w10_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # unix_timestamp, not cast("long"): ts is TIMESTAMP_NTZ in the parquet
+    # fixtures and Spark refuses a direct numeric cast on NTZ.
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
     new_session = (
         F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
     )

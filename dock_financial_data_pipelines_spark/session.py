@@ -29,6 +29,15 @@ _RUNTIME_CONF = {
     # type for; read as long and convert in catalog.load (floor to µs,
     # matching DuckDB's own ns→µs truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture timestamps carry no isAdjustedToUTC flag; by default Spark 4
+    # infers TIMESTAMP_NTZ for those, which watermarks reject outright
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and which refuses numeric
+    # casts. Read them as session-timezone TIMESTAMP instead — with the
+    # UTC session timezone the wall-clock values are identical and match
+    # DuckDB's naive-timestamp reading. catalog.load() also casts any
+    # NTZ column that slips through (e.g. a session where this conf was
+    # captured before tune() ran).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -99,21 +99,26 @@ def test_sweep_rotation_self_updates():
     engine.load_all()
     verified, hash_verified = engine._load_driver_verdicts()
 
+    curated = set(engine._SWEEP_FIRST) | set(engine._SWEEP_LAST)
+
     def classes(names, ver, hv):
         out = []
         for n in names:
             if n not in ver:
-                out.append(0 if n in engine.ORACLES else 1)
+                if n not in curated:
+                    out.append(3)  # new registration: behind the plan
+                else:
+                    out.append(0 if n in engine.ORACLES else 1)
             elif n not in hv and n in engine.ORACLES:
                 out.append(2)
             else:
-                out.append(3)
+                out.append(4)
         return out
 
     try:
         order = list(engine.QUERIES)
         cls = classes(order, verified, hash_verified)
-        assert cls == sorted(cls), "classes must be contiguous 0..3 blocks"
+        assert cls == sorted(cls), "classes must be contiguous 0..4 blocks"
         n0 = cls.count(0)
         head = min(n0, 50)
         assert cls[:head] == [0] * head, "budget head must be oracled backlog"
@@ -136,7 +141,7 @@ def test_sweep_rotation_self_updates():
         order2 = list(engine.QUERIES)
         cls2 = classes(order2, fake, fake_hash)
         assert cls2 == sorted(cls2)
-        n_backlog = sum(1 for c in cls2 if c < 3)
+        n_backlog = sum(1 for c in cls2 if c < 4)
         assert not set(order2[:n_backlog]) & fake_hash, "verified names must demote"
     finally:
         engine._reorder_registry()  # restore the real order for other tests
