@@ -34,100 +34,221 @@ __version__ = "0.2.0"
 # Driver sweep order. The correctness driver walks the registry in
 # insertion order and records the FIRST 50 entries per round (observed
 # in rounds 1 and 2), so the registry is re-ordered after module
-# import. Round-3 rotation: across r01+r02 exactly 100 of 164 queries
-# carry a driver verdict; 53 never-checked queries have SQL oracles
-# and 11 are rows-only. The first 50 slots below are all SQL-oracled
-# never-checked queries (the 3 least critical fall to 51-53); the 11
-# rows-only streaming queries follow; every query already verified in
-# CORRECTNESS_r01.json or CORRECTNESS_r02.json runs last. Names absent
-# from both lists (future additions) keep their import order, after
-# the priority block and before the verified block — new work must
-# never displace the verification backlog.
+# import. The classing itself comes from CORRECTNESS_r*.json verdicts
+# (see _reorder_registry); these two lists are the committed per-round
+# PLAN used as the within-class tiebreaker. Round-4 plan: 47 SQL-oracled
+# never-checked queries + 1 rows-only (pipeline_daily_publish) fill
+# slots 1-48, the a3_approx_count_distinct upgrade re-run lands at 49
+# via class 2, and queries registered after this plan was committed
+# (absent from both lists) queue from slot 50 in import order — they
+# can never displace a planned slot. Regenerate both lists at round
+# start with scripts/sweep_rotate.py.
 _SWEEP_FIRST = [
-    # --- slots 1-50: SQL-oracled, never driver-checked ---------------
-    # sources/sinks S1-S12 (minus s9, verified r2)
-    "s1_parquet_scan", "s2_csv_roundtrip", "s3_jsonl_roundtrip",
-    "s4_zip_ingest_unzip", "s5_partitioned_sink_roundtrip",
-    "s6_date_pruned_read", "s7_bucketed_colocated_join",
-    "s8_orc_roundtrip", "s10_compact_small_files", "s11_xml_roundtrip",
-    "s12_rollup_merge",
-    # UDF surface D1-D7
-    "d1_python_udf_urls", "d2_pandas_udf_net_price",
-    "d3_grouped_agg_weighted_avg", "d4_apply_in_pandas_above_mean",
-    "d5_sql_registered_udf", "d6_python_udtf_installments",
-    "d7_map_in_arrow",
-    # batch twins of the streaming surface + daily statement
-    "x1_tumbling_window", "x2_sliding_window", "x3_session_window",
-    "x6_stream_static_join_twin", "x7_stateful_final_state_twin",
-    "x11_stream_stream_join_twin", "q_daily_statement",
-    # TPC-H reports
-    "tpch_q3_shipping_priority", "tpch_q10_returned_items",
-    "tpch_q18_large_orders", "tpch_q22_scalar_subquery",
-    "report_region_market_share",
-    # pipelines (reference DAG restatements)
-    "pipeline_balance_report", "pipeline_account_statement",
-    # aggregation extensions
-    "a9_salted_skew_agg", "a10_exact_percentiles", "a11_approx_percentiles",
-    "a14_rolling_wau", "a17_bitmap_distinct", "a18_hll_sketch_merge",
-    "a19_time_grain_rollup", "a20_conditional_bool_aggs",
-    # join extensions
-    "j10_salted_skew_join", "j8_asof_join_rangejoin_twin",
-    "j11_interval_overlap_join",
-    # remaining SQL-oracled singles
-    "u8_cdc_apply", "t3_pagination_offset", "sql_surface_report",
-    "f6_variant_extract", "l4_dedup_keep_best", "l_regexp_extract_all",
-    "r_python_datasource_manifest",
-    # --- slots 51-53: SQL-oracled spillover (next round's head) ------
-    "r_sftp_landing_flow", "x8_incremental_file_ingest",
+    # Round-4 sweep plan: SQL-oracled, never driver-checked
+    # (47 r3-backlog + 11 mid-round-4 additions = slots 1-47 after
+    # r1-r3 verdicts; regenerate with scripts/sweep_rotate.py)
+    "r_sftp_landing_flow",
+    "x8_incremental_file_ingest",
     "x9_foreach_batch_sink",
-    # --- r4 backlog continues: streaming/control-plane runs. Most of
-    # these gained SQL oracles mid-round-3 (x2/x3/x4/x5/x6/x11,
-    # o_metrics_report, r_rest_ticketed_ingest); x7/x10 and
-    # pipeline_daily_publish stay rows-only by design. ---------------
-    "pipeline_daily_publish", "r_rest_ticketed_ingest", "o_metrics_report",
-    "x6_stream_static_join", "x5_stream_dedup_watermark",
-    "x2_stream_sliding_window", "x3_stream_session_window",
-    "x4_stream_tumbling_watermark", "x10_transform_with_state",
-    "x7_stateful_running_balance", "x11_stream_stream_join",
+    "r_rest_ticketed_ingest",
+    "o_metrics_report",
+    "x6_stream_static_join",
+    "x5_stream_dedup_watermark",
+    "x2_stream_sliding_window",
+    "x3_stream_session_window",
+    "x4_stream_tumbling_watermark",
+    "x10_transform_with_state",
+    "x7_stateful_running_balance",
+    "x11_stream_stream_join",
+    "f8_bitwise_aggs",
+    "a22_median_mode",
+    "j12_currency_asof_convert",
+    "q_funnel_conversion",
+    "q_retention_cohorts",
+    "q_event_transitions",
+    "q_balance_asof_snapshot",
+    "u9_gdpr_erasure",
+    "a21_winsorized_stats",
+    "l_repetition_stats",
+    "l_pii_scrub",
+    "l_url_domain_stats",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_national_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "l_pack_sequences",
+    "l_gopher_quality",
+    "l_chunk_overlap",
+    "l_chunk_exact_dedup",
+    "l_unigram_logprob",
+    "l_token_budget_mixture",
+    "q_benford_first_digit",
+    "q_ledger_reconciliation",
+    "s13_text_roundtrip",
+    # rows-only (no SQL oracle; driver records spark_rows)
+    "pipeline_daily_publish",
 ]
 _SWEEP_LAST = [
-    # hash-verified green in CORRECTNESS_r01.json
-    "f4_array_functions", "f5_map_functions", "f6_json_extraction",
-    "f4_posexplode_positions", "f6_json_tuple", "f6_from_json_typed",
-    "a1_pricing_summary", "a2_count_distinct", "a3_approx_count_distinct",
-    "a4_rollup", "a4_cube", "a5_having", "a6_pivot_event_types",
-    "a7_collect_set", "a8_grouping_sets",
-    "l3_exact_dedup_summary", "l3_exact_dedup_keep_first", "l3_prefix_dedup",
-    "l4_ngram_jaccard_pairs", "l4_minhash_lsh_neardup", "l4_simhash_signatures",
-    "l4_simhash_neardup", "l4_dedup_cluster_components", "l4_embedding_neardup",
-    "j1_inner_join", "j2_broadcast_dim_join", "j3_left_outer_join",
-    "j4_semi_join", "j5_anti_join", "j6_cross_join", "j7_band_join",
-    "j8_asof_join", "j8_asof_join_sortmerge", "j9_star_join",
-    "l7_multimodal_decode", "l7_binary_frame_sample",
-    "q_data_quality_report", "flagship_segment_monthly_revenue",
-    "p1_project_compute", "p2_range_predicates", "p3_in_between",
-    "p4_string_predicates", "p5_null_semantics", "p6_case_when_bucketing",
-    "f1_string_functions", "f2_date_functions", "f3_math_functions",
-    "f3_decimal_money", "t1_multikey_sort", "t2_global_topk",
-    # hash-verified green in CORRECTNESS_r02.json
-    "u1_union_counts", "u2_intersect", "u2_except", "u3_dedup_keep_latest",
-    "u5_snapshot_diff", "a12_histogram", "u2_intersect_all",
-    "u2_except_all", "a15_string_agg", "f4_explode_outer_nulls",
-    "w1_rank_functions", "w2_lag_lead", "w3_running_balance",
-    "w4_moving_time_range", "w5_first_last", "w6_topk_per_group",
-    "l1_token_stats", "l2_term_frequency", "l2_tfidf_top_terms",
-    "l6_corpus_breakdown", "l_lang_id_heuristic", "l_quality_score",
-    "l_token_count", "l_bpe_pretokenize", "l_text_normalize",
-    "l_train_test_split", "l_contamination_check", "l_fingerprint",
-    "l5_cosine_topk", "l5_ann_lsh_topk", "l5_ivf_topk",
+    # driver-verified in r1-r3 (re-run only after the backlog)
+    "a3_approx_count_distinct",
+    "s1_parquet_scan",
+    "s2_csv_roundtrip",
+    "s3_jsonl_roundtrip",
+    "s4_zip_ingest_unzip",
+    "s5_partitioned_sink_roundtrip",
+    "s6_date_pruned_read",
+    "s7_bucketed_colocated_join",
+    "s8_orc_roundtrip",
+    "s10_compact_small_files",
+    "s11_xml_roundtrip",
+    "s12_rollup_merge",
+    "d1_python_udf_urls",
+    "d2_pandas_udf_net_price",
+    "d3_grouped_agg_weighted_avg",
+    "d4_apply_in_pandas_above_mean",
+    "d5_sql_registered_udf",
+    "d6_python_udtf_installments",
+    "d7_map_in_arrow",
+    "x1_tumbling_window",
+    "x2_sliding_window",
+    "x3_session_window",
+    "x6_stream_static_join_twin",
+    "x7_stateful_final_state_twin",
+    "x11_stream_stream_join_twin",
+    "q_daily_statement",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "tpch_q22_scalar_subquery",
+    "report_region_market_share",
+    "pipeline_balance_report",
+    "pipeline_account_statement",
+    "a9_salted_skew_agg",
+    "a10_exact_percentiles",
+    "a11_approx_percentiles",
+    "a14_rolling_wau",
+    "a17_bitmap_distinct",
+    "a18_hll_sketch_merge",
+    "a19_time_grain_rollup",
+    "a20_conditional_bool_aggs",
+    "j10_salted_skew_join",
+    "j8_asof_join_rangejoin_twin",
+    "j11_interval_overlap_join",
+    "u8_cdc_apply",
+    "t3_pagination_offset",
+    "sql_surface_report",
+    "f6_variant_extract",
+    "l4_dedup_keep_best",
+    "l_regexp_extract_all",
+    "r_python_datasource_manifest",
+    "f4_array_functions",
+    "f5_map_functions",
+    "f6_json_extraction",
+    "f4_posexplode_positions",
+    "f6_json_tuple",
+    "f6_from_json_typed",
+    "a1_pricing_summary",
+    "a2_count_distinct",
+    "a4_rollup",
+    "a4_cube",
+    "a5_having",
+    "a6_pivot_event_types",
+    "a7_collect_set",
+    "a8_grouping_sets",
+    "l3_exact_dedup_summary",
+    "l3_exact_dedup_keep_first",
+    "l3_prefix_dedup",
+    "l4_ngram_jaccard_pairs",
+    "l4_minhash_lsh_neardup",
+    "l4_simhash_signatures",
+    "l4_simhash_neardup",
+    "l4_dedup_cluster_components",
+    "l4_embedding_neardup",
+    "j1_inner_join",
+    "j2_broadcast_dim_join",
+    "j3_left_outer_join",
+    "j4_semi_join",
+    "j5_anti_join",
+    "j6_cross_join",
+    "j7_band_join",
+    "j8_asof_join",
+    "j8_asof_join_sortmerge",
+    "j9_star_join",
+    "l7_multimodal_decode",
+    "l7_binary_frame_sample",
+    "q_data_quality_report",
+    "flagship_segment_monthly_revenue",
+    "p1_project_compute",
+    "p2_range_predicates",
+    "p3_in_between",
+    "p4_string_predicates",
+    "p5_null_semantics",
+    "p6_case_when_bucketing",
+    "f1_string_functions",
+    "f2_date_functions",
+    "f3_math_functions",
+    "f3_decimal_money",
+    "t1_multikey_sort",
+    "t2_global_topk",
+    "u1_union_counts",
+    "u2_intersect",
+    "u2_except",
+    "u3_dedup_keep_latest",
+    "u5_snapshot_diff",
+    "a12_histogram",
+    "u2_intersect_all",
+    "u2_except_all",
+    "a15_string_agg",
+    "f4_explode_outer_nulls",
+    "w1_rank_functions",
+    "w2_lag_lead",
+    "w3_running_balance",
+    "w4_moving_time_range",
+    "w5_first_last",
+    "w6_topk_per_group",
+    "l1_token_stats",
+    "l2_term_frequency",
+    "l2_tfidf_top_terms",
+    "l6_corpus_breakdown",
+    "l_lang_id_heuristic",
+    "l_quality_score",
+    "l_token_count",
+    "l_bpe_pretokenize",
+    "l_text_normalize",
+    "l_train_test_split",
+    "l_contamination_check",
+    "l_fingerprint",
+    "l5_cosine_topk",
+    "l5_ann_lsh_topk",
+    "l5_ivf_topk",
     "l9_embedding_quantization",
-    "u6_stratified_sample", "u7_scd2_history", "w7_ntile_quartiles",
-    "tpch_q4_priority_check", "tpch_q6_forecast_revenue",
-    "tpch_q12_late_shipments", "tpch_q14_promo_revenue",
-    "a13_stat_aggregates", "w8_distribution_ranks", "w9_ewma_last10",
-    "w10_sessionize_gaps", "a16_unpivot_melt", "l8_bigram_topk",
-    "l7_resize_stub", "s9_schema_evolution_read",
-    "q_anomaly_zscore", "q_referential_integrity", "q_date_spine_gapfill",
+    "u6_stratified_sample",
+    "u7_scd2_history",
+    "w7_ntile_quartiles",
+    "tpch_q4_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_late_shipments",
+    "tpch_q14_promo_revenue",
+    "a13_stat_aggregates",
+    "w8_distribution_ranks",
+    "w9_ewma_last10",
+    "w10_sessionize_gaps",
+    "a16_unpivot_melt",
+    "l8_bigram_topk",
+    "l7_resize_stub",
+    "s9_schema_evolution_read",
+    "q_anomaly_zscore",
+    "q_referential_integrity",
+    "q_date_spine_gapfill",
 ]
 
 
@@ -215,6 +336,7 @@ def load_all() -> None:
     import dock_financial_data_pipelines_spark.observability  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.aggregations  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.dedup  # noqa: F401
+    import dock_financial_data_pipelines_spark.operators.graph  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.joins  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.multimodal  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.quality  # noqa: F401

@@ -1,0 +1,180 @@
+"""Distributed graph operators over the part co-purchase graph.
+
+The reference pipeline moves statement/report files (REPORT:
+script-dag-dock-report, STMTS: script-dag-dock-statements); a consumer
+of that data runs product-affinity analytics on it. These operators
+implement the two classic distributed-graph shapes on the co-purchase
+graph (parts that appear in the same order):
+
+- ``g_pagerank_copurchase`` — 2 power iterations of PageRank expressed
+  as join+groupBy rounds (the Pregel message-passing pattern restated
+  declaratively).
+- ``g_triangle_count`` — global triangle count via the ordered-edge
+  two-join scheme.
+
+Cross-engine exactness: PageRank in floating point is NOT reproducible
+across engines (accumulation order). Ranks here use fixed-point integer
+arithmetic — rank scaled by 1e12, per-edge contribution is integer
+division ``rank div degree``, damping is ``150e9 + (85 * sum) div 100``
+— so every intermediate is a BIGINT and the DuckDB oracle reproduces
+the engine bit-for-bit. The scheme is standard fixed-point PageRank
+(see e.g. the integer-scaled formulations used in vertex-centric
+systems); only the 1e12 scale is a local choice.
+
+Scale (100 TB): edge generation is a self-equi-join on l_orderkey —
+per-order fanout is bounded by order size (≤ items²), never all-pairs
+across orders. Each PageRank iteration is one shuffle on src (join
+ranks+degrees to edges) plus one on dst (sum contributions): 2 shuffles
+× 2 iterations, all equi-key. Triangle counting uses the a<b<c ordered
+orientation so each triangle is counted exactly once and the join fans
+out on the smaller-degree endpoint; at web scale one would additionally
+degree-cap hub nodes (documented, not needed at fixture scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.registry import query
+
+_SCALE = 1_000_000_000_000  # fixed-point rank scale (1e12)
+_TOP = 20
+
+
+def _directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed co-purchase edges (both orientations): parts
+    appearing together in at least one order."""
+    ip = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = ip.alias("a")
+    b = ip.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+
+
+_EDGES_CTE = """
+    ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ip a JOIN ip b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    )
+"""
+
+
+@query(
+    "g_pagerank_copurchase",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    deg AS (SELECT src, count(*) AS degree FROM e GROUP BY 1),
+    r1 AS (
+        SELECT e.dst AS node,
+               150000000000 + (85 * CAST(sum({_SCALE} // d.degree) AS BIGINT))
+                   // 100 AS r
+        FROM e JOIN deg d ON e.src = d.src GROUP BY 1
+    ),
+    r2 AS (
+        SELECT e.dst AS node,
+               150000000000 + (85 * CAST(sum(r1.r // d.degree) AS BIGINT))
+                   // 100 AS r
+        FROM e
+        JOIN deg d ON e.src = d.src
+        JOIN r1 ON r1.node = e.src
+        GROUP BY 1
+    )
+    SELECT r2.node AS part_key, d.degree, r2.r AS rank_fp
+    FROM r2 JOIN deg d ON d.src = r2.node
+    ORDER BY rank_fp DESC, part_key LIMIT {_TOP}
+    """,
+)
+def g_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{20} parts by 2-iteration fixed-point PageRank.
+
+    Every node starts at rank 1e12; one iteration sends ``rank div
+    degree`` along each edge and re-damps: ``0.15e12 + 0.85 × inflow``
+    in integer arithmetic. Nodes are defined by edges, so every node
+    has degree ≥ 1 and there is no dangling mass."""
+    e = _directed_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+
+    def iterate(ranks: DataFrame) -> DataFrame:
+        # ranks: (node, r). One message-passing round: shuffle edges on
+        # src to meet (rank, degree), shuffle contributions on dst.
+        return (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.expr(
+                    "CAST(150000000000 + (85 * sum(r div degree)) div 100"
+                    " AS BIGINT)"
+                ).alias("r")
+            )
+        )
+
+    r0 = deg.select(F.col("src").alias("node"), F.lit(_SCALE).alias("r"))
+    r1 = iterate(r0)
+    r2 = iterate(r1)
+    return (
+        r2.join(deg.withColumnRenamed("src", "node"), "node")
+        .select(
+            F.col("node").alias("part_key"),
+            "degree",
+            F.col("r").alias("rank_fp"),
+        )
+        .orderBy(F.desc("rank_fp"), "part_key")
+        .limit(_TOP)
+    )
+
+
+@query(
+    "g_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    und AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT count(DISTINCT src) FROM e) AS n_nodes,
+           (SELECT count(*) FROM und) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count with the ordered-orientation two-join
+    scheme: undirected edges kept as a<b, then (a,b)+(b,c) wedges
+    closed against (a,c). Counts each triangle exactly once."""
+    e = _directed_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = e.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    e1 = und.alias("e1")
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(
+        e3,
+        (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    nodes = e.agg(F.countDistinct("src").alias("n_nodes"))
+    edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    # 1-row × 1-row scalar combines (guarded-crossJoin convention).
+    return nodes.crossJoin(edges).crossJoin(tri)

@@ -653,3 +653,88 @@ def j12_currency_asof_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("converted", scale=2).alias("revenue_converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J13 — nearest-neighbor time join: every purchase event matched to the
+# CLOSEST click of the same user within ±6 h, in either direction —
+# the bidirectional generalization of the backward-only as-of join
+# (J8). Attribution use: "which click drove this purchase".
+#
+# Scale shape: candidate generation is an equi-join on
+# (user_id, time_bucket) — clicks keep their own 6 h bucket, purchases
+# probe bucket-1/bucket/bucket+1 — so no theta join ever forms; any
+# candidate within the window is guaranteed to share a probed bucket,
+# each (purchase, click) pair surfaces at most once (a click has
+# exactly one bucket), and the argmin is a per-purchase window. Gaps
+# are integer microseconds (unix_micros ↔ DuckDB epoch_us), so the
+# ordering and output are cross-engine exact. At 100 TB the shuffle is
+# keyed on (user, bucket): time-local, so bucket skew only forms if one
+# user floods one 6 h window — the same salting answer as J10 applies.
+# ---------------------------------------------------------------------------
+_J13_WINDOW_US = 6 * 3600 * 1_000_000
+
+
+@query(
+    "j13_nearest_event_join",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               abs(c.t - p.t) AS gap_us
+        FROM p JOIN c ON c.user_id = p.user_id
+        WHERE abs(c.t - p.t) <= {_J13_WINDOW_US}
+    )
+    SELECT purchase_id, click_id, gap_us
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY purchase_id
+                                     ORDER BY gap_us, click_id) AS rn
+        FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def j13_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w_us = _J13_WINDOW_US
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("t").alias("ct"),
+        F.expr(f"t div {w_us}").alias("bucket"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("t").alias("pt"),
+        F.explode(
+            F.array(
+                F.expr(f"t div {w_us} - 1"),
+                F.expr(f"t div {w_us}"),
+                F.expr(f"t div {w_us} + 1"),
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        purchases.join(clicks, ["user_id", "bucket"])
+        .withColumn("gap_us", F.abs(F.col("ct") - F.col("pt")))
+        .where(F.col("gap_us") <= w_us)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("purchase_id").orderBy("gap_us", "click_id")
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("purchase_id", "click_id", "gap_us")
+    )

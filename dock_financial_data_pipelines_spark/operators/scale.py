@@ -260,3 +260,73 @@ def a21_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(outside.cast("long")).alias("n_clamped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A23 — per-group OLS regression (extendedprice ~ quantity) computed
+# from DECIMAL-exact moment sums. regr_slope()/corr() on doubles are
+# NOT cross-engine reproducible (accumulation order); here the five
+# moments n, Σx, Σy, Σxy, Σx² (+ Σy²) are per-row-rounded DECIMAL
+# accumulations — exact and order-independent — and the slope /
+# intercept / r² arithmetic runs on doubles derived from those exact
+# moments with the IDENTICAL expression shape on both engines, so every
+# IEEE operation is deterministic. Same policy as catalog.dec_sum,
+# extended to second-order moments. Scale: one scan, one partial-agg
+# shuffle per group key — the cheapest possible distributed shape;
+# this is how regression over 100 TB is actually run (moments compose
+# across partitions; no iterative pass needed for 1-D OLS).
+# ---------------------------------------------------------------------------
+@query(
+    "a23_regression_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
+                   AS sy,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(27,4)))
+                    AS DOUBLE) AS sxy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,4)))
+                    AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(27,4))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+               AS slope,
+           floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 * 1e6 + 0.5) / 1e6 AS intercept,
+           floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1e6 + 0.5) / 1e6 AS r2
+    FROM m ORDER BY 1
+    """,
+)
+def a23_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.sum(c.cast("decimal(27,4)")).cast("double")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("l_quantity")).alias("sx"),
+        dec(F.col("l_extendedprice")).alias("sy"),
+        dec(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        dec(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        dec(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        r6(slope).alias("slope"),
+        r6((sy - slope * sx) / n).alias("intercept"),
+        r6(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -663,3 +663,87 @@ def packed_sequence_texts(
             "text",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# l_trigram_novelty — corpus novelty curve: for every distinct trigram,
+# its first-seen document is min(doc_id); a document's novel trigrams
+# are those it introduces. Reported per language as integer trigram /
+# first-seen totals plus their ratio (one final per-group division —
+# the sums are exact BIGINTs, so the ratio is cross-engine exact).
+# Data-curation use: dated dumps with low novelty against the
+# accumulated corpus are mostly duplicates and can be down-weighted.
+# Scale (100 TB): distinct (doc, trigram) pairs shuffle on
+# xxhash64(trigram) — never trigram text (counts and min(doc_id) are
+# hash-invariant modulo a ~n²/2^65 collision, which the raw-string
+# oracle would surface); one global min per key, one join back, one
+# per-lang aggregate. No all-pairs anything.
+# ---------------------------------------------------------------------------
+@query(
+    "l_trigram_novelty",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ),
+    tri AS (
+        SELECT DISTINCT doc_id, lang,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS tg
+        FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3
+    ),
+    firsts AS (SELECT tg, min(doc_id) AS first_doc FROM tri GROUP BY 1)
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS doc_trigrams,
+           CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS first_seen,
+           floor(CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS novelty
+    FROM tri t JOIN firsts f USING (tg)
+    GROUP BY 1
+    """,
+)
+def l_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= 3)  # Spark sequence(1, 0) would DESCEND
+    )
+    tri = w.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.size("ws") - 2)).alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        "lang",
+        F.xxhash64(
+            F.concat_ws(
+                " ",
+                F.expr("ws[i - 1]"),
+                F.expr("ws[i]"),
+                F.expr("ws[i + 1]"),
+            )
+        ).alias("h"),
+    ).distinct()
+    firsts = tri.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        tri.join(firsts, "h")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_trigrams"),
+            novel.alias("first_seen"),
+            (
+                F.floor(
+                    novel.cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("novelty"),
+        )
+    )

@@ -251,6 +251,54 @@ def main() -> int:
         "NestedLoop" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "g_pagerank_copurchase", execute=True)
+    check(
+        "g_pagerank_copurchase",
+        "message-passing rounds are equi-joins (no NestedLoop, no Python)",
+        "NestedLoop" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "g_triangle_count", execute=True)
+    check(
+        "g_triangle_count",
+        "wedge close is a 2-key equi-join; NestedLoop only in the "
+        "1-row scalar combines",
+        ("SortMergeJoin [a" in p
+         or "BroadcastHashJoin [a" in p
+         or "ShuffledHashJoin [a" in p)
+        and all(
+            "Cross" in line
+            for line in p.splitlines()
+            if "NestedLoopJoin" in line
+        )
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "j13_nearest_event_join", execute=True)
+    check(
+        "j13_nearest_event_join",
+        "candidates via (user, bucket) equi-join — no theta/NestedLoop",
+        "NestedLoop" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_trigram_novelty", execute=True)
+    check(
+        "l_trigram_novelty",
+        "trigram shuffle keyed on xxhash64, fully JVM-side",
+        "xxhash64" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a23_regression_moments", execute=True)
+    check(
+        "a23_regression_moments",
+        "all six moments in ONE map-side partial agg (single scan, "
+        "single group shuffle)",
+        "partial_sum" in p
+        and "partial_count" in p
+        and "hashpartitioning(l_returnflag" in p
+        and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
