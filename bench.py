@@ -132,6 +132,10 @@ def main() -> None:
                 "queries_median": medians,
                 "n_runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # environment attribution for round-over-round reads:
+                # a rebuilt container (new Spark/JVM/testdata files)
+                # shifts every query by a fixed offset.
+                "spark": __import__("pyspark").__version__,
             }
         )
     )

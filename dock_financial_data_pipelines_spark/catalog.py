@@ -85,12 +85,30 @@ def maybe_broadcast(df: DataFrame) -> DataFrame:
     return df if disabled == "true" else F.broadcast(df)
 
 
+# (applicationId, path, mtime) → analyzed DataFrame. spark.read.parquet
+# costs ~100-130 ms per call (file listing + footer schema read) and the
+# bench/driver call load() 1-4× per query run; the logical plan is
+# immutable, so reusing it is exactly what a warehouse catalog does with
+# table metadata. mtime in the key invalidates rewritten fixtures;
+# applicationId scopes entries to the owning JVM context.
+_LOAD_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Also (re-)applies runtime tuning confs so
     engine semantics (UTC timezone, AQE) hold on driver-owned sessions."""
     tune(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _normalize_nanos(df)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.isfile(path):
+        # directory-shaped datasets: a partition overwrite can leave the
+        # top-level mtime unchanged, so never cache those.
+        return _normalize_nanos(spark.read.parquet(path))
+    key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+    df = _LOAD_CACHE.get(key)
+    if df is None:
+        df = _normalize_nanos(spark.read.parquet(path))
+        _LOAD_CACHE[key] = df
+    return df
 
 
 def _normalize_nanos(df: DataFrame) -> DataFrame:

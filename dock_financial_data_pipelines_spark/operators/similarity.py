@@ -112,19 +112,20 @@ def _bucket_expr(vec_col: str, table: int) -> F.Column:
     p = 1 - θ/π; one table catches p^H of true neighbors, L tables
     1-(1-p^H)^L. Near-orthogonal vectors (θ≈70°, the fixture's regime)
     give ~0.6 with H=3, L=4; clustered real embeddings do far better."""
+    # One F.expr per table: composing this from ~2400 Column objects
+    # (64 lits × 3 planes + lambdas) costs ~1 s of py4j round trips per
+    # query build; a single SQL string parses JVM-side in microseconds
+    # with an identical expression tree (repr() round-trips each double
+    # literal exactly).
     bits = []
     for h in range(_N_PLANES):
-        plane = F.array(*[F.lit(w) for w in _hyperplane(table, h)])
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, w: x * w),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
+        plane = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in _hyperplane(table, h))
+        proj = (
+            f"aggregate(zip_with({vec_col}, array({plane}),"
+            " (x, w) -> x * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        bits.append(F.when(proj >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return bucket.cast("int")
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << h} ELSE 0 END)")
+    return F.expr(f"CAST({' + '.join(bits)} AS INT)")
 
 
 def _probe_buckets(bucket_col: F.Column) -> F.Column:

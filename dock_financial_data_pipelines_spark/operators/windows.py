@@ -382,3 +382,64 @@ def w10_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_no")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# W11 — sequence-pattern matching over per-user event streams (the
+# MATCH_RECOGNIZE shape, restated portably): each user's events collapse
+# to an ordered initial-string ('v'iew 'c'lick 'p'urchase …) and funnel
+# occurrences are counted as non-overlapping regex matches of
+# 'vc*p' — a view, any clicks, then a purchase. Output is the user
+# histogram by funnel count.
+#
+# Scale: one shuffle (user groupBy); the per-user sequence is bounded by
+# that user's event count, the regex runs JVM-side per row. The
+# deterministic ordering inside collect_list uses the same
+# sort_array(struct(ts, event_id, ch)) device as the packing
+# materializer — Spark's aggregation order is not otherwise defined.
+# A per-user event string is exactly the layout a session-replay store
+# keeps; at 100 TB one would cap/sample per-user sequences (the fixture
+# doesn't need it, max |seq| = user's events in range).
+# ---------------------------------------------------------------------------
+@query(
+    "w11_event_pattern_match",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT user_id,
+               len(regexp_extract_all(seq, 'vc*p')) AS n_funnels
+        FROM seqs
+    )
+    SELECT n_funnels, count(*) AS n_users FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
+def w11_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(sort_array(collect_list(struct(ts, event_id, ch))),"
+                " x -> x.ch)"
+            ),
+            "",
+        ).alias("seq")
+    )
+    m = seqs.select(
+        "user_id",
+        F.size(F.expr("regexp_extract_all(seq, 'vc*p', 0)")).alias("n_funnels"),
+    )
+    return (
+        m.groupBy("n_funnels")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("n_funnels")
+    )

@@ -128,3 +128,52 @@ def test_pack_materializer_reassembles_corpus_exactly(spark, sf_dir):
         F.sum(F.col("doc_tok_end") - F.col("doc_tok_start")).alias("t")
     ).collect()[0].t
     assert tot == sum(len(v) for v in src.values())
+
+
+def test_fixture_timestamps_never_ntz(spark, sf_dir):
+    """Regression guard for the round-4 testdata regeneration: fixture
+    parquet stores timestamps without the isAdjustedToUTC flag, which a
+    default Spark 4 session infers as TIMESTAMP_NTZ — a type watermarks
+    reject and numeric casts refuse. catalog.load must always hand back
+    session-timezone TIMESTAMP columns regardless of how the conf race
+    went."""
+    from pyspark.sql.types import TimestampNTZType
+
+    from dock_financial_data_pipelines_spark.catalog import TABLES, load
+
+    for name in TABLES:
+        for field in load(spark, sf_dir, name).schema.fields:
+            assert not isinstance(field.dataType, TimestampNTZType), (
+                f"{name}.{field.name} surfaced as TIMESTAMP_NTZ"
+            )
+
+
+def test_load_cache_invalidates_on_rewrite(spark, tmp_path):
+    """load() memoizes per (app, path, mtime); rewriting the file must
+    produce the new contents, not the cached plan."""
+    import os
+    import time
+
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(3).toDF("n").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage1")
+    )
+    # single FILE (the cacheable shape): copy the part file to t.parquet
+    part = next(
+        f for f in os.listdir(tmp_path / "stage1") if f.endswith(".parquet")
+    )
+    os.replace(str(tmp_path / "stage1" / part), p)
+    assert load(spark, str(tmp_path), "t").count() == 3
+    assert load(spark, str(tmp_path), "t") is load(spark, str(tmp_path), "t")
+
+    spark.range(5).toDF("n").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage2")
+    )
+    part = next(
+        f for f in os.listdir(tmp_path / "stage2") if f.endswith(".parquet")
+    )
+    time.sleep(0.02)  # ensure a distinct mtime
+    os.replace(str(tmp_path / "stage2" / part), p)
+    assert load(spark, str(tmp_path), "t").count() == 5
