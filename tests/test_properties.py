@@ -214,3 +214,26 @@ def test_benford_fractions_sum_to_one(prices):
     assert abs(sum(n / total for n in digits.values()) - 1.0) < 1e-9
     benford = sum(math.log10(1 + 1 / d) for d in range(1, 10))
     assert abs(benford - 1.0) < 1e-12
+
+
+def test_pagerank_fixed_point_invariants(spark, sf_dir):
+    """Fixed-point PageRank invariants that hold for ANY graph:
+    every rank ≥ the damping floor 0.15e12, and total rank mass can
+    only shrink relative to N·1e12 (integer floor-division truncates,
+    never creates mass)."""
+    import dock_financial_data_pipelines_spark as engine
+
+    engine.load_all()
+    rows = engine.QUERIES["g_pagerank_copurchase"](spark, sf_dir).collect()
+    assert rows, "top-20 must be non-empty on the fixture"
+    n_nodes = (
+        engine.QUERIES["g_triangle_count"](spark, sf_dir)
+        .collect()[0]["n_nodes"]
+    )
+    for r in rows:
+        assert r["rank_fp"] >= 150_000_000_000
+        assert r["rank_fp"] <= n_nodes * 1_000_000_000_000
+        assert r["degree"] >= 1
+    # top-20 is rank-sorted with part_key tiebreak
+    ranks = [(-r["rank_fp"], r["part_key"]) for r in rows]
+    assert ranks == sorted(ranks)
