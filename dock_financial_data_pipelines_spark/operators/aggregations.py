@@ -566,3 +566,40 @@ def a22_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(md, "o_orderstatus").select(
         "o_orderstatus", "n", "median_price", "mode_priority"
     )
+
+
+# ---------------------------------------------------------------------------
+# A24 — 2-D histogram (heatmap feed): quantity-band × price-band counts
+# over lineitem in one scan + one grouped aggregate. The binning is
+# integer floor arithmetic so both engines bucket identically.
+# ---------------------------------------------------------------------------
+@query(
+    "a24_histogram2d",
+    oracle="""
+    SELECT CAST(floor((l_quantity - 1) / 10) AS BIGINT) AS qty_band,
+           CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_band,
+           count(*) AS n,
+           round(sum(CAST(l_extendedprice AS DECIMAL(27,2))), 2)::DOUBLE
+               AS band_revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def a24_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import dec_sum
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.floor((F.col("l_quantity") - 1) / 10)
+            .cast("bigint")
+            .alias("qty_band"),
+            F.floor(F.col("l_extendedprice") / 10000)
+            .cast("bigint")
+            .alias("price_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("l_extendedprice", scale=2).alias("band_revenue"),
+        )
+    )

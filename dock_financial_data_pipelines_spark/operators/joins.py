@@ -738,3 +738,40 @@ def j13_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("purchase_id", "click_id", "gap_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# J14 — fuzzy entity match (entity resolution): customer names within
+# Levenshtein distance ≤ 2 of a bounded probe set. The exact edit-
+# distance form is oracle-checkable (Spark `levenshtein` ≡ DuckDB
+# `levenshtein`); production entity resolution at 100 TB replaces the
+# probe×corpus scan with q-gram/blocking-key candidate generation (the
+# same candidate-then-verify shape as every dedup operator here — the
+# L4 family IS that scale path, on documents instead of names).
+# ---------------------------------------------------------------------------
+@query(
+    "j14_fuzzy_name_match",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 20
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def j14_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    probe = cust.where(F.col("c_custkey") < 20).select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a")
+    )
+    cand = cust.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
+    )
+    return (
+        F.broadcast(probe)
+        .join(cand, F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 2)
+        .select("key_a", "key_b", "dist")
+    )

@@ -423,3 +423,107 @@ def q_balance_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_stale"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q — column profiler (the Deequ/profiling shape): null count, exact
+# distinct count, and min/max for every column of orders, computed in
+# ONE scan — all 6×4 aggregates run in a single hash-aggregate pass and
+# the per-column rows come from a stack() over the 1-row aggregate.
+# The oracle pays 6 scans (UNION ALL), which is exactly the cost this
+# operator avoids at 100 TB. Min/max are rendered with explicit
+# per-type formatting (DECIMAL(18,2) for doubles, yyyy-MM-dd for
+# timestamps) so the string reprs are engine-independent.
+# ---------------------------------------------------------------------------
+@query(
+    "q_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_repr,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d'),
+           strftime(max(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+
+    def prof(c, min_repr, max_repr):
+        return [
+            (n - F.count(c)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            min_repr.alias(f"mn_{c}"),
+            max_repr.alias(f"mx_{c}"),
+        ]
+
+    aggs = []
+    aggs += prof(
+        "o_orderkey",
+        F.min("o_orderkey").cast("string"),
+        F.max("o_orderkey").cast("string"),
+    )
+    aggs += prof(
+        "o_custkey",
+        F.min("o_custkey").cast("string"),
+        F.max("o_custkey").cast("string"),
+    )
+    aggs += prof(
+        "o_orderstatus", F.min("o_orderstatus"), F.max("o_orderstatus")
+    )
+    aggs += prof(
+        "o_totalprice",
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    aggs += prof(
+        "o_orderdate",
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd"),
+    )
+    aggs += prof(
+        "o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority")
+    )
+    wide = o.agg(*aggs)
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack})"
+        " AS (col, n_nulls, n_distinct, min_repr, max_repr)"
+    )
