@@ -237,3 +237,107 @@ def test_pagerank_fixed_point_invariants(spark, sf_dir):
     # top-20 is rank-sorted with part_key tiebreak
     ranks = [(-r["rank_fp"], r["part_key"]) for r in rows]
     assert ranks == sorted(ranks)
+
+
+def test_nearest_event_join_matches_bruteforce(spark, tmp_path):
+    """The (user, bucket±1) candidate trick must find EXACTLY the
+    nearest click found by a brute-force scan, on adversarial data:
+    gaps right at the ±6h window edge, ties, multi-user interleaving."""
+    import datetime as dt
+    import itertools
+
+    import dock_financial_data_pipelines_spark as engine
+
+    engine.load_all()
+    base = dt.datetime(2024, 1, 1)
+    W = 6 * 3600
+    rows = []
+    eid = itertools.count()
+    # user 1: clicks straddling bucket edges and exact-window boundaries
+    offsets = [0, 1, W - 1, W, W + 1, 2 * W, 3 * W + 7, -W, -W - 1, -5]
+    for off in offsets:
+        rows.append((next(eid), base + dt.timedelta(seconds=off), 1, "click", 1.0, "{}"))
+    rows.append((next(eid), base, 1, "purchase", 9.9, "{}"))
+    rows.append((next(eid), base + dt.timedelta(seconds=2 * W), 1, "purchase", 9.9, "{}"))
+    # user 2: equidistant tie — smaller event_id must win
+    t2 = base + dt.timedelta(days=3)
+    a = next(eid); b = next(eid)
+    rows.append((a, t2 - dt.timedelta(seconds=100), 2, "click", 1.0, "{}"))
+    rows.append((b, t2 + dt.timedelta(seconds=100), 2, "click", 1.0, "{}"))
+    rows.append((next(eid), t2, 2, "purchase", 9.9, "{}"))
+    # user 3: no click inside the window at all
+    rows.append((next(eid), base + dt.timedelta(days=9), 3, "purchase", 9.9, "{}"))
+    rows.append((next(eid), base + dt.timedelta(days=9, seconds=W + 1), 3, "click", 1.0, "{}"))
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = {
+        (r["purchase_id"], r["click_id"], r["gap_us"])
+        for r in engine.QUERIES["j13_nearest_event_join"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    want = set()
+    purchases = [r for r in rows if r[3] == "purchase"]
+    clicks = [r for r in rows if r[3] == "click"]
+    for p in purchases:
+        best = None
+        for c in clicks:
+            if c[2] != p[2]:
+                continue
+            gap = abs(int((c[1] - p[1]).total_seconds() * 1_000_000))
+            if gap <= W * 1_000_000:
+                k = (gap, c[0])
+                if best is None or k < best:
+                    best = k
+        if best:
+            want.add((p[0], best[1], best[0]))
+    assert got == want
+
+
+def test_pagerank_matches_integer_reference(spark, sf_dir):
+    """The distributed fixed-point PageRank must equal a pure-Python
+    integer reference on the same edge list, bit for bit — integer
+    arithmetic leaves no accumulation-order slack."""
+    import dock_financial_data_pipelines_spark as engine
+    from dock_financial_data_pipelines_spark.operators.graph import (
+        _SCALE,
+        _TOP,
+        _directed_edges,
+    )
+
+    engine.load_all()
+    edges = [
+        (r["src"], r["dst"])
+        for r in _directed_edges(spark, sf_dir).collect()
+    ]
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {n: _SCALE for n in deg}
+    for _ in range(2):
+        inflow: dict = {}
+        for s, d in edges:
+            inflow[d] = inflow.get(d, 0) + ranks[s] // deg[s]
+        ranks = {
+            n: 150_000_000_000 + (85 * s) // 100 for n, s in inflow.items()
+        }
+    want = sorted(
+        ((n, deg[n], r) for n, r in ranks.items()),
+        key=lambda x: (-x[2], x[0]),
+    )[:_TOP]
+    got = [
+        (r["part_key"], r["degree"], r["rank_fp"])
+        for r in engine.QUERIES["g_pagerank_copurchase"](spark, sf_dir).collect()
+    ]
+    assert got == want
