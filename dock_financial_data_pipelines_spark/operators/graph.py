@@ -12,6 +12,14 @@ graph (parts that appear in the same order):
 - ``g_triangle_count`` — global triangle count via the ordered-edge
   two-join scheme.
 
+BIGINT headroom: a node's inflow is at most (total mass)/min_degree ≤
+N·1e12, and the damping multiply adds a factor 85 — with ANSI mode on
+(Spark 4 default) an overflow would THROW, not wrap, so the failure
+mode is loud. N·85·1e12 < 2^63 holds to N ≈ 10^5 in the worst
+all-mass-on-one-node case and to N ≈ 10^6+ for any real degree
+distribution; beyond that, drop the scale to 1e9 — rank resolution
+only needs to separate the top-k.
+
 Cross-engine exactness: PageRank in floating point is NOT reproducible
 across engines (accumulation order). Ranks here use fixed-point integer
 arithmetic — rank scaled by 1e12, per-edge contribution is integer
