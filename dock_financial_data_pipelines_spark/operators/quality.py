@@ -527,3 +527,45 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack})"
         " AS (col, n_nulls, n_distinct, min_repr, max_repr)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q — duplicate-payment screen (the classic AP fraud/error audit): two
+# orders by the same customer for the identical amount on the same day.
+# One scan + one grouped aggregate on the natural blocking key
+# (custkey, day, cents) — the blocking key IS the equality predicate,
+# so no pairwise join is ever needed; groups with n > 1 are the
+# suspects. Amounts compare in integer cents (floor(x*100+0.5), the
+# per-row money convention) so float jitter can't split a group.
+# ---------------------------------------------------------------------------
+@query(
+    "q_duplicate_payments",
+    oracle="""
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS day,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           count(*) AS n_orders,
+           min(o_orderkey) AS first_orderkey,
+           max(o_orderkey) AS last_orderkey
+    FROM orders
+    GROUP BY 1, 2, 3
+    HAVING count(*) > 1
+    """,
+)
+def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.max("o_orderkey").alias("last_orderkey"),
+        )
+        .where(F.col("n_orders") > 1)
+    )

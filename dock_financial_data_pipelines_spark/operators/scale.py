@@ -330,3 +330,75 @@ def a23_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# A25 — lag-1 autocorrelation of the daily revenue series. Two-stage:
+# (1) daily sums, DECIMAL-exact; (2) lag pairs via a window over the
+# ~thousands-of-rows daily series (bounded by calendar span, NOT by
+# corpus size — an unpartitioned window is safe here and only here),
+# then the correlation from DECIMAL-exact moment sums with identical
+# double arithmetic on both engines (the a23 policy). The seasonality /
+# momentum screen a finance team runs on revenue series.
+# ---------------------------------------------------------------------------
+@query(
+    "a25_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT rev AS y, lag(rev) OVER (ORDER BY day) AS x FROM daily
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(27,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(27,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(27,4))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(27,4))) AS DOUBLE) AS syy
+        FROM pairs WHERE x IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           floor((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                 * 1e6 + 0.5) / 1e6 AS lag1_autocorr
+    FROM m
+    """,
+)
+def a25_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    pairs = daily.select(
+        F.col("rev").alias("y"),
+        F.lag("rev").over(Window.orderBy("day")).alias("x"),
+    ).where(F.col("x").isNotNull())
+    dec = lambda c, s: F.sum(c.cast(f"decimal(27,{s})")).cast("double")  # noqa: E731
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x"), 2).alias("sx"),
+        dec(F.col("y"), 2).alias("sy"),
+        dec(F.col("x") * F.col("y"), 4).alias("sxy"),
+        dec(F.col("x") * F.col("x"), 4).alias("sxx"),
+        dec(F.col("y") * F.col("y"), 4).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        n.cast("long").alias("n_pairs"),
+        (F.floor(corr * 1e6 + F.lit(0.5)) / 1e6).alias("lag1_autocorr"),
+    )

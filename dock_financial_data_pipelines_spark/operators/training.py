@@ -747,3 +747,54 @@ def l_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# l_dataset_card — the one-row corpus summary a dataset release ships
+# (HuggingFace dataset-card numbers): document/language counts, token
+# totals, exact-duplicate rate, English share, mean document length.
+# ONE scan of documents computes every number (all aggregates ride a
+# single hash-aggregate pass); ratios divide exact integer sums, so the
+# row is cross-engine exact. At 100 TB this is the cheapest possible
+# shape — no joins, no windows, map-side partials all the way.
+# ---------------------------------------------------------------------------
+@query(
+    "l_dataset_card",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           count(*) - count(DISTINCT md5(text)) AS exact_dup_docs,
+           CAST(sum(CASE WHEN lang = 'en'
+                         THEN len(string_split(text, ' ')) ELSE 0 END)
+                AS BIGINT) AS en_tokens,
+           floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS mean_doc_tokens
+    FROM documents
+    """,
+)
+def l_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+    tok_sum = F.sum("n_tok").cast("long")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        tok_sum.alias("total_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+            "exact_dup_docs"
+        ),
+        F.sum(F.when(F.col("lang") == "en", F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("en_tokens"),
+        (
+            F.floor(
+                tok_sum.cast("double") / F.count(F.lit(1)).cast("double") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_doc_tokens"),
+    )
