@@ -299,6 +299,46 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    def n_scans(plan: str) -> int:
+        # executedPlan().toString() renders the AQE final plan AND the
+        # initial plan — each true scan appears twice.
+        return plan.count("FileScan parquet") // (2 if "== Initial Plan ==" in plan else 1)
+
+    p = plan_of(spark, "q_column_profile", execute=True)
+    check(
+        "q_column_profile",
+        "ONE scan feeds all 24 profile aggregates (oracle pays 6)",
+        n_scans(p) == 1 and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_dataset_card", execute=True)
+    check(
+        "l_dataset_card",
+        "one scan, no joins — map-side partials all the way",
+        n_scans(p) == 1 and "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_duplicate_payments", execute=True)
+    check(
+        "q_duplicate_payments",
+        "blocking key = equality predicate: grouped agg, no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w11_event_pattern_match", execute=True)
+    check(
+        "w11_event_pattern_match",
+        "sequence build + regex fully JVM-side, no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a25_autocorrelation", execute=True)
+    check(
+        "a25_autocorrelation",
+        "daily agg then bounded window; no Python, no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
