@@ -89,10 +89,15 @@ def _ship_package(spark: SparkSession) -> None:
 def get_spark(app_name: str = "dock-fdp-spark") -> SparkSession:
     """Build the engine's own local session (tests, bench, CLI drivers)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Overridable for the partitioning-invariance check (scripts/
+    # check_all.py under local[5]/7 partitions must hash identically —
+    # the determinism policy is only real if parallelism can't move a
+    # result).
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "true")
