@@ -122,6 +122,18 @@ def main() -> None:
     per_query = {n: round(min(xs), 3) for n, xs in samples.items()}
     medians = {n: round(_median(xs), 3) for n, xs in samples.items()}
     total = round(sum(per_query.values()), 3)
+    # Subtotal over the queries the round-3 suite also ran (everything
+    # before the round-4 additions, plus the ablations) so "value"
+    # growing from suite EXPANSION can't read as a perf regression.
+    r4_added = {
+        "l_pack_sequences",
+        "l_chunk_exact_dedup",
+        "l_unigram_logprob",
+        "q_ledger_reconciliation",
+    }
+    shared = round(
+        sum(v for n, v in per_query.items() if n not in r4_added), 3
+    )
     print(
         json.dumps(
             {
@@ -131,6 +143,7 @@ def main() -> None:
                 "queries": per_query,
                 "queries_median": medians,
                 "n_runs": n_runs,
+                "value_shared_r3": shared,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # environment attribution for round-over-round reads:
                 # a rebuilt container (new Spark/JVM/testdata files)
