@@ -1,0 +1,67 @@
+"""Oracle parity on the ADVERSARIAL fixture (scripts/
+make_adversarial_fixture.py): a curated, fast subset of the full
+211-query hunt, picking the queries whose semantics have edge-case
+cliffs — short-document n-gram arms, exact window/session boundaries,
+tied orderings, .xx5 money rounding, predicate boundary dates.
+
+The full hunt (`TEST_SF_DIR=/tmp/dock_advfix python scripts/
+check_all.py`) passed 211/211 when added; this subset keeps the
+property from rotting as operators evolve.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+import dock_financial_data_pipelines_spark as engine
+from tests._compare import compare_frames, duck_connection
+
+engine.load_all()
+
+EDGE_SENSITIVE = [
+    "l_repetition_stats",        # bigram arm on 1-word docs (round-3 bug)
+    "l_trigram_novelty",         # trigram arm on <3-word docs
+    "l3_exact_dedup_summary",    # real duplicate texts present
+    "l3_prefix_dedup",           # shared 8-token prefixes
+    "l1_token_stats",
+    "w10_sessionize_gaps",       # gaps exactly at 1800 s
+    "w11_event_pattern_match",   # tied (user, ts) ordering
+    "x1_tumbling_window",        # events exactly on window starts
+    "x3_session_window",
+    "j11_interval_overlap_join",
+    "j13_nearest_event_join",    # gaps exactly at the ±window edge
+    "q_duplicate_payments",      # tied same-day cents
+    "a1_pricing_summary",        # .xx5 decimal accumulation
+    "a22_median_mode",           # even-count interpolation + mode ties
+    "p1_project_compute",
+    "tpch_q16_parts_supplier_counts",  # p_size on the IN-list edges
+    "tpch_q19_discounted_revenue",     # band boundaries
+    "q_benford_first_digit",
+    "j12_currency_asof_convert",  # facts before/at the first rate fix
+    "w1_rank_functions",          # tied acctbals / prices
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("advfix"))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "make_adversarial_fixture.py")],
+        check=True,
+        env={**os.environ, "ADV_FIX_DIR": out},
+        capture_output=True,
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", EDGE_SENSITIVE)
+def test_adversarial_parity(spark, adv_dir, name):
+    oracle = engine.ORACLES[name]
+    spark_pdf = engine.QUERIES[name](spark, adv_dir).toPandas()
+    con = duck_connection(adv_dir)
+    compare_frames(spark_pdf, con.sql(oracle).df(), name)
