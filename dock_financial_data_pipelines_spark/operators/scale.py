@@ -402,3 +402,69 @@ def a25_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_pairs"),
         (F.floor(corr * 1e6 + F.lit(0.5)) / 1e6).alias("lag1_autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A26 — Gini concentration of order revenue per market segment: the
+# standard inequality screen ("what share of revenue do the top
+# customers represent"). G = (2·Σ rank·x)/(n·Σx) − (n+1)/n over
+# amounts sorted ascending within each segment; rank ties broken by
+# orderkey so the ordering is total. Σx and Σ rank·x accumulate as
+# DECIMALs (rank·x has the same 2-decimal resolution as x), the final
+# expression runs on exact-moment doubles — the a23/a25 policy. The
+# sort is a per-segment window, so the shuffle is one hash partition by
+# segment and each partition sorts locally — no global sort at any
+# scale (segments are the parallel unit; a single monster segment
+# would range-partition by amount and offset ranks, documented).
+# ---------------------------------------------------------------------------
+@query(
+    "a26_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS x,
+               row_number() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice, o.o_orderkey)
+                   AS r
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+        SELECT seg, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(27,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(r * x AS DECIMAL(27,2))) AS DOUBLE) AS srx
+        FROM ranked GROUP BY 1
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n_orders,
+           floor((2 * srx / (n * sx) - (n + 1) / n) * 1e6 + 0.5) / 1e6
+               AS gini
+    FROM m ORDER BY 1
+    """,
+)
+def a26_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("seg").orderBy("x", "o_orderkey")
+    ranked = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").alias("x"),
+            "o_orderkey",
+        )
+        .withColumn("r", F.row_number().over(w))
+    )
+    m = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(27,2)")).cast("double").alias("sx"),
+        F.sum((F.col("r") * F.col("x")).cast("decimal(27,2)"))
+        .cast("double")
+        .alias("srx"),
+    )
+    n, sx, srx = F.col("n"), F.col("sx"), F.col("srx")
+    gini = 2 * srx / (n * sx) - (n + 1) / n
+    return m.select(
+        "seg",
+        n.cast("long").alias("n_orders"),
+        (F.floor(gini * 1e6 + F.lit(0.5)) / 1e6).alias("gini"),
+    ).orderBy("seg")
