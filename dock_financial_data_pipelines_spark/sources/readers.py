@@ -548,3 +548,109 @@ def s13_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("value", " "))).cast("long").alias("total_words"),
         F.max(F.length("value")).cast("long").alias("max_line_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S14 — malformed-row CSV audit: the ingest-hygiene reader every CSV
+# feed needs (the reference moves CSV report files; a consumer must
+# quarantine bad rows, not crash or silently drop them). Validation is
+# EXPLICIT try_cast rules — read every field as string (structurally
+# always parseable), a row is good iff every typed cast succeeds —
+# rather than parser-dependent error handling: Spark's PERMISSIVE
+# quarantine and DuckDB's ignore_errors draw the good/bad line in
+# genuinely different places for value-level errors (found empirically
+# by this operator's own oracle check), while try_cast semantics are
+# identical on both engines AND give the pipeline a declarative,
+# auditable validity rule. One scan; the quarantine rows stay
+# addressable for a dead-letter sink.
+# ---------------------------------------------------------------------------
+_CSV_GOOD_ROWS = 24
+# Fixture content is sf-independent (synthetic corrupt rows), so the
+# path is static — the oracle SQL must be a fixed string and DuckDB
+# reads the same file the engine just audited.
+_CORRUPT_CSV = os.path.join(
+    tempfile.gettempdir(), "dock_fdp_spark", "corrupt_csv", "feed.csv"
+)
+
+
+def _corrupt_csv_fixture() -> str:
+    """Deterministic CSV with value-level corrupt rows interleaved."""
+    path = _corrupt_csv_fixture_path = _CORRUPT_CSV
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        lines = ["k,amount,day"]
+        for k in range(_CSV_GOOD_ROWS):
+            lines.append(f"{k},{(k * 137 % 1000) / 100:.2f},2024-01-{1 + k % 28:02d}")
+        lines.insert(5, "100,not_a_number,2024-01-05")
+        lines.insert(11, "101,3.50,not_a_date")
+        lines.insert(17, "102,12.34,2024-02-30")  # impossible date Feb 30
+        staging = f"{path}.tmp{os.getpid()}"
+        with open(staging, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(staging, path)
+    return _corrupt_csv_fixture_path
+
+
+@query(
+    "s14_corrupt_csv_audit",
+    oracle=f"""
+    WITH raw AS (
+        SELECT TRY_CAST(k AS BIGINT) AS k_v,
+               TRY_CAST(amount AS DOUBLE) AS amount_v,
+               TRY_CAST(day AS DATE) AS day_v
+        FROM read_csv('{_CORRUPT_CSV}',
+            columns={{'k': 'VARCHAR', 'amount': 'VARCHAR', 'day': 'VARCHAR'}},
+            header=true)
+    ),
+    flagged AS (
+        SELECT *, (k_v IS NOT NULL AND amount_v IS NOT NULL
+                   AND day_v IS NOT NULL) AS ok
+        FROM raw
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+           round(sum(CASE WHEN ok THEN CAST(amount_v AS DECIMAL(27,2))
+                          ELSE 0 END), 2)::DOUBLE AS good_amount,
+           strftime(min(CASE WHEN ok THEN day_v END), '%Y-%m-%d')
+               AS first_day
+    FROM flagged
+    """,
+)
+def s14_corrupt_csv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _corrupt_csv_fixture()
+    raw = (
+        spark.read.schema("k STRING, amount STRING, day STRING")
+        .option("header", "true")
+        .csv(path)
+        .select(
+            F.expr("try_cast(k AS BIGINT)").alias("k_v"),
+            F.expr("try_cast(amount AS DOUBLE)").alias("amount_v"),
+            F.expr("try_cast(day AS DATE)").alias("day_v"),
+        )
+    )
+    ok = (
+        F.col("k_v").isNotNull()
+        & F.col("amount_v").isNotNull()
+        & F.col("day_v").isNotNull()
+    )
+    return raw.withColumn("ok", ok).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("ok"), F.col("amount_v").cast("decimal(27,2)")
+                ).otherwise(F.lit(0).cast("decimal(27,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("good_amount"),
+        F.date_format(
+            F.min(F.when(F.col("ok"), F.col("day_v"))), "yyyy-MM-dd"
+        ).alias("first_day"),
+    )
