@@ -866,3 +866,102 @@ def l_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L — Zipf-law fit over the corpus term distribution: OLS slope of
+# ln(freq) ~ ln(rank) across the top-100 terms. Natural text sits near
+# slope −1; synthetic/template corpora (like this fixture) flatten —
+# a distribution-shift screen for training data.
+#
+# Determinism notes: the top-100 pick and ranks are total-ordered
+# (count DESC, term ASC). ln() is NOT guaranteed bit-identical across
+# math libraries (JVM vs libm, ≤1 ulp apart), so each log is rounded
+# per-row to DECIMAL(27,9) BEFORE summation — a 1-ulp (~2e-16)
+# discrepancy cannot move a 1e-9 rounding except within 2e-7 of a
+# boundary, and the moment sums are then exact decimals. The final
+# slope arithmetic is the a23 identical-expression policy. The
+# frequency count shuffles raw terms only because the top-k path is
+# bounded; the corpus-wide frequency ops (repetition/contamination)
+# keep their xxhash64 keys.
+# ---------------------------------------------------------------------------
+@query(
+    "l_zipf_fit",
+    oracle="""
+    WITH tf AS (
+        SELECT w AS term, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1
+    ),
+    top AS (
+        SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        FROM tf ORDER BY cnt DESC, term LIMIT 100
+    ),
+    pts AS (
+        SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(27,9)) AS x,
+               CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(27,9)) AS y
+        FROM top
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(27,9))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(27,9))) AS DOUBLE) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+               AS zipf_slope
+    FROM m
+    """,
+)
+def l_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        tf.orderBy(F.desc("cnt"), "term")
+        .limit(100)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "term")),
+        )
+    )
+    pts = top.select(
+        F.log(F.col("rank").cast("double")).cast("decimal(27,9)").alias("x"),
+        F.log(F.col("cnt").cast("double")).cast("decimal(27,9)").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(
+            (F.col("x").cast("double") * F.col("y").cast("double")).cast(
+                "decimal(27,9)"
+            )
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            (F.col("x").cast("double") * F.col("x").cast("double")).cast(
+                "decimal(27,9)"
+            )
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.cast("long").alias("n_terms"),
+        (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("zipf_slope"),
+    )

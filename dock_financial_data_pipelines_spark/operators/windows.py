@@ -443,3 +443,58 @@ def w11_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("n_funnels")
     )
+
+
+# ---------------------------------------------------------------------------
+# W12 — activity-streak detection (gaps-and-islands): the longest run of
+# CONSECUTIVE active days per user. The island id is the classic
+# day_number − dense_rank() constant: consecutive days share it, any
+# gap shifts it. Two window passes over (user, day) — both partitioned
+# by user, so the shuffle is one hash partition and no global sort
+# exists. Engagement/retention metric (DAU streaks) on the events
+# stream.
+# ---------------------------------------------------------------------------
+@query(
+    "w12_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, d,
+               d - dense_rank() OVER (PARTITION BY user_id ORDER BY d)
+                   AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, count(*) AS len
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY 1
+    """,
+)
+def w12_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"))
+        .distinct()
+    )
+    island = F.col("d") - F.dense_rank().over(
+        Window.partitionBy("user_id").orderBy("d")
+    )
+    streaks = (
+        days.withColumn("island", island)
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
