@@ -706,3 +706,96 @@ def x11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("c_ts").cast("bigint").alias("click_epoch"),
     )
     return _run_to_memory(joined, "x11_joined", "append")
+
+
+# ---------------------------------------------------------------------------
+# X12 — streaming dead-letter quarantine: the corrupt-CSV feed (S14's
+# fixture) consumed as a STREAM, with every micro-batch split by the
+# same explicit try_cast validity rule into a good parquet sink and a
+# raw-text quarantine sink (the dead-letter queue). The audit row read
+# back from the two sinks is deterministic — validation is row-local,
+# so batching cannot change which side a row lands on — which is why
+# this real foreachBatch run carries a full SQL oracle (the same
+# numbers S14 computes directly from the file).
+# ---------------------------------------------------------------------------
+@query(
+    "x12_stream_deadletter",
+    oracle=None,  # replaced below: reuse s14's oracle verbatim
+)
+def x12_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.sources.readers import (
+        _corrupt_csv_fixture,
+    )
+
+    path = _corrupt_csv_fixture()
+    scratch = _scratch()
+    good_sink = os.path.join(scratch, "good")
+    dead_sink = os.path.join(scratch, "dead")
+    os.makedirs(good_sink, exist_ok=True)
+    os.makedirs(dead_sink, exist_ok=True)
+
+    def split(batch_df: DataFrame, batch_id: int) -> None:
+        ok = (
+            F.expr("try_cast(k AS BIGINT)").isNotNull()
+            & F.expr("try_cast(amount AS DOUBLE)").isNotNull()
+            & F.expr("try_cast(day AS DATE)").isNotNull()
+        )
+        flagged = batch_df.withColumn("ok", ok)
+        (
+            flagged.where("ok")
+            .selectExpr(
+                "try_cast(k AS BIGINT) AS k",
+                "try_cast(amount AS DOUBLE) AS amount",
+                "try_cast(day AS DATE) AS day",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(good_sink, f"batch_id={batch_id}"))
+        )
+        (
+            flagged.where(~F.col("ok"))
+            .selectExpr("concat_ws(',', k, amount, day) AS raw_line")
+            .write.mode("overwrite")
+            .parquet(os.path.join(dead_sink, f"batch_id={batch_id}"))
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            spark.readStream.schema("k STRING, amount STRING, day STRING")
+            .option("header", "true")
+            .option("maxFilesPerTrigger", "1")
+            .csv(os.path.dirname(path))
+            .writeStream.foreachBatch(split)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    good = spark.read.parquet(os.path.join(good_sink, "batch_id=*"))
+    dead = spark.read.parquet(os.path.join(dead_sink, "batch_id=*"))
+    return (
+        good.agg(
+            F.count(F.lit(1)).cast("long").alias("n_good"),
+            dec_sum("amount", scale=2).alias("good_amount"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+        )
+        .crossJoin(dead.agg(F.count(F.lit(1)).cast("long").alias("n_corrupt")))
+        .select(
+            (F.col("n_good") + F.col("n_corrupt")).alias("n_rows"),
+            "n_good",
+            "n_corrupt",
+            "good_amount",
+            "first_day",
+        )
+    )
+
+
+# x12's result is definitionally s14's audit row: same file, same
+# validity rule — so it shares the same oracle text. (readers registers
+# s14 before this module loads; load_all imports streaming last.)
+def _share_s14_oracle() -> None:
+    from dock_financial_data_pipelines_spark.registry import ORACLES
+
+    ORACLES["x12_stream_deadletter"] = ORACLES["s14_corrupt_csv_audit"]
+
+
+_share_s14_oracle()
