@@ -418,3 +418,81 @@ def l9_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_pairs", (F.col("_max_err") <= 0.02).alias("max_err_le_2pct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# L5e — hard-negative mining (contrastive-training data prep): for each
+# probe vector, the top-3 most-similar vectors with a DIFFERENT label —
+# the "hard negatives" a contrastive loss needs, too similar for random
+# sampling to find. The exact probe-bounded form carries the SQL
+# oracle; at 100 TB candidate generation rides the existing ANN index
+# (probe the LSH buckets, then filter label != q.label in the re-rank)
+# — the same candidate-then-verify shape as every L5 operator.
+# ---------------------------------------------------------------------------
+@query(
+    "l_hard_negative_mining",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neighbor_id, c.label AS neg_label,
+               list_inner_product(q.e, c.e)
+                 / (sqrt(list_inner_product(q.e, q.e))
+                    * sqrt(list_inner_product(c.e, c.e))) AS cos_raw
+        FROM v q JOIN v c
+          ON q.vec_id <> c.vec_id AND q.label <> c.label
+        WHERE q.vec_id < 10
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+               ) AS pos
+        FROM scored
+    )
+    SELECT query_id, query_label, neighbor_id, neg_label,
+           round(cos_raw, 6) AS cosine, pos
+    FROM ranked WHERE pos <= 3
+    """,
+)
+def l_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("e").alias("qe"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("e").alias("ce"),
+    )
+    cos = _dot("qe", "ce") / (
+        F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(
+            cands,
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neg_label")),
+        )
+        .withColumn("cos_raw", cos)
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 3)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neg_label",
+            F.round("cos_raw", 6).alias("cosine"),
+            "pos",
+        )
+    )
