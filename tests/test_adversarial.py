@@ -43,6 +43,11 @@ EDGE_SENSITIVE = [
     "q_benford_first_digit",
     "j12_currency_asof_convert",  # facts before/at the first rate fix
     "w1_rank_functions",          # tied acctbals / prices
+    "a26_gini_concentration",     # tied amounts in the rank weighting
+    "w12_activity_streaks",       # single-day and duplicate-day users
+    "l_zipf_fit",                 # tied term counts in the rank ordering
+    "l_hard_negative_mining",     # near-parallel different-label vectors
+    "s14_corrupt_csv_audit",      # fixture-independent; exercises try_cast
 ]
 
 
