@@ -44,9 +44,31 @@ __version__ = "0.2.0"
 # can never displace a planned slot. Regenerate both lists at round
 # start with scripts/sweep_rotate.py.
 _SWEEP_FIRST = [
-    # Round-4 sweep plan: SQL-oracled, never driver-checked
-    # (47 r3-backlog + 11 mid-round-4 additions = slots 1-47 after
-    # r1-r3 verdicts; regenerate with scripts/sweep_rotate.py)
+    # Round-5 sweep plan: drain the 18 never-driver-checked
+    # round-4 late additions (VERDICT r4 item 1); regenerated
+    # with scripts/sweep_rotate.py at round start.
+    # SQL-oracled, never driver-checked (slots 1-17)
+    "g_pagerank_copurchase",
+    "g_triangle_count",
+    "j13_nearest_event_join",
+    "j14_fuzzy_name_match",
+    "q_column_profile",
+    "q_duplicate_payments",
+    "a23_regression_moments",
+    "a25_autocorrelation",
+    "a26_gini_concentration",
+    "l_hard_negative_mining",
+    "l_zipf_fit",
+    "l_trigram_novelty",
+    "l_dataset_card",
+    "w11_event_pattern_match",
+    "w12_activity_streaks",
+    "s14_corrupt_csv_audit",
+    "x12_stream_deadletter",
+    # rows-only (no SQL oracle; driver records spark_rows)
+    "l_semantic_dedup",
+]
+_SWEEP_LAST = [
     "r_sftp_landing_flow",
     "x8_incremental_file_ingest",
     "x9_foreach_batch_sink",
@@ -94,11 +116,7 @@ _SWEEP_FIRST = [
     "q_benford_first_digit",
     "q_ledger_reconciliation",
     "s13_text_roundtrip",
-    # rows-only (no SQL oracle; driver records spark_rows)
     "pipeline_daily_publish",
-]
-_SWEEP_LAST = [
-    # driver-verified in r1-r3 (re-run only after the backlog)
     "a3_approx_count_distinct",
     "s1_parquet_scan",
     "s2_csv_roundtrip",
@@ -249,6 +267,7 @@ _SWEEP_LAST = [
     "q_anomaly_zscore",
     "q_referential_integrity",
     "q_date_spine_gapfill",
+    "a24_histogram2d",
 ]
 
 

@@ -45,7 +45,12 @@ def sf_tag(sf_dir: str) -> str:
     for name in TABLES:
         p = os.path.join(root, f"{name}.parquet")
         if os.path.exists(p):
-            sig.append(f"{name}:{os.path.getmtime(p):.0f}")
+            # Full float mtime + size, matching _LOAD_CACHE's key
+            # resolution: a fixture regenerated in place within the same
+            # second must still produce a fresh tag, or memo_index would
+            # serve a stale persisted LSH/MinHash/centroid index.
+            st = os.stat(p)
+            sig.append(f"{name}:{st.st_mtime!r}:{st.st_size}")
     digest = hashlib.sha1("|".join(sig).encode()).hexdigest()[:10]
     return f"{os.path.basename(root)}_{digest}"
 

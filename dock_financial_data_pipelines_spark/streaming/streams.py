@@ -763,6 +763,11 @@ def x12_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema("k STRING, amount STRING, day STRING")
             .option("header", "true")
             .option("maxFilesPerTrigger", "1")
+            # Only the fixture file itself: the fixture builder stages
+            # feed.csv.tmp<pid> in this directory before os.replace, and a
+            # stale tmp from a crashed run would be ingested by the stream
+            # but not by the shared s14 oracle (which reads feed.csv only).
+            .option("pathGlobFilter", "feed.csv")
             .csv(os.path.dirname(path))
             .writeStream.foreachBatch(split)
             .option("checkpointLocation", os.path.join(scratch, "ckpt"))
@@ -790,9 +795,12 @@ def x12_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # x12's result is definitionally s14's audit row: same file, same
-# validity rule — so it shares the same oracle text. (readers registers
-# s14 before this module loads; load_all imports streaming last.)
+# validity rule — so it shares the same oracle text. Import readers
+# explicitly so this module is import-order independent (it must not
+# rely on load_all() happening to import sources.readers first).
 def _share_s14_oracle() -> None:
+    import dock_financial_data_pipelines_spark.sources.readers  # noqa: F401
+
     from dock_financial_data_pipelines_spark.registry import ORACLES
 
     ORACLES["x12_stream_deadletter"] = ORACLES["s14_corrupt_csv_audit"]
