@@ -124,7 +124,31 @@ def run_daily_pipeline(spark: SparkSession, sf_dir: str, as_of: str, out: str) -
     return out
 
 
-@query("pipeline_daily_publish")
+@query(
+    "pipeline_daily_publish",
+    # The publish is side-effecting, but the read-back aggregate is a pure
+    # function of (customer, orders): per-customer billed totals summed over
+    # the published partition. Expressing that directly in SQL hash-checks
+    # BOTH the report math and the dynamic-overwrite idempotence — if the
+    # second run appended instead of overwriting, n_customers would double
+    # and the hash would fail.
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_billed
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderdate <= TIMESTAMP '1998-12-31'
+        GROUP BY 1
+    )
+    SELECT '1998-12-31' AS report_date,
+           count(*) AS n_customers,
+           round(sum(CAST(total_billed AS DECIMAL(27,2))), 2)::DOUBLE
+               AS total_billed_all
+    FROM per_cust
+    """,
+)
 def pipeline_daily_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         tempfile.gettempdir(),
@@ -137,7 +161,9 @@ def pipeline_daily_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_daily_pipeline(spark, sf_dir, "1998-12-31", out)
     return (
         spark.read.parquet(out)
-        .groupBy("report_date")
+        # Partition-column type inference reads report_date back as DATE;
+        # cast to string to match the written value and the oracle.
+        .groupBy(F.col("report_date").cast("string").alias("report_date"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.sum(F.col("total_billed").cast("decimal(27,2)")), 2)
