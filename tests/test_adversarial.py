@@ -70,3 +70,18 @@ def test_adversarial_parity(spark, adv_dir, name):
     spark_pdf = engine.QUERIES[name](spark, adv_dir).toPandas()
     con = duck_connection(adv_dir)
     compare_frames(spark_pdf, con.sql(oracle).df(), name)
+
+
+def test_ivf_recall_adversarial(spark, adv_dir):
+    """IVF top-5 recall on the near-parallel/near-antipodal/random
+    vector mix — the hardest regime for a coarse quantizer, where an
+    early stride-seeded IVF scored 0.58. Lloyd-trained centroids,
+    nProbe=4/8, and 2-way corpus assignment hold ≥0.8 here (0.98
+    measured), so the floor gates the configuration that shipped."""
+    exact = engine.QUERIES["l5_cosine_topk"](spark, adv_dir).toPandas()
+    ivf = engine.QUERIES["l5_ivf_topk"](spark, adv_dir).toPandas()
+    truth = set(zip(exact.query_id, exact.neighbor_id))
+    found = set(zip(ivf.query_id, ivf.neighbor_id))
+    recall = len(truth & found) / len(truth)
+    print(f"adversarial IVF top-5 recall = {recall:.3f} over {len(truth)}")
+    assert recall >= 0.8, f"adversarial IVF recall {recall:.3f} < 0.8"
