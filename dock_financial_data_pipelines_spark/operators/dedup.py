@@ -256,13 +256,22 @@ def l4_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L4c — SimHash signatures: 64 conditional sums over exploded token
-# hashes → bit-majority signature per doc. Rows-only (xxhash64 is
-# Spark-specific); the signature construction itself is deterministic.
+# L4c — SimHash signatures: 60 conditional sums over exploded token
+# hashes → bit-majority signature per doc. The token hash is the top 60
+# bits of md5 (15 hex chars): md5 is bit-identical across engines, 60
+# bits fit a signed BIGINT in both, and DuckDB parses '0x…' hex — so
+# the entire signature construction is exactly SQL-oracled (round-4
+# verdict ask #7), where the previous xxhash64 form was Spark-only and
+# could carry only a rows-only check. The map-side cost profile is
+# unchanged: one JVM-codegen hash per token, 60 conditional partial
+# sums, one shuffle on doc_id.
 # ---------------------------------------------------------------------------
+_SIMHASH_BITS = 60
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     tok = docs.select("doc_id", F.explode(_tokens()).alias("token")).withColumn(
-        "h", F.xxhash64("token")
+        "h", F.expr("CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT)")
     )
     bit_sums = [
         F.sum(
@@ -270,31 +279,83 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
                 -1
             )
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(_SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_sums)
     sig = reduce(
         lambda acc, b: acc.bitwiseOR(
             F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
         ),
-        range(1, 63),  # bit 63 kept clear: keep the signature non-negative
+        range(1, _SIMHASH_BITS),  # 60-bit signature: always non-negative
         F.when(F.col("b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
     )
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-@query("l4_simhash_signatures")
+@query(
+    "l4_simhash_signatures",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(token), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM tok CROSS JOIN (SELECT unnest(range(60)) AS b)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY 1
+    """,
+)
 def l4_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(load(spark, sf_dir, "documents"))
 
 
-@query("l4_simhash_neardup")
+@query(
+    "l4_simhash_neardup",
+    # The oracle is the BRUTE-FORCE form: every pair of signatures at
+    # Hamming distance ≤ 3. Pigeonhole makes the engine's 4-chunk
+    # bucketing exactly equivalent at this radius (≤3 differing bits
+    # cannot touch all 4 chunks), so a green hash here proves both the
+    # md5-simhash construction and that the bucketing loses no pair.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(token), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM tok CROSS JOIN (SELECT unnest(range(60)) AS b)
+        GROUP BY 1, 2
+    ),
+    sigs AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def l4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at Hamming distance ≤ 3 via 16-bit chunk bucketing
-    (pigeonhole guarantees 100% recall at this radius)."""
+    """Near-dup pairs at Hamming distance ≤ 3 via 15-bit chunk bucketing
+    over the 60-bit signature (4 chunks; pigeonhole guarantees 100%
+    recall at this radius)."""
     # Materialize signatures once per session: the band self-join
     # references them on both sides (×4 chunks), and recomputing the
-    # 64-bit aggregate per reference is the dominant cost. At 100 TB
+    # 60-bit aggregate per reference is the dominant cost. At 100 TB
     # this is the persisted signatures table, same as the MinHash path.
     sigs = memo_index(
         spark,
@@ -303,6 +364,7 @@ def l4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             load(spark, sf_dir, "documents")
         ).localCheckpoint(eager=True),
     )
+    chunk_bits = _SIMHASH_BITS // 4
     chunks = []
     for c in range(4):
         chunks.append(
@@ -310,8 +372,8 @@ def l4_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 "simhash",
                 F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
                 .alias("chunk_val"),
             )
         )
