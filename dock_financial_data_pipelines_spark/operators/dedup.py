@@ -13,9 +13,15 @@ Scale design:
   explode + 64 conditional sums; near-dups = signatures at small Hamming
   distance, bucketed by 16-bit chunks (pigeonhole: ≤3 differing bits →
   at least one identical chunk).
-- All hashing uses xxhash64 (JVM-side, codegen). Only queries whose
-  semantics DuckDB can mirror exactly carry SQL oracles; LSH candidate
-  generation is probabilistic-recall and is checked rows-only.
+- Hashing: the MinHash and SimHash signature hashes are the top 60 bits
+  of md5 (bit-identical across engines, fits a signed BIGINT in both),
+  so the full signature → band → candidate → exact-verify pipelines are
+  SQL-oracled end to end: the candidate sets are deterministic given the
+  hash family, and the final filter (exact Jaccard / exact Hamming) is
+  engine-portable integer/rational arithmetic. "Probabilistic" for
+  MinHash-LSH refers to RECALL versus the all-pairs ground truth (which
+  l4_ngram_jaccard_pairs oracles separately, and the pytest recall gate
+  measures); the output itself is a pure function of the input.
 """
 
 from __future__ import annotations
@@ -159,10 +165,14 @@ _ROWS_PER_BAND = _MINHASH_K // _BANDS
 def minhash_signatures(docs: DataFrame, shingle_width: int = 3) -> DataFrame:
     """doc_id → [k minhash values] over token shingles, one shuffle.
 
-    xxhash64 takes the family index as a second hashed column, so each
-    of the k families is an independent hash without per-family string
-    concatenation (and without 64-bit multiply tricks, which ANSI mode
-    — Spark 4's default — would reject on overflow)."""
+    Each of the k hash families is the top 60 bits of
+    md5(shingle || '#' || family): md5 is bit-identical across engines
+    and 60 bits fit a signed BIGINT in both Spark and DuckDB, so the
+    signature table is exactly SQL-oracleable (the same idiom as the
+    SimHash signatures below). Still one JVM-codegen hash per
+    (shingle, family) and one shuffle on doc_id; no 64-bit multiply
+    tricks, which ANSI mode — Spark 4's default — would reject on
+    overflow."""
     # Tokenize once into a projected column: Spark does not CSE
     # `split(text,' ')` across lambda references, so the inline form
     # re-splits the text once per shingle (O(n²) characters per doc).
@@ -178,7 +188,12 @@ def minhash_signatures(docs: DataFrame, shingle_width: int = 3) -> DataFrame:
         .select("doc_id", F.explode("shingles").alias("shingle"))
     )
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        F.min(
+            F.expr(
+                "CAST(conv(substring(md5(concat(shingle, '#', "
+                f"'{i}')), 1, 15), 16, 10) AS BIGINT)"
+            )
+        ).alias(f"mh{i}")
         for i in range(_MINHASH_K)
     ]
     return shingled.groupBy("doc_id").agg(*mins)
@@ -218,7 +233,90 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-@query("l4_minhash_lsh_neardup")
+# DuckDB twin of the shingle generation inside minhash_signatures:
+# sequence(0, greatest(size-3,0)) ↔ range(greatest(len-3,0)+1) and
+# slice(ws, i+1, 3) ↔ ws[i+1 : i+3] (both 1-based, both truncate at the
+# list end), so every (doc_id, shingle) row matches the engine's.
+_MH_SHINGLES_SQL = """
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws,
+               unnest(range(greatest(len(ws) - 3, 0) + 1)) AS i
+        FROM toks
+    ),
+    shingles AS (
+        SELECT doc_id, array_to_string(ws[i + 1 : i + 3], ' ') AS shingle
+        FROM idx
+    )
+"""
+
+_MH_SIG_COLS = ",\n           ".join(
+    f"min(CAST(concat('0x', substring(md5(shingle || '#{i}'), 1, 15))"
+    f" AS BIGINT)) AS mh{i}"
+    for i in range(_MINHASH_K)
+)
+
+
+@query(
+    "l4_minhash_signatures",
+    # Direct hash check of the signature table itself: k independent
+    # md5-top-60-bit families, min-aggregated per doc.
+    oracle=f"""
+    WITH {_MH_SHINGLES_SQL}
+    SELECT doc_id,
+           {_MH_SIG_COLS}
+    FROM shingles GROUP BY doc_id
+    """,
+)
+def l4_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "l4_minhash_lsh_neardup",
+    # Full algorithm-twin oracle (round-5 upgrade from rows-only): the
+    # candidate set is a pure function of the md5-based hash family
+    # (signatures → 4 bands of 3 → bucket equi-join), and the final
+    # filter is exact Jaccard — so the whole pipeline is deterministic
+    # and hash-checkable. "Probabilistic" refers only to recall vs the
+    # all-pairs ground truth, which the pytest recall gate
+    # (tests/test_dedup_recall.py) measures separately against
+    # l4_ngram_jaccard_pairs' exact form.
+    oracle=f"""
+    WITH {_MH_SHINGLES_SQL},
+    mh AS (
+        SELECT doc_id, f,
+               min(CAST(concat('0x', substring(md5(shingle || '#' ||
+                   CAST(f AS VARCHAR)), 1, 15)) AS BIGINT)) AS v
+        FROM shingles CROSS JOIN (SELECT unnest(range({_MINHASH_K})) AS f)
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, CAST(f // {_ROWS_PER_BAND} AS INT) AS band,
+               string_agg(CAST(v AS VARCHAR), '_' ORDER BY f) AS sig
+        FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+    ),
+    tsets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
+        FROM documents
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+               / len(list_distinct(a.tokset || b.tokset)), 6) AS jaccard
+    FROM cand c
+    JOIN tsets a ON c.doc_a = a.doc_id
+    JOIN tsets b ON c.doc_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+          / len(list_distinct(a.tokset || b.tokset)) >= 0.5
+    """,
+)
 def l4_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # Materialize signatures once per session (memo_index): the LSH
