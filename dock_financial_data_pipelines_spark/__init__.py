@@ -44,10 +44,11 @@ __version__ = "0.2.0"
 # can never displace a planned slot. Regenerate both lists at round
 # start with scripts/sweep_rotate.py.
 _SWEEP_FIRST = [
-    # Round-5 sweep plan: drain the 18 never-driver-checked
-    # round-4 late additions (VERDICT r4 item 1); regenerated
-    # with scripts/sweep_rotate.py at round start.
-    # SQL-oracled, never driver-checked (slots 1-17)
+    # Round-5 sweep plan (regenerated mid-round after the round-5
+    # additions registered): the 18 round-4 late additions plus the
+    # 8 new round-5 queries; the 4 oracle upgrades surface as
+    # class-2 re-runs right after.
+    # SQL-oracled, never driver-checked (slots 1-25)
     "g_pagerank_copurchase",
     "g_triangle_count",
     "j13_nearest_event_join",
@@ -65,10 +66,22 @@ _SWEEP_FIRST = [
     "w12_activity_streaks",
     "s14_corrupt_csv_audit",
     "x12_stream_deadletter",
+    "l4_minhash_signatures",
+    "g_degree_distribution",
+    "a27_market_basket",
+    "a28_theil_index",
+    "a29_trend_mann_kendall",
+    "l_vocab_oov_rate",
+    "l_rouge1_f1",
+    "l_length_percentile_filter",
     # rows-only (no SQL oracle; driver records spark_rows)
     "l_semantic_dedup",
 ]
 _SWEEP_LAST = [
+    "pipeline_daily_publish",
+    "l4_minhash_lsh_neardup",
+    "l4_simhash_signatures",
+    "l4_simhash_neardup",
     "r_sftp_landing_flow",
     "x8_incremental_file_ingest",
     "x9_foreach_batch_sink",
@@ -116,7 +129,6 @@ _SWEEP_LAST = [
     "q_benford_first_digit",
     "q_ledger_reconciliation",
     "s13_text_roundtrip",
-    "pipeline_daily_publish",
     "a3_approx_count_distinct",
     "s1_parquet_scan",
     "s2_csv_roundtrip",
@@ -186,9 +198,6 @@ _SWEEP_LAST = [
     "l3_exact_dedup_keep_first",
     "l3_prefix_dedup",
     "l4_ngram_jaccard_pairs",
-    "l4_minhash_lsh_neardup",
-    "l4_simhash_signatures",
-    "l4_simhash_neardup",
     "l4_dedup_cluster_components",
     "l4_embedding_neardup",
     "j1_inner_join",

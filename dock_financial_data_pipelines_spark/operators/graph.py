@@ -186,3 +186,32 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
     # 1-row × 1-row scalar combines (guarded-crossJoin convention).
     return nodes.crossJoin(edges).crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# G3 — degree distribution of the co-purchase graph: the first sanity
+# check run on any large graph (skew detection before joins/PageRank —
+# a hub-heavy histogram is the signal to degree-cap). Distinct-neighbor
+# degree per node, then a histogram over degrees. Pure integer counts;
+# two equi-key shuffles after the bounded per-order edge fanout.
+# ---------------------------------------------------------------------------
+@query(
+    "g_degree_distribution",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    deg AS (SELECT src, count(*) AS degree FROM e GROUP BY 1)
+    SELECT degree, count(*) AS n_parts
+    FROM deg GROUP BY 1 ORDER BY 1
+    """,
+)
+def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deg = (
+        _directed_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("degree")
+    )

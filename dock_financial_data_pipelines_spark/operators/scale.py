@@ -468,3 +468,225 @@ def a26_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_orders"),
         (F.floor(gini * 1e6 + F.lit(0.5)) / 1e6).alias("gini"),
     ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# A27 — market-basket association rules over the order→part bipartite
+# relation: for part pairs co-purchased in ≥2 orders, support,
+# confidence and lift. The classic recommender screen on the data the
+# reference pipeline lands. Pair generation is the co-purchase
+# self-equi-join on l_orderkey (per-order fanout bounded by basket
+# size², never all-pairs across orders — same shape as the graph
+# operators); item and pair counts are equi-key shuffles; the order
+# total is a 1-row scalar combined via broadcast. All inputs to the
+# ratios are exact BIGINT counts, so the double divisions are
+# bit-identical across engines (the a23 policy).
+# ---------------------------------------------------------------------------
+_BASKET_MIN_CO = 2
+
+
+@query(
+    "a27_market_basket",
+    oracle=f"""
+    WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS co
+        FROM ip a JOIN ip b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    item AS (SELECT l_partkey, count(*) AS cnt FROM ip GROUP BY 1),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ip)
+    SELECT p.part_a, p.part_b, p.co AS co_orders,
+           floor(CAST(p.co AS DOUBLE) / t.n_orders * 1e6 + 0.5) / 1e6
+               AS support,
+           floor(CAST(p.co AS DOUBLE) / ia.cnt * 1e6 + 0.5) / 1e6
+               AS confidence,
+           floor(CAST(p.co AS DOUBLE) * t.n_orders / (ia.cnt * ib.cnt)
+                 * 1e6 + 0.5) / 1e6 AS lift
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN tot t
+    WHERE p.co >= {_BASKET_MIN_CO}
+    """,
+)
+def a27_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ip = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        ip.alias("a")
+        .join(
+            ip.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= _BASKET_MIN_CO)
+    )
+    item = ip.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = ip.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    co, n = F.col("co").cast("double"), F.col("n_orders")
+    return (
+        pairs.join(
+            item.select(
+                F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+            ),
+            "part_a",
+        )
+        .join(
+            item.select(
+                F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("co").alias("co_orders"),
+            r6(co / n).alias("support"),
+            r6(co / F.col("cnt_a")).alias("confidence"),
+            r6(co * n / (F.col("cnt_a") * F.col("cnt_b"))).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A28 — Theil T inequality index of order revenue per market segment
+# (complements the a26 Gini): T = (1/n) Σ (x/μ)·ln(x/μ). Two passes:
+# per-segment exact moments give μ (identical double on both engines),
+# then the per-row term is computed in doubles, rounded to
+# DECIMAL(27,9) per row (the l_zipf_fit cross-libm policy: rounding
+# BEFORE aggregation absorbs ulp drift in ln), and summed exactly.
+# Segment count is tiny, so μ joins back via broadcast — no extra
+# shuffle on the fact side beyond the one segment aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "a28_theil_index",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+        SELECT seg, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(27,2))) AS DOUBLE) AS sx
+        FROM base GROUP BY 1
+    ),
+    terms AS (
+        SELECT b.seg,
+               CAST((b.x / (m.sx / m.n)) * ln(b.x / (m.sx / m.n))
+                    AS DECIMAL(27,9)) AS t
+        FROM base b JOIN m ON b.seg = m.seg
+    )
+    SELECT t.seg, CAST(m.n AS BIGINT) AS n_orders,
+           floor(CAST(sum(t.t) AS DOUBLE) / m.n * 1e6 + 0.5) / 1e6
+               AS theil_t
+    FROM terms t JOIN m ON t.seg = m.seg
+    GROUP BY t.seg, m.n ORDER BY 1
+    """,
+)
+def a28_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("x")
+    )
+    m = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(27,2)")).cast("double").alias("sx"),
+    )
+    mu = F.col("sx") / F.col("n")
+    terms = base.join(F.broadcast(m), "seg").select(
+        "seg",
+        "n",
+        ((F.col("x") / mu) * F.log(F.col("x") / mu))
+        .cast("decimal(27,9)")
+        .alias("t"),
+    )
+    return (
+        terms.groupBy("seg", "n")
+        .agg(F.sum("t").cast("double").alias("st"))
+        .select(
+            "seg",
+            F.col("n").cast("long").alias("n_orders"),
+            (F.floor(F.col("st") / F.col("n") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "theil_t"
+            ),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A29 — Mann-Kendall trend test statistic over the daily revenue
+# series: S = Σ_{i<j} sign(rev_j − rev_i), τ_a = S / (n(n−1)/2). The
+# nonparametric "is revenue trending" screen. Daily sums accumulate as
+# DECIMAL(27,2), and the sign comparisons run ON the decimals — every
+# pair verdict is exact, so S and τ are engine-portable. The pairwise
+# self-join is over the DAILY series, which is calendar-bounded (like
+# a25's window): ~10³ rows regardless of corpus size, broadcast as the
+# build side — the one place a nested-loop pair join is the right plan
+# at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "a29_trend_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               sum(CAST(o_totalprice AS DECIMAL(27,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.rev > a.rev THEN 1
+                    WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    m AS (
+        SELECT CAST(sum(sgn) AS BIGINT) AS s, count(*) AS n_pairs
+        FROM pairs
+    )
+    SELECT m.s AS mk_s, m.n_pairs,
+           floor(CAST(m.s AS DOUBLE) / m.n_pairs * 1e6 + 0.5) / 1e6
+               AS kendall_tau
+    FROM m
+    """,
+)
+def a29_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.rev") > F.col("a.rev"), 1)
+        .when(F.col("b.rev") < F.col("a.rev"), -1)
+        .otherwise(0)
+    )
+    m = (
+        a.join(F.broadcast(b), F.col("a.day") < F.col("b.day"))
+        .select(sgn.alias("sgn"))
+        .agg(
+            F.sum("sgn").cast("long").alias("s"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return m.select(
+        F.col("s").alias("mk_s"),
+        "n_pairs",
+        (
+            F.floor(F.col("s").cast("double") / F.col("n_pairs") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("kendall_tau"),
+    )

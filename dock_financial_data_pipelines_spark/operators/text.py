@@ -965,3 +965,241 @@ def l_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_terms"),
         (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocab coverage: build the top-1000 corpus vocabulary
+# (frequency, ties broken lexicographically — deterministic), then the
+# out-of-vocabulary token rate per language. The screen run before
+# committing to a tokenizer vocab size: which languages pay the OOV
+# cost. Vocab is top-k bounded → broadcast; the corpus side is one
+# explode + one aggregation, so the whole query is a map-side join
+# between a token stream and a 1000-row dict at any corpus size.
+# ---------------------------------------------------------------------------
+_VOCAB_K = 1000
+
+
+@query(
+    "l_vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+    vocab AS (
+        SELECT term FROM tf ORDER BY cnt DESC, term LIMIT {_VOCAB_K}
+    )
+    SELECT t.lang, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           floor(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def l_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            (
+                F.floor(
+                    F.col("n_oov").cast("double") / F.col("n_tokens") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1 F1 between probe documents and the corpus — the n-gram
+# overlap metric used both for summarization eval and as a
+# train/test-similarity audit (a softer screen than the exact 8-gram
+# contamination check). Multiset unigram overlap Σ min(cnt_a, cnt_b)
+# via a token equi-join (probe side tiny → broadcast), F1 =
+# 2·overlap/(len_a+len_b) — all integer inputs, so every ratio is
+# bit-identical across engines. Probe-bounded exact form; at corpus ×
+# corpus scale the pair generation swaps to the MinHash-LSH candidates
+# (operators/dedup.py) with this as the verify step.
+# ---------------------------------------------------------------------------
+_ROUGE_PROBE = 20
+_ROUGE_MIN_F1 = 0.75
+
+
+@query(
+    "l_rouge1_f1",
+    oracle=f"""
+    WITH tokc AS (
+        SELECT doc_id, term, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    lens AS (SELECT doc_id, sum(cnt) AS len FROM tokc GROUP BY 1),
+    ov AS (
+        SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
+               CAST(sum(least(p.cnt, c.cnt)) AS BIGINT) AS overlap
+        FROM tokc p JOIN tokc c
+          ON p.term = c.term AND p.doc_id < {_ROUGE_PROBE}
+         AND c.doc_id <> p.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT o.probe_id, o.cand_id, o.overlap,
+           floor(CAST(o.overlap AS DOUBLE) / lc.len * 1e6 + 0.5) / 1e6
+               AS precision_1,
+           floor(CAST(o.overlap AS DOUBLE) / lp.len * 1e6 + 0.5) / 1e6
+               AS recall_1,
+           floor(2.0 * o.overlap / (lp.len + lc.len) * 1e6 + 0.5) / 1e6
+               AS f1
+    FROM ov o
+    JOIN lens lp ON lp.doc_id = o.probe_id
+    JOIN lens lc ON lc.doc_id = o.cand_id
+    WHERE 2.0 * o.overlap / (lp.len + lc.len) >= {_ROUGE_MIN_F1}
+    """,
+)
+def l_rouge1_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokc = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lens = tokc.groupBy("doc_id").agg(F.sum("cnt").alias("len"))
+    probe = tokc.where(F.col("doc_id") < _ROUGE_PROBE)
+    ov = (
+        F.broadcast(
+            probe.select(
+                F.col("doc_id").alias("probe_id"),
+                "term",
+                F.col("cnt").alias("cnt_p"),
+            )
+        )
+        .join(
+            tokc.select(
+                F.col("doc_id").alias("cand_id"),
+                "term",
+                F.col("cnt").alias("cnt_c"),
+            ),
+            "term",
+        )
+        .where(F.col("cand_id") != F.col("probe_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(F.sum(F.least("cnt_p", "cnt_c")).alias("overlap"))
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ovd = F.col("overlap").cast("double")
+    f1 = F.lit(2.0) * F.col("overlap") / (F.col("len_p") + F.col("len_c"))
+    return (
+        ov.join(
+            lens.select(
+                F.col("doc_id").alias("probe_id"), F.col("len").alias("len_p")
+            ),
+            "probe_id",
+        )
+        .join(
+            lens.select(
+                F.col("doc_id").alias("cand_id"), F.col("len").alias("len_c")
+            ),
+            "cand_id",
+        )
+        .where(f1 >= _ROUGE_MIN_F1)
+        .select(
+            "probe_id",
+            "cand_id",
+            "overlap",
+            r6(ovd / F.col("len_c")).alias("precision_1"),
+            r6(ovd / F.col("len_p")).alias("recall_1"),
+            r6(f1).alias("f1"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-percentile corpus filter: drop documents outside the
+# [p05, p95] token-length band per language — the standard "too short /
+# machine-generated too long" pretraining filter. The band is expressed
+# as percent_rank (an exact rational (rank−1)/(n−1), identical in both
+# engines — no interpolated-percentile float boundary to disagree on);
+# ties share a rank, so equal-length docs land on the same side of the
+# cut. One per-language window over doc lengths (shuffle key = lang;
+# at 100 TB the window input is (lang, n_tok, doc_id) — never text).
+# ---------------------------------------------------------------------------
+@query(
+    "l_length_percentile_filter",
+    oracle="""
+    WITH lens AS (
+        SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    ranked AS (
+        SELECT lang, n_tok,
+               percent_rank() OVER (PARTITION BY lang ORDER BY n_tok) AS pr
+        FROM lens
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN pr >= 0.05 AND pr <= 0.95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN pr >= 0.05 AND pr <= 0.95 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           floor(CAST(sum(CASE WHEN pr >= 0.05 AND pr <= 0.95
+                               THEN n_tok ELSE 0 END) AS DOUBLE)
+                 / sum(n_tok) * 1e6 + 0.5) / 1e6 AS kept_token_share
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def l_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lens = load(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    ranked = lens.withColumn(
+        "pr",
+        F.percent_rank().over(Window.partitionBy("lang").orderBy("n_tok")),
+    )
+    kept = (F.col("pr") >= 0.05) & (F.col("pr") <= 0.95)
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, 0).otherwise(1)).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias("_kept_tok"),
+            F.sum("n_tok").alias("_tot_tok"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            "n_dropped",
+            (
+                F.floor(
+                    F.col("_kept_tok").cast("double") / F.col("_tot_tok") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("kept_token_share"),
+        )
+        .orderBy("lang")
+    )

@@ -339,6 +339,74 @@ def main() -> int:
         "Join" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "a27_market_basket", execute=True)
+    check(
+        "a27_market_basket",
+        "pair build is an equi-join on l_orderkey; the only nested-loop "
+        "is the 1-row n_orders scalar combine",
+        p.count("BroadcastNestedLoopJoin")
+        <= (2 if "== Initial Plan ==" in p else 1)
+        and "CartesianProduct" not in p
+        and "BroadcastHashJoin" in p,
+    )
+
+    p = plan_of(spark, "a28_theil_index", execute=True)
+    check(
+        "a28_theil_index",
+        "segment moments broadcast back to the fact side",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a29_trend_mann_kendall", execute=True)
+    check(
+        "a29_trend_mann_kendall",
+        "pairwise join only over the calendar-bounded daily series "
+        "(broadcast build side)",
+        ("BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)
+        and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "l_vocab_oov_rate", execute=True)
+    check(
+        "l_vocab_oov_rate",
+        "top-k vocab joined by broadcast; token stream never shuffled "
+        "for the join",
+        "BroadcastHashJoin" in p,
+    )
+
+    p = plan_of(spark, "l_rouge1_f1", execute=True)
+    check(
+        "l_rouge1_f1",
+        "probe tokens broadcast into the token equi-join; no "
+        "all-pairs nested loop",
+        "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" not in p
+        and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "l_length_percentile_filter", execute=True)
+    check(
+        "l_length_percentile_filter",
+        "one per-language window, no join, no Python",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "g_degree_distribution", execute=True)
+    check(
+        "g_degree_distribution",
+        "edge fanout via equi-join on l_orderkey, then pure "
+        "hash-aggregates",
+        "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l4_minhash_signatures", execute=True)
+    check(
+        "l4_minhash_signatures",
+        "signature build is one explode + one hash-aggregate; no join, "
+        "no Python",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
