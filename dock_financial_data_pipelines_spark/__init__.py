@@ -46,9 +46,9 @@ __version__ = "0.2.0"
 _SWEEP_FIRST = [
     # Round-5 sweep plan (regenerated mid-round after the round-5
     # additions registered): the 18 round-4 late additions plus the
-    # 8 new round-5 queries; the 4 oracle upgrades surface as
+    # 11 new round-5 queries; the 4 oracle upgrades surface as
     # class-2 re-runs right after.
-    # SQL-oracled, never driver-checked (slots 1-25)
+    # SQL-oracled, never driver-checked (slots 1-28)
     "g_pagerank_copurchase",
     "g_triangle_count",
     "j13_nearest_event_join",
@@ -74,6 +74,9 @@ _SWEEP_FIRST = [
     "l_vocab_oov_rate",
     "l_rouge1_f1",
     "l_length_percentile_filter",
+    "l_dedup_survivorship_report",
+    "l_token_entropy",
+    "x13_stream_trending_topk",
     # rows-only (no SQL oracle; driver records spark_rows)
     "l_semantic_dedup",
 ]

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dock_financial_data_pipelines_spark.catalog import load, memo_index, sf_tag
-from dock_financial_data_pipelines_spark.registry import query
+from dock_financial_data_pipelines_spark.registry import ORACLES, query
 
 def _tokens():
     return F.split(F.col("text"), " ")
@@ -829,4 +829,108 @@ def l_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
         .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivorship report — one row per dedup method (exact md5,
+# 8-token prefix, MinHash-LSH verified Jaccard ≥ 0.5, SimHash
+# Hamming ≤ 3) with a unified accounting: n_pairs (duplicate pairs
+# detected), n_docs_flagged (distinct docs in any pair), and
+# n_docs_removed under the greedy keep-min rule (a doc is removed iff
+# it is the larger id of some pair — for hash-group methods this
+# equals Σ(group−1), the keep-first count). The side-by-side ablation
+# a data team runs before choosing its dedup stack. Composes the
+# already-oracled pipelines — the engine reuses the registered query
+# functions, the oracle embeds their SQL twins as CTEs — so this
+# report is itself fully hash-checked.
+# ---------------------------------------------------------------------------
+def _group_stats(docs: DataFrame, key, method: str) -> DataFrame:
+    g = (
+        docs.groupBy(key.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    return g.agg(
+        F.coalesce(F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0))
+        .cast("long")
+        .alias("n_pairs"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs_flagged"),
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+        .cast("long")
+        .alias("n_docs_removed"),
+    ).select(F.lit(method).alias("method"), "*")
+
+
+def _pair_stats(pairs: DataFrame, method: str) -> DataFrame:
+    s1 = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("doc_b").cast("long").alias("n_docs_removed"),
+    )
+    s2 = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionByName(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_flagged"))
+    )
+    return s1.crossJoin(F.broadcast(s2)).select(
+        F.lit(method).alias("method"),
+        "n_pairs",
+        "n_docs_flagged",
+        "n_docs_removed",
+    )
+
+
+@query(
+    "l_dedup_survivorship_report",
+    oracle=f"""
+    WITH mh AS ({ORACLES["l4_minhash_lsh_neardup"]}),
+    sh AS ({ORACLES["l4_simhash_neardup"]}),
+    eg AS (SELECT count(*) AS n FROM documents GROUP BY md5(text)
+           HAVING count(*) > 1),
+    pg AS (SELECT count(*) AS n FROM documents
+           GROUP BY array_to_string(string_split(text, ' ')[1:8], ' ')
+           HAVING count(*) > 1)
+    SELECT 'exact_md5' AS method,
+           CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs_flagged,
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_docs_removed
+    FROM eg
+    UNION ALL
+    SELECT 'minhash_lsh',
+           (SELECT count(*) FROM mh),
+           (SELECT count(*) FROM (SELECT doc_a AS d FROM mh
+                                  UNION SELECT doc_b FROM mh)),
+           (SELECT count(DISTINCT doc_b) FROM mh)
+    UNION ALL
+    SELECT 'prefix8',
+           CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT),
+           CAST(coalesce(sum(n), 0) AS BIGINT),
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM pg
+    UNION ALL
+    SELECT 'simhash_h3',
+           (SELECT count(*) FROM sh),
+           (SELECT count(*) FROM (SELECT doc_a AS d FROM sh
+                                  UNION SELECT doc_b FROM sh)),
+           (SELECT count(DISTINCT doc_b) FROM sh)
+    ORDER BY 1
+    """,
+)
+def l_dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    exact = _group_stats(docs, F.md5("text"), "exact_md5")
+    prefix = _group_stats(
+        docs, F.array_join(F.slice(_tokens(), 1, 8), " "), "prefix8"
+    )
+    mh = _pair_stats(
+        l4_minhash_lsh_neardup(spark, sf_dir).select("doc_a", "doc_b"),
+        "minhash_lsh",
+    )
+    sh = _pair_stats(
+        l4_simhash_neardup(spark, sf_dir).select("doc_a", "doc_b"),
+        "simhash_h3",
+    )
+    return (
+        exact.unionByName(mh).unionByName(prefix).unionByName(sh).orderBy("method")
     )

@@ -1203,3 +1203,71 @@ def l_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon token entropy per language — the information-density screen
+# (low-entropy corpora are template/boilerplate-heavy; compared across
+# languages it normalizes quality thresholds). H = −Σ p·ln p over the
+# per-language unigram distribution. Per-row −p·ln p rounds to
+# DECIMAL(27,9) BEFORE summation (the zipf/theil cross-libm policy),
+# so the aggregate is exact; p divides exact BIGINT counts. Two
+# equi-key aggregations ((lang, term) then lang) + a broadcast join of
+# the 5-row language totals — one token-stream pass at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "l_token_entropy",
+    oracle="""
+    WITH tf AS (
+        SELECT lang, term, count(*) AS cnt
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types
+            FROM tf GROUP BY 1),
+    terms AS (
+        SELECT tf.lang,
+               CAST(-(CAST(tf.cnt AS DOUBLE) / t.n_tokens)
+                    * ln(CAST(tf.cnt AS DOUBLE) / t.n_tokens)
+                    AS DECIMAL(27,9)) AS h
+        FROM tf JOIN tot t ON tf.lang = t.lang
+    )
+    SELECT t.lang, t.n_tokens, t.n_types,
+           floor(CAST(sum(s.h) AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS entropy_nats
+    FROM terms s JOIN tot t ON s.lang = t.lang
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def l_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = tf.groupBy("lang").agg(
+        F.sum("cnt").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("cnt").cast("double") / F.col("n_tokens")
+    terms = tf.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        (-(p) * F.log(p)).cast("decimal(27,9)").alias("h"),
+    )
+    return (
+        terms.groupBy("lang", "n_tokens", "n_types")
+        .agg(F.sum("h").cast("double").alias("sh"))
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            (F.floor(F.col("sh") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "entropy_nats"
+            ),
+        )
+        .orderBy("lang")
+    )

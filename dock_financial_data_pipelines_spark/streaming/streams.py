@@ -807,3 +807,61 @@ def _share_s14_oracle() -> None:
 
 
 _share_s14_oracle()
+
+
+# ---------------------------------------------------------------------------
+# X13 — streaming trending top-k: event-type counts per 10-minute
+# tumbling window over the real readStream, then the per-window top-3
+# ranking applied to the drained sink. Streaming aggregations cannot
+# host window-rank functions (Spark restriction), so the rank runs on
+# the memory-sink table — exactly how a production job does it: the
+# stream maintains the (window, type) counts; the "trending" read is a
+# cheap batch query over the continuously-updated state store / sink.
+# Single-batch complete-mode drain ≡ the batch aggregate, so the whole
+# pipeline carries a full SQL oracle; ranks tie-break by event_type so
+# the top-3 cut is total-ordered.
+# ---------------------------------------------------------------------------
+@query(
+    "x13_stream_trending_topk",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start, event_type, n_events,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY n_events DESC, event_type) AS rk
+        FROM agg
+    )
+    SELECT window_start, event_type, n_events, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def x13_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "10 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    sunk = _run_to_memory(agg, "x13_trending", "complete")
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), "event_type"
+        )
+    )
+    return sunk.withColumn("rk", rk).where(F.col("rk") <= 3)

@@ -407,6 +407,21 @@ def main() -> int:
         "Join" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_token_entropy", execute=True)
+    check(
+        "l_token_entropy",
+        "language totals broadcast back; one token-stream pass",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_dedup_survivorship_report", execute=True)
+    check(
+        "l_dedup_survivorship_report",
+        "4-method composition stays equi-join/aggregate only (scalar "
+        "combines aside); no cartesian, no Python",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
