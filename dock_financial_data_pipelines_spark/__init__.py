@@ -46,9 +46,9 @@ __version__ = "0.2.0"
 _SWEEP_FIRST = [
     # Round-5 sweep plan (regenerated mid-round after the round-5
     # additions registered): the 18 round-4 late additions plus the
-    # 11 new round-5 queries; the 4 oracle upgrades surface as
+    # 15 new round-5 queries; the 4 oracle upgrades surface as
     # class-2 re-runs right after.
-    # SQL-oracled, never driver-checked (slots 1-28)
+    # SQL-oracled, never driver-checked (slots 1-32)
     "g_pagerank_copurchase",
     "g_triangle_count",
     "j13_nearest_event_join",
@@ -77,6 +77,10 @@ _SWEEP_FIRST = [
     "l_dedup_survivorship_report",
     "l_token_entropy",
     "x13_stream_trending_topk",
+    "l_incremental_dedup",
+    "a30_welch_ttest",
+    "a31_cusum_drift",
+    "l_domain_cap_sample",
     # rows-only (no SQL oracle; driver records spark_rows)
     "l_semantic_dedup",
 ]

@@ -934,3 +934,160 @@ def l_dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact.unionByName(mh).unionByName(prefix).unionByName(sh).orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup — THE production dedup shape: an incoming
+# batch (simulated as doc_id % 7 == 0, deterministic) is deduped
+# AGAINST the existing corpus, never corpus-against-itself. Verdict per
+# incoming doc: exact_dup (md5 matches a corpus doc), near_dup (shares
+# a MinHash band bucket with a corpus doc AND exact Jaccard ≥ 0.5), or
+# novel; match_doc_id = min matching corpus doc. At 100 TB the corpus
+# side of both probes is the persisted hash/signature index (built
+# once, equi-joined per batch) — the batch never rescans corpus text;
+# only matched candidates fetch token sets for the Jaccard verify.
+# Fully SQL-oracled: both probes are md5-deterministic.
+# ---------------------------------------------------------------------------
+_INC_MOD = 7
+
+
+@query(
+    "l_incremental_dedup",
+    oracle=f"""
+    WITH {_MH_SHINGLES_SQL},
+    mh AS (
+        SELECT doc_id, f,
+               min(CAST(concat('0x', substring(md5(shingle || '#' ||
+                   CAST(f AS VARCHAR)), 1, 15)) AS BIGINT)) AS v
+        FROM shingles CROSS JOIN (SELECT unnest(range({_MINHASH_K})) AS f)
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, CAST(f // {_ROWS_PER_BAND} AS INT) AS band,
+               string_agg(CAST(v AS VARCHAR), '_' ORDER BY f) AS sig
+        FROM mh GROUP BY 1, 2
+    ),
+    inc AS (SELECT * FROM documents WHERE doc_id % {_INC_MOD} = 0),
+    corp AS (SELECT * FROM documents WHERE doc_id % {_INC_MOD} <> 0),
+    exact AS (
+        SELECT i.doc_id, min(c.doc_id) AS m
+        FROM inc i JOIN corp c ON md5(i.text) = md5(c.text)
+        GROUP BY 1
+    ),
+    cand AS (
+        SELECT DISTINCT bi.doc_id AS doc_id, bc.doc_id AS cand_id
+        FROM bands bi JOIN bands bc
+          ON bi.band = bc.band AND bi.sig = bc.sig
+         AND bi.doc_id % {_INC_MOD} = 0 AND bc.doc_id % {_INC_MOD} <> 0
+    ),
+    tsets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
+        FROM documents
+    ),
+    near AS (
+        SELECT cd.doc_id, min(cd.cand_id) AS m
+        FROM cand cd
+        JOIN tsets a ON a.doc_id = cd.doc_id
+        JOIN tsets b ON b.doc_id = cd.cand_id
+        WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+              / len(list_distinct(a.tokset || b.tokset)) >= 0.5
+        GROUP BY 1
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS verdict,
+           CASE WHEN e.doc_id IS NOT NULL THEN e.m ELSE n.m END
+               AS match_doc_id
+    FROM inc i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    """,
+)
+def l_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % _INC_MOD == 0
+    inc = docs.where(is_inc)
+    corp = docs.where(~is_inc)
+    exact = (
+        inc.select("doc_id", F.md5("text").alias("h"))
+        .join(
+            corp.select(F.md5("text").alias("h"), F.col("doc_id").alias("c")),
+            "h",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("c").alias("m_exact"))
+    )
+    # One signature build over the full table (the persisted-index
+    # contract, shared with l4_minhash_lsh_neardup via memo_index).
+    sigs = memo_index(
+        spark,
+        f"l4_minhash_sigs:{sf_tag(sf_dir)}",
+        lambda: minhash_signatures(docs).localCheckpoint(eager=True),
+    )
+    banded = sigs.selectExpr(
+        "doc_id",
+        "stack(%d, %s) AS (band, sig)"
+        % (
+            _BANDS,
+            ", ".join(
+                "%d, concat_ws('_', %s)"
+                % (
+                    b,
+                    ", ".join(
+                        f"CAST(mh{b * _ROWS_PER_BAND + r} AS STRING)"
+                        for r in range(_ROWS_PER_BAND)
+                    ),
+                )
+                for b in range(_BANDS)
+            ),
+        ),
+    )
+    cand = (
+        banded.where(F.col("doc_id") % _INC_MOD == 0)
+        .alias("l")
+        .join(
+            banded.where(F.col("doc_id") % _INC_MOD != 0).alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("cand_id"),
+        )
+        .distinct()
+    )
+    tsets = docs.select("doc_id", F.array_distinct(_tokens()).alias("tokset"))
+    jacc = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    near = (
+        cand.join(
+            tsets.select(F.col("doc_id").alias("did"), F.col("tokset").alias("ta")),
+            F.col("doc_id") == F.col("did"),
+        )
+        .join(
+            tsets.select(
+                F.col("doc_id").alias("cid"), F.col("tokset").alias("tb")
+            ),
+            F.col("cand_id") == F.col("cid"),
+        )
+        .where(jacc >= 0.5)
+        .groupBy("doc_id")
+        .agg(F.min("cand_id").alias("m_near"))
+    )
+    return (
+        inc.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("m_exact").isNotNull(), "exact_dup")
+            .when(F.col("m_near").isNotNull(), "near_dup")
+            .otherwise("novel")
+            .alias("verdict"),
+            F.when(F.col("m_exact").isNotNull(), F.col("m_exact"))
+            .otherwise(F.col("m_near"))
+            .alias("match_doc_id"),
+        )
+    )

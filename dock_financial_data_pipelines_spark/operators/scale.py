@@ -690,3 +690,164 @@ def a29_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("kendall_tau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A30 — Welch's two-sample t-test between every pair of market
+# segments on order value: "is segment A actually spending differently
+# from segment B". t and the Welch–Satterthwaite df come in closed
+# form from per-segment DECIMAL-exact moments (n, Σx, Σx²), so the
+# whole test is one scan + a 5-row broadcast self-join — identical
+# double arithmetic on both engines (the a23 policy; sample variance
+# via the moment identity (Σx² − (Σx)²/n)/(n−1)).
+# ---------------------------------------------------------------------------
+@query(
+    "a30_welch_ttest",
+    oracle="""
+    WITH m AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                   AS sx,
+               CAST(sum(CAST(o.o_totalprice * o.o_totalprice
+                             AS DECIMAL(27,4))) AS DOUBLE) AS sxx
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.seg AS seg_a, b.seg AS seg_b,
+               a.n AS na, b.n AS nb,
+               a.sx / a.n AS ma, b.sx / b.n AS mb,
+               (a.sxx - a.sx * a.sx / a.n) / (a.n - 1) AS va,
+               (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) AS vb
+        FROM m a JOIN m b ON a.seg < b.seg
+    )
+    SELECT seg_a, seg_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor((ma - mb) / sqrt(va / na + vb / nb) * 1e6 + 0.5) / 1e6
+               AS t_stat,
+           floor((va / na + vb / nb) * (va / na + vb / nb)
+                 / ((va / na) * (va / na) / (na - 1)
+                    + (vb / nb) * (vb / nb) / (nb - 1)) * 1e6 + 0.5) / 1e6
+               AS welch_df
+    FROM pairs ORDER BY 1, 2
+    """,
+)
+def a30_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("sx"),
+            F.sum(
+                (F.col("o_totalprice") * F.col("o_totalprice")).cast(
+                    "decimal(27,4)"
+                )
+            )
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    ma, mb = F.col("a.sx") / na, F.col("b.sx") / nb
+    va = (F.col("a.sxx") - F.col("a.sx") * F.col("a.sx") / na) / (na - 1)
+    vb = (F.col("b.sxx") - F.col("b.sx") * F.col("b.sx") / nb) / (nb - 1)
+    se2a, se2b = va / na, vb / nb
+    r6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        a.join(F.broadcast(b), F.col("a.seg") < F.col("b.seg"))
+        .select(
+            F.col("a.seg").alias("seg_a"),
+            F.col("b.seg").alias("seg_b"),
+            na.cast("long").alias("n_a"),
+            nb.cast("long").alias("n_b"),
+            r6((ma - mb) / F.sqrt(se2a + se2b)).alias("t_stat"),
+            r6(
+                (se2a + se2b)
+                * (se2a + se2b)
+                / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1))
+            ).alias("welch_df"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A31 — CUSUM drift detection over the daily revenue series: the
+# change-point monitor a finance/data-quality team runs on a pipeline
+# output. To keep the cumulative sums EXACT (a running double sum is
+# accumulation-order-portable only by luck), the deviation is scaled by
+# n: C_t = Σ_{i≤t}(n·rev_i − Σrev) = n·prefix(rev) − t·Σrev — every
+# term DECIMAL-exact, so the argmax day is an exact integer/decimal
+# comparison on both engines; only the reported cusum value divides by
+# n at the end. One daily aggregate + one calendar-bounded ordered
+# window (the a25 shape).
+# ---------------------------------------------------------------------------
+@query(
+    "a31_cusum_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               sum(CAST(o_totalprice AS DECIMAL(27,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n, sum(rev) AS s FROM daily),
+    cus AS (
+        SELECT day,
+               CAST(t.n AS DECIMAL(27,2)) * sum(d.rev) OVER w
+                   - CAST(row_number() OVER w AS DECIMAL(27,2)) * t.s
+                   AS c
+        FROM daily d CROSS JOIN tot t
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT day AS drift_day,
+           floor(CAST(abs(c) AS DOUBLE) / t.n * 1e6 + 0.5) / 1e6
+               AS max_abs_cusum,
+           CAST(t.n AS BIGINT) AS n_days
+    FROM cus CROSS JOIN tot t
+    ORDER BY abs(c) DESC, day LIMIT 1
+    """,
+)
+def a31_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev").alias("s")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cus = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "c",
+            F.col("n").cast("decimal(27,2)") * F.sum("rev").over(w)
+            - F.row_number().over(Window.orderBy("day")).cast("decimal(27,2)")
+            * F.col("s"),
+        )
+    )
+    return (
+        cus.orderBy(F.abs(F.col("c")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("drift_day"),
+            (
+                F.floor(
+                    F.abs(F.col("c")).cast("double") / F.col("n") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("max_abs_cusum"),
+            F.col("n").cast("long").alias("n_days"),
+        )
+    )

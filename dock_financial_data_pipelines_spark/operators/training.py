@@ -798,3 +798,65 @@ def l_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("mean_doc_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap — the "domain cap" downsampling every crawl
+# pipeline applies so no single domain dominates the mixture. Docs
+# within a source are ranked by a deterministic content-independent
+# shuffle key (md5 of the doc id — stable across runs and engines, no
+# seed), and ranks above the cap are dropped. Output is the per-source
+# accounting; the kept set itself is the rank ≤ cap slice of the same
+# window. One window per source (shuffle key = source, input
+# (source, doc_id, n_chars) — never text).
+# ---------------------------------------------------------------------------
+_DOMAIN_CAP = 60
+
+
+@query(
+    "l_domain_cap_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rk <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rk <= {_DOMAIN_CAP} THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rk <= {_DOMAIN_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def l_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = (
+        load(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), "doc_id"
+                )
+            ),
+        )
+    )
+    kept = F.col("rk") <= _DOMAIN_CAP
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, 0).otherwise(1)).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -422,6 +422,39 @@ def main() -> int:
         "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_incremental_dedup", execute=True)
+    check(
+        "l_incremental_dedup",
+        "batch-vs-corpus probes are pure equi-joins (hash + band "
+        "bucket); no cartesian, no Python",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a30_welch_ttest", execute=True)
+    check(
+        "a30_welch_ttest",
+        "one fact scan into moments; pair join only over the 5-row "
+        "segment aggregate",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "a31_cusum_drift", execute=True)
+    check(
+        "a31_cusum_drift",
+        "daily agg + calendar-bounded ordered window; scalar total "
+        "broadcast",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "l_domain_cap_sample", execute=True)
+    check(
+        "l_domain_cap_sample",
+        "one per-source window over (source, doc_id, n_chars); no "
+        "join, no Python",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
