@@ -46,9 +46,9 @@ __version__ = "0.2.0"
 _SWEEP_FIRST = [
     # Round-5 sweep plan (regenerated mid-round after the round-5
     # additions registered): the 18 round-4 late additions plus the
-    # 15 new round-5 queries; the 4 oracle upgrades surface as
+    # 19 new round-5 queries; the 4 oracle upgrades surface as
     # class-2 re-runs right after.
-    # SQL-oracled, never driver-checked (slots 1-32)
+    # SQL-oracled, never driver-checked (slots 1-36)
     "g_pagerank_copurchase",
     "g_triangle_count",
     "j13_nearest_event_join",
@@ -81,6 +81,10 @@ _SWEEP_FIRST = [
     "a30_welch_ttest",
     "a31_cusum_drift",
     "l_domain_cap_sample",
+    "l_dedup_threshold_sweep",
+    "g_jaccard_similar_parts",
+    "a32_weekday_seasonality",
+    "q_freshness_lag",
     # rows-only (no SQL oracle; driver records spark_rows)
     "l_semantic_dedup",
 ]

@@ -1091,3 +1091,77 @@ def l_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("match_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sensitivity sweep — pair and doc counts at Jaccard
+# thresholds 0.5/0.6/0.7/0.8 from ONE MinHash candidate generation:
+# the ablation a data team runs to pick its near-dup cut-off before
+# committing a 100 TB pass. Candidates and their exact Jaccards are
+# computed once (the l4_minhash_lsh_neardup pipeline, ≥ 0.5 floor);
+# the sweep is a 4-row threshold join over that bounded pair set —
+# zero extra corpus work. Thresholding uses the ROUNDED jaccard on
+# both engines so the comparison is on identical values.
+# ---------------------------------------------------------------------------
+_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8)
+
+
+@query(
+    "l_dedup_threshold_sweep",
+    oracle=f"""
+    WITH mh AS ({ORACLES["l4_minhash_lsh_neardup"]}),
+    thr AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}])
+            AS t),
+    p AS (
+        SELECT thr.t, count(*) AS n_pairs
+        FROM thr JOIN mh ON mh.jaccard >= thr.t GROUP BY 1
+    ),
+    d AS (
+        SELECT thr.t, count(DISTINCT u.doc) AS n_docs_flagged
+        FROM thr JOIN (
+            SELECT doc_a AS doc, jaccard FROM mh
+            UNION ALL SELECT doc_b, jaccard FROM mh
+        ) u ON u.jaccard >= thr.t
+        GROUP BY 1
+    )
+    SELECT thr.t AS threshold,
+           CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(d.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
+    FROM thr
+    LEFT JOIN p ON p.t = thr.t
+    LEFT JOIN d ON d.t = thr.t
+    ORDER BY 1
+    """,
+)
+def l_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = l4_minhash_lsh_neardup(spark, sf_dir)
+    thr = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "t double"
+    )
+    p = (
+        F.broadcast(thr)
+        .join(pairs, pairs.jaccard >= F.col("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    docs = pairs.select(F.col("doc_a").alias("doc"), "jaccard").unionByName(
+        pairs.select(F.col("doc_b").alias("doc"), "jaccard")
+    )
+    d = (
+        F.broadcast(thr)
+        .join(docs, docs.jaccard >= F.col("t"))
+        .groupBy("t")
+        .agg(F.countDistinct("doc").alias("n_docs_flagged"))
+    )
+    return (
+        thr.join(p, "t", "left")
+        .join(d, "t", "left")
+        .select(
+            F.col("t").alias("threshold"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0))
+            .cast("long")
+            .alias("n_docs_flagged"),
+        )
+        .orderBy("threshold")
+    )

@@ -215,3 +215,101 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# G4 — neighbor-set Jaccard similarity ("parts bought with the same
+# things"): for each probe part, the top-5 most-similar parts by
+# J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| over co-purchase neighbor sets —
+# the item-item collaborative similarity every recommender starts
+# from. Probe-bounded exact form (the l5_cosine_topk contract): probe
+# = part_key < 200, so the wedge join (edges ⋈ edges on the middle
+# node) fans out at most deg_probe(x)·deg(x) per middle node instead
+# of deg(x)² — bounded at any corpus scale. Common-neighbor counts are
+# integers, |N∪| = deg(a)+deg(b)−common needs no second pass, and the
+# top-5 cut orders by the integer pair (common·denominator cross-
+# multiplication is avoided by ordering on the identical-everywhere
+# double ratio, tie-broken by part_b). At full-catalog scale the probe
+# set becomes the partition unit and hub middles get degree-capped
+# (the g_triangle note).
+# ---------------------------------------------------------------------------
+_SIM_PROBE_MAX = 200
+_SIM_TOP = 5
+
+
+@query(
+    "g_jaccard_similar_parts",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    deg AS (SELECT src, count(*) AS degree FROM e GROUP BY 1),
+    wedges AS (
+        SELECT e1.dst AS a, e2.dst AS b, count(*) AS common
+        FROM e e1 JOIN e e2
+          ON e1.src = e2.src AND e1.dst <> e2.dst
+         AND e1.dst < {_SIM_PROBE_MAX}
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT w.a, w.b, w.common,
+               CAST(w.common AS DOUBLE)
+                   / (da.degree + db.degree - w.common) AS j,
+               row_number() OVER (
+                   PARTITION BY w.a
+                   ORDER BY CAST(w.common AS DOUBLE)
+                            / (da.degree + db.degree - w.common) DESC, w.b
+               ) AS rk
+        FROM wedges w
+        JOIN deg da ON da.src = w.a
+        JOIN deg db ON db.src = w.b
+        WHERE w.common >= 2
+    )
+    SELECT a AS part_a, b AS part_b, common, rk,
+           floor(j * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM scored WHERE rk <= {_SIM_TOP}
+    """,
+)
+def g_jaccard_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    edges = _directed_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    wedges = (
+        edges.where(F.col("dst") < _SIM_PROBE_MAX)
+        .alias("e1")
+        .join(
+            edges.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") != F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= 2)
+    )
+    j = F.col("common").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("common")
+    )
+    scored = (
+        wedges.join(
+            deg.select(F.col("src").alias("a"), F.col("degree").alias("deg_a")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("src").alias("b"), F.col("degree").alias("deg_b")),
+            "b",
+        )
+        .withColumn("j", j)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("a").orderBy(F.desc("j"), "b")
+            ),
+        )
+        .where(F.col("rk") <= _SIM_TOP)
+    )
+    return scored.select(
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        "common",
+        "rk",
+        (F.floor(F.col("j") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
+    )

@@ -569,3 +569,134 @@ def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality profile — revenue share and seasonal index per
+# day-of-week (index = weekday daily-average ÷ overall daily-average).
+# The ops screen for "is Monday really our big day". DECIMAL-exact
+# sums; the two scalar denominators ride a 1-row broadcast, so the
+# final arithmetic is identical double math on both engines. One scan,
+# one 7-row aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "a32_weekday_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(dayofweek(o_orderdate) AS INT) AS dow,
+               sum(CAST(o_totalprice AS DECIMAL(27,2))) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    per_dow AS (
+        SELECT dow, count(*) AS n_days,
+               sum(rev) AS rev_dow
+        FROM daily GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(rev_dow) AS DOUBLE) AS rev_all,
+               CAST(sum(n_days) AS BIGINT) AS days_all
+        FROM per_dow
+    )
+    SELECT p.dow AS day_of_week, CAST(p.n_days AS BIGINT) AS n_days,
+           floor(CAST(p.rev_dow AS DOUBLE) / t.rev_all * 1e6 + 0.5) / 1e6
+               AS revenue_share,
+           floor((CAST(p.rev_dow AS DOUBLE) / p.n_days)
+                 / (t.rev_all / t.days_all) * 1e6 + 0.5) / 1e6
+               AS seasonal_index
+    FROM per_dow p CROSS JOIN tot t
+    ORDER BY 1
+    """,
+)
+def a32_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark dayofweek == DuckDB dayofweek + 1 (Spark: Sunday=1; DuckDB:
+    # Sunday=0), so the engine subtracts 1 to match the oracle's value.
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev"))
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("rev").alias("rev_dow")
+    )
+    tot = per_dow.agg(
+        F.sum("rev_dow").cast("double").alias("rev_all"),
+        F.sum("n_days").cast("long").alias("days_all"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    rev_dow = F.col("rev_dow").cast("double")
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").alias("day_of_week"),
+            F.col("n_days").cast("long").alias("n_days"),
+            r6(rev_dow / F.col("rev_all")).alias("revenue_share"),
+            r6(
+                (rev_dow / F.col("n_days"))
+                / (F.col("rev_all") / F.col("days_all"))
+            ).alias("seasonal_index"),
+        )
+        .orderBy("day_of_week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data freshness audit — per ingest source table: max event/order date,
+# its lag in days behind the freshest table in the warehouse, and row
+# count. The first dashboard any pipeline operator builds. Each branch
+# is a scan-level min/max aggregate (parquet footer statistics answer
+# it at any scale); the cross-table lag rides a 3-row broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q_freshness_lag",
+    oracle="""
+    WITH per_table AS (
+        SELECT 'orders' AS tbl, count(*) AS n_rows,
+               strftime(max(o_orderdate), '%Y-%m-%d') AS max_day
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', count(*),
+               strftime(max(l_shipdate), '%Y-%m-%d')
+        FROM lineitem
+        UNION ALL
+        SELECT 'events', count(*), strftime(max(ts), '%Y-%m-%d')
+        FROM events
+    ),
+    freshest AS (SELECT max(max_day) AS global_max FROM per_table)
+    SELECT p.tbl, p.n_rows, p.max_day,
+           CAST(date_diff('day', CAST(p.max_day AS DATE),
+                          CAST(f.global_max AS DATE)) AS BIGINT)
+               AS lag_days
+    FROM per_table p CROSS JOIN freshest f
+    ORDER BY 1
+    """,
+)
+def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def branch(tbl: str, datecol: str) -> DataFrame:
+        return load(spark, sf_dir, tbl).agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.date_format(F.max(datecol), "yyyy-MM-dd").alias("max_day"),
+        )
+
+    per_table = (
+        branch("orders", "o_orderdate")
+        .unionByName(branch("lineitem", "l_shipdate"))
+        .unionByName(branch("events", "ts"))
+    )
+    freshest = per_table.agg(F.max("max_day").alias("global_max"))
+    return (
+        per_table.crossJoin(F.broadcast(freshest))
+        .select(
+            "tbl",
+            "n_rows",
+            "max_day",
+            F.datediff(
+                F.to_date("global_max"), F.to_date("max_day")
+            ).cast("long").alias("lag_days"),
+        )
+        .orderBy("tbl")
+    )

@@ -455,6 +455,36 @@ def main() -> int:
         "Join" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "g_jaccard_similar_parts", execute=True)
+    check(
+        "g_jaccard_similar_parts",
+        "probe-bounded wedge join is equi-key; no cartesian, no Python",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a32_weekday_seasonality", execute=True)
+    check(
+        "a32_weekday_seasonality",
+        "one scan into a 7-row aggregate; totals ride a 1-row broadcast",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "q_freshness_lag", execute=True)
+    check(
+        "q_freshness_lag",
+        "scan-level min/max branches + 1-row broadcast lag combine",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "l_dedup_threshold_sweep", execute=True)
+    check(
+        "l_dedup_threshold_sweep",
+        "one candidate generation; sweep is a 4-row broadcast "
+        "threshold join",
+        "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
