@@ -105,24 +105,46 @@ def _hyperplane(table: int, h: int, dim: int = _EMB_DIM) -> list[float]:
     ]
 
 
+_LSH_Q = 1 << 20  # quantization scale for the bucket decision
+
+
+def _hyperplane_q(table: int, h: int, dim: int = _EMB_DIM) -> list[int]:
+    """Hyperplane quantized to integers at 2^20 — the form the bucket
+    decision actually uses. Quantizing BOTH the plane and the vector
+    makes the sign an exact BIGINT comparison, identical on every
+    engine: raw double projections differ between Spark's sequential
+    fold and DuckDB's list_inner_product in the last ulp (measured ~5e-16),
+    which is invisible to recall but would make a sign that lands
+    within an ulp of zero engine-dependent — integer projections
+    remove the class of bug instead of hoping the fixture avoids it."""
+    import math
+
+    return [
+        int(math.floor(w * _LSH_Q + 0.5)) for w in _hyperplane(table, h, dim)
+    ]
+
+
 def _bucket_expr(vec_col: str, table: int) -> F.Column:
     """LSH bucket id for one hash table: sign bits of H projections.
 
-    Recall math (sign-random-projection): per-plane collision
-    p = 1 - θ/π; one table catches p^H of true neighbors, L tables
-    1-(1-p^H)^L. Near-orthogonal vectors (θ≈70°, the fixture's regime)
-    give ~0.6 with H=3, L=4; clustered real embeddings do far better."""
+    Projections are exact BIGINT dot products of the 2^20-quantized
+    vector against the 2^20-quantized hyperplane (|x|≤1, dim 64 →
+    |proj| < 2^46, no overflow under ANSI). Recall math
+    (sign-random-projection): per-plane collision p = 1 - θ/π; one
+    table catches p^H of true neighbors, L tables 1-(1-p^H)^L.
+    Near-orthogonal vectors (θ≈70°, the fixture's regime) give ~0.6
+    with H=3, L=4; clustered real embeddings do far better."""
     # One F.expr per table: composing this from ~2400 Column objects
     # (64 lits × 3 planes + lambdas) costs ~1 s of py4j round trips per
     # query build; a single SQL string parses JVM-side in microseconds
-    # with an identical expression tree (repr() round-trips each double
-    # literal exactly).
+    # with an identical expression tree.
     bits = []
     for h in range(_N_PLANES):
-        plane = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in _hyperplane(table, h))
+        plane = ", ".join(str(w) for w in _hyperplane_q(table, h))
         proj = (
             f"aggregate(zip_with({vec_col}, array({plane}),"
-            " (x, w) -> x * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            f" (x, w) -> CAST(floor(x * {float(_LSH_Q)} + 0.5) AS BIGINT) * w),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
         bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << h} ELSE 0 END)")
     return F.expr(f"CAST({' + '.join(bits)} AS INT)")
@@ -142,7 +164,78 @@ def _probe_buckets(bucket_col: F.Column) -> F.Column:
     )
 
 
-@query("l5_ann_lsh_topk")
+def _lsh_oracle_sql() -> str:
+    """DuckDB algorithm twin of the full LSH pipeline. The quantized
+    integer projections make bucket ids a pure function of the input
+    (see _hyperplane_q), so candidates — and therefore the exact
+    re-ranked output — are deterministic and hash-checkable. Recall vs
+    the exact top-k stays pytest-gated (tests/test_rows_only.py,
+    tests/test_adversarial.py); this oracle proves the ENGINE computes
+    its declared algorithm exactly."""
+    hp_rows = ", ".join(
+        "(%d, %d, [%s])" % (t, h, ", ".join(str(w) for w in _hyperplane_q(t, h)))
+        for t in range(_N_TABLES)
+        for h in range(_N_PLANES)
+    )
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << h})" for h in range(_N_PLANES)
+    ) + "]"
+    return f"""
+    WITH veq AS (
+        SELECT vec_id,
+               CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * {float(_LSH_Q)}
+                          + 0.5) AS BIGINT) AS xq,
+               unnest(range({_EMB_DIM})) AS i
+        FROM embeddings
+    ),
+    hp AS (
+        SELECT t, h, unnest(ws) AS wq, unnest(range({_EMB_DIM})) AS i
+        FROM (VALUES {hp_rows}) v(t, h, ws)
+    ),
+    proj AS (
+        SELECT veq.vec_id, hp.t, hp.h, sum(veq.xq * hp.wq) AS p
+        FROM veq JOIN hp ON veq.i = hp.i
+        GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN p >= 0 THEN (1 << h) ELSE 0 END) AS INT)
+                   AS bucket
+        FROM proj GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, t,
+               unnest({probe_list}) AS bucket
+        FROM buckets WHERE vec_id < 10
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+        FROM probes p JOIN buckets b ON p.t = b.t AND p.bucket = b.bucket
+        WHERE b.vec_id <> p.query_id
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_inner_product(q.e, n.e)
+                 / (sqrt(list_inner_product(q.e, q.e))
+                    * sqrt(list_inner_product(n.e, n.e))) AS cos_raw
+        FROM cand c
+        JOIN v q ON q.vec_id = c.query_id
+        JOIN v n ON n.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+               ) AS pos
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, pos
+    FROM ranked WHERE pos <= 5
+    """
+
+
+@query("l5_ann_lsh_topk", oracle=_lsh_oracle_sql())
 def l5_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bucket every vector in each of the L tables (the bucket columns
     # ride along the same scan). Queries explode to (table, probe_bucket)
