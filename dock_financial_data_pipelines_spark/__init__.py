@@ -46,9 +46,10 @@ __version__ = "0.2.0"
 _SWEEP_FIRST = [
     # Round-5 sweep plan (regenerated mid-round after the round-5
     # additions registered): the 18 round-4 late additions plus the
-    # 19 new round-5 queries; the 4 oracle upgrades surface as
-    # class-2 re-runs right after.
-    # SQL-oracled, never driver-checked (slots 1-36)
+    # 19 new round-5 queries (all SQL-oracled, l_semantic_dedup
+    # included since its k-means went integer-exact); the oracle
+    # upgrades surface as class-2 re-runs right after.
+    # SQL-oracled, never driver-checked (slots 1-37)
     "g_pagerank_copurchase",
     "g_triangle_count",
     "j13_nearest_event_join",
@@ -85,14 +86,16 @@ _SWEEP_FIRST = [
     "g_jaccard_similar_parts",
     "a32_weekday_seasonality",
     "q_freshness_lag",
-    # rows-only (no SQL oracle; driver records spark_rows)
     "l_semantic_dedup",
+    # rows-only (no SQL oracle; driver records spark_rows)
 ]
 _SWEEP_LAST = [
     "pipeline_daily_publish",
     "l4_minhash_lsh_neardup",
     "l4_simhash_signatures",
     "l4_simhash_neardup",
+    "l5_ann_lsh_topk",
+    "l5_ivf_topk",
     "r_sftp_landing_flow",
     "x8_incremental_file_ingest",
     "x9_foreach_batch_sink",
@@ -266,8 +269,6 @@ _SWEEP_LAST = [
     "l_contamination_check",
     "l_fingerprint",
     "l5_cosine_topk",
-    "l5_ann_lsh_topk",
-    "l5_ivf_topk",
     "l9_embedding_quantization",
     "u6_stratified_sample",
     "u7_scd2_history",

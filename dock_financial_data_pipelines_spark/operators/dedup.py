@@ -763,9 +763,12 @@ def l4_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # restated Spark-first; see Abbas et al. 2023, arXiv:2303.09540 —
 # public method): coarse k-means cells partition the corpus, pairwise
 # cosine runs ONLY within a cell, and of every duplicate pair the
-# smaller vec_id survives (greedy min-id keep rule). Probabilistic
-# clustering → rows-only driver check; exactness of the within-cell
-# rule is pytest-proven against a brute-force recomputation.
+# smaller vec_id survives (greedy min-id keep rule). Since round 5 the
+# coarse k-means is integer-exact (similarity._ivf_quantize), so the
+# cell assignment — training included — replays bit-for-bit in DuckDB
+# and the query carries a FULL SQL oracle; the within-cell rule stays
+# additionally pytest-proven against a brute-force recomputation, and
+# "probabilistic" refers only to clustering quality, not determinism.
 #
 # Scale: the all-pairs step is confined to cells. K grows with the
 # corpus (~sqrt(N)) so cell population stays bounded; the cell id is a
@@ -776,7 +779,44 @@ def l4_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_TAU = 0.4  # cosine threshold (non-degenerate on the fixture)
 
 
-@query("l_semantic_dedup")
+def _semantic_dedup_oracle() -> str:
+    from dock_financial_data_pipelines_spark.operators.similarity import (
+        _SEM_ORACLE_PREFIX,
+    )
+
+    return f"""
+    WITH {_SEM_ORACLE_PREFIX},
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rk
+            FROM dfinal
+        ) WHERE rk = 1
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dropped AS (
+        SELECT DISTINCT a.cell, b.vec_id AS drop_id
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE list_inner_product(va.e, vb.e)
+              / (sqrt(list_inner_product(va.e, va.e))
+                 * sqrt(list_inner_product(vb.e, vb.e))) >= {_SEM_TAU}
+    )
+    SELECT c.cell, count(*) AS n_vectors,
+           CAST(sum(CASE WHEN d.drop_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN d.drop_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM cells c
+    LEFT JOIN dropped d ON d.cell = c.cell AND d.drop_id = c.vec_id
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("l_semantic_dedup", oracle=_semantic_dedup_oracle())
 def l_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dock_financial_data_pipelines_spark.operators.similarity import (
         _dot,

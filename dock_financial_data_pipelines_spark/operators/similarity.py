@@ -320,8 +320,11 @@ def l5_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # L5c — IVF (inverted-file) ANN: the clustered alternative to LSH.
 # Coarse centroids are trained with a few Lloyd (k-means) iterations:
-# deterministic hash-order seeding, then per-iteration one distributed
-# assignment pass (broadcast K centroids) + per-cell element-wise mean.
+# deterministic md5-order seeding, then per-iteration one distributed
+# assignment pass (broadcast K integer centroids) + per-cell exact
+# integer mean. Every training/assignment decision is integer
+# arithmetic (see _ivf_quantize), so the DuckDB oracle replays the
+# whole pipeline — training included — bit-for-bit.
 # Corpus is partitioned by nearest centroid in ONE pass, queries probe
 # the nProbe nearest cells and re-rank exactly. At 100 TB the cell id
 # is the partition key of the persisted index: a probe touches nProbe/K
@@ -340,66 +343,235 @@ _IVF_ASSIGN = 2   # cells each corpus vector is indexed under (multiple
                   # on the near-orthogonal fixture at nProbe=4, K=8.
 
 
+_IVF_QSCALE = 4096  # embedding quantization for the coarse quantizer
+
+
+def _ivf_quantize(vec_col: str) -> F.Column:
+    """floor((x + 1) * 4096 + 0.5) per component: non-negative BIGINTs
+    (unit vectors have |x| ≤ 1), so centroid means use plain truncating
+    integer division (== floor on non-negatives, identical in Spark DIV
+    and DuckDB //) and squared L2 distances are exact BIGINT sums
+    ((Δ ≤ 2^14)² × 64 dims < 2^33 — ANSI-safe). On unit-norm vectors
+    L2 ordering equals cosine ordering, so the quantizer keeps the
+    spherical semantics while every assignment decision becomes an
+    exact integer comparison — the same determinism move as the LSH
+    bucket quantization above."""
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(floor((x + 1.0D) * "
+        f"{float(_IVF_QSCALE)} + 0.5) AS BIGINT))"
+    )
+
+
+_IVF_DIST = (
+    "aggregate(zip_with({a}, {b}, (x, c) -> (x - c) * (x - c)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
 def _ivf_assign(emb: DataFrame, centroids: DataFrame, vec_col: str, n: int):
-    """(id, vec) × centroids → n nearest cell ids per row (cosine)."""
-    scored = emb.join(F.broadcast(centroids), how="cross").withColumn(
-        "_sim",
-        _dot(vec_col, "cvec")
-        / (F.sqrt(_dot(vec_col, vec_col)) * F.sqrt(_dot("cvec", "cvec"))),
+    """(id, vec) × centroids → n nearest cell ids per row.
+
+    Distances are exact BIGINT squared-L2 between the quantized vector
+    and the integer centroid — every rank decision is deterministic on
+    any engine/partitioning (ties break by cell id)."""
+    scored = (
+        emb.withColumn("_vq", _ivf_quantize(vec_col))
+        .join(F.broadcast(centroids), how="cross")
+        .withColumn("_d", F.expr(_IVF_DIST.format(a="_vq", b="cq")))
     )
-    w = Window.partitionBy(emb.columns[0]).orderBy(
-        F.col("_sim").desc(), F.col("cell")
-    )
+    w = Window.partitionBy(emb.columns[0]).orderBy(F.col("_d"), F.col("cell"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= n)
-        .drop("cvec", "_sim", "_rk")
+        .drop("cq", "_vq", "_d", "_rk")
     )
 
 
 def _ivf_train_centroids(
     spark: SparkSession, emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS
 ) -> DataFrame:
-    """Deterministic spherical k-means coarse quantizer.
+    """Deterministic integer k-means coarse quantizer.
 
     Seeding: the ``k`` corpus vectors with the smallest
-    ``xxhash64(vec_id)`` — a total order, so the pick is deterministic
-    and independent of corpus size/partitioning (no hardcoded stride,
-    no unordered ``limit``), and pseudo-uniform over the corpus. Each
-    Lloyd pass is one distributed nearest-centroid assignment (the K
-    centroids are broadcast) followed by a per-cell element-wise mean
-    (posexplode → groupBy(cell, pos) avg → array re-assembly). Only the
-    K×dim centroid matrix ever returns to the driver. A cell that loses
-    all members keeps its previous centroid.
+    ``(md5(vec_id), vec_id)`` — a total order, engine-portable (md5 is
+    bit-identical everywhere), deterministic and independent of corpus
+    size/partitioning, pseudo-uniform over the corpus. Each Lloyd pass
+    is one distributed nearest-centroid assignment (the K integer
+    centroids are broadcast) followed by a per-cell element-wise
+    integer mean (posexplode → groupBy(cell, dim) → Σ DIV n — exact
+    floor division on non-negative quantized components). Only the
+    K×dim centroid matrix ever returns to the driver. A cell that
+    loses all members keeps its previous centroid. Every step is
+    integer-exact, so the DuckDB oracle replays training bit-for-bit
+    (the l5_ivf_topk / l_semantic_dedup oracles unroll these
+    iterations as CTEs).
     """
     seed_rows = (
-        emb.select("vec_id", "e")
-        .orderBy(F.xxhash64(F.col("vec_id").cast("string")), F.col("vec_id"))
+        emb.select("vec_id", _ivf_quantize("e").alias("q"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(k)
         .collect()
     )
-    cents = [(i, [float(x) for x in r["e"]]) for i, r in enumerate(seed_rows)]
+    cents = [(i, [int(x) for x in r["q"]]) for i, r in enumerate(seed_rows)]
+    emb_q = emb.select(
+        F.col("vec_id").alias("_id"), _ivf_quantize("e").alias("_vq")
+    )
     for _ in range(iters):
-        cdf = spark.createDataFrame(cents, "cell INT, cvec ARRAY<DOUBLE>")
-        assigned = _ivf_assign(
-            emb.select(F.col("vec_id").alias("_id"), F.col("e").alias("ce")),
-            cdf, "ce", 1,
+        cdf = spark.createDataFrame(cents, "cell INT, cq ARRAY<BIGINT>")
+        scored = emb_q.join(F.broadcast(cdf), how="cross").withColumn(
+            "_d", F.expr(_IVF_DIST.format(a="_vq", b="cq"))
+        )
+        w = Window.partitionBy("_id").orderBy(F.col("_d"), F.col("cell"))
+        assigned = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("_id", "cell", "_vq")
         )
         mean_rows = (
-            assigned.select("cell", F.posexplode("ce").alias("pos", "val"))
+            assigned.select("cell", F.posexplode("_vq").alias("pos", "val"))
             .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
-            .select("cell", F.expr("transform(s, x -> x.m)").alias("cvec"))
+            .agg(F.expr("CAST(sum(val) DIV count(val) AS BIGINT)").alias("m"))
             .collect()
         )
-        new = {r["cell"]: [float(x) for x in r["cvec"]] for r in mean_rows}
-        cents = [(i, new.get(i, v)) for i, v in cents]
-    return spark.createDataFrame(cents, "cell INT, cvec ARRAY<DOUBLE>")
+        new: dict[int, dict[int, int]] = {}
+        for r in mean_rows:
+            new.setdefault(r["cell"], {})[r["pos"]] = int(r["m"])
+        cents = [
+            (
+                i,
+                [new[i][d] for d in range(len(v))] if i in new else v,
+            )
+            for i, v in cents
+        ]
+    return spark.createDataFrame(cents, "cell INT, cq ARRAY<BIGINT>")
 
 
-@query("l5_ivf_topk")
+def _ivf_sql_prefix() -> str:
+    """Shared DuckDB CTE chain replaying the integer k-means exactly:
+    quantized components → md5-ordered seeds → ``_IVF_ITERS`` unrolled
+    (assign → integer-mean update) rounds. Ends by defining
+    ``cfinal(cell, i, cq)`` and ``dfinal(vec_id, cell, d)`` — the
+    trained centroids and every vector's distance to them — for the
+    caller's probe/assignment tail."""
+    k, iters = _IVF_K, _IVF_ITERS
+    parts = [
+        f"""
+    veq AS (
+        SELECT vec_id,
+               CAST(floor((unnest(CAST(embedding AS DOUBLE[])) + 1.0)
+                          * {float(_IVF_QSCALE)} + 0.5) AS BIGINT) AS xq,
+               unnest(range({_EMB_DIM})) AS i
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings
+        ) WHERE rn <= {k}
+    ),
+    c0 AS (
+        SELECT s.cell, v.i, v.xq AS cq
+        FROM seeds s JOIN veq v USING (vec_id)
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+    d{it} AS (
+        SELECT v.vec_id, c.cell,
+               sum((v.xq - c.cq) * (v.xq - c.cq)) AS d
+        FROM veq v JOIN c{it - 1} c ON v.i = c.i
+        GROUP BY 1, 2
+    ),
+    a{it} AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rk
+            FROM d{it}
+        ) WHERE rk = 1
+    ),
+    m{it} AS (
+        SELECT a.cell, v.i, CAST(sum(v.xq) // count(*) AS BIGINT) AS cq
+        FROM a{it} a JOIN veq v USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    c{it} AS (
+        SELECT * FROM m{it}
+        UNION ALL
+        SELECT p.cell, p.i, p.cq FROM c{it - 1} p
+        WHERE p.cell NOT IN (SELECT DISTINCT cell FROM m{it})
+    )"""
+        )
+    parts.append(
+        f""",
+    cfinal AS (SELECT * FROM c{iters}),
+    dfinal AS (
+        SELECT v.vec_id, c.cell,
+               sum((v.xq - c.cq) * (v.xq - c.cq)) AS d
+        FROM veq v JOIN cfinal c ON v.i = c.i
+        GROUP BY 1, 2
+    )"""
+    )
+    return "".join(parts)
+
+
+# Materialized once at import for cross-module reuse (dedup.py's
+# l_semantic_dedup oracle shares the identical trained cells).
+_SEM_ORACLE_PREFIX = None  # assigned below, after _ivf_sql_prefix exists
+
+
+_SEM_ORACLE_PREFIX = _ivf_sql_prefix()
+
+
+def _ivf_oracle_sql() -> str:
+    return f"""
+    WITH {_ivf_sql_prefix()},
+    corpus AS (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rk
+            FROM dfinal
+        ) WHERE rk <= {_IVF_ASSIGN}
+    ),
+    qprobes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rk
+            FROM dfinal WHERE vec_id < 10
+        ) WHERE rk <= {_IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.neighbor_id
+        FROM qprobes q JOIN corpus c ON q.cell = c.cell
+        WHERE c.neighbor_id <> q.query_id
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               list_inner_product(q.e, n.e)
+                 / (sqrt(list_inner_product(q.e, q.e))
+                    * sqrt(list_inner_product(n.e, n.e))) AS cos_raw
+        FROM cand cd
+        JOIN v q ON q.vec_id = cd.query_id
+        JOIN v n ON n.vec_id = cd.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+               ) AS pos
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, pos
+    FROM ranked WHERE pos <= 5
+    """
+
+
+@query("l5_ivf_topk", oracle=_ivf_oracle_sql())
 def l5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
