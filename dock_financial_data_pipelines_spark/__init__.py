@@ -46,10 +46,9 @@ __version__ = "0.2.0"
 _SWEEP_FIRST = [
     # Round-5 sweep plan (regenerated mid-round after the round-5
     # additions registered): the 18 round-4 late additions plus the
-    # 19 new round-5 queries (all SQL-oracled, l_semantic_dedup
-    # included since its k-means went integer-exact); the oracle
-    # upgrades surface as class-2 re-runs right after.
-    # SQL-oracled, never driver-checked (slots 1-37)
+    # 23 new round-5 queries (all SQL-oracled); the oracle upgrades
+    # surface as class-2 re-runs right after.
+    # SQL-oracled, never driver-checked (slots 1-41)
     "g_pagerank_copurchase",
     "g_triangle_count",
     "j13_nearest_event_join",
@@ -87,6 +86,10 @@ _SWEEP_FIRST = [
     "a32_weekday_seasonality",
     "q_freshness_lag",
     "l_semantic_dedup",
+    "a33_skew_kurtosis",
+    "l_langid_confusion",
+    "q_benford_chi2",
+    "w14_cumulative_distinct_users",
     # rows-only (no SQL oracle; driver records spark_rows)
 ]
 _SWEEP_LAST = [

@@ -851,3 +851,84 @@ def a31_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A33 — skewness and excess kurtosis of order value per segment, from
+# the first four moments in ONE scan. Per-row x³/x⁴ are computed in
+# doubles and rounded to DECIMAL(38,6) BEFORE summation (the
+# zipf/theil policy — x⁴ ≈ 1e23 would overflow exact decimal products,
+# and round-then-sum is order-independent); x and x² accumulate as
+# exact decimals. Final standardized moments are identical double
+# arithmetic on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "a33_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                   AS s1,
+               CAST(sum(CAST(o.o_totalprice * o.o_totalprice
+                             AS DECIMAL(27,4))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(o.o_totalprice * o.o_totalprice * o.o_totalprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+               CAST(sum(CAST(o.o_totalprice * o.o_totalprice
+                             * o.o_totalprice * o.o_totalprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS s4
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    cm AS (
+        SELECT seg, n,
+               s1 / n AS mu,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3 * (s1 / n) * (s2 / n)
+                   + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4 * (s1 / n) * (s3 / n)
+                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM m
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n_orders,
+           floor(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) * 1e6 + 0.5) / 1e6
+               AS skewness,
+           floor((m4 / (m2 * m2) - 3) * 1e6 + 0.5) / 1e6 AS excess_kurtosis
+    FROM cm ORDER BY 1
+    """,
+)
+def a33_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    x = F.col("o_totalprice")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x.cast("decimal(27,2)")).cast("double").alias("s1"),
+            F.sum((x * x).cast("decimal(27,4)")).cast("double").alias("s2"),
+            F.sum((x * x * x).cast("decimal(38,6)")).cast("double").alias("s3"),
+            F.sum((x * x * x * x).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("s4"),
+        )
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    r6 = lambda cexpr: F.floor(cexpr * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return m.select(
+        "seg",
+        n.cast("long").alias("n_orders"),
+        r6(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))).alias("skewness"),
+        r6(m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
+    ).orderBy("seg")

@@ -1271,3 +1271,74 @@ def l_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lang-ID evaluation: confusion matrix of the marker-n-gram classifier
+# against the labeled lang column, with per-actual-language share —
+# the accuracy audit run before trusting any classifier-driven corpus
+# split. Same deterministic marker scores as l_lang_id_heuristic, one
+# extra groupBy on (actual, predicted); the per-actual share divides
+# exact counts via a window sum.
+# ---------------------------------------------------------------------------
+@query(
+    "l_langid_confusion",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+            len(list_filter(string_split(text,' '),
+                x -> x IN ('the','a','fast','slow')))           AS s_a,
+            len(list_filter(string_split(text,' '),
+                x -> x IN ('data','table','row','query')))      AS s_b,
+            len(list_filter(string_split(text,' '),
+                x -> x IN ('spark','stream','batch','window'))) AS s_c
+        FROM documents
+    ),
+    labeled AS (
+        SELECT lang AS actual,
+               CASE WHEN s_a >= s_b AND s_a >= s_c THEN 'lang_a'
+                    WHEN s_b >= s_c THEN 'lang_b'
+                    ELSE 'lang_c' END AS predicted
+        FROM scored
+    ),
+    cm AS (
+        SELECT actual, predicted, count(*) AS n_docs
+        FROM labeled GROUP BY 1, 2
+    )
+    SELECT actual, predicted, n_docs,
+           floor(CAST(n_docs AS DOUBLE)
+                 / sum(n_docs) OVER (PARTITION BY actual) * 1e6 + 0.5) / 1e6
+               AS share_of_actual
+    FROM cm ORDER BY 1, 2
+    """,
+)
+def l_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.split("text", " ").alias("ws")
+    )
+    scored = docs.select(
+        F.col("lang").alias("actual"),
+        _marker_score(_MARKERS["lang_a"]).alias("s_a"),
+        _marker_score(_MARKERS["lang_b"]).alias("s_b"),
+        _marker_score(_MARKERS["lang_c"]).alias("s_c"),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_a") >= F.col("s_b")) & (F.col("s_a") >= F.col("s_c")),
+            "lang_a",
+        )
+        .when(F.col("s_b") >= F.col("s_c"), "lang_b")
+        .otherwise("lang_c")
+    )
+    cm = scored.groupBy("actual", predicted.alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(
+        Window.partitionBy("actual")
+    )
+    return (
+        cm.withColumn(
+            "share_of_actual", F.floor(share * 1e6 + F.lit(0.5)) / 1e6
+        )
+        .orderBy("actual", "predicted")
+    )

@@ -860,3 +860,82 @@ def l_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_benford_chi2 — the formal companion to q_benford_first_digit: the
+# chi-squared goodness-of-fit statistic of the first-digit distribution
+# against Benford, plus the 5% verdict (χ² critical value, df=8). The
+# expected share is rounded to 1e-9 BEFORE the χ² arithmetic (log10 on
+# both engines' libm may differ in the last ulp) and each digit's term
+# is rounded to DECIMAL(27,9) before the exact 9-row summation — the
+# zipf/theil round-then-sum policy end to end.
+# ---------------------------------------------------------------------------
+_CHI2_CRIT_5PCT_DF8 = 15.50731  # upper 5% point of chi-squared, df = 8
+
+
+@query(
+    "q_benford_chi2",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d,
+               count(*) AS n
+        FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM digits),
+    terms AS (
+        SELECT CAST((n - t * e) * (n - t * e) / (t * e) AS DECIMAL(27,9))
+               AS term
+        FROM (
+            SELECT n, t,
+                   floor(log10(1.0 + 1.0 / d) * 1e9 + 0.5) / 1e9 AS e
+            FROM digits CROSS JOIN tot
+        )
+    )
+    SELECT CAST(t AS BIGINT) AS n_orders,
+           floor(CAST(sum(term) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
+           8 AS df,
+           CAST(sum(term) AS DOUBLE) > {_CHI2_CRIT_5PCT_DF8}
+               AS reject_benford_5pct
+    FROM terms CROSS JOIN tot
+    GROUP BY t
+    """,
+)
+def q_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digits = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = digits.agg(F.sum("n").cast("double").alias("t"))
+    e = F.floor(F.log10(1.0 + 1.0 / F.col("d")) * 1e9 + F.lit(0.5)) / 1e9
+    terms = (
+        digits.crossJoin(F.broadcast(tot))
+        .withColumn("e", e)
+        .select(
+            "t",
+            (
+                (F.col("n") - F.col("t") * F.col("e"))
+                * (F.col("n") - F.col("t") * F.col("e"))
+                / (F.col("t") * F.col("e"))
+            )
+            .cast("decimal(27,9)")
+            .alias("term"),
+        )
+    )
+    chi2 = F.sum("term").cast("double")
+    return terms.groupBy("t").agg(
+        F.col("t").cast("long").alias("n_orders"),
+        (F.floor(chi2 * 1e6 + F.lit(0.5)) / 1e6).alias("chi2"),
+        F.lit(8).alias("df"),
+        (chi2 > _CHI2_CRIT_5PCT_DF8).alias("reject_benford_5pct"),
+    ).drop("t")

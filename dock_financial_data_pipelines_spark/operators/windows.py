@@ -498,3 +498,50 @@ def w12_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.sum("len").cast("long").alias("active_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W14 — cumulative distinct users by day ("audience growth curve"):
+# each user counts from their FIRST active day, so the curve is a
+# first-seen aggregate (one shuffle on user_id) followed by a
+# cumulative sum over the calendar-bounded daily series — never a
+# running COUNT(DISTINCT) over raw events, which would hold the whole
+# id set in every window frame at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "w14_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+        FROM events GROUP BY 1
+    ),
+    new_per_day AS (
+        SELECT day, count(*) AS n_new FROM first_seen GROUP BY 1
+    )
+    SELECT day, CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM new_per_day ORDER BY day
+    """,
+)
+def w14_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    first_seen = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.date_format("ts", "yyyy-MM-dd")).alias("day"))
+    )
+    new_per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        new_per_day.select(
+            "day",
+            F.col("n_new").cast("long").alias("n_new"),
+            F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )

@@ -485,6 +485,37 @@ def main() -> int:
         "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p,
     )
 
+    p = plan_of(spark, "l_langid_confusion", execute=True)
+    check(
+        "l_langid_confusion",
+        "marker scoring + confusion matrix: no join, no Python",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w14_cumulative_distinct_users", execute=True)
+    check(
+        "w14_cumulative_distinct_users",
+        "first-seen aggregate then calendar-bounded running sum — no "
+        "running COUNT(DISTINCT) over raw events",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a33_skew_kurtosis", execute=True)
+    check(
+        "a33_skew_kurtosis",
+        "all four moments in ONE scan (single fact FileScan)",
+        p.count("FileScan parquet") // (2 if "== Initial Plan ==" in p else 1)
+        <= 2
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_benford_chi2", execute=True)
+    check(
+        "q_benford_chi2",
+        "9-row digit aggregate; scalar total broadcast; no Python",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0

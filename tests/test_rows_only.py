@@ -63,3 +63,16 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     recall = len(truth & found) / len(truth)
     print(f"ANN top-5 recall = {recall:.3f} over {len(truth)} truth pairs")
     assert recall >= 0.9, f"ANN recall {recall:.3f} < 0.9"
+
+
+def test_registry_fully_oracled():
+    """Round-5 invariant: the rows-only class is EMPTY — every
+    registered query carries a DuckDB oracle. A new registration
+    without an oracle must be a deliberate, documented decision, not a
+    default; this test makes the regression loud."""
+    missing = sorted(set(engine.QUERIES) - set(engine.ORACLES))
+    assert missing == [], (
+        f"queries registered without a SQL oracle: {missing} — add an "
+        "oracle (see COVERAGE.md 'Registry state (round 5)' for the "
+        "determinism idioms) or document why rows-only is unavoidable"
+    )
