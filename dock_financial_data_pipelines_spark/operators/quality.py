@@ -700,3 +700,115 @@ def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — the classic CRM screen: quartile-code
+# every customer by Recency (days since last order, vs the global max
+# date), Frequency (order count), Monetary (DECIMAL-exact revenue),
+# then report each of the ≤64 R/F/M segments. ntile quartiles are
+# deterministic because every ORDER BY carries the customer key as the
+# tiebreak (total order); the global "today" rides a 1-row broadcast.
+# One shuffle on custkey, one 64-row aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey AS custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(27,2))) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    today AS (SELECT max(o_orderdate) AS t FROM orders),
+    coded AS (
+        SELECT custkey,
+               ntile(4) OVER (ORDER BY date_diff('day', last_order, t),
+                              custkey) AS r,
+               ntile(4) OVER (ORDER BY frequency, custkey) AS f,
+               ntile(4) OVER (ORDER BY monetary, custkey) AS m,
+               monetary
+        FROM per_cust CROSS JOIN today
+    )
+    SELECT r, f, m, count(*) AS n_customers,
+           CAST(sum(monetary) AS DOUBLE) AS segment_revenue
+    FROM coded GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("monetary"),
+    )
+    today = o.agg(F.max("o_orderdate").alias("t"))
+    coded = (
+        per_cust.crossJoin(F.broadcast(today))
+        .withColumn(
+            "r",
+            F.ntile(4).over(
+                Window.orderBy(
+                    F.datediff(F.col("t"), F.col("last_order")), "custkey"
+                )
+            ),
+        )
+        .withColumn("f", F.ntile(4).over(Window.orderBy("frequency", "custkey")))
+        .withColumn("m", F.ntile(4).over(Window.orderBy("monetary", "custkey")))
+    )
+    return (
+        coded.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("double").alias("segment_revenue"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W15 — inter-order gap distribution: per-customer day gaps between
+# consecutive orders (lag over the per-customer order sequence), then
+# the global gap percentiles — the re-purchase cadence every retention
+# model starts from. Integer day gaps; the exact-percentile
+# interpolation on integers is the proven a10 idiom.
+# ---------------------------------------------------------------------------
+@query(
+    "w15_order_gap_percentiles",
+    oracle="""
+    WITH gaps AS (
+        SELECT date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+        FROM orders
+    )
+    SELECT count(*) AS n_gaps,
+           round(quantile_cont(gap, 0.5), 4) AS p50_days,
+           round(quantile_cont(gap, 0.9), 4) AS p90_days,
+           CAST(max(gap) AS BIGINT) AS max_days
+    FROM gaps WHERE gap IS NOT NULL
+    """,
+)
+def w15_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap")
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap, 0.5)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(gap, 0.9)"), 4).alias("p90_days"),
+        F.max("gap").cast("long").alias("max_days"),
+    )

@@ -932,3 +932,81 @@ def a33_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))).alias("skewness"),
         r6(m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
     ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# A34 — price elasticity per brand: OLS slope of ln(quantity) on
+# ln(price) over lineitems — "how demand responds to price", the
+# pricing-analytics staple. The a23 moment machinery on
+# log-transformed variables, with every per-row log rounded to
+# DECIMAL(27,9) BEFORE the moment sums (the zipf cross-libm policy).
+# One fact scan, one equi-join to part for the brand, one aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "a34_price_elasticity",
+    oracle="""
+    WITH pts AS (
+        SELECT p.p_brand AS brand,
+               CAST(ln(CAST(l.l_quantity AS DOUBLE)) AS DECIMAL(27,9)) AS y,
+               CAST(ln(l.l_extendedprice / l.l_quantity) AS DECIMAL(27,9))
+                   AS x
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity > 0
+    ),
+    m AS (
+        SELECT brand, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             AS DECIMAL(27,9))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             AS DECIMAL(27,9))) AS DOUBLE) AS sxx
+        FROM pts GROUP BY 1
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_lines,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+               AS elasticity
+    FROM m ORDER BY 1
+    """,
+)
+def a34_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = (
+        li.where(F.col("l_quantity") > 0)
+        .join(pt, li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_quantity").cast("double"))
+            .cast("decimal(27,9)")
+            .alias("y"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+            .cast("decimal(27,9)")
+            .alias("x"),
+        )
+    )
+    m = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(
+            (F.col("x").cast("double") * F.col("y").cast("double")).cast(
+                "decimal(27,9)"
+            )
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            (F.col("x").cast("double") * F.col("x").cast("double")).cast(
+                "decimal(27,9)"
+            )
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    return m.select(
+        "brand",
+        n.cast("long").alias("n_lines"),
+        (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("elasticity"),
+    ).orderBy("brand")

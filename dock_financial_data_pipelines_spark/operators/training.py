@@ -939,3 +939,77 @@ def q_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(8).alias("df"),
         (chi2 > _CHI2_CRIT_5PCT_DF8).alias("reject_benford_5pct"),
     ).drop("t")
+
+
+# ---------------------------------------------------------------------------
+# SFT pair formatting — the last mile of a fine-tuning data pipeline:
+# split each document at the token midpoint into (prompt, completion),
+# render the chat-template string, and emit the pair with its token
+# budget. Map-only string assembly (no shuffle at all at any scale);
+# the template render is hash-checked via md5 so the oracle proves
+# byte-exact formatting without hauling the full text through the
+# compare.
+# ---------------------------------------------------------------------------
+_SFT_MIN_TOKENS = 8
+_SFT_TMPL_USER = "<|user|>\n"
+_SFT_TMPL_ASSISTANT = "\n<|assistant|>\n"
+
+
+@query(
+    "l_sft_format_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= {_SFT_MIN_TOKENS}
+    ),
+    halves AS (
+        SELECT doc_id,
+               len(ws) // 2 AS n_prompt,
+               len(ws) - len(ws) // 2 AS n_completion,
+               array_to_string(ws[1 : len(ws) // 2], ' ') AS prompt,
+               array_to_string(ws[len(ws) // 2 + 1 : len(ws)], ' ')
+                   AS completion
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_prompt AS BIGINT) AS n_prompt,
+           CAST(n_completion AS BIGINT) AS n_completion,
+           md5('{_SFT_TMPL_USER}' || prompt ||
+               '{_SFT_TMPL_ASSISTANT}' || completion) AS formatted_md5,
+           CAST(length('{_SFT_TMPL_USER}' || prompt ||
+                       '{_SFT_TMPL_ASSISTANT}' || completion) AS BIGINT)
+               AS n_chars
+    FROM halves
+    """,
+)
+def l_sft_format_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= _SFT_MIN_TOKENS)
+    )
+    half = (F.size("ws") / 2).cast("int")
+    halves = docs.select(
+        "doc_id",
+        half.alias("n_prompt"),
+        (F.size("ws") - half).alias("n_completion"),
+        F.array_join(F.slice(F.col("ws"), 1, half), " ").alias("prompt"),
+        F.array_join(
+            F.expr("slice(ws, CAST(size(ws) / 2 AS INT) + 1, "
+                   "size(ws) - CAST(size(ws) / 2 AS INT))"),
+            " ",
+        ).alias("completion"),
+    )
+    formatted = F.concat(
+        F.lit(_SFT_TMPL_USER),
+        F.col("prompt"),
+        F.lit(_SFT_TMPL_ASSISTANT),
+        F.col("completion"),
+    )
+    return halves.select(
+        "doc_id",
+        F.col("n_prompt").cast("long").alias("n_prompt"),
+        F.col("n_completion").cast("long").alias("n_completion"),
+        F.md5(formatted).alias("formatted_md5"),
+        F.length(formatted).cast("long").alias("n_chars"),
+    )

@@ -516,6 +516,37 @@ def main() -> int:
         "BatchEvalPython" not in p and "CartesianProduct" not in p,
     )
 
+    p = plan_of(spark, "q_rfm_segmentation", execute=True)
+    check(
+        "q_rfm_segmentation",
+        "one shuffle on custkey; quartile windows over the customer "
+        "aggregate, not raw orders",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "w15_order_gap_percentiles", execute=True)
+    check(
+        "w15_order_gap_percentiles",
+        "per-customer lag window then scalar percentiles; no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a34_price_elasticity", execute=True)
+    check(
+        "a34_price_elasticity",
+        "fact scan + part equi-join + one moment aggregate; no Python",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "l_sft_format_pairs", execute=True)
+    check(
+        "l_sft_format_pairs",
+        "map-only template render: no shuffle (no Exchange), no join, "
+        "no Python",
+        "Exchange" not in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
