@@ -812,3 +812,172 @@ def w15_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap, 0.9)"), 4).alias("p90_days"),
         F.max("gap").cast("long").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution — each purchase credited to the touch (view or
+# click) that preceded it, under BOTH first-touch and last-touch rules
+# in one pass: the comparison every attribution debate needs side by
+# side. Candidates come from a (user) equi-join of purchases to prior
+# touches; first/last pick is a min/max over integer microseconds
+# (exact); revenue sums are DECIMAL-exact. Output: credited touch type
+# × rule with purchase counts and revenue.
+# ---------------------------------------------------------------------------
+@query(
+    "q_touch_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, CAST(value AS DECIMAL(27,2)) AS rev
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click')
+    ),
+    cand AS (
+        SELECT p.event_id, p.rev, t.event_type,
+               epoch_us(t.ts) AS t_us
+        FROM purchases p JOIN touches t
+          ON p.user_id = t.user_id AND t.ts < p.ts
+    ),
+    picked AS (
+        SELECT event_id, rev,
+               min_by(event_type, t_us) AS first_touch,
+               max_by(event_type, t_us) AS last_touch
+        FROM cand GROUP BY 1, 2
+    )
+    SELECT rule, touch, count(*) AS n_purchases,
+           CAST(sum(rev) AS DOUBLE) AS revenue
+    FROM (
+        SELECT 'first_touch' AS rule, first_touch AS touch, rev FROM picked
+        UNION ALL
+        SELECT 'last_touch', last_touch, rev FROM picked
+    ) GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(27,2)").alias("rev"),
+    )
+    touches = events.where(
+        F.col("event_type").isin("view", "click")
+    ).select("user_id", F.col("ts").alias("t_ts"), "event_type")
+    cand = purchases.join(touches, "user_id").where(
+        F.col("t_ts") < F.col("p_ts")
+    )
+    # min_by/max_by over integer microseconds: exact tie behavior —
+    # events carry unique µs timestamps per user in the fixture, and
+    # the key is total (t_us) so both engines pick the same touch.
+    picked = cand.groupBy("event_id", "rev").agg(
+        F.expr("min_by(event_type, unix_micros(t_ts))").alias("first_touch"),
+        F.expr("max_by(event_type, unix_micros(t_ts))").alias("last_touch"),
+    )
+    first = picked.select(
+        F.lit("first_touch").alias("rule"),
+        F.col("first_touch").alias("touch"),
+        "rev",
+    )
+    last = picked.select(
+        F.lit("last_touch").alias("rule"),
+        F.col("last_touch").alias("touch"),
+        "rev",
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("rule", "touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("rule", "touch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert: for users completing view → click → purchase
+# (the q_funnel_conversion chain), the distribution of stage-to-stage
+# delays — integer-second gaps, exact percentiles (the a10 idiom).
+# The metric that turns a funnel COUNT into a funnel SLA.
+# ---------------------------------------------------------------------------
+@query(
+    "q_funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT e.user_id, c.t_view, c.t_click, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY 1, 2, 3
+    ),
+    gaps AS (
+        SELECT (epoch_us(t_click) - epoch_us(t_view)) // 1000000
+                   AS view_to_click_s,
+               (epoch_us(t_purchase) - epoch_us(t_click)) // 1000000
+                   AS click_to_purchase_s
+        FROM p
+    )
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(view_to_click_s, 0.5), 4) AS p50_view_click_s,
+           round(quantile_cont(click_to_purchase_s, 0.5), 4)
+               AS p50_click_purchase_s,
+           round(quantile_cont(view_to_click_s + click_to_purchase_s, 0.9), 4)
+               AS p90_total_s
+    FROM gaps
+    """,
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    # Integer DIV, not double division: a ratio an ulp under a whole
+    # second could round up in floating point while DuckDB's // floors.
+    gaps = p.select(
+        F.expr(
+            "(unix_micros(t_click) - unix_micros(t_view)) DIV 1000000"
+        ).alias("view_to_click_s"),
+        F.expr(
+            "(unix_micros(t_purchase) - unix_micros(t_click)) DIV 1000000"
+        ).alias("click_to_purchase_s"),
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(view_to_click_s, 0.5)"), 4).alias(
+            "p50_view_click_s"
+        ),
+        F.round(F.expr("percentile(click_to_purchase_s, 0.5)"), 4).alias(
+            "p50_click_purchase_s"
+        ),
+        F.round(
+            F.expr("percentile(view_to_click_s + click_to_purchase_s, 0.9)"), 4
+        ).alias("p90_total_s"),
+    )

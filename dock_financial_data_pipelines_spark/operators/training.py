@@ -1013,3 +1013,103 @@ def l_sft_format_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(formatted).alias("formatted_md5"),
         F.length(formatted).cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM cross-entropy — the step up from l_unigram_logprob: the
+# corpus scored under its own add-one-smoothed bigram model,
+# H = −(1/N) Σ_types c(w1,w2)·ln[(c(w1,w2)+1)/(c(w1·)+V)]. The
+# fluency/quality signal used to rank corpora before training. Every
+# count is an exact BIGINT; each bigram type's weighted log term is
+# rounded to DECIMAL(27,9) BEFORE the summation (zipf policy), so the
+# aggregate is order-free and engine-portable. Two equi-key
+# aggregations over one bigram explode; V and N ride scalar
+# broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "l_bigram_cross_entropy",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+    big AS (
+        SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+        FROM (SELECT ws, unnest(range(greatest(len(ws) - 2, 0) + 1)) AS i
+              FROM toks)
+        WHERE i + 2 <= len(ws)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1),
+    vocab AS (
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    terms AS (
+        SELECT CAST(c12.n12 * (ln(CAST(c12.n12 + 1 AS DOUBLE))
+                               - ln(CAST(c1.n1 + vocab.v AS DOUBLE)))
+                    AS DECIMAL(27,9)) AS t,
+               c12.n12
+        FROM c12 JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN vocab
+    )
+    SELECT CAST(sum(n12) AS BIGINT) AS n_bigrams,
+           (SELECT CAST(v AS BIGINT) FROM vocab) AS vocab_size,
+           floor(-CAST(sum(t) AS DOUBLE) / sum(n12) * 1e6 + 0.5) / 1e6
+               AS cross_entropy_nats
+    FROM terms
+    """,
+)
+def l_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    big = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    # try_element_at: the struct is built BEFORE the
+                    # validity filter runs, so a 1-word doc would throw
+                    # under ANSI with plain element_at (adversarial-
+                    # fixture catch).
+                    "filter(transform(sequence(0, greatest(size(ws) - 2, 0)),"
+                    " i -> struct(try_element_at(ws, i + 1) AS w1,"
+                    "             try_element_at(ws, i + 2) AS w2,"
+                    "             i + 2 <= size(ws) AS valid)),"
+                    " p -> p.valid)"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    terms = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "n12",
+            (
+                F.col("n12")
+                * (
+                    F.log((F.col("n12") + 1).cast("double"))
+                    - F.log((F.col("n1") + F.col("v")).cast("double"))
+                )
+            )
+            .cast("decimal(27,9)")
+            .alias("t"),
+            "v",
+        )
+    )
+    return terms.groupBy("v").agg(
+        F.sum("n12").cast("long").alias("n_bigrams"),
+        F.col("v").cast("long").alias("vocab_size"),
+        (
+            F.floor(
+                -F.sum("t").cast("double") / F.sum("n12") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("cross_entropy_nats"),
+    ).drop("v")

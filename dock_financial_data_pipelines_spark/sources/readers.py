@@ -654,3 +654,105 @@ def s14_corrupt_csv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("ok"), F.col("day_v"))), "yyyy-MM-dd"
         ).alias("first_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S16 — JSON-lines ingest hygiene, the JSON sibling of s14: a feed
+# with malformed lines, wrong-typed values, and missing keys is
+# classified in one scan. Both engines extract fields AS STRINGS from
+# the raw line (get_json_object ↔ ->> — null iff the line is not valid
+# JSON or the key is absent) and validate with the same try_cast
+# chain, so the verdict never depends on either engine's JSON-parser
+# recovery behavior — the s14 lesson applied to JSON.
+# ---------------------------------------------------------------------------
+_JSONL_GOOD_ROWS = 24
+_CORRUPT_JSONL = os.path.join(
+    tempfile.gettempdir(), "dock_fdp_spark", "corrupt_jsonl", "feed.jsonl"
+)
+
+
+def _corrupt_jsonl_fixture() -> str:
+    """Deterministic JSONL with malformed / wrong-typed / missing-key
+    rows interleaved."""
+    path = _CORRUPT_JSONL
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        lines = []
+        for k in range(_JSONL_GOOD_ROWS):
+            amount = (k * 137 % 1000) / 100
+            lines.append(
+                '{"k": %d, "amount": "%.2f", "day": "2024-01-%02d"}'
+                % (k, amount, 1 + k % 28)
+            )
+        lines.insert(3, '{broken json, no quotes')
+        lines.insert(9, '{"k": 100, "amount": "not_a_number", "day": "2024-01-05"}')
+        lines.insert(15, '{"k": 101, "amount": "3.50", "day": "2024-02-30"}')
+        lines.insert(21, '{"k": 102, "amount": "7.77"}')  # missing day
+        staging = f"{path}.tmp{os.getpid()}"
+        with open(staging, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(staging, path)
+    return path
+
+
+@query(
+    "s16_corrupt_jsonl_audit",
+    oracle=f"""
+    WITH raw AS (
+        SELECT line,
+               json_extract_string(TRY_CAST(line AS JSON), '$') IS NOT NULL
+                   AS is_json,
+               TRY_CAST(json_extract_string(TRY_CAST(line AS JSON), '$.k')
+                        AS BIGINT) AS k_v,
+               TRY_CAST(json_extract_string(TRY_CAST(line AS JSON),
+                        '$.amount') AS DOUBLE) AS amount_v,
+               TRY_CAST(json_extract_string(TRY_CAST(line AS JSON), '$.day')
+                        AS DATE) AS day_v
+        FROM read_csv('{_CORRUPT_JSONL}',
+            columns={{'line': 'VARCHAR'}}, header=false, sep=chr(1),
+            quote='')
+    ),
+    flagged AS (
+        SELECT is_json,
+               (k_v IS NOT NULL AND amount_v IS NOT NULL
+                AND day_v IS NOT NULL) AS ok
+        FROM raw
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN NOT is_json THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_malformed,
+           CAST(sum(CASE WHEN is_json AND NOT ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad_value
+    FROM flagged
+    """,
+)
+def s16_corrupt_jsonl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _corrupt_jsonl_fixture()
+    raw = spark.read.text(path).select(
+        F.get_json_object(F.col("value"), "$").isNotNull().alias("is_json"),
+        F.expr("try_cast(get_json_object(value, '$.k') AS BIGINT)").alias(
+            "k_v"
+        ),
+        F.expr(
+            "try_cast(get_json_object(value, '$.amount') AS DOUBLE)"
+        ).alias("amount_v"),
+        F.expr("try_cast(get_json_object(value, '$.day') AS DATE)").alias(
+            "day_v"
+        ),
+    )
+    ok = (
+        F.col("k_v").isNotNull()
+        & F.col("amount_v").isNotNull()
+        & F.col("day_v").isNotNull()
+    )
+    return raw.withColumn("ok", ok).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(~F.col("is_json"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_malformed"),
+        F.sum(F.when(F.col("is_json") & ~F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad_value"),
+    )

@@ -547,6 +547,36 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "q_touch_attribution", execute=True)
+    check(
+        "q_touch_attribution",
+        "purchase x prior-touch candidates via user equi-join; min_by/"
+        "max_by picks, no cartesian",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_funnel_time_to_convert", execute=True)
+    check(
+        "q_funnel_time_to_convert",
+        "staged min-ts chain on user_id; integer DIV second gaps",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "s16_corrupt_jsonl_audit", execute=True)
+    check(
+        "s16_corrupt_jsonl_audit",
+        "one text scan, string-extraction try_cast validation, no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_bigram_cross_entropy", execute=True)
+    check(
+        "l_bigram_cross_entropy",
+        "bigram explode + two equi-key aggs; vocab/N ride scalar "
+        "broadcasts",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
