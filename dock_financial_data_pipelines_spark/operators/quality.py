@@ -981,3 +981,184 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(view_to_click_s + click_to_purchase_s, 0.9)"), 4
         ).alias("p90_total_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV — cumulative revenue per signup-month cohort by month
+# offset: the lifetime-value grid behind every retention/payback
+# decision. Cohort = month of the customer's first order; revenue
+# accumulates as DECIMAL along the offset axis via a cohort-partitioned
+# running sum over the (cohort, offset) aggregate — never over raw
+# orders. Integer month offsets are exact on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+        SELECT o_custkey, min(o_orderdate) AS first_dt
+        FROM orders GROUP BY 1
+    ),
+    labeled AS (
+        SELECT strftime(date_trunc('month', f.first_dt), '%Y-%m') AS cohort,
+               (CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) * 12
+                + CAST(strftime(o.o_orderdate, '%m') AS BIGINT))
+               - (CAST(strftime(f.first_dt, '%Y') AS BIGINT) * 12
+                  + CAST(strftime(f.first_dt, '%m') AS BIGINT))
+                   AS month_offset,
+               CAST(o.o_totalprice AS DECIMAL(27,2)) AS rev
+        FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    ),
+    grid AS (
+        SELECT cohort, month_offset,
+               count(*) AS n_orders, sum(rev) AS rev
+        FROM labeled GROUP BY 1, 2
+    )
+    SELECT cohort, month_offset, CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY month_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cumulative_revenue
+    FROM grid ORDER BY 1, 2
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    first_order = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    months = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    labeled = o.join(first_order, "o_custkey").select(
+        F.date_format(F.trunc("first_dt", "month"), "yyyy-MM").alias("cohort"),
+        (months(F.col("o_orderdate")) - months(F.col("first_dt")))
+        .cast("long")
+        .alias("month_offset"),
+        F.col("o_totalprice").cast("decimal(27,2)").alias("rev"),
+    )
+    grid = labeled.groupBy("cohort", "month_offset").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("rev").alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.select(
+        "cohort",
+        "month_offset",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.sum("rev").over(w).cast("double").alias("cumulative_revenue"),
+    ).orderBy("cohort", "month_offset")
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20 concentration — the smallest customer count whose
+# revenue crosses 80% of the total, plus their share of the customer
+# base: the "how top-heavy is revenue" headline the Gini coefficient
+# summarizes abstractly. Customers rank by DECIMAL-exact revenue
+# (ties broken by custkey), the running share uses exact decimal
+# cumulative sums, and the crossing point is the min rank at ≥80% — an
+# exact comparison. One shuffle on custkey, windows over the customer
+# aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q_pareto_8020",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(27,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+               sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_rev,
+               sum(rev) OVER () AS total_rev,
+               count(*) OVER () AS n_cust
+        FROM per_cust
+    )
+    SELECT CAST(min(rk) AS BIGINT) AS n_top_customers,
+           CAST(max(n_cust) AS BIGINT) AS n_customers,
+           floor(CAST(min(rk) AS DOUBLE) / max(n_cust) * 1e6 + 0.5) / 1e6
+               AS top_share_of_base
+    FROM ranked
+    WHERE CAST(cum_rev AS DOUBLE) >= 0.8 * CAST(total_rev AS DOUBLE)
+    """,
+)
+def q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev")
+        )
+    )
+    order_w = Window.orderBy(F.desc("rev"), "o_custkey")
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(order_w).alias("rk"),
+        F.sum("rev")
+        .over(order_w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_rev"),
+        F.sum("rev").over(Window.partitionBy()).alias("total_rev"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
+    )
+    crossed = ranked.where(
+        F.col("cum_rev").cast("double")
+        >= 0.8 * F.col("total_rev").cast("double")
+    )
+    return crossed.agg(
+        F.min("rk").cast("long").alias("n_top_customers"),
+        F.max("n_cust").cast("long").alias("n_customers"),
+        (
+            F.floor(
+                F.min("rk").cast("double") / F.max("n_cust") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("top_share_of_base"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W16 — month-over-month revenue growth: monthly DECIMAL sums, lag,
+# and the percent change from exact-moment doubles — the simplest
+# number every finance review opens with. Calendar-bounded
+# unpartitioned window (the a25 shape).
+# ---------------------------------------------------------------------------
+@query(
+    "w16_mom_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               sum(CAST(o_totalprice AS DECIMAL(27,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT month, CAST(rev AS DOUBLE) AS revenue,
+           floor((CAST(rev AS DOUBLE)
+                  / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) - 1.0)
+                 * 1e6 + 0.5) / 1e6 AS mom_growth
+    FROM monthly ORDER BY 1
+    """,
+)
+def w16_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev"))
+    )
+    prev = F.lag("rev").over(Window.orderBy("month"))
+    growth = F.col("rev").cast("double") / prev.cast("double") - 1.0
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.floor(growth * 1e6 + F.lit(0.5)) / 1e6).alias("mom_growth"),
+    ).orderBy("month")

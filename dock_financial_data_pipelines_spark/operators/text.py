@@ -1342,3 +1342,62 @@ def l_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("actual", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language — pretokens-per-word under the
+# GPT-2-style pretokenizer regex (shared with l_bpe_pretokenize): the
+# "how many tokens does this language cost" number that drives
+# per-language token budgets. Exact integer counts per doc; the ratio
+# divides per-language BIGINT sums — identical doubles both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "l_tokenizer_fertility",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text,
+                    '{{pat}}')) AS BIGINT) AS n_pre,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents
+    )
+    SELECT lang,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_pre) AS BIGINT) AS n_pretokens,
+           floor(CAST(sum(n_pre) AS DOUBLE) / sum(n_words) * 1e6 + 0.5) / 1e6
+               AS fertility
+    FROM counts GROUP BY 1 ORDER BY 1
+    """.format(pat=_BPE_PRETOKEN_PATTERN.replace(chr(39), chr(39) * 2)),
+)
+def l_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_PRETOKEN_PATTERN), 0)
+        )
+        .cast("long")
+        .alias("n_pre"),
+        F.size(_tokens()).cast("long").alias("n_words"),
+    )
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_pre").cast("long").alias("n_pretokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pretokens",
+            (
+                F.floor(
+                    F.col("n_pretokens").cast("double")
+                    / F.col("n_words")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

@@ -577,6 +577,35 @@ def main() -> int:
         "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_tokenizer_fertility", execute=True)
+    check(
+        "l_tokenizer_fertility",
+        "one scan, regex counts map-side, per-language aggregate only",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_cohort_ltv", execute=True)
+    check(
+        "q_cohort_ltv",
+        "first-order equi-join + cohort-partitioned running sum over "
+        "the grid aggregate",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_pareto_8020", execute=True)
+    check(
+        "q_pareto_8020",
+        "windows over the customer aggregate, not raw orders; no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w16_mom_growth", execute=True)
+    check(
+        "w16_mom_growth",
+        "monthly aggregate + calendar-bounded lag window; no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
