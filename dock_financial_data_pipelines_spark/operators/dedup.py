@@ -1205,3 +1205,119 @@ def l_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup recall audit AS A QUERY — the pytest recall gate
+# (tests/test_dedup_recall.py) made auditable data. Ground truth is
+# exact all-pairs SHINGLE-set Jaccard ≥ 0.8 — the similarity space the
+# 4×3 banding actually targets (banding threshold ≈ 0.63, so J ≥ 0.8
+# pairs collide with probability ≥ 0.94 per pair) — and the prediction
+# is the full MinHash-LSH pipeline output. Output: truth/predicted/
+# found/missed counts and recall, PROBE-BOUNDED (doc_a < 200, the
+# l5/l4 probe contract): the truth side is probe × corpus, never
+# corpus² — an unbounded first cut cost 16 minutes in the sf0.1
+# oracle. Recall over a fixed probe slice is an unbiased estimate of
+# corpus recall; at 100 TB the probe set is a drawn sample.
+# ---------------------------------------------------------------------------
+_AUDIT_TRUTH_J = 0.8
+
+
+@query(
+    "l_neardup_recall_audit",
+    oracle=f"""
+    WITH {_MH_SHINGLES_SQL},
+    ssets AS (
+        SELECT doc_id, list_distinct(list(shingle)) AS ss
+        FROM shingles GROUP BY doc_id
+    ),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ssets a JOIN ssets b ON a.doc_id < b.doc_id
+        WHERE a.doc_id < 200
+          AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+              / len(list_distinct(a.ss || b.ss)) >= {_AUDIT_TRUTH_J}
+    ),
+    pred AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["l4_minhash_lsh_neardup"]})
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM pred WHERE doc_a < 200) AS n_predicted,
+           (SELECT count(*) FROM truth t
+            WHERE EXISTS (SELECT 1 FROM pred p
+                          WHERE p.doc_a = t.doc_a
+                            AND p.doc_b = t.doc_b)) AS n_found,
+           (SELECT count(*) FROM truth t
+            WHERE NOT EXISTS (SELECT 1 FROM pred p
+                              WHERE p.doc_a = t.doc_a
+                                AND p.doc_b = t.doc_b)) AS n_missed,
+           floor((SELECT count(*) FROM truth t
+                  WHERE EXISTS (SELECT 1 FROM pred p
+                                WHERE p.doc_a = t.doc_a
+                                  AND p.doc_b = t.doc_b)) * 1e6
+                 / greatest((SELECT count(*) FROM truth), 1) + 0.5) / 1e6
+               AS recall
+    """,
+)
+def l_neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ssets = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, greatest(size(ws) - 3, 0)),"
+                    " i -> concat_ws(' ', slice(ws, i + 1, 3)))"
+                )
+            ).alias("ss"),
+        )
+    )
+    jacc = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    truth = (
+        F.broadcast(
+            ssets.where(F.col("doc_id") < 200).select(
+                F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa")
+            )
+        )
+        .join(
+            ssets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb")),
+            F.col("doc_a") < F.col("doc_b"),
+        )
+        .where(jacc >= _AUDIT_TRUTH_J)
+        .select("doc_a", "doc_b")
+    )
+    pred = (
+        l4_minhash_lsh_neardup(spark, sf_dir)
+        .where(F.col("doc_a") < 200)
+        .select("doc_a", "doc_b")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_predicted"))
+    found = truth.join(pred, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    missed = truth.join(pred, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_pred))
+        .crossJoin(F.broadcast(found))
+        .crossJoin(F.broadcast(missed))
+        .select(
+            "n_truth",
+            "n_predicted",
+            "n_found",
+            "n_missed",
+            (
+                F.floor(
+                    F.col("n_found") * 1e6
+                    / F.greatest(F.col("n_truth"), F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("recall"),
+        )
+    )

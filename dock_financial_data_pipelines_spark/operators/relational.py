@@ -994,3 +994,58 @@ def u9_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users_erased", "residual_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U12 — pseudonymized analytics export with k-anonymity suppression:
+# customer identity is replaced by a deterministic salted-md5 token
+# (stable across runs/engines, unlinkable without the salt), and
+# groups below the k=5 suppression floor are dropped — the shape every
+# privacy-reviewed data export takes (the GDPR-erasure sibling of u9).
+# Revenue is DECIMAL-exact; the token is a pure projection so the plan
+# is the same star join + aggregate as the identified form.
+# ---------------------------------------------------------------------------
+_PSEUDO_SALT = "dock-export-2024"
+_KANON = 5
+
+
+@query(
+    "u12_pseudonymized_export",
+    oracle=f"""
+    SELECT substr(md5('{_PSEUDO_SALT}#' || CAST(c.c_custkey AS VARCHAR)),
+                  1, 16) AS cust_token,
+           c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {_KANON}
+    """,
+)
+def u12_pseudonymized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    token = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"{_PSEUDO_SALT}#"), F.col("c_custkey").cast("string")
+            )
+        ),
+        1,
+        16,
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            token.alias("cust_token"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .where(F.col("n_orders") >= _KANON)
+    )

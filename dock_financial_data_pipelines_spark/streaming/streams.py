@@ -865,3 +865,118 @@ def x13_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sunk.withColumn("rk", rk).where(F.col("rk") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# X14 — stream-stream LEFT OUTER join: every purchase with its prior
+# 30-minute clicks, AND the purchases with no such click as explicit
+# null rows — the semantics x11's inner join cannot express (the
+# "orphan conversions" every attribution pipeline must surface). Inner
+# matches emit eagerly; a null row emits only once the watermark
+# proves no qualifying click can still arrive. WHEN a given no-match
+# verdict flushes is engine-internal (eviction may lag the watermark
+# by a micro-batch), so the oracle-checked contract is the
+# CONSERVATIVE finalized region: both the drained stream and the
+# oracle keep null rows only for purchases older than the watermark as
+# of the second-to-last data chunk (chunk 3 of 4) — a region every
+# conforming drain must have flushed (watermarks are monotone and at
+# least two batches run after it). Purchases past that line are
+# "still pending" by design, exactly as in a live deployment.
+# ---------------------------------------------------------------------------
+@query(
+    "x14_stream_stream_left_join",
+    oracle="""
+    WITH ranked AS (
+        SELECT ts, ntile(4) OVER (ORDER BY ts, event_id) AS chunk
+        FROM events
+    ),
+    wm AS (
+        SELECT epoch_us(max(ts)) - 1800000000 AS w_us
+        FROM ranked WHERE chunk = 3
+    ),
+    matched AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+    ),
+    unmatched AS (
+        SELECT p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id,
+               p.user_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+        FROM events p, wm
+        WHERE p.event_type = 'purchase'
+          AND NOT EXISTS (SELECT 1 FROM events c
+                          WHERE c.user_id = p.user_id
+                            AND c.event_type = 'click'
+                            AND c.ts >= p.ts - INTERVAL 30 MINUTE
+                            AND c.ts <= p.ts)
+          AND epoch_us(p.ts) < wm.w_us
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unmatched
+    """,
+)
+def x14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import load
+    from pyspark.sql import Window
+
+    ev = _events_stream_multibatch(spark, sf_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_timestamp("p_ts").cast("bigint").alias("purchase_epoch"),
+        F.expr("unix_micros(p_ts)").alias("_p_us"),
+    )
+    drained = _run_to_memory(joined, "x14_left_joined", "append")
+    # Conservative finalized-region cut, mirrored in the oracle: the
+    # chunk-3 watermark, recomputed from the same static events table
+    # the chunk builder used (identical ntile ordering).
+    static_ev = load(spark, sf_dir, "events")
+    wm = (
+        static_ev.withColumn(
+            "chunk", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+        )
+        .where(F.col("chunk") == 3)
+        .agg(
+            (F.max(F.expr("unix_micros(ts)")) - 1800000000).alias("w_us")
+        )
+    )
+    return (
+        drained.crossJoin(F.broadcast(wm))
+        .where(
+            F.col("click_id").isNotNull() | (F.col("_p_us") < F.col("w_us"))
+        )
+        .drop("_p_us", "w_us")
+    )

@@ -606,6 +606,22 @@ def main() -> int:
         "Join" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "u12_pseudonymized_export", execute=True)
+    check(
+        "u12_pseudonymized_export",
+        "token is a pure projection: same star join + aggregate as the "
+        "identified form",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "l_neardup_recall_audit", execute=True)
+    check(
+        "l_neardup_recall_audit",
+        "probe side broadcast into the truth join; scalar combines "
+        "only; no Python",
+        "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
