@@ -44,11 +44,11 @@ __version__ = "0.2.0"
 # can never displace a planned slot. Regenerate both lists at round
 # start with scripts/sweep_rotate.py.
 _SWEEP_FIRST = [
-    # Round-5 sweep plan (regenerated mid-round after the round-5
-    # additions registered): the 18 round-4 late additions plus the
-    # 23 new round-5 queries (all SQL-oracled); the oracle upgrades
-    # surface as class-2 re-runs right after.
-    # SQL-oracled, never driver-checked (slots 1-41)
+    # Round-5 sweep plan (final regeneration): 50 of the 56
+    # never-driver-checked queries (18 round-4 late additions +
+    # the round-5 additions) fill the whole budget; the 6 oracle
+    # upgrades and the 6 newest additions queue for round 6.
+    # SQL-oracled, never driver-checked (slots 1-50)
     "g_pagerank_copurchase",
     "g_triangle_count",
     "j13_nearest_event_join",
@@ -90,6 +90,21 @@ _SWEEP_FIRST = [
     "l_langid_confusion",
     "q_benford_chi2",
     "w14_cumulative_distinct_users",
+    "l_neardup_recall_audit",
+    "q_rfm_segmentation",
+    "w15_order_gap_percentiles",
+    "q_touch_attribution",
+    "q_funnel_time_to_convert",
+    "q_cohort_ltv",
+    "q_pareto_8020",
+    "w16_mom_growth",
+    "u12_pseudonymized_export",
+    "a34_price_elasticity",
+    "l_tokenizer_fertility",
+    "l_sft_format_pairs",
+    "l_bigram_cross_entropy",
+    "s16_corrupt_jsonl_audit",
+    "x14_stream_stream_left_join",
     # rows-only (no SQL oracle; driver records spark_rows)
 ]
 _SWEEP_LAST = [
