@@ -710,6 +710,14 @@ def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic because every ORDER BY carries the customer key as the
 # tiebreak (total order); the global "today" rides a 1-row broadcast.
 # One shuffle on custkey, one 64-row aggregate.
+#
+# Scale note: the three global ntile windows sort the CUSTOMER
+# AGGREGATE (one row per customer), not raw orders — but a global
+# window is still a single-partition sort. At 100 TB-scale customer
+# counts the quartile codes come from three percentile cut-points per
+# metric (a 9-value broadcast) + comparisons; the fixture keeps exact
+# ntile because cut-points cannot reproduce ntile's row-ordered tie
+# splitting, and the oracle contract is exactness.
 # ---------------------------------------------------------------------------
 @query(
     "q_rfm_segmentation",
@@ -1059,7 +1067,10 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ties broken by custkey), the running share uses exact decimal
 # cumulative sums, and the crossing point is the min rank at ≥80% — an
 # exact comparison. One shuffle on custkey, windows over the customer
-# aggregate.
+# aggregate (single-partition sort of one-row-per-customer data; at
+# 100 TB the same crossing point comes from a range-partitioned sort +
+# per-partition prefix sums with offset carry — the l_pack_sequences
+# sharded-prefix-sum machinery).
 # ---------------------------------------------------------------------------
 @query(
     "q_pareto_8020",

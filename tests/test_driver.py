@@ -145,3 +145,27 @@ def test_sweep_rotation_self_updates():
         assert not set(order2[:n_backlog]) & fake_hash, "verified names must demote"
     finally:
         engine._reorder_registry()  # restore the real order for other tests
+
+
+def test_sweep_lists_reference_registered_queries():
+    """A typo in _SWEEP_FIRST/_SWEEP_LAST silently deprioritizes the
+    intended query (unknown names sort as 'uncurated'); catch it."""
+    import dock_financial_data_pipelines_spark as engine
+
+    engine.load_all()
+    unknown = [
+        n
+        for n in engine._SWEEP_FIRST + engine._SWEEP_LAST
+        if n not in engine.QUERIES
+    ]
+    assert unknown == [], f"sweep lists name unregistered queries: {unknown}"
+
+
+def test_sweep_head_is_fully_oracled():
+    """The committed plan promises the driver 50 hash-checkable slots."""
+    import dock_financial_data_pipelines_spark as engine
+
+    engine.load_all()
+    head = list(engine.QUERIES)[:50]
+    missing = [n for n in head if n not in engine.ORACLES]
+    assert missing == [], f"sweep head entries without oracles: {missing}"
