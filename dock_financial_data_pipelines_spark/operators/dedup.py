@@ -829,7 +829,7 @@ def l_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = memo_index(
         spark,
-        f"semdedup_centroids:{sf_tag(sf_dir)}",
+        f"ivf_centroids:{sf_tag(sf_dir)}",  # shared with l5_ivf_topk
         lambda: _ivf_train_centroids(spark, emb).localCheckpoint(eager=True),
     )
     cells = _ivf_assign(

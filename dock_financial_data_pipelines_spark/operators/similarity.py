@@ -576,7 +576,15 @@ def l5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    centroids = _ivf_train_centroids(spark, emb)
+    # Train once per session and share the index with l_semantic_dedup
+    # (same key): the persisted-coarse-quantizer contract — at 100 TB
+    # the centroid table is built by one job and every consumer reads
+    # it; locally the memo is that same build-once semantics.
+    centroids = memo_index(
+        spark,
+        f"ivf_centroids:{sf_tag(sf_dir)}",
+        lambda: _ivf_train_centroids(spark, emb).localCheckpoint(eager=True),
+    )
     corpus = _ivf_assign(
         emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")),
         centroids, "ce", _IVF_ASSIGN,
