@@ -1049,3 +1049,74 @@ def u12_pseudonymized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") >= _KANON)
     )
+
+
+# ---------------------------------------------------------------------------
+# U13 — as-of dimensional attribution against the SCD2 history: every
+# event joined to the balance VERSION valid at its timestamp
+# (valid_from ≤ day < valid_to) — the "facts must see the dim as it
+# was" join every warehouse needs once dims start changing. The
+# history is the u7_scd2_history output (recomputed inline; at scale
+# it is the persisted SCD2 table), tiny per key → broadcast; the
+# validity predicate is a string-date comparison, exact on both
+# engines. Output: per (version window) event counts + DECIMAL value.
+# ---------------------------------------------------------------------------
+@query(
+    "u13_asof_dim_attribution",
+    oracle="""
+    WITH snap_a AS (
+        SELECT user_id,
+               round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS balance
+        FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1
+    ),
+    snap_b AS (
+        SELECT user_id,
+               round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS balance
+        FROM events GROUP BY 1
+    ),
+    hist AS (
+        SELECT a.user_id, 1 AS version, '2024-01-01' AS valid_from,
+               CASE WHEN b.balance <> a.balance THEN '2024-01-15' END
+                   AS valid_to
+        FROM snap_a a JOIN snap_b b USING (user_id)
+        UNION ALL
+        SELECT b.user_id, 2, '2024-01-15', NULL
+        FROM snap_b b JOIN snap_a a USING (user_id)
+        WHERE b.balance <> a.balance
+        UNION ALL
+        SELECT b.user_id, 1, '2024-01-15', NULL
+        FROM snap_b b LEFT JOIN snap_a a USING (user_id)
+        WHERE a.user_id IS NULL
+    )
+    SELECT h.user_id, h.version,
+           count(*) AS n_events,
+           round(sum(CAST(e.value AS DECIMAL(27,6))), 2)::DOUBLE
+               AS attributed_value
+    FROM events e JOIN hist h
+      ON e.user_id = h.user_id
+     AND strftime(e.ts, '%Y-%m-%d') >= h.valid_from
+     AND (h.valid_to IS NULL OR strftime(e.ts, '%Y-%m-%d') < h.valid_to)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def u13_asof_dim_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hist = u7_scd2_history(spark, sf_dir).select(
+        "user_id", "version", "valid_from", "valid_to"
+    )
+    day = F.date_format("ts", "yyyy-MM-dd")
+    return (
+        ev.join(
+            F.broadcast(hist),
+            (ev.user_id == hist.user_id)
+            & (day >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (day < F.col("valid_to"))),
+        )
+        .drop(hist.user_id)
+        .groupBy("user_id", "version")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", scale=6).alias("attributed_value"),
+        )
+        .orderBy("user_id", "version")
+    )

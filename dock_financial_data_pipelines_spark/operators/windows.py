@@ -545,3 +545,70 @@ def w14_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# W17 — daily OHLC bars over the event value stream: open/high/low/
+# close + volume + DECIMAL turnover per day — the financial
+# time-series primitive. Open/close are row_number picks over the
+# per-day (ts, event_id) total order (NOT min_by/max_by on a composite
+# key, whose tie semantics differ across engines — the fixture plants
+# tied timestamps deliberately); high/low/volume/turnover are plain
+# aggregates. One shuffle on day, windows inside the day partition.
+# ---------------------------------------------------------------------------
+@query(
+    "w17_daily_ohlc",
+    oracle="""
+    WITH base AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, value, ts, event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT day, value,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM base
+    )
+    SELECT day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS volume,
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS turnover
+    FROM flagged GROUP BY 1 ORDER BY 1
+    """,
+)
+def w17_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import dec_sum, load
+
+    base = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    flagged = base.select(
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            dec_sum("value", scale=6).alias("turnover"),
+        )
+        .orderBy("day")
+    )

@@ -622,6 +622,22 @@ def main() -> int:
         "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p,
     )
 
+    p = plan_of(spark, "w17_daily_ohlc", execute=True)
+    check(
+        "w17_daily_ohlc",
+        "one shuffle on day; open/close via in-partition windows; "
+        "no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "u13_asof_dim_attribution", execute=True)
+    check(
+        "u13_asof_dim_attribution",
+        "SCD2 history broadcast into the validity-interval join",
+        ("BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p)
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
