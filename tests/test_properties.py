@@ -341,3 +341,32 @@ def test_pagerank_matches_integer_reference(spark, sf_dir):
         for r in engine.QUERIES["g_pagerank_copurchase"](spark, sf_dir).collect()
     ]
     assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=40)
+)
+def test_survivorship_group_accounting_equals_pair_accounting(group_sizes):
+    """l_dedup_survivorship_report uses two accountings that must agree:
+    hash-group methods compute (Σ C(n,2), Σ n over n>1 groups, Σ (n−1))
+    in closed form, pair methods count (|pairs|, |docs in pairs|,
+    |greedy keep-min removals|) from the explicit pair set. For any
+    grouping these are the same numbers — build the explicit pair set
+    per group and check."""
+    import itertools
+
+    n_pairs_closed = sum(n * (n - 1) // 2 for n in group_sizes if n > 1)
+    flagged_closed = sum(n for n in group_sizes if n > 1)
+    removed_closed = sum(n - 1 for n in group_sizes if n > 1)
+
+    pairs = []
+    doc = 0
+    for n in group_sizes:
+        ids = list(range(doc, doc + n))
+        doc += n
+        pairs.extend(itertools.combinations(ids, 2))
+    flagged = {d for p in pairs for d in p}
+    removed = {b for _, b in pairs}  # greedy keep-min: larger id drops
+    assert len(pairs) == n_pairs_closed
+    assert len(flagged) == flagged_closed
+    assert len(removed) == removed_closed
