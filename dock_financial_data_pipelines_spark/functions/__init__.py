@@ -291,3 +291,58 @@ def f8_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bit3_set"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# F9 — try_* arithmetic: the ANSI-mode discipline made visible. Spark 4
+# defaults to ANSI (overflow/div-by-zero THROW); try_add/try_divide/
+# try_multiply return NULL instead — the correct tool when a quarantine
+# column is wanted rather than a failed job. The oracle reproduces the
+# null semantics with guarded CASE arithmetic (DuckDB's operators don't
+# throw on doubles, so the guards make the two engines' nulls match by
+# construction).
+# ---------------------------------------------------------------------------
+@query(
+    "f9_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE floor(l_extendedprice / l_discount * 1e4 + 0.5) / 1e4
+                END AS price_per_discount_pt,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE floor(l_extendedprice / l_quantity * 1e4 + 0.5) / 1e4
+                END AS unit_price,
+           CAST(CASE WHEN l_quantity * 1000000000 > 9223372036854775807
+                     THEN NULL
+                     ELSE CAST(l_quantity AS BIGINT) * 1000000000 END
+                AS BIGINT) AS qty_nanos
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def f9_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.floor(
+                    F.expr("try_divide(l_extendedprice, l_discount)") * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("price_per_discount_pt"),
+            (
+                F.floor(
+                    F.expr("try_divide(l_extendedprice, l_quantity)") * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("unit_price"),
+            F.expr(
+                "try_multiply(CAST(l_quantity AS BIGINT), "
+                "1000000000L)"
+            ).alias("qty_nanos"),
+        )
+    )

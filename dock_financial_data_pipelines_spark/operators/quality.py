@@ -1173,3 +1173,65 @@ def w16_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         (F.floor(growth * 1e6 + F.lit(0.5)) / 1e6).alias("mom_growth"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# A37 — mix-shift analysis: each month's revenue share per order
+# priority and its delta vs the prior month — the "did the mix move or
+# the volume" decomposition every BI review runs. Shares divide
+# DECIMAL-exact sums by the month total (window over the month×priority
+# aggregate, never raw orders); the delta is a lag within priority.
+# Final arithmetic on exact-moment doubles, floor-rounded (registry
+# policy).
+# ---------------------------------------------------------------------------
+@query(
+    "a37_priority_mix_shift",
+    oracle="""
+    WITH grid AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               o_orderpriority AS priority,
+               sum(CAST(o_totalprice AS DECIMAL(27,2))) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    shared AS (
+        SELECT month, priority,
+               CAST(rev AS DOUBLE)
+                   / CAST(sum(rev) OVER (PARTITION BY month) AS DOUBLE)
+                   AS share
+        FROM grid
+    )
+    SELECT month, priority,
+           floor(share * 1e6 + 0.5) / 1e6 AS revenue_share,
+           floor((share - lag(share) OVER (PARTITION BY priority
+                                           ORDER BY month)) * 1e6 + 0.5)
+               / 1e6 AS share_delta
+    FROM shared ORDER BY 1, 2
+    """,
+)
+def a37_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    grid = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM").alias(
+                "month"
+            ),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev"))
+    )
+    share = F.col("rev").cast("double") / F.sum("rev").over(
+        Window.partitionBy("month")
+    ).cast("double")
+    shared = grid.withColumn("share", share)
+    delta = F.col("share") - F.lag("share").over(
+        Window.partitionBy("priority").orderBy("month")
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return shared.select(
+        "month",
+        "priority",
+        r6(F.col("share")).alias("revenue_share"),
+        r6(delta).alias("share_delta"),
+    ).orderBy("month", "priority")

@@ -638,6 +638,22 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "f9_try_arithmetic", execute=True)
+    check(
+        "f9_try_arithmetic",
+        "map-only try_* arithmetic with pushed key filter",
+        "Join" not in p and "BatchEvalPython" not in p
+        and "PushedFilters: [" in p,
+    )
+
+    p = plan_of(spark, "a37_priority_mix_shift", execute=True)
+    check(
+        "a37_priority_mix_shift",
+        "shares and deltas via windows over the month-priority grid, "
+        "not raw orders",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
