@@ -1235,3 +1235,38 @@ def a37_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("share")).alias("revenue_share"),
         r6(delta).alias("share_delta"),
     ).orderBy("month", "priority")
+
+
+# ---------------------------------------------------------------------------
+# Join-fanout audit — the lineitems-per-order distribution: the number
+# a planner (or an engineer sizing a shuffle) needs BEFORE joining a
+# fact to its parent. Histogram of fanout + the p99/max hot keys — the
+# relational sibling of g_degree_distribution's graph skew screen.
+# Pure integer counts, two equi-key aggregations.
+# ---------------------------------------------------------------------------
+@query(
+    "q_join_fanout_audit",
+    oracle="""
+    WITH fan AS (
+        SELECT l_orderkey, count(*) AS fanout
+        FROM lineitem GROUP BY 1
+    )
+    SELECT fanout, count(*) AS n_orders,
+           CAST(sum(fanout) AS BIGINT) AS n_lineitems
+    FROM fan GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fan = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("fanout"))
+    )
+    return (
+        fan.groupBy("fanout")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("fanout").cast("long").alias("n_lineitems"),
+        )
+        .orderBy("fanout")
+    )

@@ -1401,3 +1401,78 @@ def l_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth — new TRIGRAM types per corpus decile
+# (docs consumed in doc_id order) and the cumulative curve: the
+# empirical companion to l_zipf_fit that answers "how much NEW
+# vocabulary does the next data batch buy". Trigram types, not
+# unigrams — the fixture's unigram vocabulary saturates inside the
+# first decile (a 1-row degenerate curve), while the trigram space
+# keeps growing corpus-long, which is also why production novelty
+# metrics run on n-grams. Each type contributes at its FIRST-seen doc
+# (one min per type — the l_trigram_novelty shape), deciles bucket by
+# doc_id, and the cumulative sum runs over the 10-row decile
+# aggregate. Integer counts end to end.
+# ---------------------------------------------------------------------------
+@query(
+    "l_heaps_vocab_growth",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(ws[i + 1 : i + 3], ' ') AS term
+        FROM (SELECT doc_id, ws,
+                     unnest(range(greatest(len(ws) - 3, 0) + 1)) AS i
+              FROM toks)
+    ),
+    firsts AS (
+        SELECT term, min(doc_id) AS first_doc FROM grams GROUP BY 1
+    ),
+    n_docs AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    per_decile AS (
+        SELECT CAST(first_doc * 10 // n AS INT) AS decile,
+               count(*) AS new_types
+        FROM firsts CROSS JOIN n_docs
+        GROUP BY 1
+    )
+    SELECT decile, CAST(new_types AS BIGINT) AS new_types,
+           CAST(sum(new_types) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_vocab
+    FROM per_decile ORDER BY 1
+    """,
+)
+def l_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(ws) - 3, 0)),"
+                    " i -> concat_ws(' ', slice(ws, i + 1, 3)))"
+                )
+            ).alias("term"),
+        )
+    )
+    firsts = grams.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    n_docs = load(spark, sf_dir, "documents").agg(
+        (F.max("doc_id") + 1).alias("n")
+    )
+    per_decile = (
+        firsts.crossJoin(F.broadcast(n_docs))
+        .groupBy(
+            F.expr("CAST(first_doc * 10 DIV n AS INT)").alias("decile")
+        )
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_decile.select(
+        "decile",
+        F.col("new_types").cast("long").alias("new_types"),
+        F.sum("new_types").over(w).cast("long").alias("cumulative_vocab"),
+    ).orderBy("decile")

@@ -654,6 +654,21 @@ def main() -> int:
         "Join" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "q_join_fanout_audit", execute=True)
+    check(
+        "q_join_fanout_audit",
+        "two equi-key hash-aggregates, nothing else",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_heaps_vocab_growth", execute=True)
+    check(
+        "l_heaps_vocab_growth",
+        "first-seen min per trigram type; cumulative sum over the "
+        "10-row decile aggregate",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
