@@ -185,3 +185,36 @@ def l7_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes_out").alias("total_out_bytes"),
         F.sum("n_bytes_in").alias("total_in_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L7d — binary-payload dedup: group media assets by md5 of the raw
+# bytes — the baseline every image/audio dedup pipeline runs before
+# any perceptual hashing (exact-duplicate files are the bulk of crawl
+# waste). Hashing happens ON the binary column (JVM md5 over bytes);
+# the oracle hashes the same utf-8 bytes via DuckDB's md5(text). Same
+# one-shuffle shape as l3 exact dedup, but over the multimodal
+# carrier — at 100 TB only (hash, asset_id, n_bytes) shuffles, never
+# the payload.
+# ---------------------------------------------------------------------------
+@query(
+    "l7_binary_dedup",
+    oracle="""
+    SELECT md5(text) AS content_md5,
+           count(*) AS n_copies,
+           min(doc_id) AS kept_asset,
+           CAST(sum(length(text)) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def l7_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = to_multimodal(load(spark, sf_dir, "documents"))
+    return (
+        assets.groupBy(F.md5("content").alias("content_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("asset_id").alias("kept_asset"),
+            F.sum(F.col("meta.n_bytes")).cast("long").alias("total_bytes"),
+        )
+    )

@@ -980,3 +980,54 @@ def x14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_p_us", "w_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# X15 — streaming progress metrics: per-micro-batch input row counts
+# read off the StreamingQuery progress API after an availableNow drain
+# — the monitoring surface a stream operator watches (o_metrics_report
+# is its batch sibling). With maxFilesPerTrigger=1 over the 4
+# time-ordered chunk files, data batches map 1:1 onto chunks in file
+# order, so the row counts are exactly the chunk sizes — the oracle
+# recomputes them with the same ntile(4) split. Empty bookkeeping
+# batches (the final watermark-advance batch) are filtered on
+# numInputRows > 0.
+# ---------------------------------------------------------------------------
+@query(
+    "x15_stream_progress_metrics",
+    oracle="""
+    WITH ranked AS (
+        SELECT ntile(4) OVER (ORDER BY ts, event_id) AS chunk FROM events
+    )
+    SELECT CAST(chunk AS INT) AS batch_seq,
+           count(*) AS num_input_rows
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def x15_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream_multibatch(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scratch = _scratch()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("x15_progress")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [
+            int(p["numInputRows"])
+            for p in (q.recentProgress or [])
+            if int(p["numInputRows"]) > 0
+        ]
+    shutil.rmtree(scratch, ignore_errors=True)
+    rows = [(i + 1, n) for i, n in enumerate(progress)]
+    return spark.createDataFrame(
+        rows, "batch_seq INT, num_input_rows BIGINT"
+    )

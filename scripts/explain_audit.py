@@ -669,6 +669,14 @@ def main() -> int:
         "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l7_binary_dedup", execute=True)
+    check(
+        "l7_binary_dedup",
+        "JVM md5 over the binary column + one hash-aggregate; no "
+        "Python touches the payload",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
