@@ -44,11 +44,36 @@ __version__ = "0.2.0"
 # can never displace a planned slot. Regenerate both lists at round
 # start with scripts/sweep_rotate.py.
 _SWEEP_FIRST = [
-    # Round-5 sweep plan (final regeneration): 50 of the 56
-    # never-driver-checked queries (18 round-4 late additions +
-    # the round-5 additions) fill the whole budget; the 6 oracle
-    # upgrades and the 6 newest additions queue for round 6.
-    # SQL-oracled, never driver-checked (slots 1-50)
+    # Round-6 sweep plan: the 14 never-driver-checked queries fill
+    # slots 1-14; the 6 oracle-upgrade re-runs (pipeline_daily_publish,
+    # l4_minhash_lsh_neardup, l4_simhash_signatures, l4_simhash_neardup,
+    # l5_ann_lsh_topk, l5_ivf_topk) land at 15-20 via class 2; round-6
+    # registrations (absent from both lists) queue from slot 21 via
+    # class 3, filling the remaining budget.
+    # SQL-oracled, never driver-checked (slots 1-14)
+    "a34_price_elasticity",
+    "l_tokenizer_fertility",
+    "l_sft_format_pairs",
+    "l_bigram_cross_entropy",
+    "s16_corrupt_jsonl_audit",
+    "x14_stream_stream_left_join",
+    "f9_try_arithmetic",
+    "l7_binary_dedup",
+    "a37_priority_mix_shift",
+    "q_join_fanout_audit",
+    "u13_asof_dim_attribution",
+    "l_heaps_vocab_growth",
+    "w17_daily_ohlc",
+    "x15_stream_progress_metrics",
+    # rows-only (no SQL oracle; driver records spark_rows)
+]
+_SWEEP_LAST = [
+    "pipeline_daily_publish",
+    "l4_minhash_lsh_neardup",
+    "l4_simhash_signatures",
+    "l4_simhash_neardup",
+    "l5_ann_lsh_topk",
+    "l5_ivf_topk",
     "g_pagerank_copurchase",
     "g_triangle_count",
     "j13_nearest_event_join",
@@ -99,21 +124,6 @@ _SWEEP_FIRST = [
     "q_pareto_8020",
     "w16_mom_growth",
     "u12_pseudonymized_export",
-    "a34_price_elasticity",
-    "l_tokenizer_fertility",
-    "l_sft_format_pairs",
-    "l_bigram_cross_entropy",
-    "s16_corrupt_jsonl_audit",
-    "x14_stream_stream_left_join",
-    # rows-only (no SQL oracle; driver records spark_rows)
-]
-_SWEEP_LAST = [
-    "pipeline_daily_publish",
-    "l4_minhash_lsh_neardup",
-    "l4_simhash_signatures",
-    "l4_simhash_neardup",
-    "l5_ann_lsh_topk",
-    "l5_ivf_topk",
     "r_sftp_landing_flow",
     "x8_incremental_file_ingest",
     "x9_foreach_batch_sink",
