@@ -1270,3 +1270,159 @@ def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fanout")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q — ABC inventory classification: parts ranked by net revenue, class A
+# = first 80% of cumulative revenue share, B = next 15%, C = the tail.
+# Revenue and the cumulative sums are decimal-exact (accumulation-order-
+# independent), so the class boundary comparison is deterministic across
+# engines. One fact aggregate, one global-ordered cumulative window
+# (single reduce over the part-level rollup — small relative to the
+# fact), one 3-row summary.
+# ---------------------------------------------------------------------------
+@query(
+    "q_abc_classification",
+    oracle="""
+    WITH prev AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(27,4))) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               sum(rev) OVER () AS tot_rev
+        FROM prev
+    ),
+    classed AS (
+        SELECT CASE
+                 WHEN CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE)
+                      <= 0.80 THEN 'A'
+                 WHEN CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE)
+                      <= 0.95 THEN 'B'
+                 ELSE 'C'
+               END AS abc_class, rev
+        FROM ranked
+    )
+    SELECT abc_class, count(*) AS n_parts,
+           round(sum(rev), 2)::DOUBLE AS class_revenue
+    FROM classed GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    prev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(27,4)"
+            )
+        ).alias("rev")
+    )
+    w_cum = (
+        Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = prev.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot_rev"),
+    )
+    share = F.col("cum_rev").cast("double") / F.col("tot_rev").cast("double")
+    classed = ranked.select(
+        F.when(share <= 0.80, F.lit("A"))
+        .when(share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "rev",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev"), 2).cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q — order-total recomputation audit: rebuild each order's total from
+# its lineitems (price·(1+tax)·(1−discount), decimal-exact) and bucket
+# the relative deviation from o_totalprice into a signed-decile
+# histogram — the reconciliation report a finance pipeline runs after
+# every load. Orders missing lineitems land in a NULL bucket. One
+# aggregate + one broadcast-free equi-join on the natural key + one
+# tiny histogram aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q_totalprice_audit",
+    oracle="""
+    WITH recomputed AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS recomputed
+        FROM lineitem GROUP BY 1
+    ),
+    dev AS (
+        SELECT o.o_orderkey,
+               CASE WHEN r.l_orderkey IS NULL THEN NULL
+                    ELSE least(greatest(CAST(floor(
+                        (r.recomputed - o.o_totalprice) / o.o_totalprice * 10
+                        ) AS INTEGER), -10), 9)
+               END AS dev_decile
+        FROM orders o LEFT JOIN recomputed r ON o.o_orderkey = r.l_orderkey
+    )
+    SELECT dev_decile, count(*) AS n_orders
+    FROM dev GROUP BY 1 ORDER BY dev_decile NULLS FIRST
+    """,
+)
+def q_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 + F.col("l_tax"))
+                * (1 - F.col("l_discount"))
+            ).cast("decimal(27,6)")
+        )
+        .cast("double")
+        .alias("recomputed")
+    )
+    dev = o.join(
+        recomputed, o.o_orderkey == recomputed.l_orderkey, "left"
+    ).select(
+        F.when(
+            F.col("l_orderkey").isNull(), F.lit(None).cast("int")
+        )
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("recomputed") - F.col("o_totalprice"))
+                        / F.col("o_totalprice")
+                        * 10
+                    ).cast("int"),
+                    F.lit(-10),
+                ),
+                F.lit(9),
+            )
+        )
+        .alias("dev_decile")
+    )
+    return (
+        dev.groupBy("dev_decile")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("dev_decile").asc_nulls_first())
+    )

@@ -1120,3 +1120,87 @@ def u13_asof_dim_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# U14 — build an SCD2 dimension from a change stream (gaps-and-islands):
+# each user's event stream collapses into validity intervals of
+# consecutive identical event_type — change detection via lag(), island
+# ids via a running sum of change flags, then one aggregate per island
+# for valid_from / valid_to / is_current. The standard CDC-to-dimension
+# construction (u7 is the snapshot-diff variant; this is the
+# stream-fold variant). One shuffle on user_id feeds both windows and
+# the final aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "u14_scd2_build",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, event_type, ts_s, event_id,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ),
+    segs AS (
+        SELECT user_id, island,
+               min(event_type) AS attr_value,
+               min(ts_s) AS valid_from,
+               count(*) AS n_events
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS version,
+           attr_value, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+               AS valid_to,
+           CASE WHEN lead(valid_from) OVER (
+                    PARTITION BY user_id ORDER BY island)
+                IS NULL THEN 1 ELSE 0 END AS is_current,
+           n_events
+    FROM segs
+    """,
+)
+def u14_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.when(
+            ~F.lag("event_type").over(w_seq).eqNullSafe(F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("chg").over(w_cum))
+    segs = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("attr_value"),
+        F.min("ts_s").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("island")
+    nxt = F.lead("valid_from").over(w_ver)
+    return segs.select(
+        "user_id",
+        F.col("island").cast("long").alias("version"),
+        "attr_value",
+        "valid_from",
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+        "n_events",
+    )

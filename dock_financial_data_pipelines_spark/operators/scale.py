@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import load, maybe_broadcast
 from dock_financial_data_pipelines_spark.registry import query
 
 _SALT_BUCKETS = 16
@@ -1010,3 +1010,344 @@ def a34_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_lines"),
         (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("elasticity"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# A38 — Spearman rank correlation (quantity vs unit price per return
+# flag): Pearson on average ranks, the tie-correct formulation. Ranks
+# come from rank() + (tie_count-1)/2 — a closed form both engines
+# evaluate identically — and every rank product is cast to DECIMAL
+# before summation (rank sums at sf0.1 exceed 2^53, where double
+# accumulation order would flip low bits). One shuffle for the two
+# rank windows (same partition key), one aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "a38_spearman_corr",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice / l_quantity AS DOUBLE) AS y
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    ranked AS (
+        SELECT flag,
+               rank() OVER (PARTITION BY flag ORDER BY x)
+                 + (count(*) OVER (PARTITION BY flag, x) - 1) / 2.0 AS rx,
+               rank() OVER (PARTITION BY flag ORDER BY y)
+                 + (count(*) OVER (PARTITION BY flag, y) - 1) / 2.0 AS ry
+        FROM pts
+    ),
+    m AS (
+        SELECT flag, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(rx AS DECIMAL(38,1))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(ry AS DECIMAL(38,1))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(rx * ry AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(rx * rx AS DECIMAL(38,2))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(ry * ry AS DECIMAL(38,2))) AS DOUBLE) AS syy
+        FROM ranked GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n_lines,
+           floor((n*sxy - sx*sy)
+                 / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                 * 1e6 + 0.5) / 1e6 AS spearman_rho
+    FROM m ORDER BY flag
+    """,
+)
+def a38_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 0)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("double").alias("x"),
+            (F.col("l_extendedprice") / F.col("l_quantity"))
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    rx = (
+        F.rank().over(Window.partitionBy("flag").orderBy("x"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("flag", "x")) - 1) / 2.0
+    )
+    ry = (
+        F.rank().over(Window.partitionBy("flag").orderBy("y"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("flag", "y")) - 1) / 2.0
+    )
+    ranked = li.select("flag", rx.alias("rx"), ry.alias("ry"))
+    m = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("rx").cast("decimal(38,1)")).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast("decimal(38,1)")).cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    rho = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return m.select(
+        "flag",
+        n.cast("long").alias("n_lines"),
+        (F.floor(rho * 1e6 + F.lit(0.5)) / 1e6).alias("spearman_rho"),
+    ).orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# A39 — chi-square test of independence (market segment × order
+# priority): contingency counts are exact integers; expected counts and
+# per-cell (obs-exp)^2/exp are IEEE-deterministic from them; the
+# cross-cell sum is decimal-cast so accumulation order cannot flip low
+# bits. Cramér's V rides along as the effect size. Plan: one join
+# (customer broadcast at test SF), one count aggregate over 25 cells,
+# then driver-free scalar algebra via cross-joined single-row totals.
+# ---------------------------------------------------------------------------
+@query(
+    "a39_chi2_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+               count(*) AS obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT cast(sum(obs) AS DOUBLE) AS n,
+               cast(count(DISTINCT seg) AS DOUBLE) AS nr,
+               cast(count(DISTINCT prio) AS DOUBLE) AS nc
+        FROM cells
+    ),
+    mg AS (
+        SELECT c.seg, c.prio, c.obs,
+               sum(c.obs) OVER (PARTITION BY c.seg) AS row_tot,
+               sum(c.obs) OVER (PARTITION BY c.prio) AS col_tot
+        FROM cells c
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_orders,
+           CAST((t.nr - 1) * (t.nc - 1) AS BIGINT) AS dof,
+           floor(sum(CAST(
+               (m.obs - m.row_tot * m.col_tot / t.n)
+               * (m.obs - m.row_tot * m.col_tot / t.n)
+               / (m.row_tot * m.col_tot / t.n) AS DECIMAL(27,9)))::DOUBLE
+               * 1e6 + 0.5) / 1e6 AS chi2,
+           floor(sqrt(sum(CAST(
+               (m.obs - m.row_tot * m.col_tot / t.n)
+               * (m.obs - m.row_tot * m.col_tot / t.n)
+               / (m.row_tot * m.col_tot / t.n) AS DECIMAL(27,9)))::DOUBLE
+               / (t.n * least(t.nr - 1, t.nc - 1))) * 1e6 + 0.5) / 1e6
+               AS cramers_v
+    FROM mg m CROSS JOIN tot t
+    GROUP BY t.n, t.nr, t.nc
+    """,
+)
+def a39_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    # marginals via windows over the tiny cell table (R×C rows)
+    mg = cells.select(
+        "seg",
+        "prio",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("prio")).alias("col_tot"),
+    )
+    tot = cells.agg(
+        F.sum("obs").cast("double").alias("n"),
+        F.countDistinct("seg").cast("double").alias("nr"),
+        F.countDistinct("prio").cast("double").alias("nc"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    cell_chi2 = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    agg = (
+        mg.crossJoin(maybe_broadcast(tot))
+        .groupBy("n", "nr", "nc")
+        .agg(F.sum(cell_chi2.cast("decimal(27,9)")).cast("double").alias("chi2raw"))
+    )
+    r6 = lambda e: F.floor(e * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        F.col("n").cast("long").alias("n_orders"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        r6(F.col("chi2raw")).alias("chi2"),
+        r6(
+            F.sqrt(
+                F.col("chi2raw")
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            )
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A40 — Shannon entropy of the order-priority mix per market segment
+# (plus normalized entropy = H/ln(k)): how concentrated each segment's
+# priority distribution is. ln() is libm, so each per-cell p*ln(p) term
+# is rounded to DECIMAL(27,9) before the cross-cell sum — the a34/zipf
+# cross-libm policy. Cell counts are exact; one join + two tiny
+# aggregates.
+# ---------------------------------------------------------------------------
+@query(
+    "a40_category_entropy",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+               count(*) AS obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT seg, obs,
+               sum(obs) OVER (PARTITION BY seg) AS seg_tot,
+               count(*) OVER (PARTITION BY seg) AS k
+        FROM cells
+    )
+    SELECT seg,
+           CAST(max(seg_tot) AS BIGINT) AS n_orders,
+           CAST(max(k) AS BIGINT) AS n_priorities,
+           floor(-sum(CAST((obs / CAST(seg_tot AS DOUBLE))
+                           * ln(obs / CAST(seg_tot AS DOUBLE))
+                           AS DECIMAL(27,9)))::DOUBLE * 1e6 + 0.5) / 1e6
+               AS entropy_nats,
+           floor(-sum(CAST((obs / CAST(seg_tot AS DOUBLE))
+                           * ln(obs / CAST(seg_tot AS DOUBLE))
+                           AS DECIMAL(27,9)))::DOUBLE
+                 / ln(CAST(max(k) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS entropy_norm
+    FROM m GROUP BY seg ORDER BY seg
+    """,
+)
+def a40_category_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    w = Window.partitionBy("seg")
+    m = cells.select(
+        "seg",
+        "obs",
+        F.sum("obs").over(w).alias("seg_tot"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    p = F.col("obs") / F.col("seg_tot").cast("double")
+    term = (p * F.log(p)).cast("decimal(27,9)")
+    agg = m.groupBy("seg").agg(
+        F.max("seg_tot").cast("long").alias("n_orders"),
+        F.max("k").cast("long").alias("n_priorities"),
+        (-F.sum(term)).cast("double").alias("hraw"),
+    )
+    r6 = lambda e: F.floor(e * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        "seg",
+        "n_orders",
+        "n_priorities",
+        r6(F.col("hraw")).alias("entropy_nats"),
+        r6(F.col("hraw") / F.log(F.col("n_priorities").cast("double"))).alias(
+            "entropy_norm"
+        ),
+    ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# A41 — Herfindahl–Hirschman concentration of supplier revenue within
+# each nation: HHI = Σ (100·share)² over suppliers, the antitrust
+# measure (0..10000). Revenue sums are decimal-exact; shares and
+# squares are IEEE-deterministic; the per-nation square sum is
+# decimal-cast. Two aggregates pre-shuffled on the same key
+# (supplier → nation), dims broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "a41_herfindahl_index",
+    oracle="""
+    WITH srev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(27,4))) AS DOUBLE) AS rev
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT s_nationkey, l_suppkey, rev,
+               sum(CAST(rev AS DECIMAL(27,4)))
+                   OVER (PARTITION BY s_nationkey) AS nat_rev
+        FROM srev
+    )
+    SELECT n.n_name AS nation,
+           count(*) AS n_suppliers,
+           floor(sum(CAST(
+               (100 * m.rev / CAST(m.nat_rev AS DOUBLE))
+               * (100 * m.rev / CAST(m.nat_rev AS DOUBLE))
+               AS DECIMAL(27,9)))::DOUBLE * 1e4 + 0.5) / 1e4 AS hhi
+    FROM m JOIN nation n ON m.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def a41_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    srev = (
+        li.join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(27,4)"
+                )
+            )
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    m = srev.withColumn(
+        "nat_rev",
+        F.sum(F.col("rev").cast("decimal(27,4)")).over(
+            Window.partitionBy("s_nationkey")
+        ),
+    )
+    share100 = 100 * F.col("rev") / F.col("nat_rev").cast("double")
+    return (
+        m.join(maybe_broadcast(n), m.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (
+                F.floor(
+                    F.sum((share100 * share100).cast("decimal(27,9)")).cast(
+                        "double"
+                    )
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )

@@ -612,3 +612,176 @@ def w17_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# W18 — maximum drawdown per customer: running balance over order
+# history (decimal-exact cumulative sum), running peak, drawdown =
+# peak − balance, reported as each customer's worst trough and when it
+# happened. The canonical risk metric over any cumulative series. One
+# shuffle on the partition key feeds all three windows; tiebreak on
+# o_orderkey makes every window total-ordered.
+# ---------------------------------------------------------------------------
+@query(
+    "w18_max_drawdown",
+    oracle="""
+    WITH tx AS (
+        SELECT o_custkey,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ts, o_orderkey,
+               CAST(CASE WHEN o_orderstatus = 'F' THEN -o_totalprice
+                         ELSE o_totalprice END AS DECIMAL(27,2)) AS amt
+        FROM orders
+    ),
+    bal_s AS (
+        SELECT o_custkey, ts, o_orderkey,
+               sum(amt) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS bal
+        FROM tx
+    ),
+    series AS (
+        SELECT o_custkey, ts, o_orderkey, bal,
+               max(bal) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS peak
+        FROM bal_s
+    ),
+    dd AS (
+        SELECT o_custkey, ts,
+               CAST(peak - bal AS DOUBLE) AS drawdown,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(peak - bal AS DOUBLE) DESC, ts, o_orderkey
+               ) AS rn,
+               count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        FROM series
+    )
+    SELECT o_custkey AS custkey, n_orders,
+           round(drawdown, 2)::DOUBLE AS max_drawdown,
+           ts AS trough_ts
+    FROM dd WHERE rn = 1 AND n_orders >= 5
+    """,
+)
+def w18_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    tx = o.select(
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("ts"),
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .cast("decimal(27,2)")
+        .alias("amt"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = tx.select(
+        "o_custkey",
+        "ts",
+        "o_orderkey",
+        F.sum("amt").over(w).alias("bal"),
+    ).withColumn("peak", F.max("bal").over(w))
+    ddown = (F.col("peak") - F.col("bal")).cast("double")
+    dd = series.select(
+        "o_custkey",
+        "ts",
+        ddown.alias("drawdown"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                ddown.desc(), "ts", "o_orderkey"
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_custkey"))
+        .alias("n_orders"),
+    )
+    return dd.where((F.col("rn") == 1) & (F.col("n_orders") >= 5)).select(
+        F.col("o_custkey").alias("custkey"),
+        "n_orders",
+        F.round(F.col("drawdown"), 2).cast("double").alias("max_drawdown"),
+        F.col("ts").alias("trough_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W19 — Bollinger bands over the daily revenue series: 7-day trailing
+# mean ± 2 sample standard deviations, flagging days that pierce a
+# band. The variance comes from decimal-exact window sums of x and x²
+# ((n·s2 − s1²)/(n·(n−1))) — never stddev_samp(double), whose partial-
+# aggregation order differs per engine. Daily rollup first (tiny), so
+# the windows run over ~2.4k rows regardless of fact size.
+# ---------------------------------------------------------------------------
+@query(
+    "w19_bollinger_bands",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2) AS rev
+        FROM orders GROUP BY 1
+    ),
+    win AS (
+        SELECT day, CAST(rev AS DOUBLE) AS rev,
+               count(*) OVER w AS n,
+               CAST(sum(CAST(rev AS DECIMAL(27,2))) OVER w AS DOUBLE) AS s1,
+               CAST(sum(CAST(rev * rev AS DECIMAL(38,4))) OVER w AS DOUBLE)
+                   AS s2
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    bands AS (
+        SELECT day, rev, n,
+               s1 / n AS ma7,
+               sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) AS sd7
+        FROM win WHERE n = 7
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, rev,
+           floor(ma7 * 100 + 0.5) / 100 AS ma7,
+           floor((ma7 + 2 * sd7) * 100 + 0.5) / 100 AS upper_band,
+           floor((ma7 - 2 * sd7) * 100 + 0.5) / 100 AS lower_band,
+           CASE WHEN rev > ma7 + 2 * sd7 THEN 'above'
+                WHEN rev < ma7 - 2 * sd7 THEN 'below'
+                ELSE 'inside' END AS band_position
+    FROM bands
+    """,
+)
+def w19_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(27,2)")), 2).alias(
+            "rev_d"
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    win = daily.select(
+        "day",
+        F.col("rev_d").cast("double").alias("rev"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("rev_d").cast("decimal(27,2)"))
+        .over(w)
+        .cast("double")
+        .alias("s1"),
+        F.sum((F.col("rev_d") * F.col("rev_d")).cast("decimal(38,4)"))
+        .over(w)
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    ma7 = F.col("s1") / n
+    sd7 = F.sqrt((n * F.col("s2") - F.col("s1") * F.col("s1")) / (n * (n - 1.0)))
+    r2 = lambda e: F.floor(e * 100 + F.lit(0.5)) / 100  # noqa: E731
+    return win.where(F.col("n") == 7).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev",
+        r2(ma7).alias("ma7"),
+        r2(ma7 + 2 * sd7).alias("upper_band"),
+        r2(ma7 - 2 * sd7).alias("lower_band"),
+        F.when(F.col("rev") > ma7 + 2 * sd7, F.lit("above"))
+        .when(F.col("rev") < ma7 - 2 * sd7, F.lit("below"))
+        .otherwise(F.lit("inside"))
+        .alias("band_position"),
+    )

@@ -677,6 +677,80 @@ def main() -> int:
         "Join" not in p and "BatchEvalPython" not in p,
     )
 
+    # -- round-6 additions ------------------------------------------------
+    p = plan_of(spark, "a38_spearman_corr", execute=True)
+    check(
+        "a38_spearman_corr",
+        "rank windows share one shuffle on flag; decimal moment sums; "
+        "no Python",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a39_chi2_independence", execute=True)
+    check(
+        "a39_chi2_independence",
+        "customer dim broadcast; marginals via windows over the R*C "
+        "cell table, never the fact",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "a40_category_entropy", execute=True)
+    check(
+        "a40_category_entropy",
+        "customer dim broadcast; entropy terms decimal-cast over the "
+        "tiny cell table",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a41_herfindahl_index", execute=True)
+    check(
+        "a41_herfindahl_index",
+        "supplier + nation dims broadcast; share squares over the "
+        "supplier-level rollup, never the fact",
+        p.count("BroadcastHashJoin") >= 2 and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_abc_classification", execute=True)
+    check(
+        "q_abc_classification",
+        "cumulative share over the part-level rollup (fact pre-"
+        "aggregated before the single-partition window)",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_totalprice_audit", execute=True)
+    check(
+        "q_totalprice_audit",
+        "per-order recompute aggregate joined on the natural key; "
+        "no Python",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "u14_scd2_build", execute=True)
+    check(
+        "u14_scd2_build",
+        "one shuffle on user_id feeds lag, island sum, and the "
+        "segment aggregate; no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w18_max_drawdown", execute=True)
+    check(
+        "w18_max_drawdown",
+        "running balance/peak/argmax all inside one user_id "
+        "partitioning; no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w19_bollinger_bands", execute=True)
+    check(
+        "w19_bollinger_bands",
+        "daily rollup first, bands over the tiny day series; "
+        "decimal window sums",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
