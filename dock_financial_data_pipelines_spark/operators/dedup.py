@@ -1321,3 +1321,185 @@ def l_neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4g — LSH band-bucket occupancy audit: the skew report for the banded
+# candidate join. Bucket size b contributes b·(b−1)/2 candidate pairs,
+# so one hot bucket is quadratic work on a single task — exactly what
+# AQE skew-split has to absorb (tests/test_lsh_skew.py proves it does).
+# Reports, per band: bucket-size histogram plus the pair contribution,
+# the number a capacity planner reads before running the join at
+# 100 TB. Reuses the persisted signature table; one stack + two tiny
+# aggregates, no joins.
+# ---------------------------------------------------------------------------
+@query(
+    "l4_band_occupancy_audit",
+    oracle=f"""
+    WITH {_MH_SHINGLES_SQL},
+    mh AS (
+        SELECT doc_id, f,
+               min(CAST(concat('0x', substring(md5(shingle || '#' ||
+                   CAST(f AS VARCHAR)), 1, 15)) AS BIGINT)) AS v
+        FROM shingles CROSS JOIN (SELECT unnest(range({_MINHASH_K})) AS f)
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, CAST(f // {_ROWS_PER_BAND} AS INT) AS band,
+               string_agg(CAST(v AS VARCHAR), '_' ORDER BY f) AS sig
+        FROM mh GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT band, sig, count(*) AS bucket_size
+        FROM bands GROUP BY band, sig
+    )
+    SELECT band, bucket_size, count(*) AS n_buckets,
+           CAST(sum(bucket_size * (bucket_size - 1) // 2) AS BIGINT)
+               AS candidate_pairs
+    FROM buckets GROUP BY band, bucket_size
+    """,
+)
+def l4_band_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = memo_index(
+        spark,
+        f"l4_minhash_sigs:{sf_tag(sf_dir)}",
+        lambda: minhash_signatures(docs).localCheckpoint(eager=True),
+    )
+    stack_args = []
+    for b in range(_BANDS):
+        cols = [f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        sig = " , ".join(f"CAST({c} AS STRING)" for c in cols)
+        stack_args.append(f"{b}, concat_ws('_', {sig})")
+    banded = sigs.selectExpr(
+        "doc_id",
+        f"stack({_BANDS}, {', '.join(stack_args)}) AS (band, sig)",
+    )
+    buckets = banded.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return buckets.groupBy("band", "bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.col("bucket_size") * (F.col("bucket_size") - 1) / F.lit(2)
+        )
+        .cast("long")
+        .alias("candidate_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4h — MinHash estimator calibration: for every LSH candidate pair,
+# the signature-agreement estimate of Jaccard (matches/k) against the
+# exact token-set Jaccard, bucketed into an absolute-error histogram.
+# The report that justifies (k, bands, rows) parameter choices before
+# scaling the near-dup pass to the full corpus. Candidates come from
+# the same banded join as l4_minhash_lsh_neardup (never all-pairs);
+# both estimate and truth are exact-rational arithmetic, so the oracle
+# is hash-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "l4_minhash_estimate_error",
+    oracle=f"""
+    WITH {_MH_SHINGLES_SQL},
+    mh AS (
+        SELECT doc_id, f,
+               min(CAST(concat('0x', substring(md5(shingle || '#' ||
+                   CAST(f AS VARCHAR)), 1, 15)) AS BIGINT)) AS v
+        FROM shingles CROSS JOIN (SELECT unnest(range({_MINHASH_K})) AS f)
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, CAST(f // {_ROWS_PER_BAND} AS INT) AS band,
+               string_agg(CAST(v AS VARCHAR), '_' ORDER BY f) AS sig
+        FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+    ),
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS DOUBLE)
+                   / {_MINHASH_K} AS est
+        FROM cand c
+        JOIN mh a ON a.doc_id = c.doc_a
+        JOIN mh b ON b.doc_id = c.doc_b AND b.f = a.f
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    tsets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokset
+        FROM documents
+    ),
+    err AS (
+        SELECT CAST(floor(abs(g.est -
+                   CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                   / len(list_distinct(a.tokset || b.tokset))) * 10)
+                   AS INTEGER) AS err_decile
+        FROM agree g
+        JOIN tsets a ON g.doc_a = a.doc_id
+        JOIN tsets b ON g.doc_b = b.doc_id
+    )
+    SELECT least(err_decile, 9) AS err_decile, count(*) AS n_pairs
+    FROM err GROUP BY 1 ORDER BY 1
+    """,
+)
+def l4_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = memo_index(
+        spark,
+        f"l4_minhash_sigs:{sf_tag(sf_dir)}",
+        lambda: minhash_signatures(docs).localCheckpoint(eager=True),
+    )
+    cand = lsh_candidate_pairs(sigs)
+    # signature agreement via one array-wise comparison per pair (the
+    # long mh table stays in SQL only — engine-side it's k columns)
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.array(*[F.col(f"mh{i}") for i in range(_MINHASH_K)]).alias("va"),
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.array(*[F.col(f"mh{i}") for i in range(_MINHASH_K)]).alias("vb"),
+    )
+    est = (
+        F.expr(
+            "aggregate(zip_with(va, vb, (x, y) ->"
+            " CASE WHEN x = y THEN 1 ELSE 0 END),"
+            " 0, (acc, v) -> acc + v)"
+        ).cast("double")
+        / _MINHASH_K
+    )
+    agree = (
+        cand.join(sig_a, "doc_a").join(sig_b, "doc_b").select(
+            "doc_a", "doc_b", est.alias("est")
+        )
+    )
+    tsets = docs.select(
+        "doc_id", F.array_distinct(_tokens()).alias("tokset")
+    )
+    ta = tsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("tokset").alias("tokset_a")
+    )
+    tb = tsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("tokset").alias("tokset_b")
+    )
+    exact = F.size(F.array_intersect("tokset_a", "tokset_b")).cast(
+        "double"
+    ) / F.size(F.array_union("tokset_a", "tokset_b"))
+    err = (
+        agree.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            F.floor(F.abs(F.col("est") - exact) * 10)
+            .cast("int")
+            .alias("err_decile")
+        )
+    )
+    return (
+        err.select(F.least(F.col("err_decile"), F.lit(9)).alias("err_decile"))
+        .groupBy("err_decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("err_decile")
+    )

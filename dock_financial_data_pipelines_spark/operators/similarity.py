@@ -769,3 +769,148 @@ def l_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L5e — mutual k-NN graph over a bounded probe set: exact top-5
+# neighbors both directions within vec_id < 200, keeping the edges that
+# appear in BOTH adjacency lists — the construction behind graph-based
+# dedup/cluster curation (mutual edges are far more precise than raw
+# top-k). Probe-bounded by design (like l_neardup_recall_audit): the
+# 100 TB path replaces the bounded exact pass with LSH/IVF candidates
+# (l5_ann_lsh_topk / l5_ivf_topk machinery) feeding the same
+# mutual-edge join; the probe keeps the audit's cost independent of
+# corpus growth. One broadcast of the 200-row probe side, JVM-side
+# zip_with dot products, window top-k, then an edge self-join.
+# ---------------------------------------------------------------------------
+@query(
+    "l_knn_mutual_graph",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id < 200
+    ),
+    scored AS (
+        SELECT q.vec_id AS src, c.vec_id AS dst,
+               list_inner_product(q.e, c.e)
+                 / (sqrt(list_inner_product(q.e, q.e))
+                    * sqrt(list_inner_product(c.e, c.e))) AS cos_raw
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT src, dst, cos_raw,
+               row_number() OVER (
+                   PARTITION BY src ORDER BY cos_raw DESC, dst
+               ) AS pos
+        FROM scored
+    ),
+    knn AS (SELECT src, dst, cos_raw FROM ranked WHERE pos <= 5)
+    SELECT a.src AS vec_a, a.dst AS vec_b,
+           round(a.cos_raw, 6) AS cosine
+    FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.src < a.dst
+    """,
+)
+def l_knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    q = emb.select(F.col("vec_id").alias("src"), F.col("e").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("dst"), F.col("e").alias("ce"))
+    cos = _dot("qe", "ce") / (
+        F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("src") != F.col("dst"))
+        .select("src", "dst", cos.alias("cos_raw"))
+    )
+    knn = (
+        scored.withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(
+                    F.col("cos_raw").desc(), "dst"
+                )
+            ),
+        )
+        .where(F.col("pos") <= 5)
+        .select("src", "dst", "cos_raw")
+    )
+    a = knn.alias("a")
+    b = knn.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.dst"))
+            & (F.col("a.dst") == F.col("b.src")),
+        )
+        .where(F.col("a.src") < F.col("a.dst"))
+        .select(
+            F.col("a.src").alias("vec_a"),
+            F.col("a.dst").alias("vec_b"),
+            F.round(F.col("a.cos_raw"), 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5f — embedding-column quality audit: per label, vector count,
+# dimensionality spread (a dim mismatch means a corrupt upstream
+# writer), L2-norm min/max/mean, and zero-vector count — the checks a
+# training pipeline runs before any similarity work trusts the column.
+# Linear map-side pass (zip_with-free: one aggregate() per row), one
+# small aggregate; norms decimal-cast before the cross-row mean.
+# ---------------------------------------------------------------------------
+@query(
+    "l_embedding_norm_audit",
+    oracle="""
+    WITH per_vec AS (
+        SELECT label, len(embedding) AS dim,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n_vecs,
+           min(dim) AS dim_min, max(dim) AS dim_max,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+           floor(min(nrm) * 1e6 + 0.5) / 1e6 AS norm_min,
+           floor(max(nrm) * 1e6 + 0.5) / 1e6 AS norm_max,
+           floor(sum(CAST(nrm AS DECIMAL(27,9)))::DOUBLE / count(*)
+                 * 1e6 + 0.5) / 1e6 AS norm_mean
+    FROM per_vec GROUP BY label ORDER BY label
+    """,
+)
+def l_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(
+            F.expr(
+                _DOT.format(
+                    a="CAST(embedding AS ARRAY<DOUBLE>)",
+                    b="CAST(embedding AS ARRAY<DOUBLE>)",
+                )
+            )
+        ).alias("nrm"),
+    )
+    r6 = lambda e: F.floor(e * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("dim").alias("dim_min"),
+            F.max("dim").alias("dim_max"),
+            F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero"),
+            r6(F.min("nrm")).alias("norm_min"),
+            r6(F.max("nrm")).alias("norm_max"),
+            r6(
+                F.sum(F.col("nrm").cast("decimal(27,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("norm_mean"),
+        )
+        .orderBy("label")
+    )

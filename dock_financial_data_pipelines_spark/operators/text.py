@@ -1476,3 +1476,217 @@ def l_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_types").cast("long").alias("new_types"),
         F.sum("new_types").over(w).cast("long").alias("cumulative_vocab"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# L — PMI collocations: pointwise mutual information of adjacent token
+# bigrams, lift = N·c(x,y) / (c(x)·c(y)) computed from exact integer
+# counts (deterministic double division; the lift >= 50 filter never
+# sits on an accumulation-order boundary), PMI = ln(lift) for display.
+# The phrase-mining primitive behind tokenizer merges and stop-phrase
+# lists. Plan: one explode for unigrams + one for bigrams, two
+# hash-aggregates, then two broadcast joins of the (small) unigram
+# vocabulary into the bigram table.
+# ---------------------------------------------------------------------------
+@query(
+    "l_pmi_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+        SELECT unnest(ws) AS tok, FROM toks
+    ),
+    ucnt AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY tok),
+    n_tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM ucnt),
+    big AS (
+        SELECT ws[i + 1] AS tok_a, ws[i + 2] AS tok_b
+        FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i FROM toks)
+    ),
+    bcnt AS (
+        SELECT tok_a, tok_b, count(*) AS c12
+        FROM big GROUP BY tok_a, tok_b
+    )
+    SELECT b.tok_a, b.tok_b, b.c12 AS n_pair,
+           floor(ln(CAST(t.n AS DOUBLE) * b.c12 / (ua.c1 * ub.c1))
+                 * 1e6 + 0.5) / 1e6 AS pmi
+    FROM bcnt b
+    JOIN ucnt ua ON b.tok_a = ua.tok
+    JOIN ucnt ub ON b.tok_b = ub.tok
+    CROSS JOIN n_tot t
+    WHERE b.c12 >= 5
+      AND CAST(t.n AS DOUBLE) * b.c12 / (ua.c1 * ub.c1) >= 50.0
+    """,
+)
+def l_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    uni = toks.select(F.explode("ws").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    n_tot = ucnt.agg(F.sum("c1").cast("long").alias("n"))
+    # CASE guard: Spark's sequence(0, -1) DESCENDS (unlike DuckDB's
+    # empty range()), so single-token docs must produce no bigrams.
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN"
+                " transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS tok_a, ws[i + 1] AS tok_b))"
+                " ELSE array() END"
+            )
+        ).alias("bg")
+    ).select("bg.tok_a", "bg.tok_b")
+    bcnt = big.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c12"))
+    ua = ucnt.select(F.col("tok").alias("tok_a"), F.col("c1").alias("ca"))
+    ub = ucnt.select(F.col("tok").alias("tok_b"), F.col("c1").alias("cb"))
+    lift = (
+        F.col("n").cast("double")
+        * F.col("c12")
+        / (F.col("ca") * F.col("cb"))
+    )
+    return (
+        bcnt.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_tot))
+        .where((F.col("c12") >= 5) & (lift >= 50.0))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c12").alias("n_pair"),
+            (F.floor(F.log(lift) * 1e6 + F.lit(0.5)) / 1e6).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L — readability profile per source: sentences via regexp split on
+# [.!?]+ runs (empty trailing fragments filtered identically in both
+# engines), words per sentence, characters per word, and a Flesch-style
+# linear score. Pure map-side counting + decimal-cast ratio sums.
+# ---------------------------------------------------------------------------
+@query(
+    "l_readability_profile",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                    s -> trim(s) <> '')) AS DOUBLE)
+                   AS n_sent,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+               CAST(len(replace(text, ' ', '')) AS DOUBLE) AS n_chars
+        FROM documents
+    ),
+    feats AS (
+        SELECT source, n_sent, n_words, n_chars,
+               n_words / n_sent AS wps, n_chars / n_words AS cpw
+        FROM per_doc WHERE n_sent > 0 AND n_words > 0
+    )
+    SELECT source, count(*) AS n_docs,
+           floor(sum(CAST(wps AS DECIMAL(27,9)))::DOUBLE / count(*)
+                 * 1e6 + 0.5) / 1e6 AS avg_words_per_sentence,
+           floor(sum(CAST(cpw AS DECIMAL(27,9)))::DOUBLE / count(*)
+                 * 1e6 + 0.5) / 1e6 AS avg_chars_per_word,
+           floor(sum(CAST(206.835 - 1.015 * wps - 84.6 * (cpw / 3.0)
+                          AS DECIMAL(27,9)))::DOUBLE / count(*)
+                 * 1e6 + 0.5) / 1e6 AS flesch_proxy
+    FROM feats GROUP BY source ORDER BY source
+    """,
+)
+def l_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.filter(
+                F.split("text", "[.!?]+"), lambda s: F.trim(s) != ""
+            )
+        )
+        .cast("double")
+        .alias("n_sent"),
+        F.size(F.split("text", " ")).cast("double").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("double")
+        .alias("n_chars"),
+    )
+    feats = per_doc.where(
+        (F.col("n_sent") > 0) & (F.col("n_words") > 0)
+    ).select(
+        "source",
+        (F.col("n_words") / F.col("n_sent")).alias("wps"),
+        (F.col("n_chars") / F.col("n_words")).alias("cpw"),
+    )
+    r6 = lambda e: F.floor(e * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    dmean = lambda c: (  # noqa: E731
+        F.sum(c.cast("decimal(27,9)")).cast("double") / F.count(F.lit(1))
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * F.col("wps")
+        - 84.6 * (F.col("cpw") / 3.0)
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r6(dmean(F.col("wps"))).alias("avg_words_per_sentence"),
+            r6(dmean(F.col("cpw"))).alias("avg_chars_per_word"),
+            r6(dmean(flesch)).alias("flesch_proxy"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L — character-trigram profile per language: the per-language top-10
+# char 3-grams by frequency — the feature table a fastText-style
+# language identifier trains on (l_lang_id_heuristic consumes a
+# hand-rolled variant of exactly this). Explode is map-side; ranking is
+# exact-integer (count desc, trigram asc — no float in the order key).
+# ---------------------------------------------------------------------------
+@query(
+    "l_char_ngram_profile",
+    oracle="""
+    WITH grams AS (
+        SELECT lang, substring(text, i + 1, 3) AS gram
+        FROM (SELECT lang, text,
+                     unnest(range(greatest(length(text) - 2, 0))) AS i
+              FROM documents)
+    ),
+    cnt AS (
+        SELECT lang, gram, count(*) AS n
+        FROM grams GROUP BY lang, gram
+    ),
+    ranked AS (
+        SELECT lang, gram, n,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n DESC, gram
+               ) AS pos
+        FROM cnt
+    )
+    SELECT lang, pos, gram, n FROM ranked WHERE pos <= 10
+    """,
+)
+def l_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # CASE guard mirrors DuckDB's empty range() on sub-3-char texts
+    # (Spark's sequence would descend instead of emitting nothing).
+    grams = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN"
+                " transform(sequence(0, length(text) - 3),"
+                " i -> substring(text, i + 1, 3))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    cnt = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    ranked = cnt.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.col("n").desc(), "gram")
+        ),
+    )
+    return ranked.where(F.col("pos") <= 10).select("lang", "pos", "gram", "n")

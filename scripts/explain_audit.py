@@ -751,6 +751,60 @@ def main() -> int:
         "Join" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_knn_mutual_graph", execute=True)
+    check(
+        "l_knn_mutual_graph",
+        "probe side broadcast into the scored join; JVM zip_with dot "
+        "products, no Python",
+        ("BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p)
+        and "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "l_embedding_norm_audit", execute=True)
+    check(
+        "l_embedding_norm_audit",
+        "linear map-side norms + one aggregate; no join, no Python",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_pmi_bigrams", execute=True)
+    check(
+        "l_pmi_bigrams",
+        "unigram vocabulary broadcast into the bigram table (twice)",
+        p.count("BroadcastHashJoin") >= 2 and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_readability_profile", execute=True)
+    check(
+        "l_readability_profile",
+        "pure map-side counting + one aggregate; no join, no Python",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_char_ngram_profile", execute=True)
+    check(
+        "l_char_ngram_profile",
+        "map-side explode + hash-aggregate + per-lang top-10 window; "
+        "no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l4_band_occupancy_audit", execute=True)
+    check(
+        "l4_band_occupancy_audit",
+        "persisted signatures + stack + two aggregates; no join, "
+        "no Python",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "l4_minhash_estimate_error", execute=True)
+    check(
+        "l4_minhash_estimate_error",
+        "candidates from the banded equi-join (never all-pairs); "
+        "agreement via one zip_with per pair",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
