@@ -1426,3 +1426,153 @@ def q_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("dev_decile").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Q — accounts-receivable aging: open (non-final) orders bucketed by
+# age against the ledger's latest order date (0-30 / 31-60 / 61-90 /
+# 90+ days), with count and decimal-exact open value per bucket — the
+# collections report every finance close runs. The as-of date is an
+# aggregate broadcast into the scan, never a driver-side collect.
+# ---------------------------------------------------------------------------
+@query(
+    "q_invoice_aging",
+    oracle="""
+    WITH asof_d AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    aged AS (
+        SELECT CASE
+                 WHEN date_diff('day', o_orderdate, maxd) <= 30 THEN '0-30'
+                 WHEN date_diff('day', o_orderdate, maxd) <= 60 THEN '31-60'
+                 WHEN date_diff('day', o_orderdate, maxd) <= 90 THEN '61-90'
+                 ELSE '90+'
+               END AS age_bucket,
+               o_totalprice
+        FROM orders CROSS JOIN asof_d
+        WHERE o_orderstatus <> 'F'
+    )
+    SELECT age_bucket, count(*) AS n_open,
+           round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)::DOUBLE
+               AS open_value
+    FROM aged GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_invoice_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    asof = o.agg(F.max("o_orderdate").alias("maxd"))
+    age = F.datediff(F.col("maxd"), F.col("o_orderdate"))
+    return (
+        o.where(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            F.when(age <= 30, "0-30")
+            .when(age <= 60, "31-60")
+            .when(age <= 90, "61-90")
+            .otherwise("90+")
+            .alias("age_bucket"),
+            "o_totalprice",
+        )
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(27,2)")), 2)
+            .cast("double")
+            .alias("open_value"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q — revenue waterfall by month: gross extended price, the discount
+# give-back, net revenue, the tax collected on net, and the final
+# charge — each component a decimal-exact per-row product summed
+# independently, so the bridge reconciles to the cent. One scan, one
+# aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q_margin_waterfall",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+           round(sum(CAST(l_extendedprice AS DECIMAL(27,2))), 2)::DOUBLE
+               AS gross,
+           round(sum(CAST(l_extendedprice * l_discount
+                          AS DECIMAL(27,4))), 2)::DOUBLE AS discount_amt,
+           round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(27,4))), 2)::DOUBLE AS net,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) * l_tax
+                          AS DECIMAL(27,6))), 2)::DOUBLE AS tax_amt,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          AS DECIMAL(27,6))), 2)::DOUBLE AS total_charge
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    d = F.col("l_discount")
+    t = F.col("l_tax")
+    ds = lambda c, s: (  # noqa: E731
+        F.round(F.sum(c.cast(f"decimal(27,{s})")), 2).cast("double")
+    )
+    return (
+        li.groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            ds(p, 2).alias("gross"),
+            ds(p * d, 4).alias("discount_amt"),
+            ds(p * (1 - d), 4).alias("net"),
+            ds(p * (1 - d) * t, 6).alias("tax_amt"),
+            ds(p * (1 - d) * (1 + t), 6).alias("total_charge"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q — new-vs-returning revenue split per month: a customer's first-ever
+# order month tags every later order as "returning". The cohort window
+# (min over customer) shares its shuffle with nothing fact-sized — it
+# runs over orders once; revenue sums are decimal-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q_new_vs_returning",
+    oracle="""
+    WITH tagged AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CASE WHEN date_trunc('month', o_orderdate)
+                         = min(date_trunc('month', o_orderdate))
+                             OVER (PARTITION BY o_custkey)
+                    THEN 'new' ELSE 'returning' END AS cohort,
+               o_totalprice
+        FROM orders
+    )
+    SELECT month, cohort, count(*) AS n_orders,
+           round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)::DOUBLE
+               AS revenue
+    FROM tagged GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    m = F.date_trunc("month", "o_orderdate")
+    first_m = F.min(m).over(Window.partitionBy("o_custkey"))
+    tagged = o.select(
+        F.date_format(m, "yyyy-MM").alias("month"),
+        F.when(m == first_m, "new").otherwise("returning").alias("cohort"),
+        "o_totalprice",
+    )
+    return (
+        tagged.groupBy("month", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(27,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("month", "cohort")
+    )

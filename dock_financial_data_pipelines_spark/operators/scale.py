@@ -1351,3 +1351,264 @@ def a41_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# A42 — linear-interpolation gap fill over the daily revenue series:
+# build the full date spine, carry the nearest known value from each
+# side (last_value/first_value IGNORE NULLS), and interpolate
+# proportionally to the day offset. The time-series repair twin of
+# q_date_spine_gapfill (which zero-fills). The spine is tiny (one row
+# per day) regardless of fact size — the fact is pre-aggregated first.
+# ---------------------------------------------------------------------------
+@query(
+    "a42_gapfill_interpolation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)::DOUBLE
+                   AS rev
+        FROM orders GROUP BY 1
+    ),
+    spine AS (
+        SELECT unnest(generate_series(
+            (SELECT min(day) FROM daily),
+            (SELECT max(day) FROM daily),
+            INTERVAL 1 DAY))::DATE AS day
+    ),
+    joined AS (
+        SELECT s.day, d.rev FROM spine s LEFT JOIN daily d USING (day)
+    ),
+    ctx AS (
+        SELECT day, rev,
+               last_value(rev IGNORE NULLS) OVER w_prev AS prev_rev,
+               last_value(CASE WHEN rev IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER w_prev AS prev_day,
+               first_value(rev IGNORE NULLS) OVER w_next AS next_rev,
+               first_value(CASE WHEN rev IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER w_next AS next_day
+        FROM joined
+        WINDOW w_prev AS (ORDER BY day ROWS UNBOUNDED PRECEDING),
+               w_next AS (ORDER BY day ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN rev IS NOT NULL THEN 0 ELSE 1 END AS was_gap,
+           CASE
+             WHEN rev IS NOT NULL THEN rev
+             WHEN prev_rev IS NULL THEN next_rev
+             WHEN next_rev IS NULL THEN prev_rev
+             ELSE floor((prev_rev + (next_rev - prev_rev)
+                  * (day - prev_day) / (next_day - prev_day))
+                  * 100 + 0.5) / 100
+           END AS rev_filled
+    FROM ctx
+    """,
+)
+def a42_gapfill_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(27,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    joined = spine.join(daily, "day", "left")
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    known_day = F.when(F.col("rev").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "day",
+        "rev",
+        F.last("rev", ignorenulls=True).over(w_prev).alias("prev_rev"),
+        F.last(known_day, ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.first("rev", ignorenulls=True).over(w_next).alias("next_rev"),
+        F.first(known_day, ignorenulls=True).over(w_next).alias("next_day"),
+    )
+    interp = F.col("prev_rev") + (F.col("next_rev") - F.col("prev_rev")) * (
+        F.datediff(F.col("day"), F.col("prev_day"))
+    ) / F.datediff(F.col("next_day"), F.col("prev_day"))
+    return ctx.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("rev").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+            "was_gap"
+        ),
+        F.when(F.col("rev").isNotNull(), F.col("rev"))
+        .when(F.col("prev_rev").isNull(), F.col("next_rev"))
+        .when(F.col("next_rev").isNull(), F.col("prev_rev"))
+        .otherwise(F.floor(interp * 100 + F.lit(0.5)) / 100)
+        .alias("rev_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A43 — robust outlier detection via median absolute deviation: per
+# order status, the modified z-score |x − median| / (1.4826·MAD)
+# flagging count at the standard 3.5 cutoff. Survives the skewed/
+# heavy-tailed distributions where mean±3σ (q_anomaly_zscore) breaks.
+# Two exact medians (interpolated, a10 parity idiom) + one counting
+# pass — three scans of the fact, each a map-side aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "a43_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderstatus AS status,
+               quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY 1
+    ),
+    mad AS (
+        SELECT o.o_orderstatus AS status,
+               quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+        FROM orders o JOIN med m ON o.o_orderstatus = m.status
+        GROUP BY 1
+    )
+    SELECT o.o_orderstatus AS status, count(*) AS n_orders,
+           round(max(m.med), 4) AS median_price,
+           round(max(d.mad), 4) AS mad,
+           CAST(sum(CASE WHEN abs(o.o_totalprice - m.med)
+                              > 3.5 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o
+    JOIN med m ON o.o_orderstatus = m.status
+    JOIN mad d ON o.o_orderstatus = d.status
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def a43_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    med = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    o_med = o.join(
+        maybe_broadcast(med), o.o_orderstatus == med.status
+    )
+    mad = o_med.groupBy("status").agg(
+        F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad")
+    )
+    scored = o.join(
+        maybe_broadcast(med.withColumnRenamed("status", "st1")),
+        o.o_orderstatus == F.col("st1"),
+    ).join(
+        maybe_broadcast(mad.withColumnRenamed("status", "st2")),
+        o.o_orderstatus == F.col("st2"),
+    )
+    return (
+        scored.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.max("med"), 4).alias("median_price"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("o_totalprice") - F.col("med"))
+                    > 3.5 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A44 — Wald–Wolfowitz runs test on the daily revenue series: is the
+# above/below-median sequence random, or trending/mean-reverting? Runs
+# counted via lag() over the (tiny) daily series; the z-statistic uses
+# the closed-form mean/variance from exact integer counts. Days equal
+# to the median are excluded (the standard treatment).
+# ---------------------------------------------------------------------------
+@query(
+    "a44_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)::DOUBLE
+                   AS rev
+        FROM orders GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(rev, 0.5) AS med FROM daily),
+    signs AS (
+        SELECT day, CASE WHEN rev > med THEN 1 ELSE 0 END AS sgn
+        FROM daily CROSS JOIN med WHERE rev <> med
+    ),
+    runs AS (
+        SELECT sgn,
+               CASE WHEN lag(sgn) OVER (ORDER BY day) IS DISTINCT FROM sgn
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(sum(new_run) AS DOUBLE) AS r,
+               CAST(sum(sgn) AS DOUBLE) AS n1,
+               CAST(count(*) - sum(sgn) AS DOUBLE) AS n2
+        FROM runs
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           floor((2 * n1 * n2 / (n1 + n2) + 1) * 1e6 + 0.5) / 1e6
+               AS expected_runs,
+           floor((r - (2 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))
+                 * 1e6 + 0.5) / 1e6 AS z_score
+    FROM agg
+    """,
+)
+def a44_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(27,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    med = daily.agg(F.expr("percentile(rev, 0.5)").alias("med"))
+    signs = (
+        daily.crossJoin(maybe_broadcast(med))
+        .where(F.col("rev") != F.col("med"))
+        .select(
+            "day",
+            F.when(F.col("rev") > F.col("med"), 1).otherwise(0).alias("sgn"),
+        )
+    )
+    runs = signs.select(
+        "sgn",
+        F.when(
+            ~F.lag("sgn").over(Window.orderBy("day")).eqNullSafe(F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("double").alias("r"),
+        F.sum("sgn").cast("double").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("double").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    e_r = 2 * n1 * n2 / (n1 + n2) + 1
+    v_r = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    r6 = lambda e: F.floor(e * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        r6(e_r).alias("expected_runs"),
+        r6((r - e_r) / F.sqrt(v_r)).alias("z_score"),
+    )

@@ -1690,3 +1690,184 @@ def l_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.where(F.col("pos") <= 10).select("lang", "pos", "gram", "n")
+
+
+# ---------------------------------------------------------------------------
+# L — sparse TF-IDF cosine similarity via the inverted-index join: the
+# text-side twin of the dense embedding path (l5_*). Doc-term weights
+# tf·ln(N/df) are rounded to DECIMAL(27,9) per term (ln is libm — the
+# a34/zipf policy); pair scores come from joining the probe's postings
+# to the corpus postings ON THE TERM — candidate pairs are generated
+# only where terms co-occur, which is exactly how the join scales (no
+# all-pairs, and common-term fanout is bounded by an idf floor).
+# Probe-bounded to doc_a < 30 to keep the audit corpus-independent.
+# ---------------------------------------------------------------------------
+@query(
+    "l_tfidf_cosine_pairs",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    n_docs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    wt AS (
+        SELECT t.doc_id, t.w,
+               CAST(t.tf * ln(d.n / f.df) AS DECIMAL(27,9)) AS wgt
+        FROM tf t JOIN df f ON t.w = f.w CROSS JOIN n_docs d
+        WHERE ln(d.n / f.df) >= 1.0
+    ),
+    nrm AS (
+        SELECT doc_id,
+               sqrt(CAST(sum(CAST(CAST(wgt AS DOUBLE) * CAST(wgt AS DOUBLE)
+                                  AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+        FROM wt GROUP BY doc_id
+    ),
+    pair_dot AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(CAST(CAST(a.wgt AS DOUBLE) * CAST(b.wgt AS DOUBLE)
+                             AS DECIMAL(38,9))) AS DOUBLE) AS dot
+        FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 30
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           floor(p.dot / (na.nrm * nb.nrm) * 1e6 + 0.5) / 1e6 AS cosine
+    FROM pair_dot p
+    JOIN nrm na ON p.doc_a = na.doc_id
+    JOIN nrm nb ON p.doc_b = nb.doc_id
+    WHERE p.dot / (na.nrm * nb.nrm) >= 0.3
+    """,
+)
+def l_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    idf = F.log(F.col("n") / F.col("df"))
+    wt = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .where(idf >= 1.0)
+        .select(
+            "doc_id",
+            "w",
+            (F.col("tf") * idf).cast("decimal(27,9)").alias("wgt"),
+        )
+    )
+    wd = F.col("wgt").cast("double")
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum((wd * wd).cast("decimal(38,9)")).cast("double")).alias(
+            "nrm"
+        )
+    )
+    a = wt.select(
+        F.col("doc_id").alias("doc_a"), F.col("w").alias("w"),
+        F.col("wgt").alias("wa"),
+    ).where(F.col("doc_a") < 30)
+    b = wt.select(
+        F.col("doc_id").alias("doc_b"), F.col("w").alias("w"),
+        F.col("wgt").alias("wb"),
+    )
+    pair_dot = (
+        F.broadcast(a)
+        .join(b, (a.w == b.w) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                (F.col("wa").cast("double") * F.col("wb").cast("double")).cast(
+                    "decimal(38,9)"
+                )
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cosine = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        pair_dot.join(F.broadcast(na), "doc_a")
+        .join(nb, "doc_b")
+        .where(cosine >= 0.3)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(cosine * 1e6 + F.lit(0.5)) / 1e6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L — vocabulary coverage curve: the smallest frequency-ranked
+# vocabulary that covers {50,80,90,95,99}% of all token occurrences —
+# the sizing table for tokenizer/embedding-table budgets. Entirely
+# exact-integer arithmetic (cum_cnt·100 ≥ pct·total), so the oracle is
+# bit-exact. The cumulative window runs over the vocabulary rollup
+# (small), never the token stream.
+# ---------------------------------------------------------------------------
+@query(
+    "l_vocab_coverage_curve",
+    oracle="""
+    WITH vocab AS (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, w) AS vrank,
+               sum(cnt) OVER (ORDER BY cnt DESC, w
+                              ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+               sum(cnt) OVER () AS total
+        FROM vocab
+    ),
+    pcts AS (SELECT unnest([50, 80, 90, 95, 99]) AS pct)
+    SELECT p.pct,
+           CAST(min(r.vrank) AS BIGINT) AS vocab_size,
+           CAST(min(r.cum_cnt) AS BIGINT) AS tokens_covered
+    FROM pcts p JOIN ranked r ON r.cum_cnt * 100 >= p.pct * r.total
+    GROUP BY p.pct ORDER BY p.pct
+    """,
+)
+def l_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), "w")
+    ranked = vocab.select(
+        "cnt",
+        F.row_number().over(w_rank).alias("vrank"),
+        F.sum("cnt")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cnt"),
+        F.sum("cnt")
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    pcts = F.broadcast(
+        load(spark, sf_dir, "documents")
+        .sparkSession.range(1)
+        .select(F.explode(F.array(*[F.lit(p) for p in (50, 80, 90, 95, 99)])).alias("pct"))
+    )
+    return (
+        pcts.join(ranked, F.col("cum_cnt") * 100 >= F.col("pct") * F.col("total"))
+        .groupBy("pct")
+        .agg(
+            F.min("vrank").cast("long").alias("vocab_size"),
+            F.min("cum_cnt").cast("long").alias("tokens_covered"),
+        )
+        .orderBy("pct")
+    )

@@ -805,6 +805,67 @@ def main() -> int:
         "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "a42_gapfill_interpolation", execute=True)
+    check(
+        "a42_gapfill_interpolation",
+        "fact pre-aggregated to the daily rollup before the spine "
+        "join/windows; no Python",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "a43_mad_outliers", execute=True)
+    check(
+        "a43_mad_outliers",
+        "per-status median/MAD broadcast back into the counting scan",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a44_runs_test", execute=True)
+    check(
+        "a44_runs_test",
+        "runs counted over the tiny daily rollup; median broadcast",
+        "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_invoice_aging", execute=True)
+    check(
+        "q_invoice_aging",
+        "as-of date from an aggregate broadcast, not a driver collect; "
+        "status filter pushed to the scan",
+        "BatchEvalPython" not in p and "PushedFilters: [" in p,
+    )
+
+    p = plan_of(spark, "q_margin_waterfall", execute=True)
+    check(
+        "q_margin_waterfall",
+        "single scan + one hash aggregate; decimal per-row products",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_new_vs_returning", execute=True)
+    check(
+        "q_new_vs_returning",
+        "cohort tag via one window on o_custkey; no self-join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_tfidf_cosine_pairs", execute=True)
+    check(
+        "l_tfidf_cosine_pairs",
+        "inverted-index term join (probe postings broadcast), never "
+        "all-pairs",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p
+        and "BroadcastHashJoin" in p,
+    )
+
+    p = plan_of(spark, "l_vocab_coverage_curve", execute=True)
+    check(
+        "l_vocab_coverage_curve",
+        "cumulative window over the vocabulary rollup, never the "
+        "token stream",
+        "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
