@@ -313,3 +313,61 @@ def g_jaccard_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         (F.floor(F.col("j") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G — two-hop neighborhood expansion: for a bounded probe set of parts,
+# the parts reachable in exactly two co-purchase hops (excluding the
+# probe itself and its direct neighbors) with path-count multiplicity —
+# the BFS frontier primitive behind "customers also bought" and
+# graph-feature extraction. Probe-bounded (src < 50) so the audit stays
+# corpus-independent; each hop is a broadcast-frontier equi-join into
+# the edge table — at 100 TB the frontier stays small while the edge
+# table is the big, partitioned side (never the other way round).
+# ---------------------------------------------------------------------------
+@query(
+    "g_two_hop_copurchase",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    probe AS (SELECT DISTINCT src FROM e WHERE src < 50),
+    hop1 AS (
+        SELECT p.src AS origin, e.dst AS mid
+        FROM probe p JOIN e ON e.src = p.src
+    ),
+    hop2 AS (
+        SELECT h.origin, e.dst AS reach, count(*) AS n_paths
+        FROM hop1 h JOIN e ON e.src = h.mid
+        WHERE e.dst <> h.origin
+        GROUP BY h.origin, e.dst
+    )
+    SELECT h2.origin AS part_key, h2.reach AS two_hop_part,
+           h2.n_paths
+    FROM hop2 h2
+    LEFT JOIN hop1 d ON d.origin = h2.origin AND d.mid = h2.reach
+    WHERE d.mid IS NULL
+    """,
+)
+def g_two_hop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _directed_edges(spark, sf_dir).localCheckpoint(eager=True)
+    probe = e.where(F.col("src") < 50).select("src").distinct()
+    hop1 = (
+        F.broadcast(probe)
+        .join(e, "src")
+        .select(F.col("src").alias("origin"), F.col("dst").alias("mid"))
+    )
+    hop2 = (
+        F.broadcast(hop1)
+        .join(e, hop1.mid == e.src)
+        .where(F.col("dst") != F.col("origin"))
+        .groupBy(F.col("origin"), F.col("dst").alias("reach"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    direct = hop1.select("origin", F.col("mid").alias("reach")).distinct()
+    return (
+        hop2.join(F.broadcast(direct), ["origin", "reach"], "left_anti")
+        .select(
+            F.col("origin").alias("part_key"),
+            F.col("reach").alias("two_hop_part"),
+            "n_paths",
+        )
+    )

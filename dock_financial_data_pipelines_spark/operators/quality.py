@@ -1576,3 +1576,131 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q — shipping SLA report: per order priority, the share of orders
+# whose FIRST shipment left within 7/30 days of order date, plus the
+# mean first-ship lag. Min-shipdate is a per-order aggregate joined
+# back on the natural key; day counts are exact integers and the mean
+# is a decimal-cast ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "q_sla_shipping",
+    oracle="""
+    WITH first_ship AS (
+        SELECT l_orderkey, min(l_shipdate) AS first_ship
+        FROM lineitem GROUP BY 1
+    ),
+    lagd AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', o.o_orderdate, f.first_ship) AS lag_days
+        FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+    )
+    SELECT priority, count(*) AS n_orders,
+           CAST(sum(CASE WHEN lag_days <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS within_7d,
+           CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS within_30d,
+           floor(CAST(sum(CAST(lag_days AS DECIMAL(27,0))) AS DOUBLE)
+                 / count(*) * 1e4 + 0.5) / 1e4 AS avg_lag_days
+    FROM lagd GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_sla_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lagd = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("first_ship"), F.col("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+    return (
+        lagd.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("lag_days") <= 7, 1).otherwise(0)).alias(
+                "within_7d"
+            ),
+            F.sum(F.when(F.col("lag_days") <= 30, 1).otherwise(0)).alias(
+                "within_30d"
+            ),
+            (
+                F.floor(
+                    F.sum(F.col("lag_days").cast("decimal(27,0)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("avg_lag_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q — monthly seasonal index: each calendar month's revenue share of
+# its year, × 12 — an index of 1.0 means "an average month". The
+# classic ratio-to-yearly-average decomposition, exact because both
+# numerator and denominator are decimal sums.
+# ---------------------------------------------------------------------------
+@query(
+    "q_seasonal_index",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+               CAST(date_part('month', o_orderdate) AS INTEGER) AS mth,
+               sum(CAST(o_totalprice AS DECIMAL(27,2))) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    with_year AS (
+        SELECT yr, mth, rev,
+               sum(rev) OVER (PARTITION BY yr) AS yr_rev,
+               count(*) OVER (PARTITION BY yr) AS n_months
+        FROM monthly
+    )
+    SELECT yr, mth,
+           round(rev, 2)::DOUBLE AS revenue,
+           floor(CAST(rev AS DOUBLE) / CAST(yr_rev AS DOUBLE) * n_months
+                 * 1e6 + 0.5) / 1e6 AS seasonal_index
+    FROM with_year ORDER BY yr, mth
+    """,
+)
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev"))
+    w = Window.partitionBy("yr")
+    with_year = monthly.select(
+        "yr",
+        "mth",
+        "rev",
+        F.sum("rev").over(w).alias("yr_rev"),
+        F.count(F.lit(1)).over(w).alias("n_months"),
+    )
+    return with_year.select(
+        "yr",
+        "mth",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        (
+            F.floor(
+                F.col("rev").cast("double")
+                / F.col("yr_rev").cast("double")
+                * F.col("n_months")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("seasonal_index"),
+    ).orderBy("yr", "mth")

@@ -1612,3 +1612,75 @@ def a44_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(e_r).alias("expected_runs"),
         r6((r - e_r) / F.sqrt(v_r)).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A45 — weighted median unit price (weight = quantity) per return flag:
+# the cumulative-weight formulation — sort by value, take the first row
+# whose running weight reaches half the total. Exact integer/decimal
+# arithmetic throughout (2·cum ≥ total on integer-scaled weights), so
+# the oracle is bit-exact — no interpolation, the lower weighted
+# median. The window runs over the (value, flag) rollup, not raw rows.
+# ---------------------------------------------------------------------------
+@query(
+    "a45_weighted_median",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_extendedprice / l_quantity AS DOUBLE) AS price,
+               CAST(l_quantity AS BIGINT) AS wgt
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    rolled AS (
+        SELECT flag, price, sum(wgt) AS wgt
+        FROM pts GROUP BY flag, price
+    ),
+    cum AS (
+        SELECT flag, price,
+               sum(wgt) OVER (PARTITION BY flag ORDER BY price
+                              ROWS UNBOUNDED PRECEDING) AS cum_w,
+               sum(wgt) OVER (PARTITION BY flag) AS tot_w
+        FROM rolled
+    )
+    SELECT flag,
+           floor(min(price) * 1e6 + 0.5) / 1e6 AS weighted_median_price,
+           CAST(max(tot_w) AS BIGINT) AS total_quantity
+    FROM cum WHERE 2 * cum_w >= tot_w
+    GROUP BY flag ORDER BY flag
+    """,
+)
+def a45_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") / F.col("l_quantity"))
+        .cast("double")
+        .alias("price"),
+        F.col("l_quantity").cast("long").alias("wgt"),
+    )
+    rolled = pts.groupBy("flag", "price").agg(F.sum("wgt").alias("wgt"))
+    cum = rolled.select(
+        "flag",
+        "price",
+        F.sum("wgt")
+        .over(
+            Window.partitionBy("flag")
+            .orderBy("price")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum_w"),
+        F.sum("wgt").over(Window.partitionBy("flag")).alias("tot_w"),
+    )
+    return (
+        cum.where(2 * F.col("cum_w") >= F.col("tot_w"))
+        .groupBy("flag")
+        .agg(
+            (F.floor(F.min("price") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "weighted_median_price"
+            ),
+            F.max("tot_w").cast("long").alias("total_quantity"),
+        )
+        .orderBy("flag")
+    )

@@ -1871,3 +1871,51 @@ def l_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# L — duplication rate by source: docs vs distinct texts (md5-grouped)
+# per source, the dataset-card statistic that decides which sources
+# need the expensive near-dup pass at all. One hash-aggregate per
+# source over content digests; exact counts only.
+# ---------------------------------------------------------------------------
+@query(
+    "l_duplication_by_source",
+    oracle="""
+    WITH hashed AS (
+        SELECT source, md5(text) AS h FROM documents
+    ),
+    per_hash AS (
+        SELECT source, h, count(*) AS n FROM hashed GROUP BY source, h
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           count(*) AS n_unique,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+           floor((1.0 - count(*) / CAST(sum(n) AS DOUBLE)) * 1e6 + 0.5)
+               / 1e6 AS dup_rate
+    FROM per_hash GROUP BY source ORDER BY source
+    """,
+)
+def l_duplication_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = load(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("h")
+    )
+    per_hash = hashed.groupBy("source", "h").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+            (
+                F.floor(
+                    (1.0 - F.count(F.lit(1)) / F.sum("n").cast("double"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

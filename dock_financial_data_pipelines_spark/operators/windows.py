@@ -785,3 +785,98 @@ def w19_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("inside"))
         .alias("band_position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W20 — 30-day rolling correlation between daily order count and daily
+# average order value: does volume move with ticket size? Pearson from
+# decimal-exact rolling moment sums over the daily rollup (the w19
+# policy: never corr(double) over a window — partial-aggregation order
+# differs per engine). Windows with fewer than 10 days are suppressed.
+# ---------------------------------------------------------------------------
+@query(
+    "w20_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS x,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)
+                    AS DOUBLE) / count(*) AS y
+        FROM orders GROUP BY 1
+    ),
+    q AS (
+        SELECT day,
+               CAST(x AS DECIMAL(27,6)) AS xq,
+               CAST(y AS DECIMAL(27,6)) AS yq
+        FROM daily
+    ),
+    win AS (
+        SELECT day, count(*) OVER w AS n,
+               CAST(sum(xq) OVER w AS DOUBLE) AS sx,
+               CAST(sum(yq) OVER w AS DOUBLE) AS sy,
+               CAST(sum(CAST(CAST(xq AS DOUBLE) * CAST(yq AS DOUBLE)
+                             AS DECIMAL(38,9))) OVER w AS DOUBLE) AS sxy,
+               CAST(sum(CAST(CAST(xq AS DOUBLE) * CAST(xq AS DOUBLE)
+                             AS DECIMAL(38,9))) OVER w AS DOUBLE) AS sxx,
+               CAST(sum(CAST(CAST(yq AS DOUBLE) * CAST(yq AS DOUBLE)
+                             AS DECIMAL(38,9))) OVER w AS DOUBLE) AS syy
+        FROM q
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n_days,
+           floor((n*sxy - sx*sy)
+                 / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                 * 1e6 + 0.5) / 1e6 AS corr_count_value
+    FROM win WHERE n >= 10
+      AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+    """,
+)
+def w20_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        (
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(27,2)")), 2)
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("y"),
+    )
+    q = daily.select(
+        "day",
+        F.col("x").cast("decimal(27,6)").alias("xq"),
+        F.col("y").cast("decimal(27,6)").alias("yq"),
+    )
+    w = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
+    dprod = lambda a, b: (  # noqa: E731
+        F.sum(
+            (F.col(a).cast("double") * F.col(b).cast("double")).cast(
+                "decimal(38,9)"
+            )
+        )
+        .over(w)
+        .cast("double")
+    )
+    win = q.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("xq").over(w).cast("double").alias("sx"),
+        F.sum("yq").over(w).cast("double").alias("sy"),
+        dprod("xq", "yq").alias("sxy"),
+        dprod("xq", "xq").alias("sxx"),
+        dprod("yq", "yq").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    corr = (n * F.col("sxy") - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    return (
+        win.where((F.col("n") >= 10) & (vx > 0) & (vy > 0))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n_days"),
+            (F.floor(corr * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "corr_count_value"
+            ),
+        )
+    )

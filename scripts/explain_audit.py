@@ -866,6 +866,48 @@ def main() -> int:
         "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "g_two_hop_copurchase", execute=True)
+    check(
+        "g_two_hop_copurchase",
+        "broadcast frontier into the edge table each hop; no cartesian",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_sla_shipping", execute=True)
+    check(
+        "q_sla_shipping",
+        "first-ship per-order aggregate joined on the natural key",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "q_seasonal_index", execute=True)
+    check(
+        "q_seasonal_index",
+        "yearly share via window over the monthly rollup; no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a45_weighted_median", execute=True)
+    check(
+        "a45_weighted_median",
+        "cumulative weight over the (flag, price) rollup, not raw rows",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_duplication_by_source", execute=True)
+    check(
+        "l_duplication_by_source",
+        "JVM md5 + two hash-aggregates; no join, no Python",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w20_rolling_corr", execute=True)
+    check(
+        "w20_rolling_corr",
+        "rolling moments over the daily rollup; decimal window sums",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
