@@ -1684,3 +1684,446 @@ def a45_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# A46 — exact two-sample Kolmogorov–Smirnov test (urgent vs low-priority
+# order totals). D is kept RATIONAL: at each distinct value the ECDF gap
+# |c1·n2 − c2·n1| is an exact BIGINT numerator over the common n1·n2
+# denominator, so the max is an integer comparison and only the final
+# report divides. The critical value 1.358·sqrt((n1+n2)/(n1·n2)) uses
+# only IEEE-correctly-rounded ops on integers, so the verdict is
+# bit-identical cross-engine. Plan: one scan, one distinct-value
+# aggregate, one running window over distinct totals. Scale note: the
+# unpartitioned running window is the test-scale form — distinct order
+# totals are data-sized, so at 100 TB this becomes the sharded
+# prefix-sum (per-range-partition partials + broadcast offsets, the
+# l_pack_sequences pattern) or a fixed quantile grid; documented, not
+# needed at fixture scale.
+# ---------------------------------------------------------------------------
+@query(
+    "a46_ks_test",
+    oracle="""
+    WITH pts AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    per_v AS (
+        SELECT v, sum(g) AS c1, sum(1 - g) AS c2
+        FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+               sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2,
+               sum(c1) OVER () AS n1,
+               sum(c2) OVER () AS n2
+        FROM per_v
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n_urgent,
+           CAST(max(n2) AS BIGINT) AS n_low,
+           floor(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                 / (max(n1) * max(n2)) * 1e6 + 0.5) / 1e6 AS ks_d,
+           floor(1.358 * sqrt(CAST(max(n1) + max(n2) AS DOUBLE)
+                              / (max(n1) * max(n2))) * 1e6 + 0.5) / 1e6
+               AS ks_crit_05,
+           CAST(max(abs(cum1 * n2 - cum2 * n1))
+                > 1.358 * sqrt(CAST(max(n1) + max(n2) AS DOUBLE)
+                               / (max(n1) * max(n2)))
+                  * max(n1) * max(n2) AS BOOLEAN) AS distributions_differ
+    FROM cum
+    """,
+)
+def a46_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pts = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    per_v = pts.groupBy("v").agg(
+        F.sum("g").alias("c1"), F.sum(1 - F.col("g")).alias("c2")
+    )
+    run = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_v.select(
+        F.sum("c1").over(run).alias("cum1"),
+        F.sum("c2").over(run).alias("cum2"),
+        F.sum("c1").over(full).alias("n1"),
+        F.sum("c2").over(full).alias("n2"),
+    )
+    gap = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    agg = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(gap).alias("max_gap"),
+    )
+    n1, n2, mg = F.col("n1"), F.col("n2"), F.col("max_gap")
+    crit = 1.358 * F.sqrt((n1 + n2).cast("double") / (n1 * n2))
+    return agg.select(
+        n1.cast("long").alias("n_urgent"),
+        n2.cast("long").alias("n_low"),
+        (F.floor(mg.cast("double") / (n1 * n2) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "ks_d"
+        ),
+        (F.floor(crit * 1e6 + F.lit(0.5)) / 1e6).alias("ks_crit_05"),
+        (mg > crit * n1 * n2).alias("distributions_differ"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A47 — Mann–Whitney U rank-sum test (urgent vs low-priority order
+# totals), tie-corrected normal approximation. Pooled average ranks come
+# from exact integers (rank + (t−1)/2, halves exact in binary); the
+# rank-sum accumulates at DECIMAL(38,1); the tie term Σ(t³−t) is a pure
+# BIGINT aggregate. z is closed-form IEEE arithmetic on those exact
+# moments, floored at 1e-6. Plan: one scan, pooled rank window over the
+# two groups, one aggregate — same unpartitioned-window scale note as
+# a46 (sharded prefix-sum at 100 TB).
+# ---------------------------------------------------------------------------
+@query(
+    "a47_mann_whitney_u",
+    oracle="""
+    WITH pts AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    ranked AS (
+        SELECT g,
+               rank() OVER (ORDER BY v)
+                 + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS r,
+               count(*) OVER (PARTITION BY v) AS t
+        FROM pts
+    ),
+    m AS (
+        SELECT CAST(sum(g) AS BIGINT) AS n1,
+               CAST(sum(1 - g) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN g = 1
+                             THEN CAST(r AS DECIMAL(38,1))
+                             ELSE CAST(0 AS DECIMAL(38,1)) END)
+                    AS DOUBLE) AS r1
+        FROM ranked
+    ),
+    ties AS (
+        SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+        FROM (SELECT count(*) AS t FROM pts GROUP BY v)
+    )
+    SELECT n1 AS n_urgent, n2 AS n_low,
+           floor((r1 - n1 * (n1 + 1) / 2.0) * 10 + 0.5) / 10 AS u1,
+           floor((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - CAST(tie_term AS DOUBLE)
+                             / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE))))
+                 * 1e6 + 0.5) / 1e6 AS z_score
+    FROM m, ties
+    """,
+)
+def a47_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pts = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    r = (
+        F.rank().over(Window.orderBy("v"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("v")) - 1) / 2.0
+    )
+    ranked = pts.select(
+        "g",
+        r.alias("r"),
+    )
+    m = ranked.agg(
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(1 - F.col("g")).cast("long").alias("n2"),
+        F.sum(
+            F.when(F.col("g") == 1, F.col("r").cast("decimal(38,1)")).otherwise(
+                F.lit(0).cast("decimal(38,1)")
+            )
+        )
+        .cast("double")
+        .alias("r1"),
+    )
+    ties = (
+        pts.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = m.crossJoin(ties)  # both sides are single rows
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2 / 2.0
+    sigma = F.sqrt(
+        n1.cast("double")
+        * n2
+        / 12.0
+        * (
+            (n1 + n2 + 1)
+            - F.col("tie_term").cast("double")
+            / ((n1 + n2) * (n1 + n2 - 1).cast("double"))
+        )
+    )
+    return j.select(
+        n1.alias("n_urgent"),
+        n2.alias("n_low"),
+        (F.floor(u1 * 10 + F.lit(0.5)) / 10).alias("u1"),
+        (F.floor((u1 - mu) / sigma * 1e6 + F.lit(0.5)) / 1e6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A48 — deterministic bootstrap confidence interval for mean daily
+# revenue. Classic bootstrap resampling made engine-reproducible: the
+# B×n index picks are md5('b:i') mod n — a pure function of (b, i), no
+# RNG state — so both engines draw the SAME resamples. Resample sums
+# accumulate at DECIMAL(38,2) (order-free); the CI bounds are exact
+# order statistics (row_number over (sum, b), ranks ceil(0.025·B)=5 and
+# ceil(0.975·B)=195 — no interpolation). Plan: daily aggregate (~2.4k
+# rows, calendar-bounded) broadcast into a generated B×n pick table;
+# the pick join is the only shuffle-ish step and the build side is the
+# calendar, so at 100 TB the resample table scales with B×days, not
+# with the fact table.
+# ---------------------------------------------------------------------------
+_BOOT_B = 200
+
+
+@query(
+    "a48_bootstrap_ci",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(o_totalprice AS DECIMAL(27,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT row_number() OVER (ORDER BY day) AS idx, rev FROM daily
+    ),
+    nn AS (SELECT count(*) AS n FROM daily),
+    picks AS (
+        SELECT b.b,
+               CAST(concat('0x', substring(
+                   md5(CAST(b.b AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)),
+                   1, 15)) AS BIGINT) % (SELECT n FROM nn) + 1 AS pick
+        FROM generate_series(1, {_BOOT_B}) AS b(b),
+             generate_series(1, 4096) AS i(i)
+        WHERE i.i <= (SELECT n FROM nn)
+    ),
+    means AS (
+        SELECT p.b, sum(x.rev) AS sum_rev
+        FROM picks p JOIN idx x ON x.idx = p.pick
+        GROUP BY p.b
+    ),
+    ranked AS (
+        SELECT sum_rev, row_number() OVER (ORDER BY sum_rev, b) AS rn
+        FROM means
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days,
+           {_BOOT_B} AS b_resamples,
+           (SELECT floor(CAST(sum(rev) AS DOUBLE) / max(nn.n) * 1e6 + 0.5)
+                   / 1e6
+            FROM daily, nn) AS mean_daily_rev,
+           (SELECT floor(CAST(sum_rev AS DOUBLE) / (SELECT n FROM nn)
+                         * 1e6 + 0.5) / 1e6
+            FROM ranked WHERE rn = 5) AS ci_lo,
+           (SELECT floor(CAST(sum_rev AS DOUBLE) / (SELECT n FROM nn)
+                         * 1e6 + 0.5) / 1e6
+            FROM ranked WHERE rn = 195) AS ci_hi
+    """,
+)
+def a48_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("idx"), "rev"
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    picks = (
+        nn.select(
+            F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"), "n"
+        )
+        .select("b", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"), "n")
+        .select(
+            "b",
+            (
+                F.expr(
+                    "CAST(conv(substring(md5(concat(CAST(b AS STRING), ':', "
+                    "CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+                )
+                % F.col("n")
+                + 1
+            ).alias("pick"),
+        )
+    )
+    means = (
+        picks.join(F.broadcast(idx), idx.idx == picks.pick)
+        .groupBy("b")
+        .agg(F.sum("rev").alias("sum_rev"))
+    )
+    ranked = means.select(
+        "sum_rev",
+        F.row_number().over(Window.orderBy("sum_rev", "b")).alias("rn"),
+    )
+    n_col = nn.select(F.col("n"))
+    full_mean = (
+        daily.crossJoin(F.broadcast(n_col))
+        .agg(
+            (
+                F.floor(
+                    F.sum("rev").cast("double") / F.max("n") * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mean_daily_rev")
+        )
+    )
+    lo = ranked.where(F.col("rn") == 5).select(
+        F.col("sum_rev").alias("lo_sum")
+    )
+    hi = ranked.where(F.col("rn") == _BOOT_B - 5).select(
+        F.col("sum_rev").alias("hi_sum")
+    )
+    out = (
+        nn.crossJoin(full_mean).crossJoin(lo).crossJoin(hi)
+    )  # all four sides are single rows
+    return out.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(_BOOT_B).alias("b_resamples"),
+        "mean_daily_rev",
+        (
+            F.floor(F.col("lo_sum").cast("double") / F.col("n") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("ci_lo"),
+        (
+            F.floor(F.col("hi_sum").cast("double") / F.col("n") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A49 — weekly seasonal decomposition (STL-style, moving-average form):
+# trend = centered 7-day revenue average over the calendar (RANGE window
+# on epoch-day, so calendar gaps shrink the window and full-week rows
+# are filtered by count==7); seasonal = per-weekday mean of the
+# detrended series. Exactness: detrending stays RATIONAL — detr7 =
+# 7·rev − Σ₇rev is an exact DECIMAL (never divide by 7 mid-pipeline) —
+# and only the final per-weekday report divides, at matched expression
+# shape. Weekday = epoch-days mod 7 (0 = Thursday): date-arithmetic, so
+# both engines agree without locale/DOW-convention drift. Plan: daily
+# aggregate, one calendar-bounded range window, 7-row report.
+# ---------------------------------------------------------------------------
+@query(
+    "a49_weekly_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS dd,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2)))
+                    AS DECIMAL(27,2)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    win AS (
+        SELECT dd, rev,
+               sum(rev) OVER (ORDER BY dd
+                              RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS trend_sum,
+               count(*) OVER (ORDER BY dd
+                              RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS wcnt
+        FROM daily
+    ),
+    detr AS (
+        SELECT dd % 7 AS dow,
+               CAST(7 AS DECIMAL(3,0)) * rev - trend_sum AS detr7,
+               rev
+        FROM win WHERE wcnt = 7
+    )
+    SELECT dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           floor(CAST(sum(detr7) AS DOUBLE) / count(*) / 7 * 1e6 + 0.5)
+               / 1e6 AS seasonal_component,
+           floor(CAST(sum(rev) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+               AS mean_daily_rev
+    FROM detr GROUP BY dow ORDER BY dow
+    """,
+)
+def a49_weekly_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("dd")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("decimal(27,2)")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("dd").rangeBetween(-3, 3)
+    win = daily.select(
+        "dd",
+        "rev",
+        F.sum("rev").over(w).alias("trend_sum"),
+        F.count(F.lit(1)).over(w).alias("wcnt"),
+    )
+    detr = win.where(F.col("wcnt") == 7).select(
+        (F.col("dd") % 7).alias("dow"),
+        (
+            F.lit(7).cast("decimal(3,0)") * F.col("rev") - F.col("trend_sum")
+        ).alias("detr7"),
+        "rev",
+    )
+    return (
+        detr.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.floor(
+                    F.sum("detr7").cast("double")
+                    / F.count(F.lit(1))
+                    / 7
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("seasonal_component"),
+            (
+                F.floor(
+                    F.sum("rev").cast("double") / F.count(F.lit(1)) * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mean_daily_rev"),
+        )
+        .orderBy("dow")
+    )

@@ -908,6 +908,34 @@ def main() -> int:
         "Join" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "a46_ks_test", execute=True)
+    check(
+        "a46_ks_test",
+        "rational ECDF gap over the distinct-value rollup; no Python",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "a47_mann_whitney_u", execute=True)
+    check(
+        "a47_mann_whitney_u",
+        "pooled rank window + single-row cross of exact moments",
+        "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a48_bootstrap_ci", execute=True)
+    check(
+        "a48_bootstrap_ci",
+        "daily rollup broadcast into the generated pick table",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a49_weekly_decompose", execute=True)
+    check(
+        "a49_weekly_decompose",
+        "calendar range window over the daily rollup; no join, no Python",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
