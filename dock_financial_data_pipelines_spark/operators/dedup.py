@@ -1503,3 +1503,247 @@ def l4_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("err_decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_containment_pairs — near-SUPERSET detection: exact shingle-set
+# containment max(|A∩B|/|A|, |A∩B|/|B|) = |A∩B|/min(|A|,|B|) for every
+# doc pair sharing a shingle. Jaccard misses a short doc pasted into a
+# long one (union dominates); containment is the right statistic for
+# quote/boilerplate/wrapper dedup. Candidates come from the corpus-wide
+# equi-join on 3-token shingle hashes with a docfreq≤64 stopword-shingle
+# cap — the cap bounds per-shingle fanout at 64²/2 pairs, the standard
+# inverted-index guard, applied identically to numerator and denominator
+# (containment is over the capped shingle universe, documented). All
+# counts are exact integers; only the final ratio divides. Cites the
+# reference's file-dedup obligation (REPORT:178-186 idempotent
+# overwrite) restated as a content-level operator.
+# ---------------------------------------------------------------------------
+_CONT_CAP = 64
+_CONT_MIN = 0.6
+
+
+@query(
+    "l_containment_pairs",
+    oracle=f"""
+    WITH {_MH_SHINGLES_SQL},
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   AS h
+        FROM shingles
+    ),
+    freq AS (
+        SELECT h FROM sh GROUP BY h HAVING count(*) <= {_CONT_CAP}
+    ),
+    capped AS (SELECT sh.doc_id, sh.h FROM sh JOIN freq USING (h)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM capped a JOIN capped b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           sa.sz AS size_a, sb.sz AS size_b,
+           floor(CAST(i.n_common AS DOUBLE) / least(sa.sz, sb.sz) * 1e6 + 0.5)
+               / 1e6 AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / least(sa.sz, sb.sz) >= {_CONT_MIN}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def l_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(split(text,' ')) - 3, 0)),"
+                    " i -> concat_ws(' ', slice(split(text,' '), i + 1, 3)))"
+                )
+            ).alias("shingle"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= _CONT_CAP
+    )
+    capped = sh.join(freq.select("h"), "h")
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")
+    )
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("size_a"), F.col("size_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(cont >= _CONT_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            (F.floor(cont * 1e6 + F.lit(0.5)) / 1e6).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_substring_span_pairs — shared-substring detection (the
+# exact-substring dedup of Lee et al.'s "Deduplicating Training Data
+# Makes Language Models Better", restated relationally): stride-1
+# 8-token shingles with their positions, candidate pairs from the
+# shingle-hash equi-join (docfreq≤16 cap — an 8-gram repeating across
+# >16 docs is boilerplate, handled by the containment/minhash family),
+# then maximal shared spans via gaps-and-islands on the match DIAGONAL
+# (ia − ib): consecutive positions on one diagonal are one span of
+# run+7 tokens. Reports pairs sharing a span ≥ 16 tokens — the "same
+# paragraph pasted twice" detector that set-based Jaccard can't see.
+# Everything is exact integers; no Python, no floats anywhere.
+# ---------------------------------------------------------------------------
+_SPAN_CAP = 16
+_SPAN_MIN_TOKENS = 16
+
+
+@query(
+    "l_substring_span_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws,
+               unnest(range(greatest(len(ws) - 8, 0) + 1)) AS i
+        FROM toks
+    ),
+    pos_sh AS (
+        SELECT doc_id, i,
+               CAST(concat('0x', substring(
+                   md5(array_to_string(ws[i + 1 : i + 8], ' ')), 1, 15))
+                   AS BIGINT) AS h
+        FROM idx
+    ),
+    freq AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM pos_sh)
+        GROUP BY h HAVING count(*) <= {_SPAN_CAP}
+    ),
+    capped AS (SELECT p.* FROM pos_sh p JOIN freq USING (h)),
+    matches AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.i AS ia, a.i - b.i AS diag
+        FROM capped a JOIN capped b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag,
+               ia - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                       ORDER BY ia) AS grp
+        FROM matches
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, count(*) AS run
+        FROM isl GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b,
+           CAST(max(run) + 7 AS BIGINT) AS max_span_tokens,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(run) AS BIGINT) AS n_matched_shingles
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING max(run) + 7 >= {_SPAN_MIN_TOKENS}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def l_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pos_sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, greatest(size(split(text,' ')) - 8, 0)),"
+                " i -> concat_ws(' ', slice(split(text,' '), i + 1, 8)))"
+            )
+        ).alias("i", "shingle"),
+    ).select(
+        "doc_id",
+        "i",
+        F.expr(
+            "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    freq = (
+        pos_sh.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _SPAN_CAP)
+        .select("h")
+    )
+    capped = pos_sh.join(freq, "h")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.i").alias("ia"),
+        (F.col("a.i") - F.col("b.i")).alias("diag"),
+    )
+    isl = matches.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("ia")
+            - F.row_number().over(
+                Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+            )
+        ).alias("grp"),
+        "diag",
+    )
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run") + 7).cast("long").alias("max_span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("run").cast("long").alias("n_matched_shingles"),
+        )
+        .where(F.col("max_span_tokens") >= _SPAN_MIN_TOKENS)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1704,3 +1704,139 @@ def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("seasonal_index"),
     ).orderBy("yr", "mth")
+
+
+# ---------------------------------------------------------------------------
+# q_distribution_psi — Population Stability Index drift monitor: the
+# order-total distribution after 1998-06-01 scored against decile bins
+# fitted on the period before it (the deployed-model-vs-training-data
+# check run before any corpus or feature refresh). Bin boundaries come
+# from ntile(10) on the reference period with an o_orderkey tiebreak
+# (total order → identical tiles cross-engine); both periods are then
+# binned BY THE BOUNDARIES (1 + count of boundaries below v) via a
+# broadcast 9-element array, so assignment is a map-side higher-order
+# filter, no join. Laplace-smoothed shares guard empty bins; each bin's
+# (p−q)·ln(p/q) term is rounded to DECIMAL(27,9) before the cross-bin
+# sum (the l_zipf_fit cross-libm policy). Scale note: the reference
+# ntile is the test-scale boundary fit — at 100 TB boundaries come from
+# approx_percentile or a fixed grid (documented; the scoring side is
+# already map-side-only either way).
+# ---------------------------------------------------------------------------
+_PSI_SPLIT = "1998-06-01"
+
+
+@query(
+    "q_distribution_psi",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_totalprice AS v, o_orderkey,
+               CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT} 00:00:00'
+                    THEN 0 ELSE 1 END AS period
+        FROM orders
+    ),
+    tiles AS (
+        SELECT v, ntile(10) OVER (ORDER BY v, o_orderkey) AS tile
+        FROM o WHERE period = 0
+    ),
+    bnds AS (
+        SELECT list_sort(list(b)) AS bnds
+        FROM (SELECT max(v) AS b FROM tiles WHERE tile <= 9 GROUP BY tile)
+    ),
+    assigned AS (
+        SELECT o.period,
+               1 + len(list_filter(bnds.bnds, x -> x < o.v)) AS bin
+        FROM o, bnds
+    ),
+    counts AS (
+        SELECT bin,
+               sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS n_cur
+        FROM assigned GROUP BY bin
+    ),
+    shares AS (
+        SELECT bin, n_ref, n_cur,
+               sum(n_ref) OVER () AS t_ref,
+               sum(n_cur) OVER () AS t_cur
+        FROM counts
+    ),
+    terms AS (
+        SELECT bin, n_ref, n_cur,
+               CAST(n_ref AS DOUBLE) / t_ref AS share_ref,
+               CAST(n_cur AS DOUBLE) / t_cur AS share_cur,
+               CAST(((n_ref + 1.0) / (t_ref + 10) - (n_cur + 1.0) / (t_cur + 10))
+                    * ln(((n_ref + 1.0) / (t_ref + 10))
+                         / ((n_cur + 1.0) / (t_cur + 10)))
+                    AS DECIMAL(27,9)) AS psi_term
+        FROM shares
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           floor(share_ref * 1e6 + 0.5) / 1e6 AS share_ref,
+           floor(share_cur * 1e6 + 0.5) / 1e6 AS share_cur,
+           CAST(psi_term AS DOUBLE) AS psi_term,
+           CAST(sum(psi_term) OVER () AS DOUBLE) AS psi_total
+    FROM terms ORDER BY bin
+    """,
+)
+def q_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+        F.when(F.col("o_orderdate") < F.lit(_PSI_SPLIT), 0)
+        .otherwise(1)
+        .alias("period"),
+    )
+    tiles = o.where(F.col("period") == 0).select(
+        "v", F.ntile(10).over(Window.orderBy("v", "o_orderkey")).alias("tile")
+    )
+    bnds = (
+        tiles.where(F.col("tile") <= 9)
+        .groupBy("tile")
+        .agg(F.max("v").alias("b"))
+        .agg(F.sort_array(F.collect_list("b")).alias("bnds"))
+    )
+    assigned = o.crossJoin(F.broadcast(bnds)).selectExpr(
+        "period", "1 + size(filter(bnds, x -> x < v)) AS bin"
+    )
+    counts = assigned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shares = counts.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(full).alias("t_ref"),
+        F.sum("n_cur").over(full).alias("t_cur"),
+    )
+    n_ref, n_cur = F.col("n_ref"), F.col("n_cur")
+    t_ref, t_cur = F.col("t_ref"), F.col("t_cur")
+    p = (n_ref + 1.0) / (t_ref + 10)
+    q = (n_cur + 1.0) / (t_cur + 10)
+    terms = shares.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (n_ref.cast("double") / t_ref).alias("share_ref"),
+        (n_cur.cast("double") / t_cur).alias("share_cur"),
+        ((p - q) * F.log(p / q)).cast("decimal(27,9)").alias("psi_term"),
+    )
+    return terms.select(
+        F.col("bin").cast("int").alias("bin"),
+        n_ref.cast("long").alias("n_ref"),
+        n_cur.cast("long").alias("n_cur"),
+        (F.floor(F.col("share_ref") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "share_ref"
+        ),
+        (F.floor(F.col("share_cur") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "share_cur"
+        ),
+        F.col("psi_term").cast("double").alias("psi_term"),
+        F.sum("psi_term").over(full).cast("double").alias("psi_total"),
+    ).orderBy("bin")

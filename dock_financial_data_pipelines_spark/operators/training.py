@@ -1113,3 +1113,123 @@ def l_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("cross_entropy_nats"),
     ).drop("v")
+
+
+# ---------------------------------------------------------------------------
+# l_perplexity_buckets — CCNet-style corpus split: score every document
+# under the corpus unigram LM (the l_unigram_logprob machinery) and cut
+# each language into head/middle/tail terciles by per-word
+# -log2 p — the head/middle/tail partition CCNet uses to grade crawl
+# quality before sampling. Per-doc scores are floored to the 1e-4 grid
+# first (exact DECIMAL thereafter), the tercile cut is ntile(3) with a
+# doc_id tiebreak (total order → identical buckets cross-engine), and
+# bucket means accumulate at DECIMAL(27,4). Plan: vocabulary aggregate +
+# broadcast-joined scoring scan (the LM is vocabulary-sized, never
+# corpus-sized), then a per-language window over the doc-level rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "l_perplexity_buckets",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+    scored AS (
+        SELECT words.doc_id, words.lang,
+               -log2(CAST(v.cnt AS DOUBLE) / t.total) AS lp
+        FROM words JOIN vocab v ON words.w = v.w CROSS JOIN tot t
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               floor(CAST(sum(CAST(lp AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(*) * 1e4 + 0.5) / 1e4 AS score
+        FROM scored GROUP BY 1, 2
+    ),
+    cut AS (
+        SELECT lang, score,
+               ntile(3) OVER (PARTITION BY lang ORDER BY score, doc_id)
+                   AS tercile
+        FROM per_doc
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(CAST(sum(CAST(score AS DECIMAL(27,4))) AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS mean_score,
+           min(score) AS min_score,
+           max(score) AS max_score
+    FROM cut GROUP BY lang, tercile ORDER BY lang, bucket
+    """,
+)
+def l_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    words = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(split(text,' '), x -> xxhash64(x))")
+        ).alias("w"),
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = words.join(maybe_broadcast(vocab), "w").crossJoin(
+        maybe_broadcast(total)
+    )
+    lp = -F.log2(F.col("cnt").cast("double") / F.col("total"))
+    per_doc = (
+        scored.select(
+            "doc_id", "lang", lp.cast("decimal(27,6)").alias("lp")
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.floor(
+                    F.sum("lp").cast("double") / F.count(F.lit(1)) * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("score")
+        )
+    )
+    cut = per_doc.select(
+        "lang",
+        "score",
+        F.ntile(3)
+        .over(Window.partitionBy("lang").orderBy("score", "doc_id"))
+        .alias("tercile"),
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        cut.groupBy("lang", "tercile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.floor(
+                    F.sum(F.col("score").cast("decimal(27,4)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mean_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .select(
+            "lang",
+            bucket.alias("bucket"),
+            "n_docs",
+            "mean_score",
+            "min_score",
+            "max_score",
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -880,3 +880,88 @@ def w20_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W21 — month-anchored VWAP: per ship-day volume-weighted average price
+# (Σ extendedprice / Σ quantity) plus the cumulative month-to-date VWAP
+# (the anchored-VWAP execution benchmark reset at each month boundary).
+# Numerator and denominator accumulate as DECIMALs — daily rollup first,
+# then a month-partitioned running window over ~30 rows — and divide
+# only in the final report. Plan: one scan, one hash aggregate on day,
+# one bounded window; the window partition is the month, so parallelism
+# survives any calendar length.
+# ---------------------------------------------------------------------------
+@query(
+    "w21_anchored_vwap",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2)))
+                    AS DECIMAL(27,2)) AS pq,
+               CAST(sum(CAST(l_quantity AS DECIMAL(27,2)))
+                    AS DECIMAL(27,2)) AS qty
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT day, pq, qty,
+               sum(pq) OVER (PARTITION BY date_trunc('month', day)
+                             ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_pq,
+               sum(qty) OVER (PARTITION BY date_trunc('month', day)
+                              ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_qty
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           floor(CAST(pq AS DOUBLE) / CAST(qty AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS daily_vwap,
+           floor(CAST(cum_pq AS DOUBLE) / CAST(cum_qty AS DOUBLE) * 1e6 + 0.5)
+               / 1e6 AS anchored_vwap
+    FROM cum ORDER BY day
+    """,
+)
+def w21_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+            .cast("decimal(27,2)")
+            .alias("pq"),
+            F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+            .cast("decimal(27,2)")
+            .alias("qty"),
+        )
+    )
+    w = (
+        Window.partitionBy(F.date_trunc("month", F.col("day")))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "day",
+        "pq",
+        "qty",
+        F.sum("pq").over(w).alias("cum_pq"),
+        F.sum("qty").over(w).alias("cum_qty"),
+    )
+    return cum.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (
+            F.floor(
+                F.col("pq").cast("double") / F.col("qty").cast("double") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("daily_vwap"),
+        (
+            F.floor(
+                F.col("cum_pq").cast("double")
+                / F.col("cum_qty").cast("double")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("anchored_vwap"),
+    ).orderBy("day")

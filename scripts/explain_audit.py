@@ -936,6 +936,42 @@ def main() -> int:
         "Join" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "q_distribution_psi", execute=True)
+    check(
+        "q_distribution_psi",
+        "boundary array broadcast; binning is a map-side HOF, no data join",
+        ("BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w21_anchored_vwap", execute=True)
+    check(
+        "w21_anchored_vwap",
+        "month-partitioned running window over the daily rollup; no join",
+        "SortMergeJoin" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_containment_pairs", execute=True)
+    check(
+        "l_containment_pairs",
+        "candidates from the shingle equi-join (no cartesian), no Python",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_substring_span_pairs", execute=True)
+    check(
+        "l_substring_span_pairs",
+        "positional shingle equi-join + diagonal window; no cartesian",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_perplexity_buckets", execute=True)
+    check(
+        "l_perplexity_buckets",
+        "vocabulary LM broadcast into the scoring scan",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
