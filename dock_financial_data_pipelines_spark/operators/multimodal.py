@@ -218,3 +218,88 @@ def l7_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("meta.n_bytes")).cast("long").alias("total_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L7e — perceptual-hash near-dup pipeline over the binary payload: the
+# banded-Hamming plumbing every image/audio near-dup system runs, with
+# the perceptual feature produced by the DECODE STUB (a real pHash
+# needs the image libs this container deliberately lacks — the stub is
+# the 60-bit md5 of the first 64 payload bytes, i.e. a "thumbnail"
+# fingerprint; swap `_phash64` for a DCT pHash in production and
+# nothing downstream changes). The near-dup machinery is real and
+# scale-shaped: the 60-bit hash splits into 4×15-bit bands, candidate
+# pairs come from a band equi-join (pigeonhole: Hamming ≤ 3 ⇒ at least
+# one band equal — the simhash argument, dedup.py:424), and the exact
+# Hamming verify is bit_count(xor) on candidates only. Only
+# (asset_id, hash) ever shuffles — the payload stays at the scan.
+# ---------------------------------------------------------------------------
+_PHASH_PREFIX = 64  # payload bytes feeding the stub "thumbnail" hash
+_PHASH_HAMMING = 3
+
+
+@query(
+    "l7_phash_neardup",
+    oracle=f"""
+    WITH ph AS (
+        SELECT doc_id AS asset_id,
+               CAST(concat('0x', substring(
+                   md5(substring(text, 1, {_PHASH_PREFIX})), 1, 15))
+                   AS BIGINT) AS h
+        FROM documents
+    ),
+    bands AS (
+        SELECT asset_id, h, b, (h >> (b * 15)) & 32767 AS band_key
+        FROM ph, (SELECT unnest(range(4)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+               a.h AS ha, b.h AS hb
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key
+         AND a.asset_id < b.asset_id
+    )
+    SELECT asset_a, asset_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_PHASH_HAMMING}
+    ORDER BY asset_a, asset_b
+    """,
+)
+def l7_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = to_multimodal(load(spark, sf_dir, "documents"))
+    ph = assets.select(
+        "asset_id",
+        F.expr(
+            f"CAST(conv(substring(md5(substr(content, 1, {_PHASH_PREFIX})), "
+            "1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    bands = ph.select(
+        "asset_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn("band_key", F.expr("shiftright(h, b * 15) % 32768"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.where(ham <= _PHASH_HAMMING)
+        .select("asset_a", "asset_b", ham.cast("int").alias("hamming"))
+        .orderBy("asset_a", "asset_b")
+    )

@@ -914,3 +914,159 @@ def l_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_pca_power_iteration — the top principal direction of the embedding
+# corpus by distributed power iteration (the dominant-eigenvector pass
+# behind embedding whitening / anisotropy removal, e.g. the
+# all-but-the-top post-processing common before ANN indexing).
+#
+# Integer-exact scheme (the IVF/k-means determinism move applied to
+# linear algebra): components quantize to BIGINT at 2^12
+# (floor(x·4096 + 0.5) — floor is identical cross-engine on negatives);
+# the iterate v keeps an invariant |v| ≤ 4096. One iteration is two
+# distributed matvecs: s_i = Σ_j x_ij·v_j (row scores, |s| ≤ 2^30),
+# rescaled by magnitude-only floor division sign(s)·(|s| div 4096) —
+# division happens on the NON-NEGATIVE |s| because Spark's DIV
+# truncates while DuckDB's // floors, and they only agree on
+# non-negatives — then w_j = Σ_i x_ij·s'_i, renormalized to
+# v'_j = sign(w)·(|w|·4096 div max|w|). The first iterations feed the
+# 64-element iterate back through the driver (only a dim-sized vector
+# ever leaves the cluster — the IVF centroid contract); the LAST
+# iteration stays fully in DataFrame land, so the reported loadings are
+# computed distributed. The DuckDB oracle unrolls all iterations as
+# CTEs and reproduces the loadings bit-for-bit. v0 is a deterministic
+# md5-parity ±4096 vector. Convergence to the true eigenvector is a
+# property of the spectrum, not the engine — 5 iterations on 64 dims is
+# the calibration-audit shape, not a claim of full convergence.
+# ---------------------------------------------------------------------------
+_PCA_ITERS = 5  # total matvec rounds (4 driver-fed + 1 distributed)
+
+
+def _pca_v0() -> list:
+    import hashlib
+
+    out = []
+    for d in range(_EMB_DIM):
+        h = int(hashlib.md5(f"pca#{d}".encode()).hexdigest()[:15], 16)
+        out.append(4096 if h % 2 == 0 else -4096)
+    return out
+
+
+def _pca_oracle_sql() -> str:
+    head = f"""
+    WITH x AS (
+        SELECT vec_id,
+               CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 4096.0 + 0.5)
+                    AS BIGINT) AS xq,
+               unnest(range({_EMB_DIM})) AS i
+        FROM embeddings
+    ),
+    v0 AS (
+        SELECT CAST(t.i AS INT) AS i,
+               CASE WHEN CAST(concat('0x', substring(
+                        md5('pca#' || CAST(t.i AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 2 = 0
+                    THEN 4096 ELSE -4096 END AS v
+        FROM range({_EMB_DIM}) t(i)
+    )"""
+    body = ""
+    prev = "v0"
+    for it in range(1, _PCA_ITERS + 1):
+        body += f""",
+    s{it} AS (
+        SELECT x.vec_id, sum(x.xq * {prev}.v) AS s
+        FROM x JOIN {prev} ON x.i = {prev}.i GROUP BY 1
+    ),
+    sr{it} AS (
+        SELECT vec_id,
+               (CASE WHEN s < 0 THEN -1 ELSE 1 END) * (abs(s) // 4096) AS sr
+        FROM s{it}
+    ),
+    w{it} AS (
+        SELECT x.i, sum(x.xq * sr{it}.sr) AS w
+        FROM x JOIN sr{it} ON x.vec_id = sr{it}.vec_id GROUP BY 1
+    ),
+    m{it} AS (SELECT max(abs(w)) AS m FROM w{it}),
+    v{it} AS (
+        SELECT i, (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                      * ((abs(w) * 4096) // m.m) AS v
+        FROM w{it}, m{it} m
+    )"""
+        prev = f"v{it}"
+    tail = f"""
+    SELECT CAST(i AS INT) AS dim,
+           CAST(v AS BIGINT) AS loading_fp,
+           floor(CAST(v AS DOUBLE) / 4096 * 1e6 + 0.5) / 1e6 AS loading
+    FROM v{_PCA_ITERS} ORDER BY dim
+    """
+    return head + body + tail
+
+
+@query("l_pca_power_iteration", oracle=_pca_oracle_sql())
+def l_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    xq = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(e, x -> CAST(floor(x * 4096.0D + 0.5D) AS BIGINT))"
+        ).alias("xq"),
+    )
+
+    def matvec_frame(v: list) -> DataFrame:
+        """One power-iteration round against the literal iterate v:
+        returns the 64-row (pos, w) frame, fully distributed."""
+        vcol = F.array(*[F.lit(int(x)) for x in v])
+        s = (
+            xq.withColumn("_v", vcol)
+            .withColumn(
+                "s",
+                F.expr(
+                    "aggregate(zip_with(xq, _v, (x, y) -> x * y),"
+                    " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+                ),
+            )
+            .withColumn(
+                "sr",
+                F.when(F.col("s") < 0, -1).otherwise(1)
+                * F.expr("abs(s) DIV 4096L"),
+            )
+        )
+        return (
+            s.select("sr", F.posexplode("xq").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("val") * F.col("sr")).alias("w"))
+        )
+
+    v = _pca_v0()
+    for _ in range(_PCA_ITERS - 1):
+        rows = matvec_frame(v).collect()  # dim-sized vector only
+        wvec = {int(r["pos"]): int(r["w"]) for r in rows}
+        m = max(abs(x) for x in wvec.values())
+        v = [
+            (-1 if wvec[d] < 0 else 1) * ((abs(wvec[d]) * 4096) // m)
+            for d in range(_EMB_DIM)
+        ]
+
+    final_w = matvec_frame(v)
+    mrow = final_w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    out = final_w.crossJoin(F.broadcast(mrow)).select(
+        F.col("pos").cast("int").alias("dim"),
+        (
+            (F.when(F.col("w") < 0, -1).otherwise(1))
+            * F.expr("(abs(w) * 4096L) DIV m")
+        )
+        .cast("long")
+        .alias("loading_fp"),
+    )
+    return out.select(
+        "dim",
+        "loading_fp",
+        (
+            F.floor(F.col("loading_fp").cast("double") / 4096 * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("loading"),
+    ).orderBy("dim")

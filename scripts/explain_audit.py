@@ -972,6 +972,20 @@ def main() -> int:
         "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_pca_power_iteration", execute=True)
+    check(
+        "l_pca_power_iteration",
+        "distributed matvecs; no Python in the final pass",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "l7_phash_neardup", execute=True)
+    check(
+        "l7_phash_neardup",
+        "band equi-join candidates; payload never shuffles, no Python",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0

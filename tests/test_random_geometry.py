@@ -24,7 +24,8 @@ from tests._compare import compare_frames, duck_connection
 engine.load_all()
 
 _SRC = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
-_QUERIES = ["l5_ann_lsh_topk", "l5_ivf_topk", "l_semantic_dedup"]
+_QUERIES = ["l5_ann_lsh_topk", "l5_ivf_topk", "l_semantic_dedup",
+            "l_pca_power_iteration"]
 _N, _DIM = 300, 64
 
 
@@ -71,3 +72,35 @@ def test_random_geometry_parity(spark, geom_dir, name):
     spark_pdf = engine.QUERIES[name](spark, geom_dir).toPandas()
     assert len(spark_pdf) > 0, f"{name}: empty result on random geometry"
     compare_frames(spark_pdf, con.sql(engine.ORACLES[name]).df(), name)
+
+
+def test_pca_power_iteration_converges(spark, tmp_path_factory):
+    """Quality gate for the integer power iteration: on a geometry with
+    a real spectral gap (clustered vectors), 5 rounds must land within
+    cosine 0.9 of numpy's exact dominant eigenvector of the quantized
+    second-moment matrix. (The sf fixtures are near-isotropic — gap
+    ~1.07 — where a dominant direction barely exists; determinism is
+    what the parity test above checks there.)"""
+    out = str(tmp_path_factory.mktemp("pcageom"))
+    for name in TABLES:
+        if name == "embeddings":
+            continue
+        src = os.path.join(_SRC, f"{name}.parquet")
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(out, f"{name}.parquet"))
+    _write_embeddings(os.path.join(out, "embeddings.parquet"), 11, True)
+    pdf = engine.QUERIES["l_pca_power_iteration"](spark, out).toPandas()
+    v = pdf.sort_values("dim")["loading_fp"].to_numpy().astype(float)
+
+    import pyarrow.parquet as papq
+
+    x = np.stack(
+        papq.read_table(os.path.join(out, "embeddings.parquet"))
+        .to_pandas()["embedding"]
+        .to_numpy()
+    )
+    xq = np.floor(x * 4096 + 0.5)
+    _, vecs = np.linalg.eigh(xq.T @ xq)
+    top = vecs[:, -1]
+    cos = abs(v @ top / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos >= 0.9, f"power iteration off-axis: cosine {cos:.3f}"
