@@ -1747,3 +1747,98 @@ def l_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("max_span_tokens") >= _SPAN_MIN_TOKENS)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_url_canonical_dedup — URL-canonicalization dedup, the cheapest and
+# highest-yield pass in any crawl pipeline (the same page fetched under
+# scheme/www/query-string variants): lowercase, strip scheme and
+# leading www., drop query/fragment, drop the trailing slash, then
+# group. URLs are seeded deterministically into the fixture text (the
+# l_url_domain_stats device) WITH tracking params and case noise so
+# canonicalization has real work to do. All regexes are anchored or
+# suffix-greedy, so Spark's replace-all and DuckDB's replace-first
+# semantics coincide. One extract + one hash aggregate — map-side,
+# payload never shuffles (only the canonical key, id and count do).
+# ---------------------------------------------------------------------------
+_CANON_URL_RE = "https?://[^ ]+"
+
+
+@query(
+    "l_url_canonical_dedup",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               'HTTPS://www.Site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.org/item' || CAST(doc_id % 50 AS VARCHAR)
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN '/?utm_source=' || CAST(doc_id AS VARCHAR)
+                           ELSE '#frag' || CAST(doc_id AS VARCHAR) END
+                   AS url
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(url), '^https?://', ''),
+                           '^www\\.', ''),
+                       '[?#].*$', ''),
+                   '/$', '') AS canonical_url
+        FROM seeded
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS kept_doc
+    FROM canon GROUP BY 1 HAVING count(*) > 1
+    ORDER BY canonical_url
+    """,
+)
+def l_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeded = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTPS://www.Site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.org/item"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.concat(
+                        F.lit("/?utm_source="), F.col("doc_id").cast("string")
+                    ),
+                ).otherwise(
+                    F.concat(F.lit("#frag"), F.col("doc_id").cast("string"))
+                ),
+            ).alias("url"),
+        )
+    )
+    canon = seeded.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("url")), "^https?://", ""),
+                    "^www\\.",
+                    "",
+                ),
+                "[?#].*$",
+                "",
+            ),
+            "/$",
+            "",
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("kept_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("canonical_url")
+    )

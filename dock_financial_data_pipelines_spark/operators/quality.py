@@ -1840,3 +1840,192 @@ def q_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("psi_term").cast("double").alias("psi_term"),
         F.sum("psi_term").over(full).cast("double").alias("psi_total"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# q_markov_attribution — Markov removal-effect attribution (the
+# data-driven alternative to first/last-touch in q_touch_attribution):
+# model each user's event journey as a first-order chain
+# (start → view/click/signup/error → conv|null, absorbing at the first
+# purchase), then credit each channel by how much the K-step conversion
+# probability drops when that channel's transitions are redirected to
+# null (the standard removal-effect construction, no renormalization).
+#
+# Scale/exactness split: the DATA-sized work is the transition-count
+# aggregate (one ordered window per user + one groupBy — linear, the
+# q_event_transitions shape); the chain solve runs on the
+# state-space-bounded count matrix (≤ (#event_types+2)² rows — NOT
+# data-sized; it returns to the driver under the same bounded-collect
+# contract as the IVF centroid matrix). Probabilities are scaled
+# integers: pnum = cnt·1e12 div tot, iterates live at 1e6 scale, every
+# update Σ(pnum·v) div 1e12 stays within BIGINT (Σpnum ≤ 1e12, v ≤ 1e6
+# → ≤ 1e18) — non-negative throughout, so Python //, Spark DIV and
+# DuckDB // agree, and the oracle replays all K=8 unrolled iterations
+# per scenario bit-for-bit.
+# ---------------------------------------------------------------------------
+_MK_CHANNELS = ("click", "error", "signup", "view")
+_MK_K = 8
+_MK_TRANS_SQL = """
+    ev AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 'conv'
+                    ELSE event_type END AS state,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    cut AS (
+        SELECT user_id,
+               coalesce(min(CASE WHEN state = 'conv' THEN rn END),
+                        2147483647) AS convrn
+        FROM ev GROUP BY 1
+    ),
+    kept AS (
+        SELECT e.user_id, e.state, e.rn
+        FROM ev e JOIN cut c USING (user_id) WHERE e.rn <= c.convrn
+    ),
+    steps AS (
+        SELECT state AS t,
+               coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY rn),
+                        'start') AS f
+        FROM kept
+    ),
+    ends AS (SELECT user_id, max(rn) AS mrn FROM kept GROUP BY 1),
+    lasts AS (
+        SELECT k.state AS f, 'null' AS t
+        FROM kept k JOIN ends e ON k.user_id = e.user_id AND k.rn = e.mrn
+        WHERE k.state <> 'conv'
+    ),
+    trans AS (
+        SELECT f, t FROM steps UNION ALL SELECT f, t FROM lasts
+    ),
+    counts AS (SELECT f, t, count(*) AS cnt FROM trans GROUP BY 1, 2),
+    tots AS (SELECT f, sum(cnt) AS tot FROM counts GROUP BY 1),
+    pfull AS MATERIALIZED (
+        SELECT c.f, c.t,
+               CAST((c.cnt * 1000000000000) // t2.tot AS BIGINT) AS pnum
+        FROM counts c JOIN tots t2 ON c.f = t2.f
+    )
+"""
+
+
+def _mk_chain_ctes(tag: str, excl: str | None) -> str:
+    where = f"WHERE t <> '{excl}'" if excl else ""
+    out = [
+        f"p{tag} AS (SELECT f, t, pnum FROM pfull {where})",
+        f"v{tag}0 AS (SELECT 'conv' AS s, CAST(1000000 AS BIGINT) AS v)",
+    ]
+    prev = f"v{tag}0"
+    for k in range(1, _MK_K + 1):
+        out.append(
+            f"""v{tag}{k} AS (
+        SELECT p.f AS s,
+               CAST(sum(p.pnum * coalesce(vp.v, 0)) // 1000000000000
+                    AS BIGINT) AS v
+        FROM p{tag} p LEFT JOIN {prev} vp ON vp.s = p.t
+        GROUP BY p.f
+        UNION ALL SELECT 'conv', CAST(1000000 AS BIGINT))"""
+        )
+        prev = f"v{tag}{k}"
+    return ",\n    ".join(out)
+
+
+def _mk_oracle_sql() -> str:
+    chains = [_mk_chain_ctes("f0", None)] + [
+        _mk_chain_ctes(f"x{i}", c) for i, c in enumerate(_MK_CHANNELS)
+    ]
+    start_v = (
+        "coalesce((SELECT v FROM v{tag}%d WHERE s = 'start'), 0)" % _MK_K
+    )
+    rows = ",\n        ".join(
+        f"('{c}', {start_v.format(tag='f0')}, {start_v.format(tag=f'x{i}')})"
+        for i, c in enumerate(_MK_CHANNELS)
+    )
+    chains_sql = ",\n    ".join(chains)
+    return f"""
+    WITH {_MK_TRANS_SQL},
+    {chains_sql},
+    report(channel, vf, vr) AS (VALUES
+        {rows})
+    SELECT channel,
+           CAST(vf AS DOUBLE) / 1e6 AS p_conv_full,
+           CAST(vr AS DOUBLE) / 1e6 AS p_conv_removed,
+           floor(CAST(vf - vr AS DOUBLE) / vf * 1e6 + 0.5) / 1e6
+               AS removal_effect
+    FROM report ORDER BY channel
+    """
+
+
+@query("q_markov_attribution", oracle=_mk_oracle_sql())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    cut = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("state") == "conv", F.col("rn"))),
+            F.lit(2147483647),
+        ).alias("convrn")
+    )
+    kept = ev.join(cut, "user_id").where(F.col("rn") <= F.col("convrn"))
+    steps = kept.select(
+        F.col("state").alias("t"),
+        F.coalesce(
+            F.lag("state").over(
+                Window.partitionBy("user_id").orderBy("rn")
+            ),
+            F.lit("start"),
+        ).alias("f"),
+    )
+    ends = kept.groupBy("user_id").agg(F.max("rn").alias("mrn"))
+    lasts = (
+        kept.join(ends, "user_id")
+        .where((F.col("rn") == F.col("mrn")) & (F.col("state") != "conv"))
+        .select(F.col("state").alias("f"), F.lit("null").alias("t"))
+    )
+    counts = (
+        steps.unionByName(lasts)
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # State-space-bounded collect: ≤ (#event_types + 2)² rows ever reach
+    # the driver — the transition MATRIX, never the transitions.
+    rows = counts.collect()
+    cnt = {(r["f"], r["t"]): int(r["cnt"]) for r in rows}
+    tot: dict = {}
+    for (f, _t), c in cnt.items():
+        tot[f] = tot.get(f, 0) + c
+    pnum = {
+        (f, t): (c * 10**12) // tot[f] for (f, t), c in cnt.items()
+    }
+
+    def chain(excl: str | None) -> int:
+        p = {k: v for k, v in pnum.items() if excl is None or k[1] != excl}
+        v = {"conv": 10**6}
+        for _ in range(_MK_K):
+            nxt: dict = {}
+            for (f, t), pn in p.items():
+                nxt[f] = nxt.get(f, 0) + pn * v.get(t, 0)
+            v = {f: s // 10**12 for f, s in nxt.items()}
+            v["conv"] = 10**6
+        return v.get("start", 0)
+
+    vf = chain(None)
+    out = []
+    for c in _MK_CHANNELS:
+        vr = chain(c)
+        eff = __import__("math").floor((vf - vr) / vf * 1e6 + 0.5) / 1e6
+        out.append((c, vf / 1e6, vr / 1e6, eff))
+    return spark.createDataFrame(
+        out,
+        "channel STRING, p_conv_full DOUBLE, p_conv_removed DOUBLE, "
+        "removal_effect DOUBLE",
+    ).orderBy("channel")

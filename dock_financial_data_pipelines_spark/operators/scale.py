@@ -2127,3 +2127,211 @@ def a49_weekly_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# A50 — multiple regression (two regressors + intercept) by closed-form
+# 3×3 normal equations: ln(quantity) on ln(unit price) and discount,
+# per return flag. The distributed work is ONE scan producing the nine
+# sufficient moments (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y) —
+# the standard "sufficient statistics, not data" shape that scales to
+# any corpus; per-row ln is rounded to DECIMAL(27,9) before the exact
+# decimal summation (cross-libm policy, a34/a28), products of rounded
+# logs round at DECIMAL(38,6). Cramer's rule solves the system in
+# double arithmetic of identical shape on both engines (floored 1e-6).
+# ---------------------------------------------------------------------------
+@query(
+    "a50_multiple_regression",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS flag,
+               floor(ln(l_extendedprice / l_quantity) * 1e9 + 0.5) / 1e9 AS x1,
+               CAST(l_discount AS DOUBLE) AS x2,
+               floor(ln(l_quantity) * 1e9 + 0.5) / 1e9 AS y
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    m AS (
+        SELECT flag, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x1 AS DECIMAL(27,9))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(x2 AS DECIMAL(27,9))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(y AS DECIMAL(27,9))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x1 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+               CAST(sum(CAST(x1 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+               CAST(sum(CAST(x2 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+               CAST(sum(CAST(x1 * y AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+               CAST(sum(CAST(x2 * y AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+        FROM pts GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n_lines,
+           floor((sy * (s11 * s22 - s12 * s12)
+                  - s1y * (s1 * s22 - s12 * s2)
+                  + s2y * (s1 * s12 - s11 * s2))
+                 / (n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2)) * 1e6 + 0.5) / 1e6
+               AS intercept,
+           floor((n * (s1y * s22 - s12 * s2y)
+                  - s1 * (sy * s22 - s2 * s2y)
+                  + s2 * (sy * s12 - s2 * s1y))
+                 / (n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2)) * 1e6 + 0.5) / 1e6
+               AS beta_ln_price,
+           floor((n * (s11 * s2y - s1y * s12)
+                  - s1 * (s1 * s2y - sy * s12)
+                  + s2 * (s1 * s1y - sy * s11))
+                 / (n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2)) * 1e6 + 0.5) / 1e6
+               AS beta_discount
+    FROM m ORDER BY flag
+    """,
+)
+def a50_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    r9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        r9(F.log(F.col("l_extendedprice") / F.col("l_quantity"))).alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+        r9(F.log(F.col("l_quantity"))).alias("y"),
+    )
+    d6 = lambda a, b: F.sum((F.col(a) * F.col(b)).cast("decimal(38,6)")).cast(
+        "double"
+    )
+    m = pts.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x1").cast("decimal(27,9)")).cast("double").alias("s1"),
+        F.sum(F.col("x2").cast("decimal(27,9)")).cast("double").alias("s2"),
+        F.sum(F.col("y").cast("decimal(27,9)")).cast("double").alias("sy"),
+        d6("x1", "x1").alias("s11"),
+        d6("x1", "x2").alias("s12"),
+        d6("x2", "x2").alias("s22"),
+        d6("x1", "y").alias("s1y"),
+        d6("x2", "y").alias("s2y"),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y = F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1y * (s1 * s22 - s12 * s2)
+        + s2y * (s1 * s12 - s11 * s2)
+    ) / det
+    b1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - s1 * (sy * s22 - s2 * s2y)
+        + s2 * (sy * s12 - s2 * s1y)
+    ) / det
+    b2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - sy * s12)
+        + s2 * (s1 * s1y - sy * s11)
+    ) / det
+    fl = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    return m.select(
+        "flag",
+        n.cast("long").alias("n_lines"),
+        fl(b0).alias("intercept"),
+        fl(b1).alias("beta_ln_price"),
+        fl(b2).alias("beta_discount"),
+    ).orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# A51 — count-min sketch heavy hitters: the mergeable streaming-sketch
+# answer to "top terms without a full vocabulary" — d=4 md5 hash rows ×
+# w=256 counters, every cell an exact BIGINT (the sketch aggregate is
+# one groupBy over (row, bucket) — 1024 cells total regardless of
+# corpus size, trivially mergeable across shards/days). The report
+# joins the true top-10 terms (exact counts, for calibration) against
+# their 4 cells and takes the min — the CMS estimate — with the
+# overestimate delta made visible. Everything is integer; the hash
+# family is the engine-portable md5-60bit idiom.
+# ---------------------------------------------------------------------------
+_CMS_W = 256
+_CMS_D = 4
+
+
+@query(
+    "a51_countmin_heavy_hitters",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    true_counts AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),
+    cells AS (
+        SELECT r.r,
+               CAST(concat('0x', substring(
+                   md5(tc.w || '#cm' || CAST(r.r AS VARCHAR)), 1, 15))
+                   AS BIGINT) % {_CMS_W} AS bucket,
+               sum(tc.cnt) AS cell
+        FROM true_counts tc, (SELECT unnest(range({_CMS_D})) AS r) r
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT w, cnt,
+               row_number() OVER (ORDER BY cnt DESC, w) AS rk
+        FROM true_counts
+    ),
+    probe AS (
+        SELECT t.w, t.cnt, t.rk, r.r,
+               CAST(concat('0x', substring(
+                   md5(t.w || '#cm' || CAST(r.r AS VARCHAR)), 1, 15))
+                   AS BIGINT) % {_CMS_W} AS bucket
+        FROM top t, (SELECT unnest(range({_CMS_D})) AS r) r
+        WHERE t.rk <= 10
+    )
+    SELECT p.w AS term, CAST(max(p.cnt) AS BIGINT) AS true_count,
+           CAST(min(c.cell) AS BIGINT) AS cms_estimate,
+           CAST(min(c.cell) - max(p.cnt) AS BIGINT) AS overestimate
+    FROM probe p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY p.w
+    ORDER BY true_count DESC, term
+    """,
+)
+def a51_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    words = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    true_counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
+    hashed = true_counts.select("w", "cnt", rows).withColumn(
+        "bucket",
+        F.expr(
+            "CAST(conv(substring(md5(concat(w, '#cm', CAST(r AS STRING))),"
+            f" 1, 15), 16, 10) AS BIGINT) % {_CMS_W}"
+        ),
+    )
+    cells = hashed.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell"))
+    top = true_counts.select(
+        "w",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "w"))
+        .alias("rk"),
+    ).where(F.col("rk") <= 10)
+    probe = top.select("w", "cnt", "rk", rows).withColumn(
+        "bucket",
+        F.expr(
+            "CAST(conv(substring(md5(concat(w, '#cm', CAST(r AS STRING))),"
+            f" 1, 15), 16, 10) AS BIGINT) % {_CMS_W}"
+        ),
+    )
+    return (
+        probe.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy(F.col("w").alias("term"))
+        .agg(
+            F.max("cnt").cast("long").alias("true_count"),
+            F.min("cell").cast("long").alias("cms_estimate"),
+            (F.min("cell") - F.max("cnt")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.col("true_count").desc(), "term")
+    )

@@ -986,6 +986,34 @@ def main() -> int:
         "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "q_markov_attribution", execute=True)
+    check(
+        "q_markov_attribution",
+        "transition counts via window+hash agg; no Python eval operator",
+        "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a50_multiple_regression", execute=True)
+    check(
+        "a50_multiple_regression",
+        "nine sufficient moments in ONE scan; no join, no Python",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a51_countmin_heavy_hitters", execute=True)
+    check(
+        "a51_countmin_heavy_hitters",
+        "1024-cell sketch broadcast into the probe join",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_url_canonical_dedup", execute=True)
+    check(
+        "l_url_canonical_dedup",
+        "map-side canonicalization + one hash aggregate; no join",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
