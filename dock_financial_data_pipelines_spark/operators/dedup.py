@@ -839,15 +839,23 @@ def l_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).select(F.col("_id").alias("vec_id"), "cell", F.col("ce").alias("e"))
 
-    a = cells.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+    # Norms factored out per ROW (sqrt(x·x) is the same double wherever
+    # it is computed, so the per-pair cosine is bit-identical to the
+    # oracle's form — this just avoids 2 of the 3 dot products per pair).
+    normed = cells.withColumn("nrm", F.sqrt(_dot("e", "e")))
+    a = normed.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    b = cells.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
+    b = normed.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = _dot("ea", "eb") / (
-        F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))
-    )
+    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     dropped = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))  # within-cell pairs once
