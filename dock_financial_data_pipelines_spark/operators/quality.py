@@ -2029,3 +2029,190 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel STRING, p_conv_full DOUBLE, p_conv_removed DOUBLE, "
         "removal_effect DOUBLE",
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# q_abc_xyz_matrix — the inventory-planning classification grid: parts
+# classed A/B/C by cumulative revenue share (80/95 cuts — the
+# q_abc_classification rule) and X/Y/Z by demand variability
+# (coefficient of variation of monthly quantities: <0.5 X, <1.0 Y,
+# else Z). Revenue shares use exact decimal cumulative sums over the
+# part rollup; CV comes from decimal moments (n·Σq² − (Σq)² rational
+# core, divide-last). One scan builds both part-level aggregates; the
+# 9-cell report is the planning artifact. Windows partition nothing
+# data-sized except the part rollup (catalog-bounded).
+# ---------------------------------------------------------------------------
+@query(
+    "q_abc_xyz_matrix",
+    oracle="""
+    WITH monthly AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    part_var AS (
+        SELECT l_partkey, count(*) AS nm,
+               CAST(sum(q) AS DOUBLE) AS sq,
+               CAST(sum(CAST(q * q AS DECIMAL(38,4))) AS DOUBLE) AS sqq
+        FROM monthly GROUP BY 1
+    ),
+    part_rev AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT r.l_partkey, r.rev,
+               sum(r.rev) OVER (ORDER BY r.rev DESC, r.l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               sum(r.rev) OVER () AS tot_rev
+        FROM part_rev r
+    ),
+    classed AS (
+        SELECT rk.l_partkey,
+               CASE WHEN cum_rev * 100 <= tot_rev * 80 THEN 'A'
+                    WHEN cum_rev * 100 <= tot_rev * 95 THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN pv.nm < 2 THEN 'Z'
+                    WHEN sqrt(greatest(pv.nm * pv.sqq - pv.sq * pv.sq, 0)
+                              / (pv.nm * (pv.nm - 1))) * pv.nm / pv.sq < 0.5
+                        THEN 'X'
+                    WHEN sqrt(greatest(pv.nm * pv.sqq - pv.sq * pv.sq, 0)
+                              / (pv.nm * (pv.nm - 1))) * pv.nm / pv.sq < 1.0
+                        THEN 'Y'
+                    ELSE 'Z' END AS xyz,
+               rk.rev
+        FROM ranked rk JOIN part_var pv ON pv.l_partkey = rk.l_partkey
+    )
+    SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+           floor(CAST(sum(rev) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue
+    FROM classed GROUP BY 1, 2 ORDER BY abc, xyz
+    """,
+)
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", F.col("l_shipdate")).alias("m")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("q")
+    )
+    part_var = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("nm"),
+        F.sum("q").cast("double").alias("sq"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sqq"),
+    )
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).alias("rev")
+    )
+    run = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = part_rev.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(run).alias("cum_rev"),
+        F.sum("rev").over(full).alias("tot_rev"),
+    )
+    nm, sq, sqq = F.col("nm"), F.col("sq"), F.col("sqq")
+    cv = (
+        F.sqrt(
+            F.greatest(nm * sqq - sq * sq, F.lit(0)) / (nm * (nm - 1))
+        )
+        * nm
+        / sq
+    )
+    classed = ranked.join(part_var, "l_partkey").select(
+        F.when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 80, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(nm < 2, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "rev",
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (F.floor(F.sum("rev").cast("double") * 1e2 + F.lit(0.5)) / 1e2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_fraud_velocity — transaction-velocity screen (the first-line card
+# fraud rule): for every order, how many orders the same customer
+# placed in the trailing 7 days, flagging customers whose peak
+# velocity exceeds the threshold. RANGE window on epoch-day keyed per
+# customer — partition-parallel, bounded frame, no self-join. Output is
+# the flagged-customer summary (peak velocity, order count, span), the
+# shape a rules engine consumes.
+# ---------------------------------------------------------------------------
+_VEL_DAYS = 7
+_VEL_MAX = 4
+
+
+@query(
+    "q_fraud_velocity",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS dd
+        FROM orders
+    ),
+    vel AS (
+        SELECT o_custkey, dd,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY dd
+                              RANGE BETWEEN {_VEL_DAYS - 1} PRECEDING
+                                        AND CURRENT ROW) AS v7
+        FROM o
+    )
+    SELECT o_custkey AS custkey,
+           CAST(max(v7) AS BIGINT) AS peak_velocity_7d,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(dd) - min(dd) AS BIGINT) AS active_span_days
+    FROM vel GROUP BY 1 HAVING max(v7) >= {_VEL_MAX}
+    ORDER BY peak_velocity_7d DESC, custkey
+    """,
+)
+def q_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("dd"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("dd")
+        .rangeBetween(-(_VEL_DAYS - 1), 0)
+    )
+    vel = o.select(
+        "o_custkey", "dd", F.count(F.lit(1)).over(w).alias("v7")
+    )
+    return (
+        vel.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("v7").cast("long").alias("peak_velocity_7d"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.max("dd") - F.min("dd")).cast("long").alias("active_span_days"),
+        )
+        .where(F.col("peak_velocity_7d") >= _VEL_MAX)
+        .orderBy(F.col("peak_velocity_7d").desc(), "custkey")
+    )

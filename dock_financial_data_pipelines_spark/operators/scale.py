@@ -2335,3 +2335,106 @@ def a51_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("true_count").desc(), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# A52 — deterministic sample-quantile sketch with calibration: estimate
+# p50/p90/p99 of order totals from a k=500 md5-ranked sample (the
+# engine-portable stand-in for a reservoir — rank by md5(key) is a
+# uniform draw both engines reproduce) and report each estimate NEXT TO
+# the exact percentile and its relative error. The production claim is
+# the mergeable shape: per-shard md5-top-k samples union-merge into a
+# corpus top-k (associative min-rank), so quantile estimates at 100 TB
+# cost one tree-reduce of k-sized samples; the exact side here is the
+# audit that the fixture-scale error is tiny. Order statistics use
+# ceil(q·n) ranks over (value, key) total orders — no interpolation.
+# ---------------------------------------------------------------------------
+_SQ_K = 500
+
+
+@query(
+    "a52_sample_quantile_sketch",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_totalprice AS v, o_orderkey AS okey FROM orders
+    ),
+    nn AS (SELECT count(*) AS n FROM o),
+    samp AS (
+        SELECT v, row_number() OVER (ORDER BY v, okey) AS rs
+        FROM (
+            SELECT v, okey,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(okey AS VARCHAR)), okey) AS rm
+            FROM o
+        ) WHERE rm <= {_SQ_K}
+    ),
+    exact AS (
+        SELECT v, row_number() OVER (ORDER BY v, okey) AS re FROM o
+    ),
+    qs(q) AS (VALUES (0.50), (0.90), (0.99))
+    SELECT q,
+           (SELECT s.v FROM samp s
+            WHERE s.rs = CAST(ceil(q * {_SQ_K}) AS BIGINT)) AS est,
+           (SELECT e.v FROM exact e, nn
+            WHERE e.re = CAST(ceil(q * nn.n) AS BIGINT)) AS exact_value,
+           floor(abs((SELECT s.v FROM samp s
+                      WHERE s.rs = CAST(ceil(q * {_SQ_K}) AS BIGINT))
+                     - (SELECT e.v FROM exact e, nn
+                        WHERE e.re = CAST(ceil(q * nn.n) AS BIGINT)))
+                 / (SELECT e.v FROM exact e, nn
+                    WHERE e.re = CAST(ceil(q * nn.n) AS BIGINT))
+                 * 1e6 + 0.5) / 1e6 AS rel_error
+    FROM qs ORDER BY q
+    """,
+)
+def a52_sample_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("okey")
+    )
+    nn = o.agg(F.count(F.lit(1)).alias("n"))
+    samp = (
+        o.select(
+            "v",
+            "okey",
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("okey").cast("string")), "okey"))
+            .alias("rm"),
+        )
+        .where(F.col("rm") <= _SQ_K)
+        .select(
+            "v", F.row_number().over(Window.orderBy("v", "okey")).alias("rs")
+        )
+    )
+    exact = o.select(
+        "v", F.row_number().over(Window.orderBy("v", "okey")).alias("re")
+    )
+    qs = spark.createDataFrame([(0.50,), (0.90,), (0.99,)], "q DOUBLE")
+    est = (
+        qs.crossJoin(F.broadcast(nn))
+        .join(
+            F.broadcast(samp),
+            F.col("rs") == F.ceil(F.col("q") * _SQ_K).cast("long"),
+        )
+        .select("q", "n", F.col("v").alias("est"))
+        .join(
+            exact,
+            F.col("re") == F.ceil(F.col("q") * F.col("n")).cast("long"),
+        )
+        .select("q", "est", F.col("v").alias("exact_value"))
+    )
+    return est.select(
+        "q",
+        "est",
+        "exact_value",
+        (
+            F.floor(
+                F.abs(F.col("est") - F.col("exact_value"))
+                / F.col("exact_value")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("rel_error"),
+    ).orderBy("q")

@@ -1070,3 +1070,114 @@ def l_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("loading"),
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# l_index_shard_plan — ANN serving-capacity planner: place the trained
+# IVF cells onto S index shards and report per-shard load and the
+# imbalance factor (shard load ÷ ideal). Placement is round-robin by
+# descending cell size (rank-1 mod S) — the deterministic one-pass
+# approximation of greedy bin-packing, within 1/ideal of optimal when
+# cell sizes are sub-shard-sized, and a pure function of the counts so
+# the oracle replays it exactly (greedy packing needs a running
+# argmin — not expressible without recursion, and the round-robin
+# plan's imbalance is itself reported, so the approximation is
+# auditable). The distributed work is the cell-size aggregate off the
+# shared persisted IVF index; the plan is catalog-sized.
+# ---------------------------------------------------------------------------
+_SHARD_S = 4
+
+
+def _shard_plan_oracle() -> str:
+    return f"""
+    WITH {_SEM_ORACLE_PREFIX},
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rk
+            FROM dfinal
+        ) WHERE rk = 1
+    ),
+    sizes AS (SELECT cell, count(*) AS n FROM cells GROUP BY 1),
+    placed AS (
+        SELECT cell, n,
+               CAST((row_number() OVER (ORDER BY n DESC, cell) - 1)
+                    % {_SHARD_S} AS INT) AS shard
+        FROM sizes
+    ),
+    loads AS (
+        SELECT shard, count(*) AS n_cells, sum(n) AS n_vectors
+        FROM placed GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_vectors) AS t FROM loads)
+    SELECT l.shard, CAST(l.n_cells AS BIGINT) AS n_cells,
+           CAST(l.n_vectors AS BIGINT) AS n_vectors,
+           floor(CAST(l.n_vectors AS DOUBLE) / t.t * 1e6 + 0.5) / 1e6
+               AS load_share,
+           floor(CAST(l.n_vectors AS DOUBLE) * {_SHARD_S} / t.t * 1e6 + 0.5)
+               / 1e6 AS imbalance
+    FROM loads l, tot t ORDER BY shard
+    """
+
+
+@query("l_index_shard_plan", oracle=_shard_plan_oracle())
+def l_index_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    centroids = memo_index(
+        spark,
+        f"ivf_centroids:{sf_tag(sf_dir)}",  # shared with l5_ivf_topk
+        lambda: _ivf_train_centroids(spark, emb).localCheckpoint(eager=True),
+    )
+    cells = _ivf_assign(
+        emb.select(F.col("vec_id").alias("_id"), F.col("e").alias("ce")),
+        centroids,
+        "ce",
+        1,
+    ).select(F.col("_id").alias("vec_id"), "cell")
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    placed = sizes.select(
+        "cell",
+        "n",
+        (
+            (
+                F.row_number().over(Window.orderBy(F.col("n").desc(), "cell"))
+                - 1
+            )
+            % _SHARD_S
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    loads = placed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("n").alias("n_vectors")
+    )
+    tot = loads.agg(F.sum("n_vectors").alias("t"))
+    return (
+        loads.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            (
+                F.floor(
+                    F.col("n_vectors").cast("double") / F.col("t") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("load_share"),
+            (
+                F.floor(
+                    F.col("n_vectors").cast("double")
+                    * _SHARD_S
+                    / F.col("t")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("imbalance"),
+        )
+        .orderBy("shard")
+    )

@@ -1014,6 +1014,34 @@ def main() -> int:
         "Join" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "q_abc_xyz_matrix", execute=True)
+    check(
+        "q_abc_xyz_matrix",
+        "two part-level rollups joined; cumulative share over the rollup",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "q_fraud_velocity", execute=True)
+    check(
+        "q_fraud_velocity",
+        "per-customer range window, no self-join, no Python",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a52_sample_quantile_sketch", execute=True)
+    check(
+        "a52_sample_quantile_sketch",
+        "k-sized sample broadcast into the quantile probe",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_index_shard_plan", execute=True)
+    check(
+        "l_index_shard_plan",
+        "centroids broadcast into assignment; plan is catalog-sized",
+        "BroadcastNestedLoopJoin" in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
