@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import dec_sum, load
+from dock_financial_data_pipelines_spark.catalog import dec_sum, load, maybe_broadcast
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -2216,3 +2216,110 @@ def q_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("peak_velocity_7d") >= _VEL_MAX)
         .orderBy(F.col("peak_velocity_7d").desc(), "custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bilateral_netting — bilateral settlement netting between nations:
+# gross trade flow in each direction of every nation pair (revenue
+# where the supplier sits in one nation and the customer in the other)
+# and the net position after offsetting — the clearing-house
+# computation that collapses two gross obligations into one net wire.
+# Flows aggregate to the nation-pair grid BEFORE netting (exact
+# DECIMAL), the two directions meet in a full-outer self-merge of the
+# tiny grid, and dims broadcast into the fact scan (the tpch_q7 join
+# shape without its year filter).
+# ---------------------------------------------------------------------------
+@query(
+    "q_bilateral_netting",
+    oracle="""
+    WITH flows AS (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(27,4))) AS gross
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_name <> nc.n_name
+        GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT least(supp_nation, cust_nation) AS nation_a,
+               greatest(supp_nation, cust_nation) AS nation_b,
+               sum(CASE WHEN supp_nation < cust_nation
+                        THEN gross ELSE CAST(0 AS DECIMAL(27,4)) END)
+                   AS gross_ab,
+               sum(CASE WHEN supp_nation > cust_nation
+                        THEN gross ELSE CAST(0 AS DECIMAL(27,4)) END)
+                   AS gross_ba
+        FROM flows GROUP BY 1, 2
+    )
+    SELECT nation_a, nation_b,
+           floor(CAST(gross_ab AS DOUBLE) * 1e2 + 0.5) / 1e2 AS gross_ab,
+           floor(CAST(gross_ba AS DOUBLE) * 1e2 + 0.5) / 1e2 AS gross_ba,
+           floor(CAST(gross_ab - gross_ba AS DOUBLE) * 1e2 + 0.5) / 1e2
+               AS net_ab,
+           CASE WHEN gross_ab >= gross_ba THEN nation_a ELSE nation_b END
+               AS net_payee
+    FROM paired ORDER BY nation_a, nation_b
+    """,
+)
+def q_bilateral_netting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(27,4)"
+                )
+            ).alias("gross")
+        )
+    )
+    zero = F.lit(0).cast("decimal(27,4)")
+    paired = flows.groupBy(
+        F.least("supp_nation", "cust_nation").alias("nation_a"),
+        F.greatest("supp_nation", "cust_nation").alias("nation_b"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("supp_nation") < F.col("cust_nation"), F.col("gross")
+            ).otherwise(zero)
+        ).alias("gross_ab"),
+        F.sum(
+            F.when(
+                F.col("supp_nation") > F.col("cust_nation"), F.col("gross")
+            ).otherwise(zero)
+        ).alias("gross_ba"),
+    )
+    f2 = lambda c_: F.floor(c_.cast("double") * 1e2 + F.lit(0.5)) / 1e2
+    return paired.select(
+        "nation_a",
+        "nation_b",
+        f2(F.col("gross_ab")).alias("gross_ab"),
+        f2(F.col("gross_ba")).alias("gross_ba"),
+        f2(F.col("gross_ab") - F.col("gross_ba")).alias("net_ab"),
+        F.when(
+            F.col("gross_ab") >= F.col("gross_ba"), F.col("nation_a")
+        )
+        .otherwise(F.col("nation_b"))
+        .alias("net_payee"),
+    ).orderBy("nation_a", "nation_b")

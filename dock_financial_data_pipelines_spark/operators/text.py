@@ -1919,3 +1919,152 @@ def l_duplication_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_bpe_merge_step — ONE training step of byte-pair encoding, the
+# distributed core of tokenizer training: count adjacent symbol pairs
+# over the WORD-FREQUENCY table (BPE trains on vocab×count, never the
+# raw corpus — the aggregate that makes 100 TB tokenizer training
+# feasible), select the most frequent pair (deterministic tiebreak),
+# and APPLY the merge with correct left-greedy semantics. Overlapping
+# occurrences only arise when the pair is a self-pair (aa in aaaa);
+# left-greedy then takes every other occurrence, which is exactly
+# island parity: consecutive matched positions form gaps-and-islands
+# runs and odd in-island ranks survive. Output is the one-row training
+# step record: the merge, its corpus frequency, affected word
+# types/instances and the corpus token-count change.
+# ---------------------------------------------------------------------------
+@query(
+    "l_bpe_merge_step",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+        SELECT w, count(*) AS cnt FROM words WHERE len(w) > 0 GROUP BY 1
+    ),
+    syms AS (
+        SELECT w, cnt, string_split(w, '') AS cs FROM vocab
+    ),
+    pairs AS (
+        SELECT w, cnt, i + 1 AS pos, cs[i + 1] AS a, cs[i + 2] AS b
+        FROM (SELECT w, cnt, cs,
+                     unnest(range(greatest(len(cs) - 1, 0))) AS i
+              FROM syms)
+    ),
+    paircnt AS (
+        SELECT a, b, sum(cnt) AS pc FROM pairs GROUP BY 1, 2
+    ),
+    sel AS (
+        SELECT a, b, pc FROM paircnt
+        ORDER BY pc DESC, a, b LIMIT 1
+    ),
+    matched AS (
+        SELECT p.w, p.cnt, p.pos
+        FROM pairs p JOIN sel s ON p.a = s.a AND p.b = s.b
+    ),
+    isl AS (
+        SELECT w, cnt, pos,
+               pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+        FROM matched
+    ),
+    kept AS (
+        SELECT w, cnt,
+               row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS idx
+        FROM isl
+    ),
+    merges AS (
+        SELECT w, cnt, count(*) AS n_merges
+        FROM kept WHERE idx % 2 = 1 GROUP BY w, cnt
+    ),
+    toks AS (
+        SELECT CAST(sum(cnt * len(string_split(w, ''))) AS BIGINT) AS before
+        FROM vocab
+    )
+    SELECT s.a AS merge_left, s.b AS merge_right,
+           CAST(s.pc AS BIGINT) AS pair_count,
+           (SELECT CAST(count(*) AS BIGINT) FROM merges) AS n_word_types,
+           (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM merges)
+               AS n_word_instances,
+           t.before AS tokens_before,
+           t.before - (SELECT CAST(coalesce(sum(cnt * n_merges), 0) AS BIGINT)
+                       FROM merges) AS tokens_after
+    FROM sel s, toks t
+    """,
+)
+def l_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = vocab.where(F.length("w") >= 2).select(
+        "w",
+        "cnt",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(split(w,'')) - 2),"
+                " i -> struct(split(w,'')[i] AS a, split(w,'')[i+1] AS b))"
+            )
+        ).alias("i", "p"),
+    ).select(
+        "w",
+        "cnt",
+        (F.col("i") + 1).alias("pos"),
+        F.col("p.a").alias("a"),
+        F.col("p.b").alias("b"),
+    )
+    paircnt = pairs.groupBy("a", "b").agg(F.sum("cnt").alias("pc"))
+    sel = paircnt.orderBy(F.col("pc").desc(), "a", "b").limit(1)
+    matched = pairs.join(
+        F.broadcast(sel.select("a", "b", "pc")), ["a", "b"]
+    ).select("w", "cnt", "pos")
+    isl = matched.select(
+        "w",
+        "cnt",
+        "pos",
+        (
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("w").orderBy("pos"))
+        ).alias("grp"),
+    )
+    kept = isl.select(
+        "w",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("w", "grp").orderBy("pos"))
+        .alias("idx"),
+    )
+    merges = (
+        kept.where(F.col("idx") % 2 == 1)
+        .groupBy("w", "cnt")
+        .agg(F.count(F.lit(1)).alias("n_merges"))
+    )
+    mstats = merges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_word_types"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_word_instances"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("n_merges")), F.lit(0))
+        .cast("long")
+        .alias("saved"),
+    )
+    toks = vocab.agg(
+        F.sum(F.col("cnt") * F.size(F.split("w", ""))).cast("long").alias("before")
+    )
+    return (
+        sel.crossJoin(F.broadcast(mstats))
+        .crossJoin(F.broadcast(toks))
+        .select(
+            F.col("a").alias("merge_left"),
+            F.col("b").alias("merge_right"),
+            F.col("pc").cast("long").alias("pair_count"),
+            "n_word_types",
+            "n_word_instances",
+            F.col("before").alias("tokens_before"),
+            (F.col("before") - F.col("saved")).alias("tokens_after"),
+        )
+    )

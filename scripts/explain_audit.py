@@ -1042,6 +1042,20 @@ def main() -> int:
         "BroadcastNestedLoopJoin" in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_bpe_merge_step", execute=True)
+    check(
+        "l_bpe_merge_step",
+        "pair stats over the vocab rollup; selected merge broadcast back",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_bilateral_netting", execute=True)
+    check(
+        "q_bilateral_netting",
+        "nation dims broadcast into the fact scan",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
