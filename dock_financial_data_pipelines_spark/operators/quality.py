@@ -1761,8 +1761,10 @@ _PSI_SPLIT = "1998-06-01"
     ),
     terms AS (
         SELECT bin, n_ref, n_cur,
-               CAST(n_ref AS DOUBLE) / t_ref AS share_ref,
-               CAST(n_cur AS DOUBLE) / t_cur AS share_cur,
+               CASE WHEN t_ref = 0 THEN 0.0
+                    ELSE CAST(n_ref AS DOUBLE) / t_ref END AS share_ref,
+               CASE WHEN t_cur = 0 THEN 0.0
+                    ELSE CAST(n_cur AS DOUBLE) / t_cur END AS share_cur,
                CAST(((n_ref + 1.0) / (t_ref + 10) - (n_cur + 1.0) / (t_cur + 10))
                     * ln(((n_ref + 1.0) / (t_ref + 10))
                          / ((n_cur + 1.0) / (t_cur + 10)))
@@ -1823,8 +1825,12 @@ def q_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "n_ref",
         "n_cur",
-        (n_ref.cast("double") / t_ref).alias("share_ref"),
-        (n_cur.cast("double") / t_cur).alias("share_cur"),
+        F.when(t_ref == 0, 0.0)
+        .otherwise(n_ref.cast("double") / t_ref)
+        .alias("share_ref"),
+        F.when(t_cur == 0, 0.0)
+        .otherwise(n_cur.cast("double") / t_cur)
+        .alias("share_cur"),
         ((p - q) * F.log(p / q)).cast("decimal(27,9)").alias("psi_term"),
     )
     return terms.select(

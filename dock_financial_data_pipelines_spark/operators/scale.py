@@ -2358,7 +2358,7 @@ _SQ_K = 500
     WITH o AS (
         SELECT o_totalprice AS v, o_orderkey AS okey FROM orders
     ),
-    nn AS (SELECT count(*) AS n FROM o),
+    nn AS (SELECT count(*) AS n, least(count(*), {_SQ_K}) AS k FROM o),
     samp AS (
         SELECT v, row_number() OVER (ORDER BY v, okey) AS rs
         FROM (
@@ -2366,19 +2366,19 @@ _SQ_K = 500
                    row_number() OVER (
                        ORDER BY md5(CAST(okey AS VARCHAR)), okey) AS rm
             FROM o
-        ) WHERE rm <= {_SQ_K}
+        ) WHERE rm <= (SELECT k FROM nn)
     ),
     exact AS (
         SELECT v, row_number() OVER (ORDER BY v, okey) AS re FROM o
     ),
     qs(q) AS (VALUES (0.50), (0.90), (0.99))
     SELECT q,
-           (SELECT s.v FROM samp s
-            WHERE s.rs = CAST(ceil(q * {_SQ_K}) AS BIGINT)) AS est,
+           (SELECT s.v FROM samp s, nn
+            WHERE s.rs = CAST(ceil(q * nn.k) AS BIGINT)) AS est,
            (SELECT e.v FROM exact e, nn
             WHERE e.re = CAST(ceil(q * nn.n) AS BIGINT)) AS exact_value,
-           floor(abs((SELECT s.v FROM samp s
-                      WHERE s.rs = CAST(ceil(q * {_SQ_K}) AS BIGINT))
+           floor(abs((SELECT s.v FROM samp s, nn
+                      WHERE s.rs = CAST(ceil(q * nn.k) AS BIGINT))
                      - (SELECT e.v FROM exact e, nn
                         WHERE e.re = CAST(ceil(q * nn.n) AS BIGINT)))
                  / (SELECT e.v FROM exact e, nn
@@ -2393,7 +2393,10 @@ def a52_sample_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("okey")
     )
-    nn = o.agg(F.count(F.lit(1)).alias("n"))
+    nn = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.least(F.count(F.lit(1)), F.lit(_SQ_K)).alias("k"),
+    )
     samp = (
         o.select(
             "v",
@@ -2402,7 +2405,8 @@ def a52_sample_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(Window.orderBy(F.md5(F.col("okey").cast("string")), "okey"))
             .alias("rm"),
         )
-        .where(F.col("rm") <= _SQ_K)
+        .crossJoin(F.broadcast(nn.select(F.col("k").alias("_k"))))
+        .where(F.col("rm") <= F.col("_k"))
         .select(
             "v", F.row_number().over(Window.orderBy("v", "okey")).alias("rs")
         )
@@ -2415,7 +2419,7 @@ def a52_sample_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs.crossJoin(F.broadcast(nn))
         .join(
             F.broadcast(samp),
-            F.col("rs") == F.ceil(F.col("q") * _SQ_K).cast("long"),
+            F.col("rs") == F.ceil(F.col("q") * F.col("k")).cast("long"),
         )
         .select("q", "n", F.col("v").alias("est"))
         .join(

@@ -23,6 +23,11 @@ from tests._compare import compare_frames, duck_connection
 engine.load_all()
 
 EDGE_SENSITIVE = [
+    "q_distribution_psi",        # empty current period (round-6 bug)
+    "a52_sample_quantile_sketch",  # table smaller than k (round-6 bug)
+    "l_bpe_merge_step",          # 1-char words have no symbol pairs
+    "l_containment_pairs",       # short-doc truncated shingles
+    "l_substring_span_pairs",    # self-pair diagonal runs
     "l_repetition_stats",        # bigram arm on 1-word docs (round-3 bug)
     "l_trigram_novelty",         # trigram arm on <3-word docs
     "l3_exact_dedup_summary",    # real duplicate texts present
