@@ -1233,3 +1233,126 @@ def l_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_kneser_ney_bigram — corpus cross-entropy under an absolute-discount
+# Kneser–Ney bigram LM, side by side with the add-one baseline
+# (l_bigram_cross_entropy): the smoothing that actually ships in LM
+# data work, built entirely from exact integer count tables — bigram
+# counts, context totals, follower fan-out N1+(w1,·), continuation
+# fan-in N1+(·,w2) and the bigram-type total — all one shuffle family
+# on hashed words. P_KN(w2|w1) = (c−D)/c(w1) + D·N1+(w1,·)/c(w1) ·
+# N1+(·,w2)/T with D=0.75 (exact in binary); every per-type ln term is
+# rounded to DECIMAL(27,9) before the order-free weighted sum
+# (cross-libm policy). Scoring the corpus under its own model keeps
+# every bigram in-vocabulary, so the discounted term is positive and
+# the comparison isolates the smoothing difference.
+# ---------------------------------------------------------------------------
+@query(
+    "l_kneser_ney_bigram",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+    big AS (
+        SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+        FROM (SELECT ws, unnest(range(greatest(len(ws) - 2, 0) + 1)) AS i
+              FROM toks)
+        WHERE i + 2 <= len(ws)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1,
+                  count(*) AS fo1
+           FROM c12 GROUP BY 1),
+    cont AS (SELECT w2, count(*) AS fi2 FROM c12 GROUP BY 1),
+    tt AS (SELECT count(*) AS t FROM c12),
+    vocab AS (
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    terms AS (
+        SELECT c12.n12,
+               CAST(c12.n12 * ln(
+                   (CAST(c12.n12 AS DOUBLE) - 0.75) / c1.n1
+                   + 0.75 * c1.fo1 / c1.n1
+                     * (CAST(cont.fi2 AS DOUBLE) / tt.t))
+                   AS DECIMAL(27,9)) AS tkn,
+               CAST(c12.n12 * (ln(CAST(c12.n12 + 1 AS DOUBLE))
+                               - ln(CAST(c1.n1 + vocab.v AS DOUBLE)))
+                    AS DECIMAL(27,9)) AS tao
+        FROM c12
+        JOIN c1 ON c12.w1 = c1.w1
+        JOIN cont ON c12.w2 = cont.w2
+        CROSS JOIN tt CROSS JOIN vocab
+    )
+    SELECT CAST(sum(n12) AS BIGINT) AS n_bigram_tokens,
+           (SELECT CAST(t AS BIGINT) FROM tt) AS n_bigram_types,
+           floor(-CAST(sum(tkn) AS DOUBLE) / sum(n12) * 1e6 + 0.5) / 1e6
+               AS kn_cross_entropy_nats,
+           floor(-CAST(sum(tao) AS DOUBLE) / sum(n12) * 1e6 + 0.5) / 1e6
+               AS addone_cross_entropy_nats
+    FROM terms
+    """,
+)
+def l_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, greatest(size(ws) - 2, 0)),"
+                " i -> struct(try_element_at(ws, i + 1) AS w1,"
+                "             try_element_at(ws, i + 2) AS w2,"
+                "             i + 2 <= size(ws) AS valid)),"
+                " p -> p.valid)"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("n12").cast("long").alias("n1"),
+        F.count(F.lit(1)).alias("fo1"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("fi2"))
+    tt = c12.agg(F.count(F.lit(1)).alias("t"))
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    p_kn = (F.col("n12").cast("double") - 0.75) / F.col("n1") + F.lit(
+        0.75
+    ) * F.col("fo1") / F.col("n1") * (
+        F.col("fi2").cast("double") / F.col("t")
+    )
+    p_ao = F.log((F.col("n12") + 1).cast("double")) - F.log(
+        (F.col("n1") + F.col("v")).cast("double")
+    )
+    terms = (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "n12",
+            (F.col("n12") * F.log(p_kn)).cast("decimal(27,9)").alias("tkn"),
+            (F.col("n12") * p_ao).cast("decimal(27,9)").alias("tao"),
+        )
+    )
+    return terms.crossJoin(F.broadcast(tt)).agg(
+        F.sum("n12").cast("long").alias("n_bigram_tokens"),
+        F.max("t").cast("long").alias("n_bigram_types"),
+        (
+            F.floor(
+                -F.sum("tkn").cast("double") / F.sum("n12") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("kn_cross_entropy_nats"),
+        (
+            F.floor(
+                -F.sum("tao").cast("double") / F.sum("n12") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("addone_cross_entropy_nats"),
+    )

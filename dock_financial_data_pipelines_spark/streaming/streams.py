@@ -1031,3 +1031,66 @@ def x15_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_seq INT, num_input_rows BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# X16 — streaming velocity screen: the Structured-Streaming twin of
+# q_fraud_velocity's batch rule — per-user event counts over sliding
+# 30-minute windows (10-minute slide), users flagged when any window
+# reaches the threshold. The windowed count is the stateful streaming
+# aggregate (watermark bounds state); the flag rollup reads the drained
+# sink — the state-store + cheap-batch-read production split, as in
+# x13. Complete-mode single-batch drain ≡ the batch sliding-window
+# aggregate (the x2 enumeration: each event lands in exactly 3
+# windows), so the whole pipeline carries a full SQL oracle.
+# ---------------------------------------------------------------------------
+_VEL_STREAM_MIN = 2
+
+
+@query(
+    "x16_stream_velocity",
+    oracle=f"""
+    WITH wins AS (
+        SELECT user_id,
+               (CAST(floor(epoch(ts) / 600) AS BIGINT) - k.k) * 600 AS ws
+        FROM events, (SELECT unnest(range(3)) AS k) k
+    ),
+    counts AS (
+        SELECT user_id, ws, count(*) AS n FROM wins GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS peak_30min_events,
+           CAST(sum(CASE WHEN n >= {_VEL_STREAM_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot_windows
+    FROM counts GROUP BY user_id
+    HAVING max(n) >= {_VEL_STREAM_MIN}
+    ORDER BY user_id
+    """,
+)
+def x16_stream_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "30 minutes", "10 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("ws"),
+            "user_id",
+            "n",
+        )
+    )
+    sunk = _run_to_memory(agg, "x16_velocity", "complete")
+    return (
+        sunk.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("peak_30min_events"),
+            F.sum(F.when(F.col("n") >= _VEL_STREAM_MIN, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hot_windows"),
+        )
+        .where(F.col("peak_30min_events") >= _VEL_STREAM_MIN)
+        .orderBy("user_id")
+    )

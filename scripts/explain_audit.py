@@ -1056,6 +1056,20 @@ def main() -> int:
         "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_kneser_ney_bigram", execute=True)
+    check(
+        "l_kneser_ney_bigram",
+        "count tables joined on hashed words; scalars broadcast",
+        "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "x16_stream_velocity", execute=True)
+    check(
+        "x16_stream_velocity",
+        "flag rollup off the drained sliding-window sink; no Python",
+        "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
