@@ -1850,3 +1850,123 @@ def l_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy("canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_dedup_funnel_e2e — the END-TO-END corpus cleaning pass as one
+# declarative plan, with the funnel accounting a data-curation review
+# actually signs off on: stage 1 exact-md5 dedup (keep min id), stage 2
+# 8-token-prefix dedup on the survivors, stage 3 MinHash-LSH verified
+# near-dup (Jaccard ≥ 0.5, greedy keep-min — reuses the memoized
+# signature index; per-doc signatures are corpus-independent, so
+# filtering the full-corpus pair set to survivor×survivor is exactly
+# the survivors-only run), stage 4 minimum-length quality gate. Each
+# row reports docs_in / docs_removed / docs_out, the numbers that
+# decide whether a 100 TB pass is worth its shuffle budget. The oracle
+# nests the registered LSH oracle as a CTE, so the whole funnel is
+# hash-checked end to end.
+# ---------------------------------------------------------------------------
+_FUNNEL_MIN_TOKENS = 20
+
+
+@query(
+    "l_dedup_funnel_e2e",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT doc_id, text,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS k
+        FROM documents
+    ),
+    d1 AS (SELECT doc_id, text FROM s1 WHERE doc_id = k),
+    s2 AS (
+        SELECT doc_id, text,
+               min(doc_id) OVER (PARTITION BY array_to_string(
+                   string_split(text, ' ')[1:8], ' ')) AS k
+        FROM d1
+    ),
+    d2 AS (SELECT doc_id, text FROM s2 WHERE doc_id = k),
+    mh AS ({{LSH}}),
+    rm3 AS (
+        SELECT DISTINCT doc_b AS doc_id FROM mh
+        WHERE doc_a IN (SELECT doc_id FROM d2)
+          AND doc_b IN (SELECT doc_id FROM d2)
+    ),
+    d3 AS (SELECT doc_id, text FROM d2
+           WHERE doc_id NOT IN (SELECT doc_id FROM rm3)),
+    d4 AS (SELECT doc_id FROM d3
+           WHERE len(string_split(text, ' ')) >= {_FUNNEL_MIN_TOKENS}),
+    n0 AS (SELECT count(*) AS n FROM documents),
+    n1 AS (SELECT count(*) AS n FROM d1),
+    n2 AS (SELECT count(*) AS n FROM d2),
+    n3 AS (SELECT count(*) AS n FROM d3),
+    n4 AS (SELECT count(*) AS n FROM d4)
+    SELECT * FROM (
+        SELECT 1 AS stage, 'exact_md5' AS rule,
+               (SELECT CAST(n AS BIGINT) FROM n0) AS docs_in,
+               (SELECT CAST(n0.n - n1.n AS BIGINT) FROM n0, n1)
+                   AS docs_removed,
+               (SELECT CAST(n AS BIGINT) FROM n1) AS docs_out
+        UNION ALL
+        SELECT 2, 'prefix8',
+               (SELECT CAST(n AS BIGINT) FROM n1),
+               (SELECT CAST(n1.n - n2.n AS BIGINT) FROM n1, n2),
+               (SELECT CAST(n AS BIGINT) FROM n2)
+        UNION ALL
+        SELECT 3, 'minhash_lsh_j05',
+               (SELECT CAST(n AS BIGINT) FROM n2),
+               (SELECT CAST(n2.n - n3.n AS BIGINT) FROM n2, n3),
+               (SELECT CAST(n AS BIGINT) FROM n3)
+        UNION ALL
+        SELECT 4, 'min_tokens_{_FUNNEL_MIN_TOKENS}',
+               (SELECT CAST(n AS BIGINT) FROM n3),
+               (SELECT CAST(n3.n - n4.n AS BIGINT) FROM n3, n4),
+               (SELECT CAST(n AS BIGINT) FROM n4)
+    ) ORDER BY stage
+    """.replace("{LSH}", ORACLES["l4_minhash_lsh_neardup"]),
+)
+def l_dedup_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    k1 = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    d1 = (
+        docs.withColumn("k", k1).where(F.col("doc_id") == F.col("k")).drop("k")
+    )
+    k2 = F.min("doc_id").over(
+        Window.partitionBy(F.array_join(F.slice(_tokens(), 1, 8), " "))
+    )
+    d2 = d1.withColumn("k", k2).where(F.col("doc_id") == F.col("k")).drop("k")
+    ids2 = d2.select("doc_id")
+    mh = l4_minhash_lsh_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    rm3 = (
+        mh.join(ids2.withColumnRenamed("doc_id", "doc_a"), "doc_a", "leftsemi")
+        .join(ids2.withColumnRenamed("doc_id", "doc_b"), "doc_b", "leftsemi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    d3 = d2.join(rm3, "doc_id", "left_anti")
+    d4 = d3.where(F.size(_tokens()) >= _FUNNEL_MIN_TOKENS)
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias(f"n{i}"))
+        for i, df in enumerate([docs, d1, d2, d3, d4])
+    ]
+    joined = counts[0]
+    for c in counts[1:]:
+        joined = joined.crossJoin(F.broadcast(c))  # five 1-row frames
+    stages = [
+        (1, "exact_md5", "n0", "n1"),
+        (2, "prefix8", "n1", "n2"),
+        (3, "minhash_lsh_j05", "n2", "n3"),
+        (4, f"min_tokens_{_FUNNEL_MIN_TOKENS}", "n3", "n4"),
+    ]
+    rows = None
+    for st, rule, a, b in stages:
+        r = joined.select(
+            F.lit(st).alias("stage"),
+            F.lit(rule).alias("rule"),
+            F.col(a).alias("docs_in"),
+            (F.col(a) - F.col(b)).alias("docs_removed"),
+            F.col(b).alias("docs_out"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("stage")

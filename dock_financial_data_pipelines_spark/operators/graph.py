@@ -371,3 +371,113 @@ def g_two_hop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_paths",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G5 — deterministic random-walk corpus over the co-purchase graph: the
+# walk-generation pass of DeepWalk/node2vec-style graph embedding prep,
+# with the RNG replaced by the engine-portable md5 draw so both engines
+# produce THE SAME walks (walk corpora must be reproducible artifacts,
+# not run-local noise). Adjacency = edges with a per-source neighbor
+# index (row_number over dst — a source-partitioned window, parallel at
+# any scale); step t of the walk from start s picks neighbor
+# md5('rw#s#t') mod degree — one equi-join on (node, idx) per step,
+# K=3 steps unrolled, walk starts decimated to md5(node)%4==0. Output
+# is one row per walk with the full path — the training corpus a
+# skip-gram embedder consumes.
+# ---------------------------------------------------------------------------
+_WALK_STEPS = 3
+
+
+def _rw_pick(node_col: str, step: int) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('rw#', CAST({node_col} AS STRING),"
+        f" '#', '{step}')), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def _rw_oracle() -> str:
+    pick = (
+        "CAST(concat('0x', substring(md5('rw#' || CAST({n} AS VARCHAR)"
+        " || '#' || '{t}'), 1, 15)) AS BIGINT)"
+    )
+    steps_sql = ""
+    prev_col = "start_node"
+    for t in range(1, _WALK_STEPS + 1):
+        p = pick.format(n="w.start_node", t=t)
+        steps_sql += f""",
+    w{t} AS (
+        SELECT w.*, a.dst AS n{t}
+        FROM w{t - 1} w
+        JOIN adj a ON a.src = w.{prev_col} AND a.idx = {p} % a.deg
+    )"""
+        prev_col = f"n{t}"
+    return f"""
+    WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ip a JOIN ip b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    adj AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+               count(*) OVER (PARTITION BY src) AS deg
+        FROM e
+    ),
+    w0 AS (
+        SELECT DISTINCT src AS start_node FROM e
+        WHERE CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 4 = 0
+    ){steps_sql}
+    SELECT start_node, n1, n2, n3
+    FROM w{_WALK_STEPS} ORDER BY start_node
+    """
+
+
+@query("g_random_walks", oracle=_rw_oracle())
+def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _directed_edges(spark, sf_dir)
+    adj = e.select(
+        "src",
+        "dst",
+        (F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1).alias(
+            "idx"
+        ),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+    )
+    starts = (
+        e.select("src")
+        .distinct()
+        .where(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(src AS STRING)), 1, 15), 16, 10)"
+                " AS BIGINT) % 4 = 0"
+            )
+        )
+        .select(F.col("src").alias("start_node"))
+    )
+    w = starts
+    prev_col = "start_node"
+    for t in range(1, _WALK_STEPS + 1):
+        step_adj = adj.select(
+            F.col("src").alias("_s"),
+            F.col("dst").alias(f"n{t}"),
+            F.col("idx").alias("_i"),
+            F.col("deg").alias("_d"),
+        )
+        w = (
+            w.join(
+                step_adj,
+                (F.col(prev_col) == F.col("_s"))
+                & (
+                    F.col("_i")
+                    == F.expr(_rw_pick("start_node", t)) % F.col("_d")
+                ),
+            )
+            .drop("_s", "_i", "_d")
+        )
+        prev_col = f"n{t}"
+    return w.select("start_node", "n1", "n2", "n3").orderBy("start_node")

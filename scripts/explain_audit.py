@@ -1070,6 +1070,20 @@ def main() -> int:
         "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_dedup_funnel_e2e", execute=True)
+    check(
+        "l_dedup_funnel_e2e",
+        "funnel composes window dedups + LSH semi/anti joins; no cartesian over data",
+        "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "g_random_walks", execute=True)
+    check(
+        "g_random_walks",
+        "each walk step is one (node, idx) equi-join on adjacency",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
