@@ -2442,3 +2442,144 @@ def a52_sample_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("rel_error"),
     ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# A53 — KMV (k-minimum-values) distinct sketch with set operations:
+# the mergeable theta-sketch construction — keep the k smallest
+# md5-60bit hashes of each set; the k-th minimum h_k estimates
+# distinct count as (k−1)·2^60/h_k, and the union sketch is just the
+# min-k of the merged minima (associative → per-shard sketches
+# tree-reduce). Intersection comes from inclusion–exclusion. Here: the
+# customer populations of the two calendar halves, estimates NEXT TO
+# exact counts with relative error — the audit before trusting the
+# sketch at 100 TB where the exact side is unaffordable. Sets smaller
+# than k degrade gracefully to exact counting (estimator = n).
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_DOM = float(2**60)
+
+
+@query(
+    "a53_kmv_distinct_sketch",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT
+               CASE WHEN o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+                    THEN 0 ELSE 1 END AS p,
+               CAST(concat('0x', substring(
+                   md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM orders
+    ),
+    ranked AS (
+        SELECT p, hv, row_number() OVER (PARTITION BY p ORDER BY hv) AS rk,
+               count(*) OVER (PARTITION BY p) AS n
+        FROM h
+    ),
+    est AS (
+        SELECT p,
+               CASE WHEN max(n) < {_KMV_K} THEN CAST(max(n) AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) * {_KMV_DOM}
+                         / max(CASE WHEN rk = {_KMV_K} THEN hv END)
+               END AS e,
+               CAST(max(n) AS BIGINT) AS exact_n
+        FROM ranked GROUP BY p
+    ),
+    uh AS (SELECT DISTINCT hv FROM h),
+    uranked AS (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rk,
+               count(*) OVER () AS n
+        FROM uh
+    ),
+    uest AS (
+        SELECT CASE WHEN max(n) < {_KMV_K} THEN CAST(max(n) AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) * {_KMV_DOM}
+                         / max(CASE WHEN rk = {_KMV_K} THEN hv END)
+               END AS e,
+               CAST(max(n) AS BIGINT) AS exact_n
+        FROM uranked
+    )
+    SELECT a.exact_n AS exact_p0, floor(a.e * 1e2 + 0.5) / 1e2 AS est_p0,
+           b.exact_n AS exact_p1, floor(b.e * 1e2 + 0.5) / 1e2 AS est_p1,
+           u.exact_n AS exact_union,
+           floor(u.e * 1e2 + 0.5) / 1e2 AS est_union,
+           floor((a.e + b.e - u.e) * 1e2 + 0.5) / 1e2 AS est_intersection,
+           floor(abs(u.e - u.exact_n) / u.exact_n * 1e6 + 0.5) / 1e6
+               AS union_rel_error
+    FROM (SELECT * FROM est WHERE p = 0) a,
+         (SELECT * FROM est WHERE p = 1) b, uest u
+    """,
+)
+def a53_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderdate") < F.lit("1998-06-01"), 0)
+            .otherwise(1)
+            .alias("p"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ).alias("hv"),
+        )
+        .distinct()
+    )
+
+    def kmv_est(df: DataFrame, part_cols: list) -> DataFrame:
+        pw = (
+            Window.partitionBy(*part_cols)
+            if part_cols
+            else Window.partitionBy(F.lit(1))
+        )
+        ranked = df.select(
+            *part_cols,
+            "hv",
+            F.row_number().over(pw.orderBy("hv")).alias("rk"),
+            F.count(F.lit(1)).over(pw).alias("n"),
+        )
+        kth = F.max(F.when(F.col("rk") == _KMV_K, F.col("hv")))
+        return ranked.groupBy(*part_cols).agg(
+            F.when(F.max("n") < _KMV_K, F.max("n").cast("double"))
+            .otherwise(F.lit((_KMV_K - 1) * _KMV_DOM) / kth)
+            .alias("e"),
+            F.max("n").cast("long").alias("exact_n"),
+        )
+
+    est = kmv_est(h, ["p"])
+    uest = kmv_est(h.select("hv").distinct(), [])
+    a = est.where(F.col("p") == 0).select(
+        F.col("e").alias("ea"), F.col("exact_n").alias("exact_p0")
+    )
+    b = est.where(F.col("p") == 1).select(
+        F.col("e").alias("eb"), F.col("exact_n").alias("exact_p1")
+    )
+    u = uest.select(
+        F.col("e").alias("eu"), F.col("exact_n").alias("exact_union")
+    )
+    f2 = lambda c: F.floor(c * 1e2 + F.lit(0.5)) / 1e2
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            "exact_p0",
+            f2(F.col("ea")).alias("est_p0"),
+            "exact_p1",
+            f2(F.col("eb")).alias("est_p1"),
+            "exact_union",
+            f2(F.col("eu")).alias("est_union"),
+            f2(F.col("ea") + F.col("eb") - F.col("eu")).alias(
+                "est_intersection"
+            ),
+            (
+                F.floor(
+                    F.abs(F.col("eu") - F.col("exact_union"))
+                    / F.col("exact_union")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("union_rel_error"),
+        )
+    )

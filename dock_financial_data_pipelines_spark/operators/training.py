@@ -1356,3 +1356,114 @@ def l_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("addone_cross_entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l_mixture_alpha_sampling — temperature-scaled multilingual mixture
+# (the α-sampling of multilingual LM training, α = 0.7): languages are
+# re-weighted p_l^α / Σ p^α so low-resource languages are up-sampled
+# relative to their natural share, then documents are kept by the
+# deterministic integer-hash threshold rule (the l_token_budget_mixture
+# device) at the rate that realizes the target mixture under a fixed
+# total token budget. pow() is not correctly rounded in libm, so the
+# α-scaled weights — computed once per LANGUAGE, a handful of rows —
+# are floored to the 1e-9 grid before any cross-engine comparison or
+# downstream arithmetic (the l_zipf_fit policy, applied where the
+# cardinality makes a boundary flip vanishingly unlikely).
+# ---------------------------------------------------------------------------
+_ALPHA_NUM = 0.7
+_ALPHA_BUDGET = 20000  # total token budget across languages
+
+
+@query(
+    "l_mixture_alpha_sampling",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+               CAST((doc_id * 2654435761) % 10000 AS DOUBLE) / 10000.0 AS u
+        FROM documents
+    ),
+    lt AS (
+        SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS toks FROM d GROUP BY 1
+    ),
+    tot AS (SELECT sum(toks) AS t FROM lt),
+    wts AS (
+        SELECT lang, toks,
+               floor(pow(toks / tot.t, {_ALPHA_NUM}) * 1e9 + 0.5) / 1e9 AS w
+        FROM lt, tot
+    ),
+    wsum AS (SELECT sum(w) AS sw FROM wts),
+    rated AS (
+        SELECT w.lang, w.toks,
+               floor(w.w / ws.sw * 1e9 + 0.5) / 1e9 AS alpha_share,
+               least(1.0, floor(w.w / ws.sw * 1e9 + 0.5) / 1e9
+                          * {_ALPHA_BUDGET} / w.toks) AS rate
+        FROM wts w, wsum ws
+    )
+    SELECT r.lang,
+           CAST(r.toks AS BIGINT) AS natural_tokens,
+           floor(r.toks / t.t * 1e6 + 0.5) / 1e6 AS natural_share,
+           floor(r.alpha_share * 1e6 + 0.5) / 1e6 AS alpha_share,
+           floor(r.rate * 1e6 + 0.5) / 1e6 AS sample_rate,
+           CAST((SELECT count(*) FROM d
+                 WHERE d.lang = r.lang AND d.u < r.rate) AS BIGINT)
+               AS docs_kept,
+           CAST((SELECT coalesce(sum(n_tok), 0) FROM d
+                 WHERE d.lang = r.lang AND d.u < r.rate) AS BIGINT)
+               AS tokens_kept
+    FROM rated r, tot t ORDER BY r.lang
+    """,
+)
+def l_mixture_alpha_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        (
+            ((F.col("doc_id") * F.lit(2654435761)) % 10000).cast("double")
+            / 10000.0
+        ).alias("u"),
+    )
+    lt = d.groupBy("lang").agg(F.sum("n_tok").cast("double").alias("toks"))
+    tot = lt.agg(F.sum("toks").alias("t"))
+    r9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9
+    wts = lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "toks",
+        "t",
+        r9(F.pow(F.col("toks") / F.col("t"), F.lit(_ALPHA_NUM))).alias("w"),
+    )
+    wsum = wts.agg(F.sum("w").alias("sw"))
+    rated = wts.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        "toks",
+        "t",
+        r9(F.col("w") / F.col("sw")).alias("alpha_share"),
+        F.least(
+            F.lit(1.0),
+            r9(F.col("w") / F.col("sw")) * _ALPHA_BUDGET / F.col("toks"),
+        ).alias("rate"),
+    )
+    kept = (
+        d.join(F.broadcast(rated.select("lang", "rate")), "lang")
+        .where(F.col("u") < F.col("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+        )
+    )
+    f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        rated.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("toks").cast("long").alias("natural_tokens"),
+            f6(F.col("toks") / F.col("t")).alias("natural_share"),
+            f6(F.col("alpha_share")).alias("alpha_share"),
+            f6(F.col("rate")).alias("sample_rate"),
+            F.coalesce(F.col("docs_kept"), F.lit(0)).alias("docs_kept"),
+            F.coalesce(F.col("tokens_kept"), F.lit(0)).alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -1084,6 +1084,20 @@ def main() -> int:
         "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "a53_kmv_distinct_sketch", execute=True)
+    check(
+        "a53_kmv_distinct_sketch",
+        "min-k sketches from one distinct pass; scalar combines only",
+        "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_mixture_alpha_sampling", execute=True)
+    check(
+        "l_mixture_alpha_sampling",
+        "language-level rates broadcast into the keep-rule scan",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
