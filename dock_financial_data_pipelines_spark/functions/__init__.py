@@ -346,3 +346,73 @@ def f9_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qty_nanos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F10 — higher-order predicate surface: exists / forall / zip_with over
+# per-order line arrays (the F4 family's missing predicates). Spark
+# uses the native HOFs (exists, forall — JVM codegen lambdas); DuckDB's
+# twins are list_filter-length forms with identical semantics. The
+# arrays are built by one collect_list aggregate per order; predicates
+# never leave the JVM.
+# ---------------------------------------------------------------------------
+@query(
+    "f10_array_exists_forall",
+    oracle="""
+    WITH arr AS (
+        SELECT l_orderkey,
+               list(l_quantity ORDER BY l_linenumber) AS qs,
+               list(l_discount ORDER BY l_linenumber) AS ds
+        FROM lineitem GROUP BY 1
+    ),
+    flags AS (
+        SELECT l_orderkey,
+               len(list_filter(qs, x -> x >= 40)) > 0 AS has_bulk_line,
+               len(list_filter(ds, x -> x <= 0.05)) = len(ds)
+                   AS all_low_discount,
+               CAST(list_sum(list_transform(ds, x -> CASE WHEN x > 0.05
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS n_high_discount
+        FROM arr
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN has_bulk_line THEN 1 ELSE 0 END) AS BIGINT)
+               AS orders_with_bulk,
+           CAST(sum(CASE WHEN all_low_discount THEN 1 ELSE 0 END) AS BIGINT)
+               AS orders_all_low_discount,
+           CAST(sum(n_high_discount) AS BIGINT) AS high_discount_lines
+    FROM flags
+    """,
+)
+def f10_array_exists_forall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(l_linenumber, "
+                "l_quantity))), p -> p.l_quantity)"
+            ).alias("qs"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(l_linenumber, "
+                "l_discount))), p -> p.l_discount)"
+            ).alias("ds"),
+        )
+    )
+    flags = arr.select(
+        F.expr("exists(qs, x -> x >= 40D)").alias("has_bulk_line"),
+        F.expr("forall(ds, x -> x <= 0.05D)").alias("all_low_discount"),
+        F.expr(
+            "aggregate(ds, CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + CASE WHEN x > 0.05D THEN 1 ELSE 0 END)"
+        ).alias("n_high_discount"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("has_bulk_line"), 1).otherwise(0))
+        .cast("long")
+        .alias("orders_with_bulk"),
+        F.sum(F.when(F.col("all_low_discount"), 1).otherwise(0))
+        .cast("long")
+        .alias("orders_all_low_discount"),
+        F.sum("n_high_discount").cast("long").alias("high_discount_lines"),
+    )

@@ -1181,3 +1181,140 @@ def l_index_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_matryoshka_recall — Matryoshka-truncation evaluation: how much
+# top-5 retrieval quality survives when the 64-dim embeddings are
+# truncated to their 16-dim prefix (the MRL serving trick — store the
+# prefix, rerank with the tail only when needed). For 20 md5-chosen
+# probes, rank the corpus by full-dim cosine and by prefix-dim cosine
+# (both exact, ties broken by vec_id — total orders), and report
+# per-probe overlap@5 plus the corpus mean. Probe-bounded exact form
+# (the l5_cosine_topk shape ×2 rankings); at index scale the truncated
+# ranking IS the ANN index's coarse stage, so this measures exactly
+# what the 100 TB serving path would lose.
+# ---------------------------------------------------------------------------
+_MAT_PROBES = 20
+_MAT_DIM = 16
+
+
+@query(
+    "l_matryoshka_recall",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_MAT_PROBES}
+    ),
+    corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    scored AS (
+        SELECT p.probe_id, c.vec_id,
+               list_inner_product(p.pe, c.e)
+               / (sqrt(list_inner_product(p.pe, p.pe))
+                  * sqrt(list_inner_product(c.e, c.e))) AS cos_full,
+               list_inner_product(p.pe[1:{_MAT_DIM}], c.e[1:{_MAT_DIM}])
+               / (sqrt(list_inner_product(p.pe[1:{_MAT_DIM}],
+                                          p.pe[1:{_MAT_DIM}]))
+                  * sqrt(list_inner_product(c.e[1:{_MAT_DIM}],
+                                            c.e[1:{_MAT_DIM}]))) AS cos_trunc
+        FROM probes p, corpus c
+        WHERE p.probe_id <> c.vec_id
+    ),
+    rk AS (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_full DESC, vec_id) AS rf,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_trunc DESC, vec_id) AS rt
+        FROM scored
+    ),
+    overlap AS (
+        SELECT probe_id,
+               count(CASE WHEN rf <= 5 AND rt <= 5 THEN 1 END) AS both5
+        FROM rk GROUP BY probe_id
+    )
+    SELECT probe_id,
+           CAST(both5 AS BIGINT) AS overlap_at_5,
+           floor(CAST(both5 AS DOUBLE) / 5 * 1e6 + 0.5) / 1e6 AS recall_at_5,
+           floor(CAST(sum(both5) OVER () AS DOUBLE)
+                 / ({_MAT_PROBES} * 5) * 1e6 + 0.5) / 1e6 AS mean_recall
+    FROM overlap ORDER BY probe_id
+    """,
+)
+def l_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probes = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_MAT_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .where(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                _dot("pe", "e")
+                / (F.sqrt(_dot("pe", "pe")) * F.sqrt(_dot("e", "e")))
+            ).alias("cos_full"),
+            F.expr(
+                f"aggregate(zip_with(slice(pe, 1, {_MAT_DIM}),"
+                f" slice(e, 1, {_MAT_DIM}), (x, y) -> x * y),"
+                " CAST(0.0D AS DOUBLE), (acc, v) -> acc + v)"
+                f" / (sqrt(aggregate(zip_with(slice(pe, 1, {_MAT_DIM}),"
+                f" slice(pe, 1, {_MAT_DIM}), (x, y) -> x * y),"
+                " CAST(0.0D AS DOUBLE), (acc, v) -> acc + v))"
+                f" * sqrt(aggregate(zip_with(slice(e, 1, {_MAT_DIM}),"
+                f" slice(e, 1, {_MAT_DIM}), (x, y) -> x * y),"
+                " CAST(0.0D AS DOUBLE), (acc, v) -> acc + v)))"
+            ).alias("cos_trunc"),
+        )
+    )
+    rk = scored.select(
+        "probe_id",
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("probe_id").orderBy(
+                F.desc("cos_full"), "vec_id"
+            )
+        )
+        .alias("rf"),
+        F.row_number()
+        .over(
+            Window.partitionBy("probe_id").orderBy(
+                F.desc("cos_trunc"), "vec_id"
+            )
+        )
+        .alias("rt"),
+    )
+    overlap = rk.groupBy("probe_id").agg(
+        F.count(
+            F.when((F.col("rf") <= 5) & (F.col("rt") <= 5), 1)
+        ).alias("both5")
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return overlap.select(
+        "probe_id",
+        F.col("both5").cast("long").alias("overlap_at_5"),
+        (F.floor(F.col("both5").cast("double") / 5 * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "recall_at_5"
+        ),
+        (
+            F.floor(
+                F.sum("both5").over(full).cast("double")
+                / (_MAT_PROBES * 5)
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_recall"),
+    ).orderBy("probe_id")

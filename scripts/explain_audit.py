@@ -1098,6 +1098,20 @@ def main() -> int:
         "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "f10_array_exists_forall", execute=True)
+    check(
+        "f10_array_exists_forall",
+        "HOF predicates stay JVM-side; one aggregate per order",
+        "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_matryoshka_recall", execute=True)
+    check(
+        "l_matryoshka_recall",
+        "probe set broadcast; dual rankings per probe partition",
+        "BroadcastNestedLoopJoin" in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
