@@ -2329,3 +2329,94 @@ def q_bilateral_netting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("nation_b"))
         .alias("net_payee"),
     ).orderBy("nation_a", "nation_b")
+
+
+# ---------------------------------------------------------------------------
+# q_three_way_match — the accounts-payable three-way match control
+# (PO × goods receipt × invoice): every line is classified as clean,
+# quantity-mismatch, price-mismatch or both, with the money at risk
+# per class. Receipt and invoice sides are deterministic derivations of
+# the PO line (short-ship every 13th part, price-uplift every 11th) so
+# the control has real exceptions to catch; tolerance is 1% on price,
+# exact on quantity. One scan builds all three legs (no join needed for
+# the simulation; in production this is a 3-way equi-join on the PO
+# line key, which the classification logic here is agnostic to).
+# Amounts are DECIMAL-exact; the tolerance comparison multiplies both
+# sides (|inv−po|·100 ≤ po) so no division enters the predicate.
+# ---------------------------------------------------------------------------
+@query(
+    "q_three_way_match",
+    oracle="""
+    WITH legs AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DECIMAL(18,2)) AS po_qty,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS po_amt,
+               CASE WHEN l_partkey % 13 = 0
+                    THEN CAST(l_quantity - 1 AS DECIMAL(18,2))
+                    ELSE CAST(l_quantity AS DECIMAL(18,2)) END AS rcpt_qty,
+               CASE WHEN l_partkey % 11 = 0
+                    THEN CAST(l_extendedprice * 1.03 AS DECIMAL(18,2))
+                    ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END AS inv_amt
+        FROM lineitem
+    ),
+    classed AS (
+        SELECT *,
+               CASE WHEN rcpt_qty <> po_qty AND
+                         abs(inv_amt - po_amt) * 100 > po_amt
+                        THEN 'qty_and_price'
+                    WHEN rcpt_qty <> po_qty THEN 'qty_mismatch'
+                    WHEN abs(inv_amt - po_amt) * 100 > po_amt
+                        THEN 'price_mismatch'
+                    ELSE 'clean' END AS verdict
+        FROM legs
+    )
+    SELECT verdict,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           floor(CAST(sum(inv_amt) AS DOUBLE) * 1e2 + 0.5) / 1e2
+               AS invoiced_amount,
+           floor(CAST(sum(inv_amt - po_amt) AS DOUBLE) * 1e2 + 0.5) / 1e2
+               AS amount_at_risk
+    FROM classed GROUP BY verdict ORDER BY verdict
+    """,
+)
+def q_three_way_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    legs = li.select(
+        F.col("l_quantity").cast("decimal(18,2)").alias("po_qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("po_amt"),
+        F.when(
+            F.col("l_partkey") % 13 == 0,
+            (F.col("l_quantity") - 1).cast("decimal(18,2)"),
+        )
+        .otherwise(F.col("l_quantity").cast("decimal(18,2)"))
+        .alias("rcpt_qty"),
+        F.when(
+            F.col("l_partkey") % 11 == 0,
+            (F.col("l_extendedprice") * 1.03).cast("decimal(18,2)"),
+        )
+        .otherwise(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .alias("inv_amt"),
+    )
+    price_bad = (
+        F.abs(F.col("inv_amt") - F.col("po_amt")) * 100 > F.col("po_amt")
+    )
+    qty_bad = F.col("rcpt_qty") != F.col("po_qty")
+    classed = legs.withColumn(
+        "verdict",
+        F.when(qty_bad & price_bad, "qty_and_price")
+        .when(qty_bad, "qty_mismatch")
+        .when(price_bad, "price_mismatch")
+        .otherwise("clean"),
+    )
+    f2 = lambda c: F.floor(c.cast("double") * 1e2 + F.lit(0.5)) / 1e2
+    return (
+        classed.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            f2(F.sum("inv_amt")).alias("invoiced_amount"),
+            f2(F.sum(F.col("inv_amt") - F.col("po_amt"))).alias(
+                "amount_at_risk"
+            ),
+        )
+        .orderBy("verdict")
+    )

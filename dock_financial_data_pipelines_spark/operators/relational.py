@@ -1204,3 +1204,98 @@ def u14_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# U15 — late-arriving dimension repair: facts land before some of
+# their dimension members exist (customers with custkey % 17 == 0
+# simulate the late feed), the first pass books them against the
+# UNKNOWN member (the inferred-member DW pattern — never drop, never
+# block the load), and the repair pass re-attributes once the full
+# dimension arrives. Output is the before/after segment revenue with
+# the re-attributed amount per segment — the reconciliation a
+# warehouse team reviews after every late-feed catch-up. Both passes
+# are broadcast dim joins; the repair touches only facts booked to
+# UNKNOWN (a filtered re-join, not a full reload).
+# ---------------------------------------------------------------------------
+@query(
+    "u15_late_dim_repair",
+    oracle="""
+    WITH early_dim AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % 17 <> 0
+    ),
+    first_pass AS (
+        SELECT coalesce(d.c_mktsegment, 'UNKNOWN') AS segment,
+               CAST(o.o_totalprice AS DECIMAL(27,2)) AS amt,
+               o.o_custkey
+        FROM orders o LEFT JOIN early_dim d ON o.o_custkey = d.c_custkey
+    ),
+    repaired AS (
+        SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+               CAST(o.o_totalprice AS DECIMAL(27,2)) AS amt
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    before AS (
+        SELECT segment, sum(amt) AS rev_before FROM first_pass GROUP BY 1
+    ),
+    after AS (
+        SELECT segment, sum(amt) AS rev_after FROM repaired GROUP BY 1
+    )
+    SELECT coalesce(b.segment, a.segment) AS segment,
+           floor(CAST(coalesce(b.rev_before, 0) AS DOUBLE) * 1e2 + 0.5)
+               / 1e2 AS rev_before,
+           floor(CAST(coalesce(a.rev_after, 0) AS DOUBLE) * 1e2 + 0.5)
+               / 1e2 AS rev_after,
+           floor(CAST(coalesce(a.rev_after, 0) - coalesce(b.rev_before, 0)
+                      AS DOUBLE) * 1e2 + 0.5) / 1e2 AS reattributed
+    FROM before b FULL OUTER JOIN after a ON b.segment = a.segment
+    ORDER BY segment
+    """,
+)
+def u15_late_dim_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import maybe_broadcast
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(27,2)").alias("amt")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    early = c.where(F.col("c_custkey") % 17 != 0)
+    first_pass = (
+        o.join(maybe_broadcast(early), o.o_custkey == early.c_custkey, "left")
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+                "segment"
+            ),
+            "amt",
+        )
+        .groupBy("segment")
+        .agg(F.sum("amt").alias("rev_before"))
+    )
+    repaired = (
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+                "segment"
+            ),
+            "amt",
+        )
+        .groupBy("segment")
+        .agg(F.sum("amt").alias("rev_after"))
+    )
+    f2 = lambda col: F.floor(col.cast("double") * 1e2 + F.lit(0.5)) / 1e2
+    joined = first_pass.withColumnRenamed("segment", "sb").join(
+        repaired.withColumnRenamed("segment", "sa"),
+        F.col("sb") == F.col("sa"),
+        "full_outer",
+    )
+    zero = F.lit(0).cast("decimal(27,2)")
+    return joined.select(
+        F.coalesce(F.col("sb"), F.col("sa")).alias("segment"),
+        f2(F.coalesce(F.col("rev_before"), zero)).alias("rev_before"),
+        f2(F.coalesce(F.col("rev_after"), zero)).alias("rev_after"),
+        f2(
+            F.coalesce(F.col("rev_after"), zero)
+            - F.coalesce(F.col("rev_before"), zero)
+        ).alias("reattributed"),
+    ).orderBy("segment")

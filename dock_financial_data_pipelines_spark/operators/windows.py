@@ -965,3 +965,97 @@ def w21_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("anchored_vwap"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# W22 — YTD report with prior-year comparison: per (segment, month) —
+# month revenue, year-to-date cumulative, the same month last year
+# (lag 12 over the month grid) and YoY growth. The canonical BI report
+# shape: everything runs on the month×segment ROLLUP (grid-bounded,
+# never fact-sized), windows partition by (segment, year) for the YTD
+# and by segment for the lag, so parallelism holds at any history
+# length. Growth guards the missing-prior-year case with NULL (both
+# engines agree on NULL arithmetic here — no fabricated zeros).
+# ---------------------------------------------------------------------------
+@query(
+    "w22_ytd_report",
+    oracle="""
+    WITH grid AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(strftime(o.o_orderdate, '%Y') AS INT) AS yr,
+               CAST(strftime(o.o_orderdate, '%m') AS INT) AS mo,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,2)))
+                    AS DECIMAL(27,2)) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    ),
+    win AS (
+        SELECT segment, yr, mo, rev,
+               sum(rev) OVER (PARTITION BY segment, yr ORDER BY mo
+                              ROWS UNBOUNDED PRECEDING) AS ytd,
+               lag(rev, 12) OVER (PARTITION BY segment
+                                  ORDER BY yr, mo) AS prior_year
+        FROM grid
+    )
+    SELECT segment, yr, mo,
+           floor(CAST(rev AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue,
+           floor(CAST(ytd AS DOUBLE) * 1e2 + 0.5) / 1e2 AS ytd_revenue,
+           floor(CAST(prior_year AS DOUBLE) * 1e2 + 0.5) / 1e2
+               AS prior_year_revenue,
+           CASE WHEN prior_year IS NULL THEN NULL
+                ELSE floor(CAST(rev - prior_year AS DOUBLE)
+                           / CAST(prior_year AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS yoy_growth
+    FROM win ORDER BY segment, yr, mo
+    """,
+)
+def w22_ytd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import maybe_broadcast
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    grid = (
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("decimal(27,2)")
+            .alias("rev")
+        )
+    )
+    ytd = F.sum("rev").over(
+        Window.partitionBy("segment", "yr")
+        .orderBy("mo")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prior = F.lag("rev", 12).over(
+        Window.partitionBy("segment").orderBy("yr", "mo")
+    )
+    win = grid.select(
+        "segment", "yr", "mo", "rev", ytd.alias("ytd"), prior.alias("prior_year")
+    )
+    f2 = lambda col: F.floor(col.cast("double") * 1e2 + F.lit(0.5)) / 1e2
+    growth = F.when(
+        F.col("prior_year").isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.floor(
+            (F.col("rev") - F.col("prior_year")).cast("double")
+            / F.col("prior_year").cast("double")
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return win.select(
+        "segment",
+        "yr",
+        "mo",
+        f2(F.col("rev")).alias("revenue"),
+        f2(F.col("ytd")).alias("ytd_revenue"),
+        f2(F.col("prior_year")).alias("prior_year_revenue"),
+        growth.alias("yoy_growth"),
+    ).orderBy("segment", "yr", "mo")

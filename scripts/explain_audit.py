@@ -1112,6 +1112,27 @@ def main() -> int:
         "BroadcastNestedLoopJoin" in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "q_three_way_match", execute=True)
+    check(
+        "q_three_way_match",
+        "three legs derived map-side in one scan; no join, no Python",
+        "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w22_ytd_report", execute=True)
+    check(
+        "w22_ytd_report",
+        "customer dim broadcast; windows over the month grid only",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "u15_late_dim_repair", execute=True)
+    check(
+        "u15_late_dim_repair",
+        "both passes broadcast dim joins; no Python",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
