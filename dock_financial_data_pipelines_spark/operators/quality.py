@@ -2420,3 +2420,109 @@ def q_three_way_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_duplicate_payments_fuzzy — the realistic AP double-payment screen
+# (q_duplicate_payments' exact-match sibling): same customer, amounts
+# within 1%, dates within 7 days — the pattern that catches re-keyed
+# invoices exact matching misses. Candidate-then-verify shape: orders
+# band by (customer, 7-day date bucket) with each order probing its own
+# and BOTH adjacent buckets (pigeonhole: |Δdate| ≤ 7 ⇒ same or
+# adjacent bucket, and okey order is independent of date order, so
+# both directions must probe; DISTINCT collapses double matches), then
+# the exact predicates verify. The
+# amount tolerance is multiplication-only (|Δamt|·100 ≤ min·1 — no
+# division) on integer cents. Fanout is bounded by per-customer weekly
+# order volume — never a customer-wide cross product.
+# ---------------------------------------------------------------------------
+@query(
+    "q_duplicate_payments_fuzzy",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS okey, o_custkey AS cust,
+               CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS dd,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    probes AS (
+        SELECT okey, cust, dd, cents,
+               (dd // 7) + b.b AS bucket
+        FROM o, (SELECT unnest(range(-1, 2)) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.cust, a.okey AS okey_a, c.okey AS okey_b,
+               a.cents AS cents_a, c.cents AS cents_b,
+               abs(a.dd - c.dd) AS day_gap
+        FROM probes a JOIN o c
+          ON a.cust = c.cust AND a.bucket = (c.dd // 7)
+         AND a.okey < c.okey
+    )
+    SELECT cust AS custkey, okey_a, okey_b,
+           floor(CAST(cents_a AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2 AS amt_a,
+           floor(CAST(cents_b AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2 AS amt_b,
+           CAST(day_gap AS BIGINT) AS day_gap
+    FROM cand
+    WHERE day_gap <= 7
+      AND abs(cents_a - cents_b) * 100 <= least(cents_a, cents_b)
+    ORDER BY custkey, okey_a, okey_b
+    """,
+)
+def q_duplicate_payments_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("dd"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    probes = o.select(
+        "okey",
+        "cust",
+        "dd",
+        "cents",
+        F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("b"),
+    ).withColumn("bucket", F.expr("(dd div 7) + b"))
+    c = o.select(
+        F.col("okey").alias("okey_b"),
+        F.col("cust").alias("cust_b"),
+        F.col("dd").alias("dd_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    cand = (
+        probes.join(
+            c,
+            (F.col("cust") == F.col("cust_b"))
+            & (F.col("bucket") == F.expr("dd_b div 7"))
+            & (F.col("okey") < F.col("okey_b")),
+        )
+        .select(
+            "cust",
+            F.col("okey").alias("okey_a"),
+            "okey_b",
+            F.col("cents").alias("cents_a"),
+            "cents_b",
+            F.abs(F.col("dd") - F.col("dd_b")).alias("day_gap"),
+        )
+        .distinct()
+    )
+    f2 = lambda col: F.floor(col.cast("double") / 100 * 1e2 + F.lit(0.5)) / 1e2
+    return (
+        cand.where(
+            (F.col("day_gap") <= 7)
+            & (
+                F.abs(F.col("cents_a") - F.col("cents_b")) * 100
+                <= F.least(F.col("cents_a"), F.col("cents_b"))
+            )
+        )
+        .select(
+            F.col("cust").alias("custkey"),
+            "okey_a",
+            "okey_b",
+            f2(F.col("cents_a")).alias("amt_a"),
+            f2(F.col("cents_b")).alias("amt_b"),
+            F.col("day_gap").cast("long").alias("day_gap"),
+        )
+        .orderBy("custkey", "okey_a", "okey_b")
+    )

@@ -1133,6 +1133,13 @@ def main() -> int:
         "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "q_duplicate_payments_fuzzy", execute=True)
+    check(
+        "q_duplicate_payments_fuzzy",
+        "(customer, week-bucket) equi-join candidates; no cartesian",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
