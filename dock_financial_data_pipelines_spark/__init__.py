@@ -44,13 +44,48 @@ __version__ = "0.2.0"
 # can never displace a planned slot. Regenerate both lists at round
 # start with scripts/sweep_rotate.py.
 _SWEEP_FIRST = [
-    # Round-6 sweep plan: the 14 never-driver-checked queries fill
-    # slots 1-14; the 6 oracle-upgrade re-runs (pipeline_daily_publish,
-    # l4_minhash_lsh_neardup, l4_simhash_signatures, l4_simhash_neardup,
-    # l5_ann_lsh_topk, l5_ivf_topk) land at 15-20 via class 2; round-6
-    # registrations (absent from both lists) queue from slot 21 via
-    # class 3, filling the remaining budget.
-    # SQL-oracled, never driver-checked (slots 1-14)
+    # Round-7 sweep plan: the 33 late round-6 registrations that
+    # lack a driver-green CORRECTNESS row fill slots 1-33 (closing
+    # the cumulative driver record to 326/326); round-7
+    # registrations (absent from both lists) queue from slot 34 via
+    # class 3, filling the remaining 17-slot budget.
+    # SQL-oracled, never driver-checked (slots 1-33)
+    "u15_late_dim_repair",
+    "a38_spearman_corr",
+    "a39_chi2_independence",
+    "a40_category_entropy",
+    "a41_herfindahl_index",
+    "a42_gapfill_interpolation",
+    "a43_mad_outliers",
+    "a44_runs_test",
+    "a45_weighted_median",
+    "a46_ks_test",
+    "a47_mann_whitney_u",
+    "a48_bootstrap_ci",
+    "a49_weekly_decompose",
+    "a50_multiple_regression",
+    "a51_countmin_heavy_hitters",
+    "a52_sample_quantile_sketch",
+    "a53_kmv_distinct_sketch",
+    "l_pmi_bigrams",
+    "l_readability_profile",
+    "l_char_ngram_profile",
+    "l_tfidf_cosine_pairs",
+    "l_vocab_coverage_curve",
+    "l_duplication_by_source",
+    "l_bpe_merge_step",
+    "l_perplexity_buckets",
+    "l_kneser_ney_bigram",
+    "l_mixture_alpha_sampling",
+    "w18_max_drawdown",
+    "w19_bollinger_bands",
+    "w20_rolling_corr",
+    "w21_anchored_vwap",
+    "w22_ytd_report",
+    "x16_stream_velocity",
+    # rows-only (no SQL oracle; driver records spark_rows)
+]
+_SWEEP_LAST = [
     "a34_price_elasticity",
     "l_tokenizer_fertility",
     "l_sft_format_pairs",
@@ -65,9 +100,6 @@ _SWEEP_FIRST = [
     "l_heaps_vocab_growth",
     "w17_daily_ohlc",
     "x15_stream_progress_metrics",
-    # rows-only (no SQL oracle; driver records spark_rows)
-]
-_SWEEP_LAST = [
     "pipeline_daily_publish",
     "l4_minhash_lsh_neardup",
     "l4_simhash_signatures",
@@ -317,6 +349,36 @@ _SWEEP_LAST = [
     "q_referential_integrity",
     "q_date_spine_gapfill",
     "a24_histogram2d",
+    "f10_array_exists_forall",
+    "l_knn_mutual_graph",
+    "l_embedding_norm_audit",
+    "l_pca_power_iteration",
+    "l_index_shard_plan",
+    "l_matryoshka_recall",
+    "l4_band_occupancy_audit",
+    "l4_minhash_estimate_error",
+    "l_containment_pairs",
+    "l_substring_span_pairs",
+    "l_url_canonical_dedup",
+    "l_dedup_funnel_e2e",
+    "g_two_hop_copurchase",
+    "g_random_walks",
+    "l7_phash_neardup",
+    "q_abc_classification",
+    "q_totalprice_audit",
+    "q_invoice_aging",
+    "q_margin_waterfall",
+    "q_new_vs_returning",
+    "q_sla_shipping",
+    "q_seasonal_index",
+    "q_distribution_psi",
+    "q_markov_attribution",
+    "q_abc_xyz_matrix",
+    "q_fraud_velocity",
+    "q_bilateral_netting",
+    "q_three_way_match",
+    "q_duplicate_payments_fuzzy",
+    "u14_scd2_build",
 ]
 
 
