@@ -1956,8 +1956,9 @@ def _mk_oracle_sql() -> str:
     SELECT channel,
            CAST(vf AS DOUBLE) / 1e6 AS p_conv_full,
            CAST(vr AS DOUBLE) / 1e6 AS p_conv_removed,
-           floor(CAST(vf - vr AS DOUBLE) / vf * 1e6 + 0.5) / 1e6
-               AS removal_effect
+           CASE WHEN vf = 0 THEN NULL
+                ELSE floor(CAST(vf - vr AS DOUBLE) / vf * 1e6 + 0.5) / 1e6
+           END AS removal_effect
     FROM report ORDER BY channel
     """
 
@@ -2028,7 +2029,13 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     for c in _MK_CHANNELS:
         vr = chain(c)
-        eff = __import__("math").floor((vf - vr) / vf * 1e6 + 0.5) / 1e6
+        # vf == 0 (no start→conv path within K steps) would divide by
+        # zero; emit NULL removal_effect — the oracle mirrors the guard.
+        eff = (
+            None
+            if vf == 0
+            else __import__("math").floor((vf - vr) / vf * 1e6 + 0.5) / 1e6
+        )
         out.append((c, vf / 1e6, vr / 1e6, eff))
     return spark.createDataFrame(
         out,

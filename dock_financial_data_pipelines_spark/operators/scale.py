@@ -1910,6 +1910,10 @@ def a47_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the fact table.
 # ---------------------------------------------------------------------------
 _BOOT_B = 200
+# CI order-statistic ranks derive from _BOOT_B in ONE place so changing
+# B can never desynchronize the Spark side from the oracle f-string.
+_BOOT_LO = -(-25 * _BOOT_B // 1000)  # ceil(0.025·B)
+_BOOT_HI = -(-975 * _BOOT_B // 1000)  # ceil(0.975·B)
 
 
 @query(
@@ -1949,10 +1953,10 @@ _BOOT_B = 200
             FROM daily, nn) AS mean_daily_rev,
            (SELECT floor(CAST(sum_rev AS DOUBLE) / (SELECT n FROM nn)
                          * 1e6 + 0.5) / 1e6
-            FROM ranked WHERE rn = 5) AS ci_lo,
+            FROM ranked WHERE rn = {_BOOT_LO}) AS ci_lo,
            (SELECT floor(CAST(sum_rev AS DOUBLE) / (SELECT n FROM nn)
                          * 1e6 + 0.5) / 1e6
-            FROM ranked WHERE rn = 195) AS ci_hi
+            FROM ranked WHERE rn = {_BOOT_HI}) AS ci_hi
     """,
 )
 def a48_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2005,10 +2009,10 @@ def a48_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_daily_rev")
         )
     )
-    lo = ranked.where(F.col("rn") == 5).select(
+    lo = ranked.where(F.col("rn") == _BOOT_LO).select(
         F.col("sum_rev").alias("lo_sum")
     )
-    hi = ranked.where(F.col("rn") == _BOOT_B - 5).select(
+    hi = ranked.where(F.col("rn") == _BOOT_HI).select(
         F.col("sum_rev").alias("hi_sum")
     )
     out = (

@@ -969,13 +969,16 @@ def w21_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # W22 — YTD report with prior-year comparison: per (segment, month) —
-# month revenue, year-to-date cumulative, the same month last year
-# (lag 12 over the month grid) and YoY growth. The canonical BI report
-# shape: everything runs on the month×segment ROLLUP (grid-bounded,
-# never fact-sized), windows partition by (segment, year) for the YTD
-# and by segment for the lag, so parallelism holds at any history
-# length. Growth guards the missing-prior-year case with NULL (both
-# engines agree on NULL arithmetic here — no fabricated zeros).
+# month revenue, year-to-date cumulative, the same month last year and
+# YoY growth. The canonical BI report shape: everything runs on the
+# month×segment ROLLUP (grid-bounded, never fact-sized); the YTD window
+# partitions by (segment, year) so parallelism holds at any history
+# length. The prior-year value comes from a SELF-JOIN of the grid on
+# (segment, yr-1, mo) — NOT lag(12): a lag over the *observed* month
+# grid silently compares the wrong months whenever a segment-month cell
+# is missing (sparse small-SF data, partial first/last calendar years).
+# Growth guards the missing-prior-year case with NULL (both engines
+# agree on NULL arithmetic here — no fabricated zeros).
 # ---------------------------------------------------------------------------
 @query(
     "w22_ytd_report",
@@ -990,12 +993,13 @@ def w21_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3
     ),
     win AS (
-        SELECT segment, yr, mo, rev,
-               sum(rev) OVER (PARTITION BY segment, yr ORDER BY mo
-                              ROWS UNBOUNDED PRECEDING) AS ytd,
-               lag(rev, 12) OVER (PARTITION BY segment
-                                  ORDER BY yr, mo) AS prior_year
-        FROM grid
+        SELECT g.segment, g.yr, g.mo, g.rev,
+               sum(g.rev) OVER (PARTITION BY g.segment, g.yr ORDER BY g.mo
+                                ROWS UNBOUNDED PRECEDING) AS ytd,
+               p.rev AS prior_year
+        FROM grid g
+        LEFT JOIN grid p
+          ON p.segment = g.segment AND p.yr = g.yr - 1 AND p.mo = g.mo
     )
     SELECT segment, yr, mo,
            floor(CAST(rev AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue,
@@ -1032,11 +1036,26 @@ def w22_ytd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("mo")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    prior = F.lag("rev", 12).over(
-        Window.partitionBy("segment").orderBy("yr", "mo")
+    # Prior-year month via grid self-join on (segment, yr-1, mo): exact
+    # even when segment-month cells are missing (a lag(12) over the
+    # observed grid would shift and compare the wrong months). The grid
+    # is segments×months — broadcast-sized at any fact-table scale.
+    prior_side = grid.select(
+        F.col("segment").alias("p_segment"),
+        (F.col("yr") + F.lit(1)).alias("p_yr"),
+        F.col("mo").alias("p_mo"),
+        F.col("rev").alias("prior_year"),
     )
-    win = grid.select(
-        "segment", "yr", "mo", "rev", ytd.alias("ytd"), prior.alias("prior_year")
+    win = (
+        grid.withColumn("ytd", ytd)
+        .join(
+            F.broadcast(prior_side),
+            (F.col("segment") == F.col("p_segment"))
+            & (F.col("yr") == F.col("p_yr"))
+            & (F.col("mo") == F.col("p_mo")),
+            "left",
+        )
+        .select("segment", "yr", "mo", "rev", "ytd", "prior_year")
     )
     f2 = lambda col: F.floor(col.cast("double") * 1e2 + F.lit(0.5)) / 1e2
     growth = F.when(
