@@ -64,6 +64,13 @@ HEADLINE = [
     "l5_ivf_topk",
     "l_semantic_dedup",
     "l_incremental_dedup",
+    # round-7 additions (appended AFTER existing entries): the three
+    # join-shape-bearing round-6 operators whose 100 TB plans deserve
+    # round-over-round tracking — end-to-end dedup funnel, banded
+    # duplicate-payment screen, anchor-join substring span dedup.
+    "l_dedup_funnel_e2e",
+    "q_duplicate_payments_fuzzy",
+    "l_substring_span_pairs",
 ]
 
 
@@ -84,20 +91,26 @@ def _median(xs: list[float]) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("dock-fdp-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen paths once so per-query numbers measure the
-    # plan, not first-run JIT + session setup.
+    # plan, not first-run JIT + session setup. The warmup run is timed
+    # and recorded SEPARATELY (never mixed into the samples) so the
+    # round record can attribute container-to-container JIT variance.
+    t0 = time.time()
     engine.QUERIES["a1_pricing_summary"](spark, sf_dir).collect()
+    warmup_sec = round(time.time() - t0, 3)
 
     # n_runs passes over the whole suite (pass-major order, so run k of
     # query A is separated from run k+1 by the full suite — adjacent
     # repeats would overstate cache warmth). Reported headline value is
-    # the per-query MIN (least scheduler noise, the comparator for
-    # round-over-round deltas); medians ride along for variance.
+    # the per-query MEDIAN of the n_runs samples (r6 showed 17.6-23.2 s
+    # min-based spread across container runs; medians over 5 passes are
+    # the stable comparator). Mins ride along in the detail file so
+    # pre-r7 rounds, whose headline was min-based, stay diffable.
     samples: dict[str, list[float]] = {}
     for _ in range(n_runs):
         for name in HEADLINE:
@@ -125,14 +138,24 @@ def main() -> None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
             spark.conf.set("spark.dock.disableBroadcastHints", "false")
 
-    per_query = {n: round(min(xs), 3) for n, xs in samples.items()}
-    medians = {n: round(_median(xs), 3) for n, xs in samples.items()}
+    per_query = {n: round(_median(xs), 3) for n, xs in samples.items()}
+    mins = {n: round(min(xs), 3) for n, xs in samples.items()}
     total = round(sum(per_query.values()), 3)
     # Subtotals over the queries earlier rounds' suites also ran, so
     # "value" growing from suite EXPANSION can't read as a perf
     # regression: value_shared_r3 excludes everything added in r4+,
-    # value_shared_r5 excludes only the r6 additions.
-    r6_added = {"l5_ivf_topk", "l_semantic_dedup", "l_incremental_dedup"}
+    # value_shared_r5 excludes the r6+r7 additions, value_shared_r6
+    # excludes only the r7 additions.
+    r7_added = {
+        "l_dedup_funnel_e2e",
+        "q_duplicate_payments_fuzzy",
+        "l_substring_span_pairs",
+    }
+    r6_added = {
+        "l5_ivf_topk",
+        "l_semantic_dedup",
+        "l_incremental_dedup",
+    } | r7_added
     r4_added = {
         "l_pack_sequences",
         "l_chunk_exact_dedup",
@@ -145,14 +168,19 @@ def main() -> None:
     shared_r5 = round(
         sum(v for n, v in per_query.items() if n not in r6_added), 3
     )
+    shared_r6 = round(
+        sum(v for n, v in per_query.items() if n not in r7_added), 3
+    )
     summary = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "n_runs": n_runs,
+        "warmup_sec": warmup_sec,
         "value_shared_r3": shared_r3,
         "value_shared_r5": shared_r5,
+        "value_shared_r6": shared_r6,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # environment attribution for round-over-round reads:
         # a rebuilt container (new Spark/JVM/testdata files)
@@ -173,7 +201,7 @@ def main() -> None:
         json.dump(
             {
                 **summary,
-                "queries_median": medians,
+                "queries_min": mins,
                 "samples": {n: [round(x, 3) for x in xs]
                             for n, xs in samples.items()},
             },
