@@ -92,6 +92,80 @@ def _events_stream_multibatch(
     )
 
 
+_SENTINEL_USER = -1
+
+
+def _events_stream_with_sentinel(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """The multibatch event stream plus a final SENTINEL chunk: one
+    purchase + one click for ``user_id = -1`` stamped 2 h past the real
+    max ts. Streaming outer joins / late-data operators can only
+    finalize rows the watermark has passed, so with real data alone the
+    last 30 min of purchases stay pending forever; the sentinel batch
+    is the watermark barrier that forces full finalization (the
+    end-of-day "close the books" event every attribution pipeline
+    ships). Callers filter ``user_id = -1`` rows out after the drain.
+
+    Built as its own chunk dir (copies of the shared chunks + the
+    sentinel written last, so latestFirst=false orders it as the final
+    micro-batch); the shared dir used by every other streaming query is
+    never polluted with synthetic rows."""
+    import shutil as _shutil
+
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    # Ensure the shared chunk dir exists, then mirror it.
+    _events_stream_multibatch(spark, sf_dir, n_chunks)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "dock_fdp_spark",
+        f"event_chunks_{sf_tag(sf_dir)}",
+    )
+    sdir = base + "_sentinel"
+    marker = os.path.join(sdir, "_built")
+    ev = load(spark, sf_dir, "events")
+    if not os.path.exists(marker):
+        os.makedirs(sdir, exist_ok=True)
+        for i in range(1, n_chunks + 1):
+            name = f"chunk_{i:02d}"
+            if not os.path.exists(os.path.join(sdir, name)):
+                _shutil.copytree(
+                    os.path.join(base, name), os.path.join(sdir, name)
+                )
+        sentinel = ev.agg(
+            F.max("ts").alias("max_ts"), F.max("event_id").alias("max_id")
+        ).select(
+            F.explode(
+                F.array(F.lit("purchase"), F.lit("click"))
+            ).alias("event_type"),
+            (F.col("max_ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+            F.lit(_SENTINEL_USER).cast("bigint").alias("user_id"),
+            F.col("max_id"),
+        )
+        cols = [
+            F.col(c)
+            if c in ("event_type", "ts", "user_id")
+            else (
+                (F.col("max_id") + F.lit(1))
+                if c == "event_id"
+                else F.lit(None)
+            ).cast(dict(ev.dtypes)[c]).alias(c)
+            for c in ev.columns
+        ]
+        sentinel.select(cols).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sdir, "chunk_99")
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(sdir, "chunk_*"))
+    )
+
+
 class _stream_partitions:
     """Scope ``spark.sql.shuffle.partitions`` down for a micro-batch run.
 
@@ -873,28 +947,21 @@ def x13_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # null rows — the semantics x11's inner join cannot express (the
 # "orphan conversions" every attribution pipeline must surface). Inner
 # matches emit eagerly; a null row emits only once the watermark
-# proves no qualifying click can still arrive. WHEN a given no-match
-# verdict flushes is engine-internal (eviction may lag the watermark
-# by a micro-batch), so the oracle-checked contract is the
-# CONSERVATIVE finalized region: both the drained stream and the
-# oracle keep null rows only for purchases older than the watermark as
-# of the second-to-last data chunk (chunk 3 of 4) — a region every
-# conforming drain must have flushed (watermarks are monotone and at
-# least two batches run after it). Purchases past that line are
-# "still pending" by design, exactly as in a live deployment.
+# proves no qualifying click can still arrive. The drain appends a
+# SENTINEL chunk (one purchase + one click for user_id -1, 2 h past
+# the real max ts) as a 5th micro-batch: it advances both input
+# watermarks past every real purchase, and the availableNow final
+# no-data batch then evicts the whole outer-join state — so ALL real
+# no-match purchases flush their null rows and the oracle covers the
+# complete LEFT OUTER result, not just a conservative finalized
+# region (sentinel rows are filtered out post-drain). This is the
+# production "close the books" pattern: emit a max-timestamp barrier
+# to force orphan finalization at end-of-day.
 # ---------------------------------------------------------------------------
 @query(
     "x14_stream_stream_left_join",
     oracle="""
-    WITH ranked AS (
-        SELECT ts, ntile(4) OVER (ORDER BY ts, event_id) AS chunk
-        FROM events
-    ),
-    wm AS (
-        SELECT epoch_us(max(ts)) - 1800000000 AS w_us
-        FROM ranked WHERE chunk = 3
-    ),
-    matched AS (
+    WITH matched AS (
         SELECT p.event_id AS purchase_id, c.event_id AS click_id,
                p.user_id,
                CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
@@ -909,14 +976,13 @@ def x13_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id,
                p.user_id,
                CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
-        FROM events p, wm
+        FROM events p
         WHERE p.event_type = 'purchase'
           AND NOT EXISTS (SELECT 1 FROM events c
                           WHERE c.user_id = p.user_id
                             AND c.event_type = 'click'
                             AND c.ts >= p.ts - INTERVAL 30 MINUTE
                             AND c.ts <= p.ts)
-          AND epoch_us(p.ts) < wm.w_us
     )
     SELECT * FROM matched
     UNION ALL
@@ -924,10 +990,7 @@ def x13_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dock_financial_data_pipelines_spark.catalog import load
-    from pyspark.sql import Window
-
-    ev = _events_stream_multibatch(spark, sf_dir)
+    ev = _events_stream_with_sentinel(spark, sf_dir)
     purchases = (
         ev.where(F.col("event_type") == "purchase")
         .select(
@@ -957,29 +1020,11 @@ def x14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.col("p_user").alias("user_id"),
         F.unix_timestamp("p_ts").cast("bigint").alias("purchase_epoch"),
-        F.expr("unix_micros(p_ts)").alias("_p_us"),
     )
     drained = _run_to_memory(joined, "x14_left_joined", "append")
-    # Conservative finalized-region cut, mirrored in the oracle: the
-    # chunk-3 watermark, recomputed from the same static events table
-    # the chunk builder used (identical ntile ordering).
-    static_ev = load(spark, sf_dir, "events")
-    wm = (
-        static_ev.withColumn(
-            "chunk", F.ntile(4).over(Window.orderBy("ts", "event_id"))
-        )
-        .where(F.col("chunk") == 3)
-        .agg(
-            (F.max(F.expr("unix_micros(ts)")) - 1800000000).alias("w_us")
-        )
-    )
-    return (
-        drained.crossJoin(F.broadcast(wm))
-        .where(
-            F.col("click_id").isNotNull() | (F.col("_p_us") < F.col("w_us"))
-        )
-        .drop("_p_us", "w_us")
-    )
+    # Drop the watermark-barrier sentinel; every REAL purchase row —
+    # matched or null-flushed orphan — survives and is oracle-checked.
+    return drained.where(F.col("user_id") != _SENTINEL_USER)
 
 
 # ---------------------------------------------------------------------------
