@@ -1140,6 +1140,46 @@ def main() -> int:
         "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    # -- audit-only global-sort bound checks (SCALE.md "Audit-only
+    # global-sort legs"): every single-partition exchange in these
+    # plans must sit ABOVE a hash aggregate — i.e. the globally sorted
+    # input is an aggregated grain (days / B resamples / sketch cells),
+    # never the raw fact table. ------------------------------------------
+    def singlepart_fed_by_aggregate(p: str) -> bool:
+        i, seen = 0, False
+        while True:
+            i = p.find("Exchange SinglePartition", i)
+            if i == -1:
+                return seen
+            seen = True
+            if p.find("HashAggregate", i) == -1:
+                return False
+            i += 1
+
+    for nm, grain in [
+        ("a25_autocorrelation", "calendar days"),
+        ("a31_cusum_drift", "calendar days"),
+        ("a42_gapfill_interpolation", "calendar days"),
+        ("a44_runs_test", "calendar days"),
+        ("a49_weekly_decompose", "calendar days"),
+        ("a48_bootstrap_ci", "B=200 resample sums"),
+    ]:
+        p = plan_of(spark, nm, execute=True)
+        check(
+            f"{nm}.sort_bound",
+            f"single-partition sorts consume the {grain} aggregate, "
+            "not fact rows",
+            singlepart_fed_by_aggregate(p),
+        )
+
+    p = plan_of(spark, "a51_countmin_heavy_hitters", execute=True)
+    check(
+        "a51_countmin_heavy_hitters.sort_bound",
+        "no unpartitioned sort anywhere (sketch cells rank via "
+        "partitioned window / top-k)",
+        "Exchange SinglePartition" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
