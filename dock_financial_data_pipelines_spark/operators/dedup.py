@@ -1970,3 +1970,144 @@ def l_dedup_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Semantic-dedup within-cell exactness audit AS A QUERY — the pytest
+# gate (tests/test_dedup_recall.py::test_semantic_dedup_within_cell_
+# exact) made auditable data. The operator's per-cell accounting
+# (distinct-pair join + left join) is re-derived through an
+# INDEPENDENT formulation — a per-vector EXISTS (greatest cosine to
+# any smaller-id cell-mate ≥ τ) folded by a straight aggregate — and
+# both sides are emitted with an UNCONDITIONAL `agree` boolean: if the
+# two formulations ever diverge (keep-rule bug, distinct-collapse
+# bug), the boolean flips and the hash compare fails loudly. Costs the
+# same within-cell pair space as the operator itself.
+# ---------------------------------------------------------------------------
+def _semdedup_cell_audit_oracle() -> str:
+    from dock_financial_data_pipelines_spark.operators.similarity import (
+        _SEM_ORACLE_PREFIX,
+    )
+
+    return f"""
+    WITH {_SEM_ORACLE_PREFIX},
+    cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rk
+            FROM dfinal
+        ) WHERE rk = 1
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    op_dropped AS (
+        SELECT DISTINCT a.cell, b.vec_id AS drop_id
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE list_inner_product(va.e, vb.e)
+              / (sqrt(list_inner_product(va.e, va.e))
+                 * sqrt(list_inner_product(vb.e, vb.e))) >= {_SEM_TAU}
+    ),
+    op AS (
+        SELECT c.cell, count(*) AS n_vectors,
+               CAST(sum(CASE WHEN d.drop_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped
+        FROM cells c
+        LEFT JOIN op_dropped d ON d.cell = c.cell AND d.drop_id = c.vec_id
+        GROUP BY 1
+    ),
+    recount AS (
+        SELECT c.cell,
+               CAST(sum(CASE WHEN EXISTS (
+                   SELECT 1 FROM cells a
+                   JOIN v va ON va.vec_id = a.vec_id
+                   JOIN v vb ON vb.vec_id = c.vec_id
+                   WHERE a.cell = c.cell AND a.vec_id < c.vec_id
+                     AND list_inner_product(va.e, vb.e)
+                         / (sqrt(list_inner_product(va.e, va.e))
+                            * sqrt(list_inner_product(vb.e, vb.e)))
+                         >= {_SEM_TAU}
+               ) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_recount
+        FROM cells c GROUP BY 1
+    )
+    SELECT o.cell, o.n_vectors, o.n_dropped, r.n_dropped_recount,
+           o.n_dropped = r.n_dropped_recount AS agree
+    FROM op o JOIN recount r ON o.cell = r.cell
+    ORDER BY o.cell
+    """
+
+
+@query("l_semdedup_cell_audit", oracle=_semdedup_cell_audit_oracle())
+def l_semdedup_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.operators.similarity import (
+        _dot,
+        _ivf_assign,
+        _ivf_train_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    centroids = memo_index(
+        spark,
+        f"ivf_centroids:{sf_tag(sf_dir)}",  # shared with l5_ivf_topk
+        lambda: _ivf_train_centroids(spark, emb).localCheckpoint(eager=True),
+    )
+    cells = _ivf_assign(
+        emb.select(F.col("vec_id").alias("_id"), F.col("e").alias("ce")),
+        centroids,
+        "ce",
+        1,
+    ).select(F.col("_id").alias("vec_id"), "cell", F.col("ce").alias("e"))
+
+    # Operator-side accounting (the l_semantic_dedup formulation).
+    op = l_semantic_dedup(spark, sf_dir).select(
+        "cell", "n_vectors", "n_dropped"
+    )
+
+    # Independent recount: per-vector greatest-cosine-to-smaller-id
+    # flag via aggregate — no DISTINCT, no left join.
+    a = cells.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+    )
+    b = cells.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
+    )
+    cos = _dot("ea", "eb") / (
+        F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))
+    )
+    flagged = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("is_dup", (cos >= F.lit(_SEM_TAU)).cast("int"))
+        .groupBy("cell", "id_b")
+        .agg(F.max("is_dup").alias("dup"))
+    )
+    recount = (
+        cells.join(
+            flagged.select(
+                "cell", F.col("id_b").alias("vec_id"), "dup"
+            ),
+            ["cell", "vec_id"],
+            "left",
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum(F.coalesce(F.col("dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped_recount")
+        )
+    )
+    return (
+        op.join(recount, "cell")
+        .select(
+            "cell",
+            "n_vectors",
+            "n_dropped",
+            "n_dropped_recount",
+            (F.col("n_dropped") == F.col("n_dropped_recount")).alias("agree"),
+        )
+        .orderBy("cell")
+    )

@@ -1318,3 +1318,112 @@ def l_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("mean_recall"),
     ).orderBy("probe_id")
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audits AS QUERIES — the two pytest recall gates
+# (tests/test_rows_only.py::test_ivf_recall_vs_exact and
+# ::test_ann_lsh_recall_vs_exact) made auditable data, the
+# l_neardup_recall_audit pattern: ground truth is the exact
+# brute-force top-5 (l5_cosine_topk, probe-bounded by contract), the
+# prediction is the approximate index's top-5, and the output is the
+# truth/predicted/found/missed accounting plus recall and the gate
+# boolean — emitted UNCONDITIONALLY, so a recall regression flips a
+# value the hash compare sees instead of silently passing rows-only.
+# Both sides nest the already-registered oracles as subqueries; cost
+# is probe × corpus, never corpus².
+# ---------------------------------------------------------------------------
+_IVF_RECALL_GATE = 0.8
+_ANN_RECALL_GATE = 0.9
+
+
+def _recall_audit_oracle(pred_name: str, gate: float) -> str:
+    from dock_financial_data_pipelines_spark.registry import ORACLES
+
+    return f"""
+    WITH truth AS (
+        SELECT query_id, neighbor_id FROM ({ORACLES["l5_cosine_topk"]})
+    ),
+    pred AS (
+        SELECT query_id, neighbor_id FROM ({ORACLES[pred_name]})
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM pred) AS n_predicted,
+           (SELECT count(*) FROM truth t
+            WHERE EXISTS (SELECT 1 FROM pred p
+                          WHERE p.query_id = t.query_id
+                            AND p.neighbor_id = t.neighbor_id)) AS n_found,
+           (SELECT count(*) FROM truth t
+            WHERE NOT EXISTS (SELECT 1 FROM pred p
+                              WHERE p.query_id = t.query_id
+                                AND p.neighbor_id = t.neighbor_id))
+               AS n_missed,
+           floor((SELECT count(*) FROM truth t
+                  WHERE EXISTS (SELECT 1 FROM pred p
+                                WHERE p.query_id = t.query_id
+                                  AND p.neighbor_id = t.neighbor_id)) * 1e6
+                 / greatest((SELECT count(*) FROM truth), 1) + 0.5) / 1e6
+               AS recall,
+           (SELECT count(*) FROM truth t
+            WHERE EXISTS (SELECT 1 FROM pred p
+                          WHERE p.query_id = t.query_id
+                            AND p.neighbor_id = t.neighbor_id)) * 1e6
+               >= CAST({gate} * 1e6 AS BIGINT)
+                  * greatest((SELECT count(*) FROM truth), 1)
+               AS recall_ge_gate
+    """
+
+
+def _recall_audit(
+    spark: SparkSession, sf_dir: str, pred_fn, gate: float
+) -> DataFrame:
+    truth = l5_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    pred = pred_fn(spark, sf_dir).select("query_id", "neighbor_id")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_predicted"))
+    found = truth.join(pred, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    missed = truth.join(pred, ["query_id", "neighbor_id"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_pred))
+        .crossJoin(F.broadcast(found))
+        .crossJoin(F.broadcast(missed))
+        .select(
+            "n_truth",
+            "n_predicted",
+            "n_found",
+            "n_missed",
+            (
+                F.floor(
+                    F.col("n_found") * 1e6
+                    / F.greatest(F.col("n_truth"), F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("recall"),
+            (
+                F.col("n_found") * 1000000
+                >= F.lit(int(gate * 1e6))
+                * F.greatest(F.col("n_truth"), F.lit(1))
+            ).alias("recall_ge_gate"),
+        )
+    )
+
+
+@query(
+    "l_ivf_recall_audit",
+    oracle=_recall_audit_oracle("l5_ivf_topk", _IVF_RECALL_GATE),
+)
+def l_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_audit(spark, sf_dir, l5_ivf_topk, _IVF_RECALL_GATE)
+
+
+@query(
+    "l_ann_lsh_recall_audit",
+    oracle=_recall_audit_oracle("l5_ann_lsh_topk", _ANN_RECALL_GATE),
+)
+def l_ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_audit(spark, sf_dir, l5_ann_lsh_topk, _ANN_RECALL_GATE)

@@ -1140,6 +1140,28 @@ def main() -> int:
         "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    # -- round-7 additions ------------------------------------------------
+    p = plan_of(spark, "l_ivf_recall_audit", execute=True)
+    check(
+        "l_ivf_recall_audit",
+        "truth∩pred via semi/anti joins; probe-bounded truth; no Python",
+        "LeftSemi" in p and "LeftAnti" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_ann_lsh_recall_audit", execute=True)
+    check(
+        "l_ann_lsh_recall_audit",
+        "truth∩pred via semi/anti joins; no Python",
+        "LeftSemi" in p and "LeftAnti" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_semdedup_cell_audit", execute=True)
+    check(
+        "l_semdedup_cell_audit",
+        "within-cell equi-join recount; no cartesian, no Python",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     # -- audit-only global-sort bound checks (SCALE.md "Audit-only
     # global-sort legs"): every single-partition exchange in these
     # plans must sit ABOVE a hash aggregate — i.e. the globally sorted
