@@ -2533,3 +2533,255 @@ def q_duplicate_payments_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "okey_a", "okey_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_aging_buckets — the accounts-receivable AGING report, the single
+# most-run AP/AR control in any finance stack: open ('O') orders
+# bucketed by age as of the ledger close (max order date in the book —
+# no wall clock, so the report is reproducible), with count, exposure
+# and share per (bucket, priority). Exact arithmetic: integer day
+# diffs, DECIMAL cent sums, shares floored at 1e-6. One scan + one
+# hash aggregate; the as-of scalar broadcasts. At 100 TB the scan
+# prunes to the open-status partition if the sink partitions by
+# status — nothing else changes.
+# ---------------------------------------------------------------------------
+@query(
+    "q_aging_buckets",
+    oracle="""
+    WITH closing AS (SELECT max(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    aged AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               (SELECT d0 FROM closing) - CAST(o_orderdate AS DATE) AS age
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    bucketed AS (
+        SELECT CASE WHEN age <= 30 THEN '0-030'
+                    WHEN age <= 60 THEN '031-060'
+                    WHEN age <= 90 THEN '061-090'
+                    ELSE '090+' END AS bucket,
+               priority, cents
+        FROM aged
+    ),
+    agg AS (
+        SELECT bucket, priority, count(*) AS n_orders,
+               sum(cents) AS c
+        FROM bucketed GROUP BY 1, 2
+    )
+    SELECT bucket, priority, n_orders,
+           floor(CAST(c AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2 AS amount,
+           floor(CAST(c AS DOUBLE) * 1e6
+                 / (SELECT sum(c) FROM agg) + 0.5) / 1e6 AS share
+    FROM agg ORDER BY bucket, priority
+    """,
+)
+def q_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    allo = load(spark, sf_dir, "orders")
+    o = allo.where(F.col("o_orderstatus") == "O")
+    # ledger close = max order date over the WHOLE book, not just the
+    # open slice (the oracle's closing CTE does the same).
+    asof = allo.agg(F.max(F.to_date("o_orderdate")).alias("d0"))
+    aged = o.crossJoin(F.broadcast(asof)).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.datediff(F.col("d0"), F.to_date("o_orderdate")).alias("age"),
+    )
+    bucket = (
+        F.when(F.col("age") <= 30, "0-030")
+        .when(F.col("age") <= 60, "031-060")
+        .when(F.col("age") <= 90, "061-090")
+        .otherwise("090+")
+    )
+    agg = (
+        aged.select(bucket.alias("bucket"), "priority", "cents")
+        .groupBy("bucket", "priority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("c"))
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "bucket",
+        "priority",
+        "n_orders",
+        (F.floor(F.col("c").cast("double") / 100 * 1e2 + F.lit(0.5)) / 1e2).alias(
+            "amount"
+        ),
+        (
+            F.floor(
+                F.col("c").cast("double") * 1e6 / F.sum("c").over(tot)
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("share"),
+    ).orderBy("bucket", "priority")
+
+
+# ---------------------------------------------------------------------------
+# q_penny_allocation — exact installment splitting, the canonical
+# money-exactness operator (billing engines call it penny allocation):
+# each order's total is split into 3 monthly installments of
+# cents DIV 3 with the remainder cents assigned to the FIRST
+# (remainder) installments, so Σ installments ≡ total to the cent by
+# construction. The report aggregates per installment index and emits
+# the reconciliation as an UNCONDITIONAL boolean — a rounding bug
+# flips the hash-compared value instead of hiding in a filtered-out
+# row. All arithmetic on non-negative BIGINT cents (DIV/% portable).
+# Map-side explode ×3, one aggregate; linear at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q_penny_allocation",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    inst AS (
+        SELECT o_orderkey, cents, n.n,
+               cents // 3 + CASE WHEN n.n <= cents % 3 THEN 1 ELSE 0 END
+                   AS icents
+        FROM o, (SELECT unnest(range(1, 4)) AS n) n
+    ),
+    agg AS (
+        SELECT n AS installment_no, count(*) AS n_orders,
+               sum(icents) AS c
+        FROM inst GROUP BY 1
+    ),
+    recon AS (
+        SELECT (SELECT sum(icents) FROM inst) = (SELECT sum(cents) FROM o)
+               AS exact_to_the_cent
+    )
+    SELECT installment_no, n_orders,
+           floor(CAST(c AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2
+               AS installment_total,
+           (SELECT exact_to_the_cent FROM recon) AS exact_to_the_cent
+    FROM agg ORDER BY installment_no
+    """,
+)
+def q_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    inst = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("n"),
+    ).select(
+        "o_orderkey",
+        "cents",
+        "n",
+        (
+            F.expr("cents div 3")
+            + F.when(F.col("n") <= F.col("cents") % 3, 1).otherwise(0)
+        ).alias("icents"),
+    )
+    agg = inst.groupBy(F.col("n").alias("installment_no")).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("icents").alias("c")
+    )
+    recon = inst.agg(F.sum("icents").alias("si")).crossJoin(
+        o.agg(F.sum("cents").alias("sc"))
+    ).select((F.col("si") == F.col("sc")).alias("exact_to_the_cent"))
+    return (
+        agg.crossJoin(F.broadcast(recon))
+        .select(
+            "installment_no",
+            "n_orders",
+            (
+                F.floor(F.col("c").cast("double") / 100 * 1e2 + F.lit(0.5))
+                / 1e2
+            ).alias("installment_total"),
+            "exact_to_the_cent",
+        )
+        .orderBy("installment_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_fulfillment_lag_buckets — order-to-ship fulfillment lag
+# distribution: per (priority, lag bucket) line counts, shipped value
+# and the mean lag (floored rational — exact). The operations report
+# behind every SLA dashboard. One broadcast-dim-free equi-join
+# (orders→lineitem on orderkey, both fact-sized → shuffle join on the
+# key, AQE-splittable) + one aggregate. Lag is a DATE-level integer
+# diff, portable across engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q_fulfillment_lag_buckets",
+    oracle="""
+    WITH j AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                   AS lag_days,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    b AS (
+        SELECT priority,
+               CASE WHEN lag_days <= 7 THEN 'a_week'
+                    WHEN lag_days <= 30 THEN 'b_month'
+                    WHEN lag_days <= 60 THEN 'c_two_months'
+                    ELSE 'd_over_60' END AS bucket,
+               lag_days, cents
+        FROM j
+    )
+    SELECT priority, bucket, count(*) AS n_lines,
+           floor(CAST(sum(cents) AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2
+               AS shipped_value,
+           floor(CAST(sum(lag_days) AS DOUBLE) * 1e6 / count(*) + 0.5) / 1e6
+               AS mean_lag_days
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_fulfillment_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"), "o_orderdate"
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    j = o.join(l, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "priority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "lag_days"
+        ),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    bucket = (
+        F.when(F.col("lag_days") <= 7, "a_week")
+        .when(F.col("lag_days") <= 30, "b_month")
+        .when(F.col("lag_days") <= 60, "c_two_months")
+        .otherwise("d_over_60")
+    )
+    return (
+        j.select("priority", bucket.alias("bucket"), "lag_days", "cents")
+        .groupBy("priority", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.floor(
+                    F.sum("cents").cast("double") / 100 * 1e2 + F.lit(0.5)
+                )
+                / 1e2
+            ).alias("shipped_value"),
+            (
+                F.floor(
+                    F.sum("lag_days").cast("double") * 1e6
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mean_lag_days"),
+        )
+        .orderBy("priority", "bucket")
+    )

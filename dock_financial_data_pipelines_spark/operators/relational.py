@@ -1299,3 +1299,48 @@ def u15_late_dim_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.col("rev_before"), zero)
         ).alias("reattributed"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# U16 — retention-policy dedup: keep the latest K=3 versions per key
+# (u3_dedup_keep_latest generalized from K=1) — the version-pruning
+# pass every snapshot store / feature store runs. One partitioned
+# row_number, no global sort; at 100 TB this is a single hash shuffle
+# on the key, and the K filter pushes into the per-partition sort via
+# the window's rank predicate.
+# ---------------------------------------------------------------------------
+_KEEP_K = 3
+
+
+@query(
+    "u16_keep_latest_k",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_date, keep_rank
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC,
+                                           o_orderkey DESC) AS keep_rank
+        FROM orders
+    )
+    WHERE keep_rank <= {_KEEP_K}
+    ORDER BY o_custkey, keep_rank
+    """,
+)
+def u16_keep_latest_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("keep_rank", F.row_number().over(w))
+        .where(F.col("keep_rank") <= _KEEP_K)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            "keep_rank",
+        )
+        .orderBy("o_custkey", "keep_rank")
+    )

@@ -2587,3 +2587,96 @@ def a53_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_rel_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A54 — decile lift / gains table: customers ranked by lifetime spend,
+# split into 10 equal-count deciles, with per-decile revenue share,
+# cumulative (gains-curve) share and lift vs the uniform 10% baseline
+# — the classic campaign-targeting report (q_pareto_8020's full-curve
+# sibling). Exact: integer-cent sums; ntile over (spend DESC, custkey)
+# is a total order so both engines cut identical deciles; shares
+# floored at 1e-6. The ranked sort runs on the CUSTOMER rollup (dim-
+# sized, not fact-sized); at 100 TB substitute approx_percentile
+# spend-boundary bucketing for the ntile (SCALE.md global-sort table).
+# ---------------------------------------------------------------------------
+@query(
+    "a54_decile_lift_table",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT o_custkey, cents,
+               ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+        FROM spend
+    ),
+    agg AS (
+        SELECT decile, count(*) AS n_customers, sum(cents) AS c
+        FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_customers,
+           floor(CAST(c AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2 AS revenue,
+           floor(CAST(c AS DOUBLE) * 1e6
+                 / (SELECT sum(c) FROM agg) + 0.5) / 1e6 AS share,
+           floor(CAST(sum(c) OVER (ORDER BY decile
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) * 1e6
+                 / (SELECT sum(c) FROM agg) + 0.5) / 1e6 AS cum_share,
+           floor(CAST(c AS DOUBLE) * 10 * 1e4
+                 / (SELECT sum(c) FROM agg) + 0.5) / 1e4 AS lift
+    FROM agg ORDER BY decile
+    """,
+)
+def a54_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = spend.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("cents").desc(), "o_custkey"))
+        .alias("decile"),
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("cents").alias("c")
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = F.sum("c").over(full)
+    return agg.select(
+        "decile",
+        "n_customers",
+        (F.floor(F.col("c").cast("double") / 100 * 1e2 + F.lit(0.5)) / 1e2).alias(
+            "revenue"
+        ),
+        (
+            F.floor(F.col("c").cast("double") * 1e6 / tot + F.lit(0.5)) / 1e6
+        ).alias("share"),
+        (
+            F.floor(
+                F.sum("c").over(cum).cast("double") * 1e6 / tot + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("cum_share"),
+        (
+            F.floor(
+                F.col("c").cast("double") * 10 * 1e4 / tot + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("lift"),
+    ).orderBy("decile")

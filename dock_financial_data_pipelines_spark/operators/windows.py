@@ -1078,3 +1078,164 @@ def w22_ytd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         f2(F.col("prior_year")).alias("prior_year_revenue"),
         growth.alias("yoy_growth"),
     ).orderBy("segment", "yr", "mo")
+
+
+# ---------------------------------------------------------------------------
+# W23 — 14-day RSI (relative strength index, simple-average Cutler
+# form) over the daily revenue series: day-over-day deltas split into
+# gains/losses, trailing-14 sums, RSI = 100·Σgain/(Σgain+Σloss). The
+# Cutler/SMA form is chosen over Wilder's recursive smoothing
+# DELIBERATELY: it is a pure window aggregate (no recursion), so it
+# parallelizes and carries an exact integer-cent oracle. Rows emit
+# only once 14 full deltas exist; a flat 14-day stretch (Σ=0) emits
+# NULL, mirrored on both engines. Day-grain global sort — bounded by
+# calendar days (SCALE.md "audit-only global-sort legs" family (a)).
+# ---------------------------------------------------------------------------
+@query(
+    "w23_rsi",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    d AS (
+        SELECT day, cents,
+               cents - lag(cents) OVER (ORDER BY day) AS delta,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    g AS (
+        SELECT day, cents, rn,
+               sum(greatest(delta, 0)) OVER (ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sg,
+               sum(greatest(-delta, 0)) OVER (ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sl
+        FROM d
+    )
+    SELECT day,
+           floor(CAST(cents AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2 AS revenue,
+           CASE WHEN sg + sl = 0 THEN NULL
+                ELSE floor(100.0 * sg / (sg + sl) * 1e4 + 0.5) / 1e4
+           END AS rsi_14
+    FROM g WHERE rn >= 15 ORDER BY day
+    """,
+)
+def w23_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wd = Window.orderBy("day")
+    d = daily.select(
+        "day",
+        "cents",
+        (F.col("cents") - F.lag("cents").over(wd)).alias("delta"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    w14 = Window.orderBy("day").rowsBetween(-13, 0)
+    g = d.select(
+        "day",
+        "cents",
+        "rn",
+        F.sum(F.greatest(F.col("delta"), F.lit(0))).over(w14).alias("sg"),
+        F.sum(F.greatest(-F.col("delta"), F.lit(0))).over(w14).alias("sl"),
+    )
+    rsi = F.when(F.col("sg") + F.col("sl") == 0, F.lit(None)).otherwise(
+        F.floor(
+            F.lit(100.0) * F.col("sg") / (F.col("sg") + F.col("sl")) * 1e4
+            + F.lit(0.5)
+        )
+        / 1e4
+    )
+    return (
+        g.where(F.col("rn") >= 15)
+        .select(
+            "day",
+            (
+                F.floor(F.col("cents").cast("double") / 100 * 1e2 + F.lit(0.5))
+                / 1e2
+            ).alias("revenue"),
+            rsi.alias("rsi_14"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W24 — 20-day Donchian channels over the daily revenue series:
+# trailing high/low band (rolling max/min — exact on integer cents,
+# unlike Bollinger's stddev), channel width, and the breakout flag
+# (today's value touches the 20-day high). w19_bollinger_bands'
+# order-statistic sibling; same day-grain bounded sort.
+# ---------------------------------------------------------------------------
+@query(
+    "w24_donchian_channels",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT day, cents,
+               max(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS hi,
+               min(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lo,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    )
+    SELECT day,
+           floor(CAST(cents AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2 AS revenue,
+           floor(CAST(hi AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2 AS upper_band,
+           floor(CAST(lo AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2 AS lower_band,
+           floor(CAST(hi - lo AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2
+               AS channel_width,
+           cents = hi AS breakout_high
+    FROM w WHERE rn >= 20 ORDER BY day
+    """,
+)
+def w24_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w20 = Window.orderBy("day").rowsBetween(-19, 0)
+    wd = Window.orderBy("day")
+    w = daily.select(
+        "day",
+        "cents",
+        F.max("cents").over(w20).alias("hi"),
+        F.min("cents").over(w20).alias("lo"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    f2 = lambda c: F.floor(c.cast("double") / 100 * 1e2 + F.lit(0.5)) / 1e2
+    return (
+        w.where(F.col("rn") >= 20)
+        .select(
+            "day",
+            f2(F.col("cents")).alias("revenue"),
+            f2(F.col("hi")).alias("upper_band"),
+            f2(F.col("lo")).alias("lower_band"),
+            f2(F.col("hi") - F.col("lo")).alias("channel_width"),
+            (F.col("cents") == F.col("hi")).alias("breakout_high"),
+        )
+        .orderBy("day")
+    )
