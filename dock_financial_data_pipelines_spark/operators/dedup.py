@@ -2111,3 +2111,146 @@ def l_semdedup_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_minhash_estimate_error_audit — estimator-quality audit for the
+# MinHash family: for every LSH-verified near-dup pair, the Jaccard
+# ESTIMATE read off the signatures (matching families / K — the
+# quantity the banding theory reasons about) next to the exact
+# 3-shingle-set Jaccard it estimates, the absolute error, and the
+# pair-set mean error as a summary column. K=12 gives a loose ±1/12
+# grid, so no pass/fail gate — the audit's value is that the driver
+# hash-checks the estimator arithmetic itself round over round.
+# Signature join is per-pair on doc_id (the pair set is the LSH
+# output, already bounded); everything exact rationals floored 1e-6.
+# ---------------------------------------------------------------------------
+def _mh_est_error_oracle() -> str:
+    mh_cols_a = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_K)
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["l4_minhash_lsh_neardup"]})
+    ),
+    sigs AS ({ORACLES["l4_minhash_signatures"]}),
+    {_MH_SHINGLES_SQL.strip()},
+    ssets AS (
+        SELECT doc_id, list_distinct(list(shingle)) AS ss
+        FROM shingles GROUP BY doc_id
+    ),
+    est AS (
+        SELECT p.doc_a, p.doc_b,
+               ({mh_cols_a}) AS n_agree,
+               CAST(len(list_intersect(xa.ss, xb.ss)) AS DOUBLE)
+                   / len(list_distinct(xa.ss || xb.ss)) AS j_exact
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b
+        JOIN ssets xa ON xa.doc_id = p.doc_a
+        JOIN ssets xb ON xb.doc_id = p.doc_b
+    ),
+    rows_out AS (
+        SELECT doc_a, doc_b, n_agree,
+               floor(CAST(n_agree AS DOUBLE) / {_MINHASH_K} * 1e6 + 0.5)
+                   / 1e6 AS j_est,
+               floor(j_exact * 1e6 + 0.5) / 1e6 AS j_exact,
+               floor(abs(CAST(n_agree AS DOUBLE) / {_MINHASH_K} - j_exact)
+                     * 1e6 + 0.5) / 1e6 AS abs_err
+        FROM est
+    )
+    SELECT doc_a, doc_b, n_agree, j_est, j_exact, abs_err,
+           floor(CAST(sum(abs_err) OVER () AS DOUBLE) * 1e6
+                 / greatest(count(*) OVER (), 1) + 0.5) / 1e6
+               AS mean_abs_err
+    FROM rows_out ORDER BY doc_a, doc_b
+    """
+
+
+@query("l_minhash_estimate_error_audit", oracle=_mh_est_error_oracle())
+def l_minhash_estimate_error_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = memo_index(
+        spark,
+        f"l4_minhash_sigs:{sf_tag(sf_dir)}",
+        lambda: minhash_signatures(docs).localCheckpoint(eager=True),
+    )
+    pairs = l4_minhash_lsh_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    ssets = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, greatest(size(ws) - 3, 0)),"
+                " i -> concat_ws(' ', slice(ws, i + 1, 3)))"
+            )
+        ).alias("ss"),
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MINHASH_K)],
+    )
+    xa = ssets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    xb = ssets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_K)
+    )
+    j_exact_raw = F.size(F.array_intersect("ssa", "ssb")).cast(
+        "double"
+    ) / F.size(F.array_union("ssa", "ssb"))
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.alias("n_agree"),
+            j_exact_raw.alias("j_exact_raw"),
+        )
+    )
+    f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    rows_out = est.select(
+        "doc_a",
+        "doc_b",
+        "n_agree",
+        f6(F.col("n_agree").cast("double") / _MINHASH_K).alias("j_est"),
+        f6(F.col("j_exact_raw")).alias("j_exact"),
+        f6(
+            F.abs(
+                F.col("n_agree").cast("double") / _MINHASH_K
+                - F.col("j_exact_raw")
+            )
+        ).alias("abs_err"),
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return rows_out.select(
+        "doc_a",
+        "doc_b",
+        "n_agree",
+        "j_est",
+        "j_exact",
+        "abs_err",
+        (
+            F.floor(
+                F.sum("abs_err").over(full).cast("double") * 1e6
+                / F.greatest(F.count(F.lit(1)).over(full), F.lit(1))
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_abs_err"),
+    ).orderBy("doc_a", "doc_b")

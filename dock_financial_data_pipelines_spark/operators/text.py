@@ -2068,3 +2068,209 @@ def l_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("before") - F.col("saved")).alias("tokens_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# l_vocab_drift_psi — VOCABULARY drift between two corpus halves
+# (doc_id parity stands in for "last crawl" vs "this crawl"): token
+# unigram distribution over the top-20 reference tokens + OTHER,
+# Laplace-smoothed PSI per bin (q_distribution_psi's idiom — the
+# (p−q)·ln(p/q) term is cast to DECIMAL(27,9) before the cross-bin sum
+# so libm ulp differences can never flip the hash). Training-data
+# pipelines run exactly this check before mixing a new crawl into the
+# pool. Map-side token explode + two hash aggregates; the bin table is
+# 21 rows — driver-safe at any corpus size.
+# ---------------------------------------------------------------------------
+_PSI_TOP = 20
+
+
+@query(
+    "l_vocab_drift_psi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok,
+               sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+        FROM toks GROUP BY 1
+    ),
+    topk AS (
+        SELECT tok, n_ref, n_cur,
+               row_number() OVER (ORDER BY n_ref DESC, tok) AS rk
+        FROM counts
+    ),
+    binned AS (
+        SELECT CASE WHEN rk <= {_PSI_TOP} THEN tok ELSE '<OTHER>' END AS bin,
+               CAST(sum(n_ref) AS BIGINT) AS n_ref,
+               CAST(sum(n_cur) AS BIGINT) AS n_cur
+        FROM topk GROUP BY 1
+    ),
+    tots AS (
+        SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM binned
+    ),
+    terms AS (
+        SELECT b.bin, b.n_ref, b.n_cur,
+               (b.n_ref + 1.0) / (t.t_ref + {_PSI_TOP + 1}) AS sr,
+               (b.n_cur + 1.0) / (t.t_cur + {_PSI_TOP + 1}) AS sc
+        FROM binned b, tots t
+    )
+    SELECT bin, n_ref, n_cur,
+           floor(sr * 1e6 + 0.5) / 1e6 AS share_ref,
+           floor(sc * 1e6 + 0.5) / 1e6 AS share_cur,
+           CAST(CAST((sr - sc) * ln(sr / sc) AS DECIMAL(27,9)) AS DOUBLE)
+               AS psi_term,
+           CAST(sum(CAST((sr - sc) * ln(sr / sc) AS DECIMAL(27,9)))
+                OVER () AS DOUBLE) AS psi_total
+    FROM terms ORDER BY bin
+    """,
+)
+def l_vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(_tokens()).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    topk = counts.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("n_ref").desc(), "tok")),
+    )
+    binned = (
+        topk.select(
+            F.when(F.col("rk") <= _PSI_TOP, F.col("tok"))
+            .otherwise("<OTHER>")
+            .alias("bin"),
+            "n_ref",
+            "n_cur",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("n_ref").cast("long").alias("n_ref"),
+            F.sum("n_cur").cast("long").alias("n_cur"),
+        )
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sr = (F.col("n_ref") + 1.0) / (
+        F.sum("n_ref").over(full) + F.lit(_PSI_TOP + 1)
+    )
+    sc = (F.col("n_cur") + 1.0) / (
+        F.sum("n_cur").over(full) + F.lit(_PSI_TOP + 1)
+    )
+    terms = binned.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        sr.alias("sr"),
+        sc.alias("sc"),
+        ((sr - sc) * F.log(sr / sc)).cast("decimal(27,9)").alias("term"),
+    )
+    return terms.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (F.floor(F.col("sr") * 1e6 + F.lit(0.5)) / 1e6).alias("share_ref"),
+        (F.floor(F.col("sc") * 1e6 + F.lit(0.5)) / 1e6).alias("share_cur"),
+        F.col("term").cast("double").alias("psi_term"),
+        F.sum("term").over(full).cast("double").alias("psi_total"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# l_source_overlap_matrix — cross-source content overlap: for every
+# source pair, the number of distinct shared 3-gram shingles and the
+# containment ratio vs the smaller source's shingle vocabulary. The
+# corpus-forensics view of the containment/near-dup family: which
+# crawl feeds are republishing each other's content. One distinct
+# aggregate to (source, shingle), one equi-join on the shingle, one
+# pair aggregate; the matrix is #sources² — report-sized. Ratios are
+# exact rationals floored at 1e-6.
+# ---------------------------------------------------------------------------
+@query(
+    "l_source_overlap_matrix",
+    oracle="""
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS ws FROM documents
+    ),
+    idx AS (
+        SELECT source, ws,
+               unnest(range(greatest(len(ws) - 3, 0) + 1)) AS i
+        FROM toks
+    ),
+    sh AS (
+        SELECT DISTINCT source, array_to_string(ws[i + 1 : i + 3], ' ') AS s
+        FROM idx
+    ),
+    vocab AS (SELECT source, count(*) AS v FROM sh GROUP BY 1),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           va.v AS vocab_a, vb.v AS vocab_b,
+           floor(CAST(s.n_shared AS DOUBLE) * 1e6
+                 / least(va.v, vb.v) + 0.5) / 1e6 AS containment
+    FROM shared s
+    JOIN vocab va ON va.source = s.source_a
+    JOIN vocab vb ON vb.source = s.source_b
+    ORDER BY s.source_a, s.source_b
+    """,
+)
+def l_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.split("text", " ").alias("ws"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(ws) - 3, 0)),"
+                    " i -> concat_ws(' ', slice(ws, i + 1, 3)))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    vocab = sh.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    va = vocab.select(
+        F.col("source").alias("source_a"), F.col("v").alias("vocab_a")
+    )
+    vb = vocab.select(
+        F.col("source").alias("source_b"), F.col("v").alias("vocab_b")
+    )
+    return (
+        shared.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "vocab_a",
+            "vocab_b",
+            (
+                F.floor(
+                    F.col("n_shared").cast("double") * 1e6
+                    / F.least("vocab_a", "vocab_b")
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1162,6 +1162,78 @@ def main() -> int:
         "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "q_aging_buckets", execute=True)
+    check(
+        "q_aging_buckets",
+        "status filter pushed to the scan; as-of scalar broadcast; "
+        "one hash aggregate, no Python",
+        ("PushedFilters: [IsNotNull(o_orderstatus)" in p
+         or "EqualTo(o_orderstatus,O)" in p)
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_penny_allocation", execute=True)
+    check(
+        "q_penny_allocation",
+        "map-side explode x3 + one aggregate; no join on data, no Python",
+        "BatchEvalPython" not in p and "SortMergeJoin" not in p,
+    )
+
+    p = plan_of(spark, "q_fulfillment_lag_buckets", execute=True)
+    check(
+        "q_fulfillment_lag_buckets",
+        "orderkey equi-join (no cartesian) + one aggregate; no Python",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    for nm in ("w23_rsi", "w24_donchian_channels"):
+        p = plan_of(spark, nm, execute=True)
+        check(
+            nm,
+            "windows run on the daily aggregate (day-grain), not fact "
+            "rows; no Python",
+            "HashAggregate" in p and "BatchEvalPython" not in p,
+        )
+
+    p = plan_of(spark, "a54_decile_lift_table", execute=True)
+    check(
+        "a54_decile_lift_table",
+        "ntile over the customer rollup (dim-sized), single-partition "
+        "sorts consume aggregates",
+        "HashAggregate" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "u16_keep_latest_k", execute=True)
+    check(
+        "u16_keep_latest_k",
+        "partitioned row_number, no global sort of fact rows before "
+        "the window, no Python",
+        "BatchEvalPython" not in p and "Window" in p,
+    )
+
+    p = plan_of(spark, "l_vocab_drift_psi", execute=True)
+    check(
+        "l_vocab_drift_psi",
+        "token explode map-side; bin table is 21 rows; no Python",
+        "BatchEvalPython" not in p and "Generate" in p,
+    )
+
+    p = plan_of(spark, "l_source_overlap_matrix", execute=True)
+    check(
+        "l_source_overlap_matrix",
+        "shingle equi-join + pair aggregate; vocab sides broadcast; "
+        "no cartesian",
+        "BroadcastHashJoin" in p and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_minhash_estimate_error_audit", execute=True)
+    check(
+        "l_minhash_estimate_error_audit",
+        "pair-bounded signature joins; no cartesian, no Python",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     # -- audit-only global-sort bound checks (SCALE.md "Audit-only
     # global-sort legs"): every single-partition exchange in these
     # plans must sit ABOVE a hash aggregate — i.e. the globally sorted
