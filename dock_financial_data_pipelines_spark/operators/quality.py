@@ -2536,15 +2536,16 @@ def q_duplicate_payments_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_aging_buckets — the accounts-receivable AGING report, the single
-# most-run AP/AR control in any finance stack: open ('O') orders
-# bucketed by age as of the ledger close (max order date in the book —
-# no wall clock, so the report is reproducible), with count, exposure
-# and share per (bucket, priority). Exact arithmetic: integer day
-# diffs, DECIMAL cent sums, shares floored at 1e-6. One scan + one
-# hash aggregate; the as-of scalar broadcasts. At 100 TB the scan
-# prunes to the open-status partition if the sink partitions by
-# status — nothing else changes.
+# q_aging_buckets — the aging CONTROL MATRIX: q_invoice_aging's (r6)
+# four bucket totals expanded into the bucket × priority grid with
+# per-cell exposure SHARE of the open book — the drill-down a credit
+# controller actually works from (which priority class is aging out),
+# where q_invoice_aging is the one-line summary. Strictly-open 'O'
+# status (vs its <>'F'), integer-cent sums (vs decimal), shares
+# floored at 1e-6; as-of = ledger close (max order date over the WHOLE
+# book — no wall clock, reproducible). One scan + one hash aggregate;
+# the as-of scalar broadcasts; at 100 TB the status filter prunes the
+# scan if the sink partitions by status.
 # ---------------------------------------------------------------------------
 @query(
     "q_aging_buckets",
