@@ -1344,3 +1344,65 @@ def u16_keep_latest_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "keep_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# T4 — KEYSET (seek-method) pagination: the scale-correct sibling of
+# t3's LIMIT/OFFSET. Offset pagination sorts and discards O(offset)
+# rows per page — page 10 million of a 100 TB result is a full
+# re-sort; keyset pagination filters on the last-seen ordering key
+# ((date, orderkey) > boundary) so every page is a pushed-down
+# predicate + top-k, O(page) regardless of depth. The boundary row
+# (end of page 2 at page size 100) is itself derived with a top-k —
+# in a real API it arrives with the cursor. Unique (date, key)
+# ordering makes every page deterministic.
+# ---------------------------------------------------------------------------
+_PAGE = 100
+
+
+@query(
+    "t4_keyset_pagination",
+    oracle=f"""
+    WITH boundary AS (
+        SELECT o_orderdate AS bd, o_orderkey AS bk
+        FROM orders
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 1 OFFSET {2 * _PAGE - 1}
+    )
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+           round(o_totalprice, 2) AS totalprice
+    FROM orders, boundary
+    WHERE (o_orderdate > bd)
+       OR (o_orderdate = bd AND o_orderkey > bk)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT {_PAGE}
+    """,
+)
+def t4_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    # last row of page 2 — the "cursor" a caller would hand back
+    boundary = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .offset(2 * _PAGE - 1)
+        .limit(1)
+        .select(
+            F.col("o_orderdate").alias("bd"), F.col("o_orderkey").alias("bk")
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(boundary))
+        .where(
+            (F.col("o_orderdate") > F.col("bd"))
+            | (
+                (F.col("o_orderdate") == F.col("bd"))
+                & (F.col("o_orderkey") > F.col("bk"))
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_PAGE)
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )

@@ -1139,3 +1139,118 @@ def x16_stream_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("peak_30min_events") >= _VEL_STREAM_MIN)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X17 — watermark LATE-DATA DROP semantics. Every other streaming
+# fixture streams time-ordered chunks, so nothing ever arrives late
+# and the watermark only gates EMISSION (x4's contract). Here the
+# events are split by event_id MOD 4 — each micro-batch spans the full
+# time range, so batch 1 drives the watermark to (global max − 10 min)
+# and most of batches 2-4 arrive LATE. The engine must drop exactly
+# the rows whose 5-minute window was already finalized (window_end ≤
+# watermark as of the batch start — i.e. the state was evicted by the
+# append-mode flush) and absorb the rest. The oracle replays the
+# 4-batch watermark staircase exactly — with the MEASURED one-batch
+# propagation lag: the watermark enforced while batch k executes is
+# derived from batches ≤ k−2 (batch 1 of this pipeline drops 0 rows —
+# verified against StreamingQueryProgress numRowsDroppedByWatermark =
+# [0, 0, 249, 249] at sf0.001 — because the update computed from batch
+# k−1's stats reaches the offset log one trigger later). A batch-k row
+# survives iff its window_end > wm_{k-2} (state for emitted windows is
+# evicted; Spark's watermarkPredicateForData is window-end based), and
+# a window emits iff window_end ≤ wm_final (all batches; the
+# availableNow no-data batch applies it — the x4 idiom, ms-truncated).
+# Deterministic because the batch order is the file order. This is the
+# operator that proves the engine's late-data contract, not just its
+# happy path.
+# ---------------------------------------------------------------------------
+def _events_stream_modsplit(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Events as N chunks split by event_id % N (NOT time-ordered):
+    every chunk spans the whole time range, so chunks 2..N arrive
+    largely behind the watermark — the late-data stress source."""
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    chunk_dir = os.path.join(
+        tempfile.gettempdir(),
+        "dock_fdp_spark",
+        f"event_chunks_{sf_tag(sf_dir)}_modsplit",
+    )
+    marker = os.path.join(chunk_dir, "_built")
+    ev = load(spark, sf_dir, "events")
+    if not os.path.exists(marker):
+        for i in range(n_chunks):
+            (
+                ev.where(F.col("event_id") % n_chunks == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(chunk_dir, f"chunk_{i:02d}"))
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(chunk_dir, "chunk_*"))
+    )
+
+
+@query(
+    "x17_stream_late_data_drop",
+    oracle="""
+    WITH chunked AS (
+        SELECT ts, event_id % 4 AS chunk FROM events
+    ),
+    batch_max AS (
+        SELECT chunk,
+               (CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 600000)
+                   * 1000 AS bwm_us
+        FROM chunked GROUP BY 1
+    ),
+    staircase AS (
+        SELECT chunk,
+               max(bwm_us) OVER (ORDER BY chunk
+                   ROWS UNBOUNDED PRECEDING) AS wm_cum_us
+        FROM batch_max
+    ),
+    accepted AS (
+        -- one-batch propagation lag: batch k is gated by the watermark
+        -- cumulated through batch k-2 (see docstring; measured)
+        SELECT c.ts
+        FROM chunked c
+        LEFT JOIN staircase s ON s.chunk = c.chunk - 2
+        WHERE s.chunk IS NULL  -- batches 0-1: no enforced watermark yet
+           OR (CAST(floor(epoch(c.ts) / 300) * 300 + 300 AS BIGINT)
+               * 1000000) > s.wm_cum_us
+    ),
+    agg AS (
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+               count(*) AS n_events
+        FROM accepted GROUP BY 1
+    ),
+    final_wm AS (SELECT max(wm_cum_us) AS w_us FROM staircase)
+    SELECT a.window_start, a.n_events
+    FROM agg a, final_wm
+    WHERE (a.window_start + 300) * 1000000 <= final_wm.w_us
+    ORDER BY a.window_start
+    """,
+)
+def x17_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream_modsplit(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "window_start"
+            ),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "x17_late_drop", "append").orderBy(
+        "window_start"
+    )

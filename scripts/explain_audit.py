@@ -1234,6 +1234,14 @@ def main() -> int:
         "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "t4_keyset_pagination", execute=True)
+    check(
+        "t4_keyset_pagination",
+        "boundary broadcast; page fetch is filter + top-k "
+        "(TakeOrderedAndProject), never a global sort",
+        "TakeOrderedAndProject" in p and "BatchEvalPython" not in p,
+    )
+
     # -- audit-only global-sort bound checks (SCALE.md "Audit-only
     # global-sort legs"): every single-partition exchange in these
     # plans must sit ABOVE a hash aggregate — i.e. the globally sorted
