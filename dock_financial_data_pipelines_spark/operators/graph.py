@@ -481,3 +481,108 @@ def g_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         prev_col = f"n{t}"
     return w.select("start_node", "n1", "n2", "n3").orderBy("start_node")
+
+
+# ---------------------------------------------------------------------------
+# G6 — k-core decomposition trajectory: iteratively peel nodes whose
+# degree in the surviving subgraph falls below k (k = the exact median
+# initial degree, derived from the data so the report stays
+# non-degenerate at every scale factor), for 6 unrolled rounds — the
+# community-detection / spam-subgraph primitive. Per round: surviving
+# node and edge counts; plus the convergence flag (round 6 peeled
+# nothing) emitted UNCONDITIONALLY so both engines must agree on the
+# fixpoint claim itself. Same bounded-unroll contract as the PageRank /
+# Lloyd oracles: each round is one induced-subgraph equi-join + one
+# degree aggregate — at 100 TB, R rounds = R bounded shuffles on the
+# node key, and the edge list is re-filtered, never recomputed.
+# ---------------------------------------------------------------------------
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    parts = [f"""
+    WITH {_EDGES_CTE},
+    em AS MATERIALIZED (SELECT * FROM e),
+    d0 AS MATERIALIZED (SELECT src, count(*) AS d FROM em GROUP BY 1),
+    kval AS (
+        SELECT d AS k FROM (
+            SELECT d, row_number() OVER (ORDER BY d, src) AS rn,
+                   count(*) OVER () AS n
+            FROM d0
+        ) WHERE rn = (n + 1) // 2
+    ),
+    a0 AS MATERIALIZED (SELECT src AS node FROM d0)"""]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f""",
+    e{i} AS MATERIALIZED (
+        SELECT em.src, em.dst FROM em
+        JOIN a{i - 1} x ON x.node = em.src
+        JOIN a{i - 1} y ON y.node = em.dst
+    ),
+    d{i} AS (SELECT src, count(*) AS d FROM e{i} GROUP BY 1),
+    a{i} AS MATERIALIZED (SELECT src AS node FROM d{i}, kval WHERE d >= k)""")
+    rows = ",\n        ".join(
+        f"({i}, (SELECT count(*) FROM a{i}),"
+        f" (SELECT count(*) FROM e{i}) // 2)"
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    parts.append(f""",
+    trajectory(round, n_nodes, n_edges) AS (VALUES
+        (0, (SELECT count(*) FROM a0), (SELECT count(*) FROM em) // 2),
+        {rows})
+    SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           (SELECT CAST(k AS BIGINT) FROM kval) AS k,
+           (SELECT count(*) FROM a{_KCORE_ROUNDS})
+               = (SELECT count(*) FROM a{_KCORE_ROUNDS - 1}) AS converged
+    FROM trajectory ORDER BY round""")
+    return "".join(parts)
+
+
+@query("g_k_core", oracle=_kcore_oracle())
+def g_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _directed_edges(spark, sf_dir).localCheckpoint(eager=True)
+    d0 = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    kval = (
+        d0.select(
+            "d",
+            F.row_number().over(Window.orderBy("d", "src")).alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("d").alias("k"))
+    )
+    k = kval.collect()[0]["k"]  # scalar: the peel threshold (driver-safe)
+    active = d0.select(F.col("src").alias("node"))
+    counts = [(0, active.count(), e.count() // 2)]
+    cur_edges = e
+    prev_n = counts[0][1]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        cur_edges = (
+            cur_edges.join(active.withColumnRenamed("node", "src"), "src")
+            .join(active.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        di = cur_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        active = di.where(F.col("d") >= k).select(
+            F.col("src").alias("node")
+        ).localCheckpoint(eager=True)
+        counts.append((i, active.count(), cur_edges.count() // 2))
+    converged = counts[-1][1] == counts[-2][1]
+    rows = [
+        (r, int(n), int(m), int(k), converged) for r, n, m in counts
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round INT, n_nodes BIGINT, n_edges BIGINT, k BIGINT, "
+        "converged BOOLEAN",
+    ).orderBy("round")

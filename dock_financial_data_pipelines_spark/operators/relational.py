@@ -1406,3 +1406,120 @@ def t4_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("totalprice"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U17 — BITEMPORAL as-of: the two-axis time query every regulated
+# warehouse must answer — "what did we believe customer X's priority
+# was, as of VALID time V, given only what had been RECORDED by
+# transaction time T" vs what we believe NOW. Versions come from
+# orders (valid_from = order date); the recording lag is
+# (o_orderkey % 3) days, so some versions were not yet known at T and
+# the then-vs-now picks differ — the `was_corrected` flag surfaces
+# exactly the late-recorded rows (u15_late_dim_repair's temporal
+# sibling). V = ledger close − 180 d, T = V + 1 d, both derived from
+# the data (reproducible, no wall clock). Two partitioned top-1
+# windows; one shuffle each on the customer key, scale-indifferent.
+# ---------------------------------------------------------------------------
+@query(
+    "u17_bitemporal_asof",
+    oracle="""
+    WITH closing AS (
+        SELECT max(CAST(o_orderdate AS DATE)) - 180 AS v_date,
+               max(CAST(o_orderdate AS DATE)) - 179 AS t_date
+        FROM orders
+    ),
+    versions AS (
+        SELECT o_custkey AS custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS valid_from,
+               CAST(o_orderdate AS DATE) + CAST(o_orderkey % 3 AS INT)
+                   AS tx_time,
+               o_orderpriority AS prio
+        FROM orders
+    ),
+    then_pick AS (
+        SELECT custkey, prio AS prio_known_at_t, valid_from AS vf_then
+        FROM (
+            SELECT v.*, row_number() OVER (
+                       PARTITION BY custkey
+                       ORDER BY valid_from DESC, o_orderkey DESC) AS rn
+            FROM versions v, closing c
+            WHERE v.valid_from <= c.v_date AND v.tx_time <= c.t_date
+        ) WHERE rn = 1
+    ),
+    now_pick AS (
+        SELECT custkey, prio AS prio_known_now, valid_from AS vf_now
+        FROM (
+            SELECT v.*, row_number() OVER (
+                       PARTITION BY custkey
+                       ORDER BY valid_from DESC, o_orderkey DESC) AS rn
+            FROM versions v, closing c
+            WHERE v.valid_from <= c.v_date
+        ) WHERE rn = 1
+    )
+    SELECT n.custkey, t.prio_known_at_t, n.prio_known_now,
+           t.vf_then, n.vf_now,
+           coalesce(t.prio_known_at_t, '<unknown>')
+               <> n.prio_known_now AS was_corrected
+    FROM now_pick n LEFT JOIN then_pick t ON t.custkey = n.custkey
+    ORDER BY n.custkey
+    """,
+)
+def u17_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    closing = o.agg(
+        F.date_sub(F.max(F.to_date("o_orderdate")), 180).alias("v_date"),
+        F.date_sub(F.max(F.to_date("o_orderdate")), 179).alias("t_date"),
+    )
+    versions = o.crossJoin(F.broadcast(closing)).select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.expr(
+            "date_add(to_date(o_orderdate), CAST(o_orderkey % 3 AS INT))"
+        ).alias("tx_time"),
+        F.col("o_orderpriority").alias("prio"),
+        "v_date",
+        "t_date",
+    )
+    w = Window.partitionBy("custkey").orderBy(
+        F.col("valid_from").desc(), F.col("o_orderkey").desc()
+    )
+    then_pick = (
+        versions.where(
+            (F.col("valid_from") <= F.col("v_date"))
+            & (F.col("tx_time") <= F.col("t_date"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "custkey",
+            F.col("prio").alias("prio_known_at_t"),
+            F.col("valid_from").alias("vf_then"),
+        )
+    )
+    now_pick = (
+        versions.where(F.col("valid_from") <= F.col("v_date"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "custkey",
+            F.col("prio").alias("prio_known_now"),
+            F.col("valid_from").alias("vf_now"),
+        )
+    )
+    return (
+        now_pick.join(then_pick, "custkey", "left")
+        .select(
+            "custkey",
+            "prio_known_at_t",
+            "prio_known_now",
+            "vf_then",
+            "vf_now",
+            (
+                F.coalesce(F.col("prio_known_at_t"), F.lit("<unknown>"))
+                != F.col("prio_known_now")
+            ).alias("was_corrected"),
+        )
+        .orderBy("custkey")
+    )

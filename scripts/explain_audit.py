@@ -1242,6 +1242,23 @@ def main() -> int:
         "TakeOrderedAndProject" in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "g_k_core", execute=True)
+    check(
+        "g_k_core",
+        "induced-subgraph peels are node-key equi-joins; no cartesian, "
+        "no Python in the rounds",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "u17_bitemporal_asof", execute=True)
+    check(
+        "u17_bitemporal_asof",
+        "both temporal picks are partitioned top-1 windows; close "
+        "scalars broadcast; no Python",
+        "Window" in p and "BatchEvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
     # -- audit-only global-sort bound checks (SCALE.md "Audit-only
     # global-sort legs"): every single-partition exchange in these
     # plans must sit ABOVE a hash aggregate — i.e. the globally sorted
