@@ -2786,3 +2786,172 @@ def q_fulfillment_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_customer_churn_flags — churn snapshot at the ledger close: each
+# customer classed by recency of their LAST order (active ≤ 90 d,
+# at-risk 91-180 d, churned > 180 d), rolled up per market segment
+# with counts and segment share. The CRM health report every
+# subscription/payments business runs daily; distinct from
+# q_retention_cohorts (time-bucketed return RATES) — this is the
+# point-in-time book classification. One customer-key aggregate + one
+# broadcast dim join; shares exact rationals floored 1e-6.
+# ---------------------------------------------------------------------------
+@query(
+    "q_customer_churn_flags",
+    oracle="""
+    WITH closing AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS d0 FROM orders
+    ),
+    last_order AS (
+        SELECT o_custkey,
+               (SELECT d0 FROM closing) - max(CAST(o_orderdate AS DATE))
+                   AS recency
+        FROM orders GROUP BY 1
+    ),
+    classed AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN lo.recency <= 90 THEN 'a_active'
+                    WHEN lo.recency <= 180 THEN 'b_at_risk'
+                    ELSE 'c_churned' END AS status
+        FROM last_order lo JOIN customer c ON c.c_custkey = lo.o_custkey
+    ),
+    agg AS (
+        SELECT segment, status, count(*) AS n_customers
+        FROM classed GROUP BY 1, 2
+    )
+    SELECT segment, status, n_customers,
+           floor(CAST(n_customers AS DOUBLE) * 1e6
+                 / sum(n_customers) OVER (PARTITION BY segment) + 0.5) / 1e6
+               AS segment_share
+    FROM agg ORDER BY segment, status
+    """,
+)
+def q_customer_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    closing = o.agg(F.max(F.to_date("o_orderdate")).alias("d0"))
+    last_order = (
+        o.groupBy("o_custkey")
+        .agg(F.max(F.to_date("o_orderdate")).alias("last_d"))
+        .crossJoin(F.broadcast(closing))
+        .select(
+            "o_custkey", F.datediff(F.col("d0"), F.col("last_d")).alias("recency")
+        )
+    )
+    status = (
+        F.when(F.col("recency") <= 90, "a_active")
+        .when(F.col("recency") <= 180, "b_at_risk")
+        .otherwise("c_churned")
+    )
+    classed = last_order.join(
+        maybe_broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+    ).select(F.col("c_mktsegment").alias("segment"), status.alias("status"))
+    agg = classed.groupBy("segment", "status").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    seg = Window.partitionBy("segment")
+    return agg.select(
+        "segment",
+        "status",
+        "n_customers",
+        (
+            F.floor(
+                F.col("n_customers").cast("double") * 1e6
+                / F.sum("n_customers").over(seg)
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("segment_share"),
+    ).orderBy("segment", "status")
+
+
+# ---------------------------------------------------------------------------
+# q_weekly_flash_report — the Monday-morning flash: per ISO week,
+# order count, revenue, average order value, and week-over-week
+# revenue growth. WoW uses a GRID SELF-JOIN on week − 7 days — the
+# w22 lesson applied from the start: a lag() over the observed week
+# grid silently compares non-adjacent weeks whenever a week has no
+# orders. All money on integer cents; growth floored at 1e-6 with
+# NULL for a missing prior week. Runs on the week rollup
+# (calendar-bounded) — the daily-series family's plan shape.
+# ---------------------------------------------------------------------------
+@query(
+    "q_weekly_flash_report",
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT w.week, w.n_orders,
+           floor(CAST(w.cents AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2 AS revenue,
+           floor(CAST(w.cents AS DOUBLE) / w.n_orders / 100 * 1e2 + 0.5)
+               / 1e2 AS avg_order_value,
+           CASE WHEN p.cents IS NULL THEN NULL
+                ELSE floor(CAST(w.cents - p.cents AS DOUBLE)
+                           / p.cents * 1e6 + 0.5) / 1e6
+           END AS wow_growth
+    FROM weekly w
+    LEFT JOIN weekly p ON p.week = w.week - 7
+    ORDER BY w.week
+    """,
+)
+def q_weekly_flash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weekly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias("week")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    prior = weekly.select(
+        F.date_add(F.col("week"), 7).alias("p_week"),
+        F.col("cents").alias("p_cents"),
+    )
+    growth = F.when(F.col("p_cents").isNull(), F.lit(None)).otherwise(
+        F.floor(
+            (F.col("cents") - F.col("p_cents")).cast("double")
+            / F.col("p_cents")
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return (
+        weekly.join(
+            F.broadcast(prior), F.col("week") == F.col("p_week"), "left"
+        )
+        .select(
+            "week",
+            "n_orders",
+            (
+                F.floor(F.col("cents").cast("double") / 100 * 1e2 + F.lit(0.5))
+                / 1e2
+            ).alias("revenue"),
+            (
+                F.floor(
+                    F.col("cents").cast("double")
+                    / F.col("n_orders")
+                    / 100
+                    * 1e2
+                    + F.lit(0.5)
+                )
+                / 1e2
+            ).alias("avg_order_value"),
+            growth.alias("wow_growth"),
+        )
+        .orderBy("week")
+    )

@@ -1254,3 +1254,54 @@ def x17_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "x17_late_drop", "append").orderBy(
         "window_start"
     )
+
+
+# ---------------------------------------------------------------------------
+# X18 — UPDATE output mode contract (the third output mode: x4 proves
+# append, x13 proves complete). Tumbling 10-min counts over the
+# time-ordered 4-chunk stream with no watermark: every micro-batch
+# re-emits the rows of whatever windows it touched, so the memory sink
+# accumulates the full UPDATE HISTORY — (window, count-so-far) once
+# per touching batch. That history is deterministic: chunks are
+# time-ordered, so window w touched in chunks k..k+j yields its
+# cumulative counts at each of those chunks. The oracle replays it
+# with the same ntile(4) split — per (window, chunk) the cumulative
+# count through that chunk, rows only where the chunk contributed.
+# This is the changelog a downstream upsert sink (foreachBatch MERGE)
+# actually consumes; proving its exact contents is what makes the
+# x9-style idempotent-upsert story audit-complete.
+# ---------------------------------------------------------------------------
+@query(
+    "x18_stream_update_mode",
+    oracle="""
+    WITH ranked AS (
+        SELECT ts, ntile(4) OVER (ORDER BY ts, event_id) AS chunk
+        FROM events
+    ),
+    per_chunk AS (
+        SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+               chunk, count(*) AS n
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT window_start,
+           CAST(sum(n) OVER (PARTITION BY window_start ORDER BY chunk
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_events_so_far
+    FROM per_chunk ORDER BY window_start, n_events_so_far
+    """,
+)
+def x18_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _events_stream_multibatch(spark, sf_dir)
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events_so_far"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "window_start"
+            ),
+            "n_events_so_far",
+        )
+    )
+    return _run_to_memory(agg, "x18_update_mode", "update").orderBy(
+        "window_start", "n_events_so_far"
+    )

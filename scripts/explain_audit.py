@@ -1259,6 +1259,22 @@ def main() -> int:
         and "CartesianProduct" not in p,
     )
 
+    p = plan_of(spark, "q_customer_churn_flags", execute=True)
+    check(
+        "q_customer_churn_flags",
+        "customer dim broadcast onto the recency rollup; no Python",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_weekly_flash_report", execute=True)
+    check(
+        "q_weekly_flash_report",
+        "WoW via broadcast grid self-join on week-7 (not observed-grid "
+        "lag); runs on the week rollup",
+        "BroadcastHashJoin" in p and "HashAggregate" in p
+        and "BatchEvalPython" not in p,
+    )
+
     # -- audit-only global-sort bound checks (SCALE.md "Audit-only
     # global-sort legs"): every single-partition exchange in these
     # plans must sit ABOVE a hash aggregate — i.e. the globally sorted
