@@ -303,3 +303,67 @@ def l7_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("asset_a", "asset_b", ham.cast("int").alias("hamming"))
         .orderBy("asset_a", "asset_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# l7_modality_mix_report — magic-byte MODALITY SNIFFING over binary
+# payloads: the intake report every multimodal ingest runs before
+# routing (images → resize fleet, audio → resample fleet). Payloads
+# get a real 4-byte magic prefix (PNG / RIFF, assigned by doc_id mod
+# 3, the fixture's stand-in for genuinely mixed media); the engine
+# side SNIFFS the binary prefix with hex(substring(content, 1, 4)) —
+# JVM-side, payload never crosses to Python and only (modality,
+# bytes) aggregates shuffle — while the oracle derives the same
+# classes from the doc_id assignment rule. The two agree only if the
+# sniffing logic is actually correct: an independent-formulation
+# audit, not a replay.
+# ---------------------------------------------------------------------------
+_MAGIC_PNG = bytes([0x89, 0x50, 0x4E, 0x47])
+_MAGIC_RIFF = b"RIFF"
+
+
+@query(
+    "l7_modality_mix_report",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'text/plain' END AS modality,
+           count(*) AS n_assets,
+           CAST(sum(length(text) + CASE WHEN doc_id % 3 = 2 THEN 0
+                                        ELSE 4 END) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def l7_modality_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_MAGIC_PNG), F.encode("text", "utf-8")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(_MAGIC_RIFF), F.encode("text", "utf-8")),
+        )
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("content"),
+    )
+    sniffed = tagged.select(
+        F.when(
+            F.expr("hex(substring(content, 1, 4))") == "89504E47",
+            "image/png",
+        )
+        .when(F.expr("hex(substring(content, 1, 4))") == "52494646", "audio/wav")
+        .otherwise("text/plain")
+        .alias("modality"),
+        F.octet_length("content").alias("n_bytes"),
+    )
+    return (
+        sniffed.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("modality")
+    )

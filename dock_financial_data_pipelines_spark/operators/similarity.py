@@ -1427,3 +1427,117 @@ def l_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l_ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_audit(spark, sf_dir, l5_ann_lsh_topk, _ANN_RECALL_GATE)
+
+
+# ---------------------------------------------------------------------------
+# l_embedding_norm_outliers — embedding QA: per-label L2-norm profile
+# with MAD-based outlier flags (a43's robust z-score recipe applied to
+# the vector column) — the intake gate that catches broken encoders /
+# zero vectors / scale drift before any ANN index is built. All
+# statistics run on norms QUANTIZED to integers at 1e-6 (floor(
+# norm·1e6 + 0.5)), so medians and MADs are exact order statistics
+# with (value, vec_id) tiebreaks and the outlier predicate
+# |nq − med|·10000 > 44478·mad is pure BIGINT — engine-exact, no libm
+# in any comparison. One pass for norms, two rank windows per label
+# (label-partitioned, shuffle on the label key), bounded output.
+# ---------------------------------------------------------------------------
+@query(
+    "l_embedding_norm_outliers",
+    oracle="""
+    WITH nq AS (
+        SELECT label, vec_id,
+               CAST(floor(sqrt(list_inner_product(
+                   CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                   * 1e6 + 0.5) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    med AS (
+        SELECT label, q AS m FROM (
+            SELECT label, q, vec_id,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY q, vec_id) AS rn,
+                   count(*) OVER (PARTITION BY label) AS n
+            FROM nq
+        ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT n.label, n.vec_id, n.q, m.m, abs(n.q - m.m) AS ad
+        FROM nq n JOIN med m ON m.label = n.label
+    ),
+    mad AS (
+        SELECT label, ad AS mad FROM (
+            SELECT label, ad, vec_id,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY ad, vec_id) AS rn,
+                   count(*) OVER (PARTITION BY label) AS n
+            FROM dev
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.label,
+           count(*) AS n_vectors,
+           floor(CAST(max(d.m) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+               AS median_norm,
+           floor(CAST(max(md.mad) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+               AS mad_norm,
+           CAST(sum(CASE WHEN d.ad * 10000 > 44478 * md.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad md ON md.label = d.label
+    GROUP BY d.label ORDER BY d.label
+    """,
+)
+def l_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label",
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    nq = emb.select(
+        "label",
+        "vec_id",
+        F.floor(F.sqrt(_dot("e", "e")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    wl = Window.partitionBy("label")
+
+    def order_stat(df, val_col, out_col):
+        ranked = df.select(
+            "label",
+            F.col(val_col),
+            F.row_number()
+            .over(wl.orderBy(F.col(val_col), "vec_id"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(wl).alias("n"),
+        )
+        return ranked.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+            "label", F.col(val_col).alias(out_col)
+        )
+
+    med = order_stat(nq, "q", "m")
+    dev = nq.join(med, "label").select(
+        "label", "vec_id", "q", "m", F.abs(F.col("q") - F.col("m")).alias("ad")
+    )
+    mad = order_stat(dev, "ad", "mad")
+    return (
+        dev.join(mad, "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.floor(F.max("m").cast("double") / 1e6 * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("median_norm"),
+            (
+                F.floor(F.max("mad").cast("double") / 1e6 * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("mad_norm"),
+            F.sum(
+                F.when(
+                    F.col("ad") * 10000 > 44478 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("label")
+    )

@@ -1275,6 +1275,23 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l7_modality_mix_report", execute=True)
+    check(
+        "l7_modality_mix_report",
+        "magic-byte sniff is JVM-side on the binary prefix; payload "
+        "never reaches Python; only (modality, bytes) shuffles",
+        "BatchEvalPython" not in p and "Join" not in p,
+    )
+
+    p = plan_of(spark, "l_embedding_norm_outliers", execute=True)
+    check(
+        "l_embedding_norm_outliers",
+        "integer-quantized norms; label-partitioned rank windows; "
+        "no Python, no cartesian",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p
+        and "Window" in p,
+    )
+
     # -- audit-only global-sort bound checks (SCALE.md "Audit-only
     # global-sort legs"): every single-partition exchange in these
     # plans must sit ABOVE a hash aggregate — i.e. the globally sorted
