@@ -2269,3 +2269,105 @@ def l_minhash_estimate_error_audit(
             / 1e6
         ).alias("mean_abs_err"),
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# l_dedup_method_venn — method-agreement VENN over the three dedup
+# families: which documents are flagged by exact-hash groups, by
+# verified MinHash-LSH pairs, and by SimHash Hamming≤3 pairs — counted
+# per region of the 3-set Venn (plus the unflagged remainder as the
+# all-false region). The calibration report that tells a pipeline
+# owner what each extra method actually ADDS before they pay for it
+# at 100 TB. Both sides nest the registered pair oracles; flags fold
+# with max() per doc, one aggregate over the doc dimension.
+# ---------------------------------------------------------------------------
+def _dedup_venn_oracle() -> str:
+    return f"""
+    WITH lsh_pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({ORACLES["l4_minhash_lsh_neardup"]})
+    ),
+    sim_pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({ORACLES["l4_simhash_neardup"]})
+    ),
+    exact_docs AS (
+        SELECT doc_id, 1 AS f FROM (
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY md5(text)) AS gsz
+            FROM documents
+        ) WHERE gsz > 1
+    ),
+    lsh_docs AS (
+        SELECT DISTINCT doc_id, 1 AS f FROM (
+            SELECT doc_a AS doc_id FROM lsh_pairs
+            UNION ALL SELECT doc_b FROM lsh_pairs
+        )
+    ),
+    sim_docs AS (
+        SELECT DISTINCT doc_id, 1 AS f FROM (
+            SELECT doc_a AS doc_id FROM sim_pairs
+            UNION ALL SELECT doc_b FROM sim_pairs
+        )
+    ),
+    flags AS (
+        SELECT d.doc_id,
+               coalesce(e.f, 0) AS in_exact,
+               coalesce(l.f, 0) AS in_lsh,
+               coalesce(s.f, 0) AS in_simhash
+        FROM documents d
+        LEFT JOIN exact_docs e ON e.doc_id = d.doc_id
+        LEFT JOIN lsh_docs l ON l.doc_id = d.doc_id
+        LEFT JOIN sim_docs s ON s.doc_id = d.doc_id
+    )
+    SELECT CAST(in_exact AS BOOLEAN) AS in_exact,
+           CAST(in_lsh AS BOOLEAN) AS in_lsh,
+           CAST(in_simhash AS BOOLEAN) AS in_simhash,
+           count(*) AS n_docs
+    FROM flags GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """
+
+
+@query("l_dedup_method_venn", oracle=_dedup_venn_oracle())
+def l_dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    exact_docs = (
+        docs.select(
+            "doc_id",
+            F.count(F.lit(1))
+            .over(Window.partitionBy(F.md5("text")))
+            .alias("gsz"),
+        )
+        .where(F.col("gsz") > 1)
+        .select("doc_id", F.lit(1).alias("fe"))
+    )
+    lsh = l4_minhash_lsh_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    sim = l4_simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+
+    def flagged(pairs, col):
+        return (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+            .select("doc_id", F.lit(1).alias(col))
+        )
+
+    # No broadcast hints: flagged sets scale with the duplicate volume
+    # (corpus-sized in the worst case) — doc_id equi-joins let AQE pick
+    # broadcast only when a side is actually small.
+    flags = (
+        docs.select("doc_id")
+        .join(exact_docs, "doc_id", "left")
+        .join(flagged(lsh, "fl"), "doc_id", "left")
+        .join(flagged(sim, "fs"), "doc_id", "left")
+    )
+    return (
+        flags.groupBy(
+            (F.coalesce("fe", F.lit(0)) == 1).alias("in_exact"),
+            (F.coalesce("fl", F.lit(0)) == 1).alias("in_lsh"),
+            (F.coalesce("fs", F.lit(0)) == 1).alias("in_simhash"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("in_exact", "in_lsh", "in_simhash")
+    )

@@ -2955,3 +2955,165 @@ def q_weekly_flash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_t2_settlement_calendar — T+2 business-day settlement: each shipped
+# line settles two BUSINESS days after its ship date (weekends roll
+# forward — the standard securities/payments convention). The weekday
+# shift is a closed-form CASE on the ISO weekday (Mon-Wed +2, Thu-Sat
+# +4, Sun +3), identical integer arithmetic on both engines (Spark
+# weekday() = DuckDB isodow − 1, both 0 = Monday). The report rolls
+# settled value up per settlement weekday and emits the invariant —
+# no settlement ever lands on a weekend — as an UNCONDITIONAL boolean
+# the hash compare must agree on. Map-side date math + one aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q_t2_settlement_calendar",
+    oracle="""
+    WITH shifted AS (
+        SELECT CAST(l_shipdate AS DATE)
+               + CASE WHEN isodow(CAST(l_shipdate AS DATE)) - 1 <= 2 THEN 2
+                      WHEN isodow(CAST(l_shipdate AS DATE)) - 1 <= 5 THEN 4
+                      ELSE 3 END AS settle_date,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT isodow(settle_date) - 1 AS settle_weekday,
+               count(*) AS n_lines, sum(cents) AS c,
+               max(CASE WHEN isodow(settle_date) - 1 >= 5
+                        THEN 1 ELSE 0 END) AS any_weekend
+        FROM shifted GROUP BY 1
+    )
+    SELECT CAST(settle_weekday AS INT) AS settle_weekday, n_lines,
+           floor(CAST(c AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2
+               AS settled_value,
+           (SELECT max(any_weekend) FROM agg) = 0 AS weekend_free
+    FROM agg ORDER BY settle_weekday
+    """,
+)
+def q_t2_settlement_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    wd = F.expr("weekday(to_date(l_shipdate))")
+    shift = (
+        F.when(wd <= 2, 2).when(wd <= 5, 4).otherwise(3)
+    )
+    shifted = li.select(
+        F.expr("date_add(to_date(l_shipdate), 0)").alias("ship_d"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        shift.alias("shift"),
+    ).select(
+        F.expr("date_add(ship_d, shift)").alias("settle_date"), "cents"
+    )
+    agg = shifted.groupBy(
+        F.expr("weekday(settle_date)").cast("int").alias("settle_weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("cents").alias("c"),
+        F.max(
+            F.when(F.expr("weekday(settle_date)") >= 5, 1).otherwise(0)
+        ).alias("any_weekend"),
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "settle_weekday",
+        "n_lines",
+        (F.floor(F.col("c").cast("double") / 100 * 1e2 + F.lit(0.5)) / 1e2).alias(
+            "settled_value"
+        ),
+        (F.max("any_weekend").over(full) == 0).alias("weekend_free"),
+    ).orderBy("settle_weekday")
+
+
+# ---------------------------------------------------------------------------
+# w25_seasonal_naive_error — forecast BACKTEST: the seasonal-naive
+# model (next value = same weekday last week) evaluated over the whole
+# daily-revenue history, per weekday: MAE and MAPE on integer cents,
+# plus coverage (days with a 7-day-ago comparator). The sanity
+# baseline every forecasting pipeline must beat — and the evaluation
+# harness is the operator, so it ports to any model's predictions.
+# Forecast joins the daily grid on day − 7 (the w22 grid-join rule:
+# never lag over an observed grid). All error math on exact integer
+# cents, ratios floored at 1e-6.
+# ---------------------------------------------------------------------------
+@query(
+    "w25_seasonal_naive_error",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    paired AS (
+        SELECT a.day, a.cents, f.cents AS fc
+        FROM daily a JOIN daily f ON f.day = a.day - 7
+    )
+    SELECT isodow(day) - 1 AS weekday,
+           count(*) AS n_days,
+           floor(CAST(sum(abs(cents - fc)) AS DOUBLE) / count(*)
+                 / 100 * 1e2 + 0.5) / 1e2 AS mae,
+           floor(sum(CAST(abs(cents - fc) AS DOUBLE) / fc) * 1e6
+                 / count(*) + 0.5) / 1e6 AS mape
+    FROM paired
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def w25_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    fc = daily.select(
+        F.date_add(F.col("day"), 7).alias("f_day"),
+        F.col("cents").alias("fc"),
+    )
+    paired = daily.join(
+        F.broadcast(fc), F.col("day") == F.col("f_day")
+    ).select("day", "cents", "fc")
+    return (
+        paired.groupBy(
+            F.expr("weekday(day)").cast("bigint").alias("weekday")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (
+                F.floor(
+                    F.sum(F.abs(F.col("cents") - F.col("fc")))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    / 100
+                    * 1e2
+                    + F.lit(0.5)
+                )
+                / 1e2
+            ).alias("mae"),
+            (
+                F.floor(
+                    F.sum(
+                        F.abs(F.col("cents") - F.col("fc")).cast("double")
+                        / F.col("fc")
+                    )
+                    * 1e6
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mape"),
+        )
+        .orderBy("weekday")
+    )

@@ -2680,3 +2680,101 @@ def a54_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("lift"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# A55 — two-proportion z-test on conversion rates: users split A/B by
+# user_id parity (the deterministic assignment an experimentation
+# platform would persist), conversion = user ever fired a purchase
+# event, pooled-variance z statistic. The companion to a30's Welch
+# test (means) for binary outcomes — the most common A/B readout
+# there is. Counts are exact integers from one user-grain aggregate;
+# the z arithmetic runs on exact integer inputs so both engines
+# compute identical doubles, floored at 1e-6. Two-sided normal
+# p-value left to the caller (erf is not portable) — |z| vs 1.96 is
+# emitted as the unconditional significance boolean instead.
+# ---------------------------------------------------------------------------
+@query(
+    "a55_two_proportion_ztest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id % 2 AS grp,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT grp, count(*) AS n, sum(conv) AS x FROM u GROUP BY 1
+    ),
+    w AS (
+        SELECT max(CASE WHEN grp = 0 THEN n END) AS n0,
+               max(CASE WHEN grp = 0 THEN x END) AS x0,
+               max(CASE WHEN grp = 1 THEN n END) AS n1,
+               max(CASE WHEN grp = 1 THEN x END) AS x1
+        FROM g
+    ),
+    calc AS (
+        SELECT n0, x0, n1, x1,
+               CAST(x0 AS DOUBLE) / n0 AS p0,
+               CAST(x1 AS DOUBLE) / n1 AS p1,
+               CAST(x0 + x1 AS DOUBLE) / (n0 + n1) AS pp
+        FROM w
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_a, CAST(x0 AS BIGINT) AS conv_a,
+           CAST(n1 AS BIGINT) AS n_b, CAST(x1 AS BIGINT) AS conv_b,
+           floor(p0 * 1e6 + 0.5) / 1e6 AS rate_a,
+           floor(p1 * 1e6 + 0.5) / 1e6 AS rate_b,
+           CASE WHEN pp * (1 - pp) = 0 THEN NULL
+                ELSE floor((p0 - p1)
+                     / sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+                     * 1e6 + 0.5) / 1e6 END AS z,
+           CASE WHEN pp * (1 - pp) = 0 THEN NULL
+                WHEN abs((p0 - p1)
+                     / sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))) > 1.96
+                THEN 1 ELSE 0 END AS significant_95
+    FROM calc
+    """,
+)
+def a55_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).alias("grp"), "conv")
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    # Degenerate pooled variance (everyone or no one converted):
+    # z undefined -> NULL on both engines, never a division crash.
+    var = pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    zraw = F.when(
+        pp * (1 - pp) == 0, F.lit(None).cast("double")
+    ).otherwise((p0 - p1) / F.sqrt(var))
+    return w.select(
+        F.col("n0").cast("long").alias("n_a"),
+        F.col("x0").cast("long").alias("conv_a"),
+        F.col("n1").cast("long").alias("n_b"),
+        F.col("x1").cast("long").alias("conv_b"),
+        (F.floor(p0 * 1e6 + F.lit(0.5)) / 1e6).alias("rate_a"),
+        (F.floor(p1 * 1e6 + F.lit(0.5)) / 1e6).alias("rate_b"),
+        (F.floor(zraw * 1e6 + F.lit(0.5)) / 1e6).alias("z"),
+        F.when(zraw.isNull(), F.lit(None).cast("int"))
+        .otherwise((F.abs(zraw) > 1.96).cast("int"))
+        .alias("significant_95"),
+    )

@@ -1292,6 +1292,37 @@ def main() -> int:
         and "Window" in p,
     )
 
+    p = plan_of(spark, "q_t2_settlement_calendar", execute=True)
+    check(
+        "q_t2_settlement_calendar",
+        "closed-form weekday shift map-side; one aggregate; no join, "
+        "no Python",
+        "SortMergeJoin" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w25_seasonal_naive_error", execute=True)
+    check(
+        "w25_seasonal_naive_error",
+        "forecast via broadcast grid self-join on day-7; runs on the "
+        "daily rollup",
+        "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_dedup_method_venn", execute=True)
+    check(
+        "l_dedup_method_venn",
+        "doc_id equi-joins (no forced broadcast of dup-sized sets); "
+        "no cartesian, no Python",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a55_two_proportion_ztest", execute=True)
+    check(
+        "a55_two_proportion_ztest",
+        "one user-grain aggregate + scalar combine; no Python",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
     # -- audit-only global-sort bound checks (SCALE.md "Audit-only
     # global-sort legs"): every single-partition exchange in these
     # plans must sit ABOVE a hash aggregate — i.e. the globally sorted
