@@ -3117,3 +3117,139 @@ def w25_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_vat_summary — the tax RETURN report: lines grouped by tax-rate
+# band with net, tax and gross amounts on exact integer cents
+# (tax cents = floor(net_cents · rate_bp / 10000) per line — the
+# statutory per-line rounding, so the report reconciles to the
+# invoice line level, not to a recomputed aggregate). Rate band =
+# basis points from the l_tax fraction (exact: floor(tax·1e4+0.5)).
+# One scan, one aggregate, grand-total row via ROLLUP.
+# ---------------------------------------------------------------------------
+@query(
+    "q_vat_summary",
+    oracle="""
+    WITH lines AS (
+        SELECT CAST(floor(l_tax * 1e4 + 0.5) AS BIGINT) AS rate_bp,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS net_c,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(l_tax * 1e4 + 0.5) AS BIGINT) // 10000
+                   AS tax_c
+        FROM lineitem
+    )
+    SELECT coalesce(rate_bp, -1) AS rate_bp,
+           count(*) AS n_lines,
+           floor(CAST(sum(net_c) AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2
+               AS net_amount,
+           floor(CAST(sum(tax_c) AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2
+               AS tax_amount,
+           floor(CAST(sum(net_c + tax_c) AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2
+               AS gross_amount
+    FROM lines GROUP BY ROLLUP (rate_bp)
+    ORDER BY rate_bp
+    """,
+)
+def q_vat_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = load(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_tax") * 1e4 + F.lit(0.5)).cast("long").alias(
+            "rate_bp"
+        ),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("net_c"),
+    ).withColumn(
+        "tax_c", F.expr("net_c * rate_bp div 10000")
+    )
+    f2 = lambda c: F.floor(c.cast("double") / 100 * 1e2 + F.lit(0.5)) / 1e2
+    return (
+        lines.rollup("rate_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            f2(F.sum("net_c")).alias("net_amount"),
+            f2(F.sum("tax_c")).alias("tax_amount"),
+            f2(F.sum(F.col("net_c") + F.col("tax_c"))).alias("gross_amount"),
+        )
+        .select(
+            F.coalesce(F.col("rate_bp"), F.lit(-1)).alias("rate_bp"),
+            "n_lines",
+            "net_amount",
+            "tax_amount",
+            "gross_amount",
+        )
+        .orderBy("rate_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_intercompany_elimination — consolidation eliminations: group
+# revenue per customer nation, minus the INTERCOMPANY portion (lines
+# whose supplier sits in the same nation as the customer — the
+# transactions a consolidated group nets out), leaving external
+# revenue. The two-ledger report every multi-entity close runs. Star
+# join (lineitem→orders→customer broadcast, supplier broadcast);
+# the elimination predicate is a nationkey equality, exact cents.
+# ---------------------------------------------------------------------------
+@query(
+    "q_intercompany_elimination",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN s.s_nationkey = c.c_nationkey THEN 1 ELSE 0 END
+                   AS ic
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    )
+    SELECT CAST(nation AS INT) AS nation,
+           floor(CAST(sum(cents) AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2
+               AS gross_revenue,
+           floor(CAST(sum(CASE WHEN ic = 1 THEN cents ELSE 0 END) AS DOUBLE)
+                 / 100 * 1e2 + 0.5) / 1e2 AS eliminated,
+           floor(CAST(sum(CASE WHEN ic = 0 THEN cents ELSE 0 END) AS DOUBLE)
+                 / 100 * 1e2 + 0.5) / 1e2 AS external_revenue,
+           CAST(sum(ic) AS BIGINT) AS n_ic_lines
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_intercompany_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(maybe_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("c_nationkey").cast("int").alias("nation"),
+            "cents",
+            F.when(
+                F.col("s_nationkey") == F.col("c_nationkey"), 1
+            ).otherwise(0).alias("ic"),
+        )
+    )
+    f2 = lambda c_: F.floor(c_.cast("double") / 100 * 1e2 + F.lit(0.5)) / 1e2
+    return (
+        j.groupBy("nation")
+        .agg(
+            f2(F.sum("cents")).alias("gross_revenue"),
+            f2(F.sum(F.when(F.col("ic") == 1, F.col("cents")).otherwise(0))).alias(
+                "eliminated"
+            ),
+            f2(F.sum(F.when(F.col("ic") == 0, F.col("cents")).otherwise(0))).alias(
+                "external_revenue"
+            ),
+            F.sum("ic").cast("long").alias("n_ic_lines"),
+        )
+        .orderBy("nation")
+    )

@@ -2274,3 +2274,98 @@ def l_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_shingle_df_spectrum — document-frequency SPECTRUM of the 3-gram
+# shingle space: how many distinct shingles live in each df band
+# (1, 2-4, 5-16, 17-64, >64 docs) and what share of shingle
+# OCCURRENCES each band carries. This is the calibration report for
+# this engine's own fanout caps (_SPAN_CAP / _CONT_CAP / the LSH
+# boilerplate threshold): the ">cap" row is exactly the join volume a
+# cap discards, so the knob can be set from data instead of folklore.
+# Two hash aggregates (shingle → df, df → band), exact integers,
+# shares floored 1e-6.
+# ---------------------------------------------------------------------------
+@query(
+    "l_shingle_df_spectrum",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(ws[i + 1 : i + 3], ' ') AS s
+        FROM (SELECT doc_id, ws,
+                     unnest(range(greatest(len(ws) - 3, 0) + 1)) AS i
+              FROM toks)
+    ),
+    df AS (SELECT s, count(*) AS d FROM sh GROUP BY 1),
+    banded AS (
+        SELECT CASE WHEN d = 1 THEN 'a_unique'
+                    WHEN d <= 4 THEN 'b_2_4'
+                    WHEN d <= 16 THEN 'c_5_16'
+                    WHEN d <= 64 THEN 'd_17_64'
+                    ELSE 'e_over_64' END AS band,
+               d
+        FROM df
+    ),
+    agg AS (
+        SELECT band, count(*) AS n_shingles,
+               CAST(sum(d) AS BIGINT) AS n_occurrences
+        FROM banded GROUP BY 1
+    )
+    SELECT band, n_shingles, n_occurrences,
+           floor(CAST(n_occurrences AS DOUBLE) * 1e6
+                 / (SELECT sum(n_occurrences) FROM agg) + 0.5) / 1e6
+               AS occurrence_share
+    FROM agg ORDER BY band
+    """,
+)
+def l_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(ws) - 3, 0)),"
+                    " i -> concat_ws(' ', slice(ws, i + 1, 3)))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    band = (
+        F.when(F.col("d") == 1, "a_unique")
+        .when(F.col("d") <= 4, "b_2_4")
+        .when(F.col("d") <= 16, "c_5_16")
+        .when(F.col("d") <= 64, "d_17_64")
+        .otherwise("e_over_64")
+    )
+    agg = (
+        df.select(band.alias("band"), "d")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("d").cast("long").alias("n_occurrences"),
+        )
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "band",
+        "n_shingles",
+        "n_occurrences",
+        (
+            F.floor(
+                F.col("n_occurrences").cast("double") * 1e6
+                / F.sum("n_occurrences").over(full)
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("occurrence_share"),
+    ).orderBy("band")

@@ -1323,6 +1323,32 @@ def main() -> int:
         "BatchEvalPython" not in p and "CartesianProduct" not in p,
     )
 
+    p = plan_of(spark, "q_vat_summary", execute=True)
+    check(
+        "q_vat_summary",
+        "per-line statutory tax rounding map-side; rollup aggregate; "
+        "no join, no Python",
+        "SortMergeJoin" not in p and "BatchEvalPython" not in p
+        and "Expand" in p,
+    )
+
+    p = plan_of(spark, "q_intercompany_elimination", execute=True)
+    check(
+        "q_intercompany_elimination",
+        "customer+supplier dims broadcast into the fact join; no "
+        "cartesian, no Python",
+        "BroadcastHashJoin" in p and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_shingle_df_spectrum", execute=True)
+    check(
+        "l_shingle_df_spectrum",
+        "two hash aggregates over exploded shingles; ws projected "
+        "once; no Python",
+        "HashAggregate" in p and "BatchEvalPython" not in p,
+    )
+
     # -- audit-only global-sort bound checks (SCALE.md "Audit-only
     # global-sort legs"): every single-partition exchange in these
     # plans must sit ABOVE a hash aggregate — i.e. the globally sorted
