@@ -586,3 +586,83 @@ def g_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round INT, n_nodes BIGINT, n_edges BIGINT, k BIGINT, "
         "converged BOOLEAN",
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# G7 — single-source BFS distances: unweighted shortest hops from the
+# minimum part key, 4 unrolled frontier expansions (the Pregel BFS
+# shape restated as join rounds — each hop is ONE equi-join of the
+# frontier against the edge list plus an anti-join against the
+# visited set). Output: node count per distance 0-4 plus the
+# still-unreached remainder — the connectivity profile a graph
+# operator reads before running anything iterative. Same bounded-
+# unroll oracle contract as PageRank/k-core (MATERIALIZED CTE per
+# hop). On the co-purchase graph the diameter is tiny, so the
+# unreached row doubles as a disconnection detector.
+# ---------------------------------------------------------------------------
+_BFS_HOPS = 4
+
+
+def _bfs_oracle() -> str:
+    parts = [f"""
+    WITH {_EDGES_CTE},
+    em AS MATERIALIZED (SELECT * FROM e),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM em),
+    seed AS (SELECT min(node) AS s FROM nodes),
+    v0 AS MATERIALIZED (
+        SELECT node, 0 AS dist FROM nodes WHERE node = (SELECT s FROM seed)
+    )"""]
+    for i in range(1, _BFS_HOPS + 1):
+        parts.append(f""",
+    f{i} AS (
+        SELECT DISTINCT em.dst AS node
+        FROM em JOIN v{i - 1} v ON v.node = em.src AND v.dist = {i - 1}
+    ),
+    v{i} AS MATERIALIZED (
+        SELECT node, dist FROM v{i - 1}
+        UNION ALL
+        SELECT f.node, {i} AS dist FROM f{i} f
+        WHERE NOT EXISTS (SELECT 1 FROM v{i - 1} p WHERE p.node = f.node)
+    )""")
+    parts.append(f"""
+    SELECT CAST(coalesce(v.dist, -1) AS INT) AS distance,
+           count(*) AS n_nodes
+    FROM nodes n LEFT JOIN v{_BFS_HOPS} v ON v.node = n.node
+    GROUP BY 1 ORDER BY 1""")
+    return "".join(parts)
+
+
+@query("g_bfs_distance", oracle=_bfs_oracle())
+def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _directed_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    seed = nodes.agg(F.min("node").alias("s"))
+    visited = nodes.join(
+        F.broadcast(seed), F.col("node") == F.col("s")
+    ).select("node", F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    for hop in range(1, _BFS_HOPS + 1):
+        frontier = (
+            e.join(
+                visited.where(F.col("dist") == hop - 1).withColumnRenamed(
+                    "node", "src"
+                ).select("src"),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = frontier.join(visited.select("node"), "node", "left_anti")
+        visited = visited.unionByName(
+            new.select("node", F.lit(hop).alias("dist"))
+        ).localCheckpoint(eager=True)
+    return (
+        nodes.join(visited, "node", "left")
+        .select(
+            F.coalesce(F.col("dist"), F.lit(-1)).cast("int").alias("distance")
+        )
+        .groupBy("distance")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("distance")
+    )

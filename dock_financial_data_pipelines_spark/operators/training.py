@@ -1467,3 +1467,166 @@ def l_mixture_alpha_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_dp_noised_counts — differentially-private count release for the
+# per-source corpus histogram: Laplace(1/ε) noise via inverse-CDF
+# sampling of a DETERMINISTIC md5-derived uniform (the engine's
+# no-RNG rule: u = md5(source)/2^60, noise = −(1/ε)·sign(u−½)·
+# ln(1−2|u−½|)), ε = 1. The privacy-release shape every data-sharing
+# pipeline needs; determinism makes it oracle-exact (a production
+# release would draw u from a sealed seed instead — only the seed
+# changes). True counts ride along as audit columns (this is a test
+# fixture, not a release). The ln product is absorbed into
+# DECIMAL(27,9) before comparison (the PSI idiom) so libm ulp can
+# never flip the hash. One aggregate; noise is per-GROUP, map-free.
+# ---------------------------------------------------------------------------
+_DP_EPS = 1.0
+
+
+@query(
+    "l_dp_noised_counts",
+    oracle=f"""
+    WITH g AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY 1
+    ),
+    u AS (
+        SELECT source, n,
+               CAST(('0x' || substring(md5(source), 1, 15))::BIGINT
+                    AS DOUBLE) / 1152921504606846976.0 AS uv
+        FROM g
+    )
+    SELECT source, CAST(n AS BIGINT) AS true_count,
+           CAST(CAST(
+               CASE WHEN uv >= 0.5
+                    THEN -(1.0 / {_DP_EPS}) * ln(1 - 2 * (uv - 0.5))
+                    ELSE  (1.0 / {_DP_EPS}) * ln(1 - 2 * (0.5 - uv)) END
+               AS DECIMAL(27,9)) AS DOUBLE) AS noise,
+           CAST(CAST(n + CASE WHEN uv >= 0.5
+                    THEN -(1.0 / {_DP_EPS}) * ln(1 - 2 * (uv - 0.5))
+                    ELSE  (1.0 / {_DP_EPS}) * ln(1 - 2 * (0.5 - uv)) END
+               AS DECIMAL(27,9)) AS DOUBLE) AS released_count
+    FROM u ORDER BY source
+    """,
+)
+def l_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uv = (
+        F.expr(
+            "CAST(conv(substring(md5(source), 1, 15), 16, 10) AS BIGINT)"
+        ).cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    noise_raw = F.when(
+        uv >= 0.5, -(1.0 / _DP_EPS) * F.log(1 - 2 * (uv - F.lit(0.5)))
+    ).otherwise((1.0 / _DP_EPS) * F.log(1 - 2 * (F.lit(0.5) - uv)))
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("true_count"),
+        noise_raw.cast("decimal(27,9)").cast("double").alias("noise"),
+        (F.col("n") + noise_raw)
+        .cast("decimal(27,9)")
+        .cast("double")
+        .alias("released_count"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# l_span_mask_ratio — MLM masking plan: mask each token position where
+# md5(doc_id ':' pos) mod 100 < 15 (the BERT-style 15% rate, drawn
+# from the engine's deterministic hash family instead of an RNG so
+# the plan is reproducible and oracle-exact). Report per doc-length
+# bucket: docs, tokens, masked tokens and the realized mask ratio —
+# the drift check that catches a masking bug before a training run
+# does. Map-side posexplode + one aggregate; nothing but (bucket,
+# counts) shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "l_span_mask_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+               unnest(range(len(string_split(text, ' ')))) AS pos
+        FROM documents
+    ),
+    flagged AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN ('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || ':' ||
+                        CAST(pos AS VARCHAR)), 1, 15))::BIGINT % 100 < 15
+                    THEN 1 ELSE 0 END AS m
+        FROM toks
+    ),
+    per_doc AS (
+        SELECT doc_id, max(n_tok) AS n_tok,
+               CAST(sum(m) AS BIGINT) AS masked
+        FROM flagged GROUP BY 1
+    ),
+    bucketed AS (
+        SELECT CASE WHEN n_tok < 64 THEN 'a_short'
+                    WHEN n_tok < 128 THEN 'b_medium'
+                    ELSE 'c_long' END AS length_bucket,
+               n_tok, masked
+        FROM per_doc
+    )
+    SELECT length_bucket, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(masked) AS BIGINT) AS n_masked,
+           floor(CAST(sum(masked) AS DOUBLE) * 1e6 / sum(n_tok) + 0.5) / 1e6
+               AS mask_ratio
+    FROM bucketed GROUP BY 1 ORDER BY 1
+    """,
+)
+def l_span_mask_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_tok"),
+            F.posexplode(F.col("ws")).alias("pos", "tok"),
+        )
+    )
+    m = (
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+            "CAST(pos AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % 100
+        < 15
+    ).cast("int")
+    per_doc = (
+        toks.select("doc_id", "n_tok", m.alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tok").alias("n_tok"),
+            F.sum("m").cast("long").alias("masked"),
+        )
+    )
+    bucket = (
+        F.when(F.col("n_tok") < 64, "a_short")
+        .when(F.col("n_tok") < 128, "b_medium")
+        .otherwise("c_long")
+    )
+    return (
+        per_doc.select(bucket.alias("length_bucket"), "n_tok", "masked")
+        .groupBy("length_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("masked").cast("long").alias("n_masked"),
+            (
+                F.floor(
+                    F.sum("masked").cast("double") * 1e6 / F.sum("n_tok")
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mask_ratio"),
+        )
+        .orderBy("length_bucket")
+    )

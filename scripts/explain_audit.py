@@ -1349,6 +1349,30 @@ def main() -> int:
         "HashAggregate" in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_dp_noised_counts", execute=True)
+    check(
+        "l_dp_noised_counts",
+        "noise is per-GROUP (source-grain) after one aggregate; no "
+        "Python, no join",
+        "BatchEvalPython" not in p and "SortMergeJoin" not in p,
+    )
+
+    p = plan_of(spark, "l_span_mask_ratio", execute=True)
+    check(
+        "l_span_mask_ratio",
+        "mask decision map-side per position; one doc-grain aggregate; "
+        "no Python",
+        "BatchEvalPython" not in p and "Generate" in p,
+    )
+
+    p = plan_of(spark, "g_bfs_distance", execute=True)
+    check(
+        "g_bfs_distance",
+        "frontier hops are node-key equi-joins + anti-joins; no "
+        "cartesian, no Python",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     # -- audit-only global-sort bound checks (SCALE.md "Audit-only
     # global-sort legs"): every single-partition exchange in these
     # plans must sit ABOVE a hash aggregate — i.e. the globally sorted
