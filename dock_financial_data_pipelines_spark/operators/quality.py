@@ -3253,3 +3253,200 @@ def q_intercompany_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fifo_inventory — FIFO cost-layer valuation, the hardest classic in
+# exact accounting, restated relationally: per part, receipts (odd
+# line numbers — the fixture's movement direction) build cumulative
+# quantity layers [rs, re); issues (even lines) consume cumulative
+# ranges [is, ie); the quantity an issue takes from a layer is the
+# INTERVAL OVERLAP of the two cumulative ranges — so FIFO matching,
+# usually an imperative loop, becomes one per-part band join on
+# cumulative sums. Layer cost allocates by integer floor-division
+# (cost·overlap div qty, non-negative — portable), and the remaining
+# value is cost − Σconsumed per layer, so value CONSERVES to the cent
+# by construction — emitted as the unconditional `conserves` boolean.
+# Rolled up per brand. Scale: windows and the band join both key on
+# l_partkey (one hash shuffle); per-part fanout is movement-count
+# bounded, never cross-part.
+# ---------------------------------------------------------------------------
+@query(
+    "q_fifo_inventory",
+    oracle="""
+    WITH mv AS (
+        SELECT l_partkey AS pk, l_orderkey AS ok, l_linenumber AS ln,
+               l_shipdate AS sd,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cost_c,
+               l_linenumber % 2 = 1 AS is_receipt
+        FROM lineitem
+    ),
+    receipts AS (
+        SELECT pk, qty, cost_c,
+               coalesce(sum(qty) OVER (PARTITION BY pk
+                   ORDER BY sd, ok, ln
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS rs
+        FROM mv WHERE is_receipt
+    ),
+    issues AS (
+        SELECT pk, qty,
+               coalesce(sum(qty) OVER (PARTITION BY pk
+                   ORDER BY sd, ok, ln
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS istart
+        FROM mv WHERE NOT is_receipt
+    ),
+    matched AS (
+        SELECT r.pk, r.rs, r.qty AS rqty, r.cost_c,
+               greatest(0, least(r.rs + r.qty, i.istart + i.qty)
+                           - greatest(r.rs, i.istart)) AS o
+        FROM receipts r JOIN issues i
+          ON r.pk = i.pk
+         AND r.rs < i.istart + i.qty AND i.istart < r.rs + r.qty
+    ),
+    layer AS (
+        SELECT pk, rs, max(rqty) AS rqty, max(cost_c) AS cost_c,
+               CAST(sum(o) AS BIGINT) AS consumed,
+               CAST(sum(cost_c * o // rqty) AS BIGINT) AS cogs_c
+        FROM matched GROUP BY pk, rs
+    ),
+    all_layers AS (
+        SELECT r.pk, r.qty AS rqty, r.cost_c,
+               coalesce(l.consumed, 0) AS consumed,
+               coalesce(l.cogs_c, 0) AS cogs_c
+        FROM receipts r
+        LEFT JOIN layer l ON l.pk = r.pk AND l.rs = r.rs
+    ),
+    per_part AS (
+        SELECT pk,
+               CAST(sum(consumed) AS BIGINT) AS issued_qty,
+               CAST(sum(cogs_c) AS BIGINT) AS cogs_c,
+               CAST(sum(rqty - consumed) AS BIGINT) AS remaining_qty,
+               CAST(sum(cost_c - cogs_c) AS BIGINT) AS remaining_c,
+               CAST(sum(cost_c) AS BIGINT) AS received_c
+        FROM all_layers GROUP BY 1
+    )
+    SELECT p.p_brand AS brand,
+           count(*) AS n_parts,
+           CAST(sum(pp.issued_qty) AS BIGINT) AS issued_qty,
+           floor(CAST(sum(pp.cogs_c) AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2
+               AS cogs,
+           CAST(sum(pp.remaining_qty) AS BIGINT) AS remaining_qty,
+           floor(CAST(sum(pp.remaining_c) AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2
+               AS remaining_value,
+           (SELECT sum(cogs_c + remaining_c) = sum(received_c)
+            FROM per_part) AS conserves
+    FROM per_part pp JOIN part p ON p.p_partkey = pp.pk
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_fifo_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    mv = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_shipdate").alias("sd"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cost_c"),
+        (F.col("l_linenumber") % 2 == 1).alias("is_receipt"),
+    )
+    wcum = (
+        Window.partitionBy("pk")
+        .orderBy("sd", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    receipts = (
+        mv.where(F.col("is_receipt"))
+        .select(
+            "pk",
+            "qty",
+            "cost_c",
+            F.coalesce(F.sum("qty").over(wcum), F.lit(0)).alias("rs"),
+        )
+    )
+    issues = (
+        mv.where(~F.col("is_receipt"))
+        .select(
+            "pk",
+            F.col("qty").alias("iqty"),
+            F.coalesce(F.sum("qty").over(wcum), F.lit(0)).alias("istart"),
+        )
+    )
+    o = F.greatest(
+        F.lit(0),
+        F.least(F.col("rs") + F.col("qty"), F.col("istart") + F.col("iqty"))
+        - F.greatest(F.col("rs"), F.col("istart")),
+    )
+    matched = (
+        receipts.join(
+            issues,
+            (receipts.pk == issues.pk)
+            & (F.col("rs") < F.col("istart") + F.col("iqty"))
+            & (F.col("istart") < F.col("rs") + F.col("qty")),
+        )
+        .select(receipts.pk.alias("pk"), "rs", "qty", "cost_c", o.alias("o"))
+    )
+    layer = matched.groupBy("pk", "rs").agg(
+        F.max("qty").alias("rqty"),
+        F.max("cost_c").alias("lcost"),
+        F.sum("o").cast("long").alias("consumed"),
+        F.sum(F.expr("cost_c * o div qty")).cast("long").alias("cogs_c"),
+    )
+    all_layers = receipts.join(
+        layer.select("pk", "rs", "consumed", "cogs_c"), ["pk", "rs"], "left"
+    ).select(
+        "pk",
+        "qty",
+        "cost_c",
+        F.coalesce("consumed", F.lit(0)).alias("consumed"),
+        F.coalesce("cogs_c", F.lit(0)).alias("cogs_c"),
+    )
+    per_part = all_layers.groupBy("pk").agg(
+        F.sum("consumed").cast("long").alias("issued_qty"),
+        F.sum("cogs_c").cast("long").alias("cogs_c"),
+        F.sum(F.col("qty") - F.col("consumed")).cast("long").alias(
+            "remaining_qty"
+        ),
+        F.sum(F.col("cost_c") - F.col("cogs_c")).cast("long").alias(
+            "remaining_c"
+        ),
+        F.sum("cost_c").cast("long").alias("received_c"),
+    )
+    conserves = per_part.agg(
+        (
+            F.sum(F.col("cogs_c") + F.col("remaining_c"))
+            == F.sum("received_c")
+        ).alias("conserves")
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
+    )
+    f2 = lambda c: F.floor(c.cast("double") / 100 * 1e2 + F.lit(0.5)) / 1e2
+    return (
+        per_part.join(maybe_broadcast(p), "pk")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("issued_qty").cast("long").alias("issued_qty"),
+            f2(F.sum("cogs_c")).alias("cogs"),
+            F.sum("remaining_qty").cast("long").alias("remaining_qty"),
+            f2(F.sum("remaining_c")).alias("remaining_value"),
+        )
+        .crossJoin(F.broadcast(conserves))
+        .select(
+            "brand",
+            "n_parts",
+            "issued_qty",
+            "cogs",
+            "remaining_qty",
+            "remaining_value",
+            "conserves",
+        )
+        .orderBy("brand")
+    )

@@ -1373,6 +1373,14 @@ def main() -> int:
         "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "q_fifo_inventory", execute=True)
+    check(
+        "q_fifo_inventory",
+        "FIFO matching is a per-part band join on cumulative layers "
+        "(equi on partkey, no cartesian); windows partition by part",
+        "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     # -- audit-only global-sort bound checks (SCALE.md "Audit-only
     # global-sort legs"): every single-partition exchange in these
     # plans must sit ABOVE a hash aggregate — i.e. the globally sorted
