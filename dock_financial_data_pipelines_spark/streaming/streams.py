@@ -1305,3 +1305,84 @@ def x18_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "x18_update_mode", "update").orderBy(
         "window_start", "n_events_so_far"
     )
+
+
+# ---------------------------------------------------------------------------
+# X19 — checkpoint RESUME / exactly-once across restarts: the property
+# the reference's catchup=False daily reruns depend on. The query
+# drains chunks 1-2 into a parquet sink, STOPS, then two more chunks
+# land and a SECOND drain starts against the SAME checkpoint — it must
+# process only the new files (file-source offsets) and append them
+# exactly once. The final sink aggregate hash-matches the full batch
+# aggregate ONLY if no file was skipped or double-processed: a
+# reprocessing bug doubles counts, a lost-offset bug drops them, and
+# either flips the oracle compare. Fresh scratch dirs per call, so the
+# restart is a real cold restart, not a warm session artifact.
+# ---------------------------------------------------------------------------
+@query(
+    "x19_stream_checkpoint_resume",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_epoch,
+           count(*) AS n_events,
+           round(sum(CAST(value AS DECIMAL(27,6))), 2)::DOUBLE AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def x19_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    # Ensure the shared time-ordered chunks exist, then stage them in
+    # two waves into a fresh source dir.
+    _events_stream_multibatch(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "dock_fdp_spark",
+        f"event_chunks_{sf_tag(sf_dir)}",
+    )
+    scratch = _scratch()
+    src = os.path.join(scratch, "src")
+    sink = os.path.join(scratch, "sink")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(src, exist_ok=True)
+    ev_schema = load(spark, sf_dir, "events").schema
+
+    def drain():
+        with _stream_partitions(spark):
+            q = (
+                spark.readStream.schema(ev_schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(os.path.join(src, "chunk_*"))
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    for wave in ((1, 2), (3, 4)):
+        for i in wave:
+            _shutil.copytree(
+                os.path.join(base, f"chunk_{i:02d}"),
+                os.path.join(src, f"chunk_{i:02d}"),
+            )
+        drain()  # second call restarts from the SAME checkpoint
+
+    out = (
+        spark.read.parquet(sink)
+        .groupBy(
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+                "day_epoch"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", scale=6).alias("total_value"),
+        )
+        .orderBy("day_epoch")
+    )
+    # Materialize before the scratch dir is removed by later cleanup.
+    return out.localCheckpoint(eager=True)

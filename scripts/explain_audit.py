@@ -1381,6 +1381,14 @@ def main() -> int:
         "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "x19_stream_checkpoint_resume", execute=True)
+    check(
+        "x19_stream_checkpoint_resume",
+        "result is the materialized resume-sink aggregate (checkpoint "
+        "scan); no Python anywhere",
+        "BatchEvalPython" not in p and "CartesianProduct" not in p,
+    )
+
     # -- audit-only global-sort bound checks (SCALE.md "Audit-only
     # global-sort legs"): every single-partition exchange in these
     # plans must sit ABOVE a hash aggregate — i.e. the globally sorted
