@@ -43,46 +43,45 @@ __version__ = "0.2.0"
 # (absent from both lists) queue from slot 50 in import order — they
 # can never displace a planned slot. Regenerate both lists at round
 # start with scripts/sweep_rotate.py.
+# Verdicts recorded in rounds <= the given number are STALE for these
+# names (the query's oracle/contract was rewritten after that round, so
+# an older hash-green row no longer certifies the current code). Listed
+# names re-enter the sweep as class-0 until a fresh verdict lands in a
+# LATER round's CORRECTNESS file, at which point the entry is inert
+# (safe to leave; prune when convenient).
+_STALE_BEFORE = {
+    # x14's oracle was rewritten in round 7 (sentinel watermark-barrier
+    # contract); its only green verdict is r06 — pre-rewrite.
+    "x14_stream_stream_left_join": 7,
+}
+
 _SWEEP_FIRST = [
-    # Round-7 sweep plan: the 33 late round-6 registrations that
-    # lack a driver-green CORRECTNESS row fill slots 1-33 (closing
-    # the cumulative driver record to 326/326); round-7
-    # registrations (absent from both lists) queue from slot 34 via
-    # class 3, filling the remaining 17-slot budget.
-    # SQL-oracled, never driver-checked (slots 1-33)
-    "u15_late_dim_repair",
-    "a38_spearman_corr",
-    "a39_chi2_independence",
-    "a40_category_entropy",
-    "a41_herfindahl_index",
-    "a42_gapfill_interpolation",
-    "a43_mad_outliers",
-    "a44_runs_test",
-    "a45_weighted_median",
-    "a46_ks_test",
-    "a47_mann_whitney_u",
-    "a48_bootstrap_ci",
-    "a49_weekly_decompose",
-    "a50_multiple_regression",
-    "a51_countmin_heavy_hitters",
-    "a52_sample_quantile_sketch",
-    "a53_kmv_distinct_sketch",
-    "l_pmi_bigrams",
-    "l_readability_profile",
-    "l_char_ngram_profile",
-    "l_tfidf_cosine_pairs",
-    "l_vocab_coverage_curve",
-    "l_duplication_by_source",
-    "l_bpe_merge_step",
-    "l_perplexity_buckets",
-    "l_kneser_ney_bigram",
-    "l_mixture_alpha_sampling",
-    "w18_max_drawdown",
-    "w19_bollinger_bands",
-    "w20_rolling_corr",
-    "w21_anchored_vwap",
-    "w22_ytd_report",
-    "x16_stream_velocity",
+    # Round-8 sweep plan: the 17 late round-7 registrations that lack
+    # any driver verdict fill slots 1-17 (closing the cumulative
+    # driver record to 360/360); x14 (stale r06 verdict, oracle
+    # rewritten in r7) re-queues at slot 18 via _STALE_BEFORE; round-8
+    # registrations (absent from both lists) queue from slot 19 via
+    # class 3, filling the remaining 32-slot budget.
+    # SQL-oracled, never driver-checked (slots 1-17)
+    "q_intercompany_elimination",
+    "q_fifo_inventory",
+    "u16_keep_latest_k",
+    "t4_keyset_pagination",
+    "u17_bitemporal_asof",
+    "a54_decile_lift_table",
+    "a55_two_proportion_ztest",
+    "l_vocab_drift_psi",
+    "l_source_overlap_matrix",
+    "l_shingle_df_spectrum",
+    "l_dp_noised_counts",
+    "l_span_mask_ratio",
+    "w23_rsi",
+    "w24_donchian_channels",
+    "x17_stream_late_data_drop",
+    "x18_stream_update_mode",
+    "x19_stream_checkpoint_resume",
+    # stale-verdict re-runs (slot 18)
+    "x14_stream_stream_left_join",
     # rows-only (no SQL oracle; driver records spark_rows)
 ]
 _SWEEP_LAST = [
@@ -91,7 +90,6 @@ _SWEEP_LAST = [
     "l_sft_format_pairs",
     "l_bigram_cross_entropy",
     "s16_corrupt_jsonl_audit",
-    "x14_stream_stream_left_join",
     "f9_try_arithmetic",
     "l7_binary_dedup",
     "a37_priority_mix_shift",
@@ -378,7 +376,57 @@ _SWEEP_LAST = [
     "q_bilateral_netting",
     "q_three_way_match",
     "q_duplicate_payments_fuzzy",
+    "l_ivf_recall_audit",
+    "l_ann_lsh_recall_audit",
+    "l_embedding_norm_outliers",
+    "l_semdedup_cell_audit",
+    "l_minhash_estimate_error_audit",
+    "l_dedup_method_venn",
+    "g_k_core",
+    "g_bfs_distance",
+    "l7_modality_mix_report",
+    "q_aging_buckets",
+    "q_penny_allocation",
+    "q_fulfillment_lag_buckets",
+    "q_customer_churn_flags",
+    "q_weekly_flash_report",
+    "q_t2_settlement_calendar",
+    "w25_seasonal_naive_error",
+    "q_vat_summary",
     "u14_scd2_build",
+    "u15_late_dim_repair",
+    "a38_spearman_corr",
+    "a39_chi2_independence",
+    "a40_category_entropy",
+    "a41_herfindahl_index",
+    "a42_gapfill_interpolation",
+    "a43_mad_outliers",
+    "a44_runs_test",
+    "a45_weighted_median",
+    "a46_ks_test",
+    "a47_mann_whitney_u",
+    "a48_bootstrap_ci",
+    "a49_weekly_decompose",
+    "a50_multiple_regression",
+    "a51_countmin_heavy_hitters",
+    "a52_sample_quantile_sketch",
+    "a53_kmv_distinct_sketch",
+    "l_pmi_bigrams",
+    "l_readability_profile",
+    "l_char_ngram_profile",
+    "l_tfidf_cosine_pairs",
+    "l_vocab_coverage_curve",
+    "l_duplication_by_source",
+    "l_bpe_merge_step",
+    "l_perplexity_buckets",
+    "l_kneser_ney_bigram",
+    "l_mixture_alpha_sampling",
+    "w18_max_drawdown",
+    "w19_bollinger_bands",
+    "w20_rolling_corr",
+    "w21_anchored_vwap",
+    "w22_ytd_report",
+    "x16_stream_velocity",
 ]
 
 
@@ -401,13 +449,22 @@ def _load_driver_verdicts() -> tuple[set, set]:
     hash_verified: set = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        except ValueError:
+            rnd = 0
+        try:
             with open(path) as fh:
                 rows = json.load(fh)
-            verified |= set(rows)
+            fresh = {
+                n for n in rows if rnd > _STALE_BEFORE.get(n, 0)
+            }
+            verified |= fresh
             hash_verified |= {
                 n
                 for n, row in rows.items()
-                if isinstance(row, dict) and row.get("hash_match")
+                if n in fresh
+                and isinstance(row, dict)
+                and row.get("hash_match")
             }
         except Exception:
             pass  # malformed/partial file: treat as no verdicts
