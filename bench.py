@@ -175,6 +175,12 @@ def main() -> None:
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        # Statistic behind "value"/"queries". Rounds <= 6 used per-query
+        # MIN (no marker field); round 7+ use per-query MEDIAN of n_runs
+        # samples. Cross-round consumers must not diff a median-based
+        # file against a min-based one — check this field first; mins
+        # still ride along as "queries_min" in BENCH_DETAIL.json.
+        "headline_stat": "median",
         "queries": per_query,
         "n_runs": n_runs,
         "warmup_sec": warmup_sec,

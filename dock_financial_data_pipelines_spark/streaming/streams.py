@@ -136,9 +136,9 @@ def _events_stream_with_sentinel(
         sentinel = ev.agg(
             F.max("ts").alias("max_ts"), F.max("event_id").alias("max_id")
         ).select(
-            F.explode(
+            F.posexplode(
                 F.array(F.lit("purchase"), F.lit("click"))
-            ).alias("event_type"),
+            ).alias("pos", "event_type"),
             (F.col("max_ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
             F.lit(_SENTINEL_USER).cast("bigint").alias("user_id"),
             F.col("max_id"),
@@ -147,7 +147,10 @@ def _events_stream_with_sentinel(
             F.col(c)
             if c in ("event_type", "ts", "user_id")
             else (
-                (F.col("max_id") + F.lit(1))
+                # distinct ids per sentinel row (max_id+1, max_id+2):
+                # consumers that key/dedup on event_id must never see a
+                # duplicate introduced by the barrier rows themselves.
+                (F.col("max_id") + F.lit(1) + F.col("pos"))
                 if c == "event_id"
                 else F.lit(None)
             ).cast(dict(ev.dtypes)[c]).alias(c)
@@ -188,7 +191,20 @@ class _stream_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
-def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    progress_hook=None,
+) -> DataFrame:
+    """Drain a stream into a memory sink with availableNow.
+
+    ``progress_hook``, when given, receives the completed query's
+    ``recentProgress`` list after termination — used by queries whose
+    oracle encodes measured engine behavior (e.g. x17's watermark
+    propagation staircase) to fail fast with a clear message if a Spark
+    upgrade changes that behavior, instead of surfacing as an opaque
+    oracle hash mismatch."""
     scratch = _scratch()
     with _stream_partitions(stream_df.sparkSession):
         q = (
@@ -200,6 +216,8 @@ def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFra
             .start()
         )
         q.awaitTermination()
+        if progress_hook is not None:
+            progress_hook(q.recentProgress)
     result = stream_df.sparkSession.table(name)
     shutil.rmtree(scratch, ignore_errors=True)
     return result
@@ -1239,6 +1257,54 @@ def _events_stream_modsplit(
     """,
 )
 def x17_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    # The oracle replays two MEASURED Spark internals (see the block
+    # comment above): one-file-per-chunk batch composition and the
+    # one-batch watermark propagation lag. Pin both at runtime so a
+    # Spark upgrade / file-source batching change surfaces as a clear
+    # error here, not as an opaque oracle hash mismatch downstream.
+    chunk_counts = [
+        r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy((F.col("event_id") % 4).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c")
+        .collect()  # bounded: exactly 4 rows
+    ]
+
+    def _pin_assumptions(progress: list) -> None:
+        data = [p for p in progress if p.get("numInputRows", 0) > 0]
+        inputs = [p["numInputRows"] for p in data]
+        drops = [
+            (p.get("stateOperators") or [{}])[0].get(
+                "numRowsDroppedByWatermark", 0
+            )
+            for p in data
+        ]
+        if inputs != chunk_counts:
+            raise RuntimeError(
+                "x17 oracle assumption broken: expected one micro-batch "
+                f"per chunk with numInputRows={chunk_counts}, observed "
+                f"{inputs} — the file source no longer batches one file "
+                "per trigger (or a chunk was written as multiple part "
+                "files); the oracle's staircase replay is invalid."
+            )
+        if any(drops[:2]):
+            raise RuntimeError(
+                "x17 oracle assumption broken: batches 0-1 dropped "
+                f"{drops[:2]} rows — the one-batch watermark propagation "
+                "lag (batch k gated by the staircase through k-2) no "
+                "longer holds; Spark now enforces the watermark earlier."
+            )
+        if len(drops) >= 3 and drops[2] == 0:
+            raise RuntimeError(
+                "x17 oracle assumption broken: batch 2 dropped 0 rows — "
+                "watermark propagation is now slower than the measured "
+                "one-batch lag (k-2 staircase), so the oracle would "
+                "under-drop."
+            )
+
     agg = (
         _events_stream_modsplit(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
@@ -1251,9 +1317,9 @@ def x17_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg, "x17_late_drop", "append").orderBy(
-        "window_start"
-    )
+    return _run_to_memory(
+        agg, "x17_late_drop", "append", progress_hook=_pin_assumptions
+    ).orderBy("window_start")
 
 
 # ---------------------------------------------------------------------------

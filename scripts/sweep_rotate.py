@@ -56,6 +56,12 @@ def ledger() -> int:
                 status = "rows-only"
             else:
                 status = "FAIL"
+            try:
+                rnd_num = int(rnd.lstrip("r"))
+            except ValueError:
+                rnd_num = 0
+            if rnd_num <= getattr(engine, "_STALE_BEFORE", {}).get(name, 0):
+                status += " (stale-oracle: predates oracle rewrite)"
             verdicts.setdefault(name, []).append(f"{rnd}: {status}")
 
     slot = {n: i + 1 for i, n in enumerate(list(engine.QUERIES)[:BUDGET])}
@@ -65,7 +71,8 @@ def ledger() -> int:
         default=0,
     )
     greens = sum(
-        1 for v in verdicts.values() if any("hash-green" in s for s in v)
+        1 for v in verdicts.values()
+        if any(s.endswith("hash-green") for s in v)  # stale rows excluded
     )
     print(f"One row per registry entry, generated from the actual")
     print(f"`CORRECTNESS_r*.json` keys by `scripts/sweep_rotate.py --ledger`")
