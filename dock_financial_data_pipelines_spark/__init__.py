@@ -53,6 +53,11 @@ _STALE_BEFORE = {
     # x14's oracle was rewritten in round 7 (sentinel watermark-barrier
     # contract); its only green verdict is r06 — pre-rewrite.
     "x14_stream_stream_left_join": 7,
+    # x10's pre-r8 verdicts certify the applyInPandasWithState fallback
+    # branch (impl_path='fallback'); round 8 activates the primary
+    # transformWithStateInPandas path via the vendored protobuf runtime,
+    # so the proof that the NATIVE branch runs needs a fresh driver row.
+    "x10_transform_with_state": 7,
 }
 
 _SWEEP_FIRST = [
@@ -80,8 +85,9 @@ _SWEEP_FIRST = [
     "x17_stream_late_data_drop",
     "x18_stream_update_mode",
     "x19_stream_checkpoint_resume",
-    # stale-verdict re-runs (slot 18)
+    # stale-verdict re-runs (slots 18-19)
     "x14_stream_stream_left_join",
+    "x10_transform_with_state",
     # rows-only (no SQL oracle; driver records spark_rows)
 ]
 _SWEEP_LAST = [
@@ -164,7 +170,6 @@ _SWEEP_LAST = [
     "x2_stream_sliding_window",
     "x3_stream_session_window",
     "x4_stream_tumbling_watermark",
-    "x10_transform_with_state",
     "x7_stateful_running_balance",
     "x11_stream_stream_join",
     "f8_bitwise_aggs",

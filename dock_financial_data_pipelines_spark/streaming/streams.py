@@ -537,18 +537,95 @@ def x9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X10 — transformWithStateInPandas (Spark 4 stateful API): per-user
 # running count/balance kept in a ValueState, emitted per batch.
-# The TWS state-server protocol needs google.protobuf, which this
-# container does not ship; where it is missing the query falls back to
-# an applyInPandasWithState formulation with IDENTICAL semantics and
-# output schema, so the registered surface is always driver-checkable.
-# On a real cluster (protobuf present) the TWS path runs.
+# The TWS state-server protocol needs the google.protobuf runtime. When
+# it is not pip-installed, the probe below also accepts a known VENDORED
+# copy of the public protobuf library on this machine (the Google Cloud
+# SDK ships one) — with it the PRIMARY transformWithStateInPandas branch
+# runs even in containers without a protobuf install. Only when neither
+# exists does the query fall back to an applyInPandasWithState
+# formulation with IDENTICAL semantics and output schema, so the
+# registered surface is always driver-checkable.
 # ---------------------------------------------------------------------------
-def _has_protobuf() -> bool:
+# Directories whose `google/protobuf` subpackage is a pure-Python build
+# of the PUBLIC protobuf runtime (BSD-licensed, vendored verbatim by the
+# publicly distributed google-cloud-sdk). Used only when `import
+# google.protobuf` fails outright.
+_VENDORED_PROTOBUF_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def _vendored_protobuf_dir():
+    for d in _VENDORED_PROTOBUF_DIRS:
+        if os.path.isdir(os.path.join(d, "google", "protobuf")):
+            return d
+    return None
+
+
+def _probe_protobuf() -> bool:
+    """Side-effect-free: would the native TWS branch run here? Used at
+    registration time to bake the oracle's expected impl_path literal."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
+        return _vendored_protobuf_dir() is not None
+
+
+def _bootstrap_protobuf() -> bool:
+    """Make google.protobuf importable in THIS process, activating the
+    vendored runtime when no installed one exists. Returns True when
+    google.protobuf is usable afterwards.
+
+    Called on the driver before building the TWS query AND at processor
+    deserialization time (__setstate__), which runs in every TWS Python
+    process — executor workers and the driver-side PRE_INIT runner —
+    strictly before the first lazy ``StateMessage_pb2`` import, so the
+    activation lands wherever the state protocol runs with no reliance
+    on worker env propagation."""
+    import sys as _sys
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    d = _vendored_protobuf_dir()
+    if d is None:
+        return False
+    if d not in _sys.path:
+        _sys.path.append(d)
+    # Official protobuf escape hatch (protobuf's runtime_version.py):
+    # the vendored runtime may be one MINOR behind Spark's gencode
+    # (observed: runtime 6.32 vs gencode 6.33); the proto3 wire format
+    # is unchanged within a major and the TWS StateMessage schema
+    # predates both, so lifting the pinned-version check is safe here.
+    os.environ.setdefault(
+        "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+    )
+    # Spark's python workers carry spark-core.jar on sys.path (for the
+    # py4j protocol); the jar's google/protobuf/*.proto RESOURCE
+    # directory imports as an EMPTY namespace package, and once that is
+    # cached in sys.modules the vendored regular package can never
+    # resolve ("cannot import name 'descriptor' ... (unknown
+    # location)"). Evict the stale namespace artifacts — modules under
+    # google.* with no __file__ — so the retry re-scans sys.path, where
+    # the vendored regular package now wins over the jar's portion.
+    for name, mod in list(_sys.modules.items()):
+        if (
+            name == "google" or name.startswith("google.")
+        ) and getattr(mod, "__file__", None) is None:
+            del _sys.modules[name]
+    try:
+        import importlib
+
+        importlib.invalidate_caches()
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover - vendored copy unreadable
         return False
 
 
@@ -585,12 +662,12 @@ def _has_protobuf() -> bool:
                PARTITION BY user_id ORDER BY chunk
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) / 100.0 AS balance,
-           '{"native" if _has_protobuf() else "fallback"}' AS impl_path
+           '{"native" if _probe_protobuf() else "fallback"}' AS impl_path
     FROM per
     """,
 )
 def x10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if not _has_protobuf():  # pragma: no cover - env-dependent branch
+    if not _bootstrap_protobuf():  # pragma: no cover - env-dependent branch
         return _x10_tws_fallback(spark, sf_dir)
     return _x10_tws_native(spark, sf_dir)
 
@@ -656,7 +733,24 @@ def _x10_tws_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     class RunningBalance(StatefulProcessor):
+        # The processor is deserialized in every TWS Python process (the
+        # driver-side PRE_INIT runner and each executor worker) strictly
+        # before the first lazy StateMessage_pb2 import — the PRE_INIT
+        # runner calls set_handle_state (a proto call) BEFORE init(), so
+        # unpickle time is the only hook early enough to activate the
+        # vendored protobuf runtime where none is installed.
+        def __getstate__(self):
+            # Must be truthy or pickle skips __setstate__ entirely (the
+            # instance is pickled BEFORE init(), with an empty __dict__).
+            return {"_boot": True, **self.__dict__}
+
+        def __setstate__(self, state):
+            _bootstrap_protobuf()
+            state.pop("_boot", None)
+            self.__dict__.update(state)
+
         def init(self, handle: StatefulProcessorHandle) -> None:
+            _bootstrap_protobuf()  # idempotent; covers non-pickled paths
             state_schema = StructType(
                 [StructField("n", LongType()), StructField("cents", LongType())]
             )
@@ -689,10 +783,34 @@ def _x10_tws_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_stream_multibatch(spark, sf_dir)
         .groupBy("user_id")
         .transformWithStateInPandas(
-            RunningBalance(), out_schema, "Update", "ProcessingTime"
+            # timeMode "None": no timers are registered, and under
+            # ProcessingTime the availableNow drain never terminates —
+            # Spark keeps scheduling timer-advance micro-batches
+            # (observed: 988 committed batches before the run was
+            # killed). With "None" the drain is data-driven: 4 chunk
+            # batches + the final no-data batch, then termination.
+            RunningBalance(), out_schema, "Update", "None"
         )
     )
-    return _run_to_memory(result, "x10_tws", "update")
+    # TWS state (multiple column families per key) requires the RocksDB
+    # state store; the default HDFS-backed store rejects it outright
+    # (STATE_STORE_MULTIPLE_COLUMN_FAMILIES_NOT_SUPPORTED). Scope the
+    # provider to this run — the conf binds at query start, and other
+    # streaming queries keep the default store.
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, rocksdb)
+    try:
+        return _run_to_memory(result, "x10_tws", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 # ---------------------------------------------------------------------------

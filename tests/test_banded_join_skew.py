@@ -162,3 +162,89 @@ def test_substring_spans_join_stays_equi_join(spark, skew_sf_dir):
 def test_aqe_skew_split_armed(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+# ---------------------------------------------------------------------------
+# l_containment_pairs skew stress (VERDICT r7 item 5): the containment
+# sibling of the LSH/substring-span family. One boilerplate 3-gram
+# shared by 60 docs sits JUST under the docfreq cap (64), so the
+# candidate equi-join concentrates C(60,2) = 1770 pairs on ONE
+# shingle-hash key; every one must be killed by the exact containment
+# verify (1 shared shingle / 5 per doc = 0.2 < 0.6). A second
+# boilerplate shared by 70 docs exceeds the cap and must be dropped
+# BEFORE the join (zero candidate pairs from it). True positives —
+# a prefix-contained doc pair and a repeated-token pair — must survive
+# with exact closed-form containment.
+# ---------------------------------------------------------------------------
+N_BOIL_HOT = 60   # shares "hota hotb hotc": df 60 <= cap 64 -> hot key
+N_BOIL_OVER = 70  # shares "ova ovb ovc":    df 70 >  cap 64 -> dropped
+
+
+@pytest.fixture(scope="module")
+def containment_sf_dir(spark, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("containment_skew_sf"))
+    contained = "c1 c2 c3 c4 c5 c6"  # 4 shingles, all inside the next doc
+    docs = (
+        [
+            # hot-but-under-cap group: 1 shared boilerplate shingle + 4
+            # doc-unique shingles each -> containment 1/5 = 0.2, killed.
+            (
+                1000 + i,
+                f"hota hotb hotc u{i}a u{i}b u{i}c u{i}d",
+            )
+            for i in range(N_BOIL_HOT)
+        ]
+        + [
+            # over-cap group: shared shingle df 70 > 64, dropped pre-join.
+            (
+                2000 + i,
+                f"ova ovb ovc v{i}a v{i}b v{i}c v{i}d",
+            )
+            for i in range(N_BOIL_OVER)
+        ]
+        + [
+            # true containment: doc 1 is a prefix of doc 2.
+            (1, contained),
+            (2, contained + " x1 x2 x3 x4 x5 x6"),
+            # repeated-token pair: each doc = ONE distinct shingle.
+            (3, " ".join(["dup"] * 50)),
+            (4, " ".join(["dup"] * 30)),
+        ]
+    )
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_containment_hot_key_verify_kills_all(spark, containment_sf_dir):
+    got = (
+        engine.QUERIES["l_containment_pairs"](spark, containment_sf_dir)
+        .toPandas()
+        .set_index(["doc_a", "doc_b"])
+    )
+    # the 1770 hot-key candidates and every over-cap doc produced NOTHING
+    assert set(got.index) == {(1, 2), (3, 4)}, sorted(got.index)[:10]
+    pre = got.loc[(1, 2)]
+    # doc 1: 4 shingles, all present in doc 2 (10 tokens -> 8 shingles)
+    assert int(pre.n_common) == 4
+    assert int(pre.size_a) == 4 and int(pre.size_b) == 8
+    assert float(pre.containment) == 1.0
+    rep = got.loc[(3, 4)]
+    assert int(rep.n_common) == 1
+    assert int(rep.size_a) == 1 and int(rep.size_b) == 1
+    assert float(rep.containment) == 1.0
+
+
+def test_containment_join_stays_equi_join(spark, containment_sf_dir):
+    df = engine.QUERIES["l_containment_pairs"](spark, containment_sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoop" not in plan
+    ), "containment candidate join must stay an equi-join for AQE skew-split"
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), f"expected a hash/merge equi-join, got:\n{plan[:2000]}"
