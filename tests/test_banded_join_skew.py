@@ -226,9 +226,10 @@ def test_containment_hot_key_verify_kills_all(spark, containment_sf_dir):
     # the 1770 hot-key candidates and every over-cap doc produced NOTHING
     assert set(got.index) == {(1, 2), (3, 4)}, sorted(got.index)[:10]
     pre = got.loc[(1, 2)]
-    # doc 1: 4 shingles, all present in doc 2 (10 tokens -> 8 shingles)
+    # doc 1: 6 tokens -> 4 shingles (n-2), all present in doc 2
+    # (12 tokens -> 10 shingles)
     assert int(pre.n_common) == 4
-    assert int(pre.size_a) == 4 and int(pre.size_b) == 8
+    assert int(pre.size_a) == 4 and int(pre.size_b) == 10
     assert float(pre.containment) == 1.0
     rep = got.loc[(3, 4)]
     assert int(rep.n_common) == 1
