@@ -2778,3 +2778,573 @@ def a55_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.abs(zraw) > 1.96).cast("int"))
         .alias("significant_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a56 — Poisson dispersion test on daily order arrivals. The classic
+# count-process health check (is arrival variance ~ mean, or is traffic
+# bursty?): dispersion index D = s²/x̄ over daily counts and the chi²
+# form (n-1)·D vs its 95% normal-approx critical value. Everything up
+# to the final ratios is INTEGER arithmetic (counts, Σc, Σc²), so the
+# oracle matches exactly; at 100 TB this is one date-grouped count
+# aggregate (map-side partial) + a 1-row reduce.
+# ---------------------------------------------------------------------------
+@query(
+    "a56_poisson_dispersion",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               count(*) AS c
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT count(*) AS n, sum(c) AS s, sum(c * c) AS q FROM daily
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS total_orders,
+           floor(CAST(s AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_per_day,
+           floor(CAST(n * q - s * s AS DOUBLE)
+                 / CAST((n - 1) * s AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS dispersion_index,
+           floor(CAST(n * q - s * s AS DOUBLE)
+                 / CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2_stat,
+           CASE WHEN CAST(n * q - s * s AS DOUBLE) / CAST(s AS DOUBLE)
+                     > (n - 1) + 2 * sqrt(2.0 * (n - 1))
+                THEN 1 ELSE 0 END AS overdispersed
+    FROM t
+    """,
+)
+def a56_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    num = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+    chi2 = num / F.col("s").cast("double")
+    return t.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("total_orders"),
+        (F.floor(F.col("s").cast("double") / F.col("n") * 1e6 + F.lit(0.5))
+         / 1e6).alias("mean_per_day"),
+        (F.floor(num / ((F.col("n") - 1) * F.col("s")).cast("double") * 1e6
+                 + F.lit(0.5)) / 1e6).alias("dispersion_index"),
+        (F.floor(chi2 * 1e6 + F.lit(0.5)) / 1e6).alias("chi2_stat"),
+        F.when(
+            chi2 > (F.col("n") - 1) + 2 * F.sqrt(2.0 * (F.col("n") - 1)),
+            1,
+        ).otherwise(0).alias("overdispersed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a57 — Kendall tau-b rank correlation between time and monthly revenue
+# per market segment (monotone-trend strength, the rank twin of a29's
+# Mann-Kendall). Concordant/discordant/tied counts are exact integers
+# from a within-segment month-pair self-join — months per segment are
+# bounded (tens), so the pair join is O(seg · months²), never corpus².
+# Revenue is compared as DECIMAL, so tie detection is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "a57_kendall_tau",
+    oracle="""
+    WITH monthly AS (
+        SELECT c.c_mktsegment AS seg,
+               strftime(o.o_orderdate, '%Y-%m') AS mon,
+               sum(CAST(o.o_totalprice AS DECIMAL(27,2))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.seg,
+               sum(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END) AS conc,
+               sum(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END) AS disc,
+               sum(CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END) AS tied
+        FROM monthly a JOIN monthly b
+          ON a.seg = b.seg AND a.mon < b.mon
+        GROUP BY 1
+    ),
+    n AS (SELECT seg, count(*) AS n_months FROM monthly GROUP BY 1)
+    SELECT n.seg, CAST(n.n_months AS BIGINT) AS n_months,
+           CAST(p.conc AS BIGINT) AS concordant,
+           CAST(p.disc AS BIGINT) AS discordant,
+           CAST(p.tied AS BIGINT) AS tied,
+           floor(CAST(p.conc - p.disc AS DOUBLE)
+                 / sqrt(CAST(n.n_months * (n.n_months - 1) / 2 AS DOUBLE)
+                        * CAST(n.n_months * (n.n_months - 1) / 2 - p.tied
+                               AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS tau_b
+    FROM n JOIN pairs p ON n.seg = p.seg
+    ORDER BY 1
+    """,
+)
+def a57_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev"))
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.mon") < F.col("b.mon")),
+        )
+        .groupBy(F.col("a.seg").alias("seg"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1).otherwise(0)
+            ).alias("conc"),
+            F.sum(
+                F.when(F.col("b.rev") < F.col("a.rev"), 1).otherwise(0)
+            ).alias("disc"),
+            F.sum(
+                F.when(F.col("b.rev") == F.col("a.rev"), 1).otherwise(0)
+            ).alias("tied"),
+        )
+    )
+    n = monthly.groupBy("seg").agg(F.count(F.lit(1)).alias("n_months"))
+    n0 = (F.col("n_months") * (F.col("n_months") - 1) / 2).cast("long")
+    tau = (F.col("conc") - F.col("disc")).cast("double") / F.sqrt(
+        n0.cast("double") * (n0 - F.col("tied")).cast("double")
+    )
+    return (
+        n.join(pairs, "seg")
+        .select(
+            "seg",
+            F.col("n_months").cast("long").alias("n_months"),
+            F.col("conc").cast("long").alias("concordant"),
+            F.col("disc").cast("long").alias("discordant"),
+            F.col("tied").cast("long").alias("tied"),
+            (F.floor(tau * 1e6 + F.lit(0.5)) / 1e6).alias("tau_b"),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a58 — Brown-Forsythe (median-based Levene) test: are order-value
+# spreads homogeneous across order priorities? The robust variance-
+# equality screen run before any pooled-variance test. Group medians
+# use exact interpolated percentiles (the a10/a22 idiom); absolute
+# deviations are per-row doubles, and every cross-row sum is a per-row
+# DECIMAL cast (the a38 pattern) so accumulation is order-independent.
+# Both the between and within sums range over the k=5 priority groups
+# as decimal-cast terms — no double sum whose order could differ.
+# ---------------------------------------------------------------------------
+@query(
+    "a58_levene_brown_forsythe",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority AS grp,
+               quantile_cont(o_totalprice, 0.5) AS md
+        FROM orders GROUP BY 1
+    ),
+    z AS (
+        SELECT o.o_orderpriority AS grp,
+               abs(o.o_totalprice - m.md) AS z
+        FROM orders o JOIN med m ON o.o_orderpriority = m.grp
+    ),
+    g AS (
+        SELECT grp, count(*) AS n,
+               sum(CAST(z AS DECIMAL(27,6))) AS sz,
+               sum(CAST(z * z AS DECIMAL(27,6))) AS szz
+        FROM z GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*) AS k, sum(n) AS nn, sum(sz) AS sztot FROM g
+    ),
+    terms AS (
+        SELECT g.grp, g.n, t.k, t.nn,
+               CAST(g.n AS DOUBLE)
+                   * power(CAST(g.sz AS DOUBLE) / g.n
+                           - CAST(t.sztot AS DOUBLE) / t.nn, 2) AS bt,
+               CAST(g.szz AS DOUBLE)
+                   - CAST(g.sz AS DOUBLE) * CAST(g.sz AS DOUBLE) / g.n
+                   AS wt
+        FROM g CROSS JOIN tot t
+    ),
+    agg AS (
+        SELECT max(k) AS k, max(nn) AS nn,
+               CAST(sum(CAST(bt AS DECIMAL(27,6))) AS DOUBLE) AS between_ss,
+               CAST(sum(CAST(wt AS DECIMAL(27,6))) AS DOUBLE) AS within_ss
+        FROM terms
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n_orders,
+           floor(between_ss * 1e2 + 0.5) / 1e2 AS between_ss,
+           floor(within_ss * 1e2 + 0.5) / 1e2 AS within_ss,
+           floor((CAST(nn - k AS DOUBLE) / (k - 1))
+                 * (between_ss / within_ss) * 1e6 + 0.5) / 1e6 AS w_stat,
+           CASE WHEN (CAST(nn - k AS DOUBLE) / (k - 1))
+                     * (between_ss / within_ss) > 2.372 THEN 1 ELSE 0 END
+               AS heteroscedastic_95
+    FROM agg
+    """,
+)
+def a58_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    med = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("md")
+    )
+    z = o.join(
+        med, o.o_orderpriority == med.grp
+    ).select("grp", F.abs(F.col("o_totalprice") - F.col("md")).alias("z"))
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("z").cast("decimal(27,6)")).alias("sz"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(27,6)")).alias("szz"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("sz").alias("sztot"),
+    )
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "nn",
+        (
+            F.col("n").cast("double")
+            * F.pow(
+                F.col("sz").cast("double") / F.col("n")
+                - F.col("sztot").cast("double") / F.col("nn"),
+                2,
+            )
+        ).alias("bt"),
+        (
+            F.col("szz").cast("double")
+            - F.col("sz").cast("double")
+            * F.col("sz").cast("double")
+            / F.col("n")
+        ).alias("wt"),
+    )
+    agg = terms.agg(
+        F.max("k").alias("k"),
+        F.max("nn").alias("nn"),
+        F.sum(F.col("bt").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("between_ss"),
+        F.sum(F.col("wt").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("within_ss"),
+    )
+    w = (
+        (F.col("nn") - F.col("k")).cast("double")
+        / (F.col("k") - 1)
+        * (F.col("between_ss") / F.col("within_ss"))
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_orders"),
+        (F.floor(F.col("between_ss") * 1e2 + F.lit(0.5)) / 1e2).alias(
+            "between_ss"
+        ),
+        (F.floor(F.col("within_ss") * 1e2 + F.lit(0.5)) / 1e2).alias(
+            "within_ss"
+        ),
+        (F.floor(w * 1e6 + F.lit(0.5)) / 1e6).alias("w_stat"),
+        F.when(w > 2.372, 1).otherwise(0).alias("heteroscedastic_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a59 — effect sizes (Cohen's d, Hedges' g) between two market
+# segments' order values, with the pooled standard deviation. The
+# practical complement to a30's Welch t-test: big-data tests are
+# always "significant"; effect size says whether the difference
+# matters. Raw sums use the a33 decimal-moment idiom; ratios go
+# double only at the end.
+# ---------------------------------------------------------------------------
+@query(
+    "a59_effect_sizes",
+    oracle="""
+    WITH g AS (
+        SELECT c.c_mktsegment AS seg, count(*) AS n,
+               sum(CAST(o.o_totalprice AS DECIMAL(27,2))) AS s1,
+               sum(CAST(o.o_totalprice * o.o_totalprice
+                        AS DECIMAL(27,4))) AS s2
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY 1
+    ),
+    w AS (
+        SELECT max(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+               max(CASE WHEN seg = 'BUILDING' THEN CAST(s1 AS DOUBLE) END)
+                   AS a1,
+               max(CASE WHEN seg = 'BUILDING' THEN CAST(s2 AS DOUBLE) END)
+                   AS a2,
+               max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+               max(CASE WHEN seg = 'MACHINERY' THEN CAST(s1 AS DOUBLE) END)
+                   AS b1,
+               max(CASE WHEN seg = 'MACHINERY' THEN CAST(s2 AS DOUBLE) END)
+                   AS b2
+        FROM g
+    ),
+    calc AS (
+        SELECT n1, n2, a1 / n1 AS m1, b1 / n2 AS m2,
+               sqrt(((a2 - a1 * a1 / n1) + (b2 - b1 * b1 / n2))
+                    / (n1 + n2 - 2)) AS sp
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_building,
+           CAST(n2 AS BIGINT) AS n_machinery,
+           floor(m1 * 1e2 + 0.5) / 1e2 AS mean_building,
+           floor(m2 * 1e2 + 0.5) / 1e2 AS mean_machinery,
+           floor(sp * 1e2 + 0.5) / 1e2 AS pooled_sd,
+           floor((m1 - m2) / sp * 1e6 + 0.5) / 1e6 AS cohens_d,
+           floor((m1 - m2) / sp
+                 * (1 - 3.0 / (4 * (n1 + n2) - 9)) * 1e6 + 0.5) / 1e6
+               AS hedges_g
+    FROM calc
+    """,
+)
+def a59_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    x = F.col("o_totalprice")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast("decimal(27,2)")).alias("s1"),
+            F.sum((x * x).cast("decimal(27,4)")).alias("s2"),
+        )
+    )
+
+    def pick(seg, col, as_double=False):
+        v = F.when(F.col("seg") == seg, F.col(col))
+        return F.max(v.cast("double") if as_double else v)
+
+    w = g.agg(
+        pick("BUILDING", "n").alias("n1"),
+        pick("BUILDING", "s1", True).alias("a1"),
+        pick("BUILDING", "s2", True).alias("a2"),
+        pick("MACHINERY", "n").alias("n2"),
+        pick("MACHINERY", "s1", True).alias("b1"),
+        pick("MACHINERY", "s2", True).alias("b2"),
+    )
+    m1 = F.col("a1") / F.col("n1")
+    m2 = F.col("b1") / F.col("n2")
+    sp = F.sqrt(
+        (
+            (F.col("a2") - F.col("a1") * F.col("a1") / F.col("n1"))
+            + (F.col("b2") - F.col("b1") * F.col("b1") / F.col("n2"))
+        )
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = (m1 - m2) / sp
+    gcorr = d * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9))
+    return w.select(
+        F.col("n1").cast("long").alias("n_building"),
+        F.col("n2").cast("long").alias("n_machinery"),
+        (F.floor(m1 * 1e2 + F.lit(0.5)) / 1e2).alias("mean_building"),
+        (F.floor(m2 * 1e2 + F.lit(0.5)) / 1e2).alias("mean_machinery"),
+        (F.floor(sp * 1e2 + F.lit(0.5)) / 1e2).alias("pooled_sd"),
+        (F.floor(d * 1e6 + F.lit(0.5)) / 1e6).alias("cohens_d"),
+        (F.floor(gcorr * 1e6 + F.lit(0.5)) / 1e6).alias("hedges_g"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a60 — Jarque-Bera normality test per market segment: JB =
+# n·(S²/6 + (K-3)²/24) from the a33 raw-moment sums (decimal, exact),
+# with the chi²(2) 95% critical value 5.991. The gatekeeper before any
+# normal-theory interval; one hash aggregate at scale.
+# ---------------------------------------------------------------------------
+@query(
+    "a60_jarque_bera",
+    oracle="""
+    WITH m AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                   AS s1,
+               CAST(sum(CAST(o.o_totalprice * o.o_totalprice
+                             AS DECIMAL(27,4))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(o.o_totalprice * o.o_totalprice * o.o_totalprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+               CAST(sum(CAST(o.o_totalprice * o.o_totalprice
+                             * o.o_totalprice * o.o_totalprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS s4
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    cm AS (
+        SELECT seg, n,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3 * (s1 / n) * (s2 / n)
+                   + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4 * (s1 / n) * (s3 / n)
+                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM m
+    ),
+    sk AS (
+        SELECT seg, n,
+               m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS s,
+               m4 / (m2 * m2) AS k
+        FROM cm
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n_orders,
+           floor(s * 1e6 + 0.5) / 1e6 AS skewness,
+           floor(k * 1e6 + 0.5) / 1e6 AS kurtosis,
+           floor(n * (s * s / 6 + (k - 3) * (k - 3) / 24) * 1e4 + 0.5) / 1e4
+               AS jb_stat,
+           CASE WHEN n * (s * s / 6 + (k - 3) * (k - 3) / 24) > 5.991
+                THEN 1 ELSE 0 END AS non_normal_95
+    FROM sk ORDER BY 1
+    """,
+)
+def a60_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    x = F.col("o_totalprice")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x.cast("decimal(27,2)")).cast("double").alias("s1"),
+            F.sum((x * x).cast("decimal(27,4)")).cast("double").alias("s2"),
+            F.sum((x * x * x).cast("decimal(38,6)")).cast("double").alias(
+                "s3"
+            ),
+            F.sum((x * x * x * x).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("s4"),
+        )
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * mu * (F.col("s2") / F.col("n"))
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    s = m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))
+    k = m4 / (m2 * m2)
+    jb = F.col("n") * (s * s / 6 + (k - 3) * (k - 3) / 24)
+    return m.select(
+        "seg",
+        F.col("n").cast("long").alias("n_orders"),
+        (F.floor(s * 1e6 + F.lit(0.5)) / 1e6).alias("skewness"),
+        (F.floor(k * 1e6 + F.lit(0.5)) / 1e6).alias("kurtosis"),
+        (F.floor(jb * 1e4 + F.lit(0.5)) / 1e4).alias("jb_stat"),
+        F.when(jb > 5.991, 1).otherwise(0).alias("non_normal_95"),
+    ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# a61 — Page-Hinkley drift detector over the daily revenue series: the
+# streaming-friendly sibling of a31's CUSUM. m_t = Σ_{i≤t}(x_i - x̄_i),
+# PH_t = m_t - min_{i≤t} m_i; an alarm fires when PH_t exceeds λ.
+# Per-row terms are doubles (x̄_i = prefix decimal sum / i, identical
+# per-row on both engines); each term is decimal-cast before the PREFIX
+# sum, so the cumulative m_t is exact and order-independent. One sort
+# + one window pass at scale — the same plan as any running balance.
+# ---------------------------------------------------------------------------
+_PH_LAMBDA = 100000.0
+
+
+@query(
+    "a61_page_hinkley",
+    oracle=f"""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               sum(CAST(o_totalprice AS DECIMAL(27,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    pref AS (
+        SELECT day, rev,
+               sum(rev) OVER w AS s,
+               row_number() OVER (ORDER BY day) AS i
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    term AS (
+        SELECT day,
+               CAST(CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / i
+                    AS DECIMAL(27,6)) AS t
+        FROM pref
+    ),
+    m1 AS (
+        SELECT day, sum(t) OVER w AS mt
+        FROM term
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    m AS (
+        SELECT day, mt, min(mt) OVER w AS mmin
+        FROM m1
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    ph AS (
+        SELECT day, CAST(mt - mmin AS DOUBLE) AS ph FROM m
+    )
+    SELECT
+        (SELECT day FROM ph ORDER BY ph DESC, day LIMIT 1) AS peak_day,
+        (SELECT floor(max(ph) * 1e4 + 0.5) / 1e4 FROM ph) AS ph_stat,
+        (SELECT CAST(count(*) AS BIGINT) FROM ph) AS n_days,
+        (SELECT CAST(count(*) AS BIGINT) FROM ph
+         WHERE ph > {_PH_LAMBDA}) AS n_alarm_days
+    """,
+)
+def a61_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pref = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w).alias("s"),
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+    )
+    term = pref.select(
+        "day",
+        (
+            F.col("rev").cast("double") - F.col("s").cast("double") / F.col("i")
+        ).cast("decimal(27,6)").alias("t"),
+    )
+    m1 = term.select("day", F.sum("t").over(w).alias("mt"))
+    m = m1.select("day", "mt", F.min("mt").over(w).alias("mmin"))
+    ph = m.select(
+        "day", (F.col("mt") - F.col("mmin")).cast("double").alias("ph")
+    )
+    peak = ph.orderBy(F.col("ph").desc(), "day").limit(1).select(
+        F.col("day").alias("peak_day")
+    )
+    stats = ph.agg(
+        (F.floor(F.max("ph") * 1e4 + F.lit(0.5)) / 1e4).alias("ph_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("ph") > _PH_LAMBDA, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_days"),
+    )
+    return peak.crossJoin(stats)
