@@ -3450,3 +3450,537 @@ def q_fifo_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sales_mix_variance — the FP&A price/volume bridge per brand between
+# 1995 and 1996: ΔR = (P₂-P₁)·Q₂ (price effect) + (Q₂-Q₁)·P₁ (volume
+# effect), an exact identity the output certifies per row. Quantities
+# and revenues accumulate as DECIMAL (exact); average prices and the
+# bridge terms are per-row doubles. One lineitem∙part join + one hash
+# aggregate at scale, with the year filter pushed to the scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q_sales_mix_variance",
+    oracle="""
+    WITH y AS (
+        SELECT p.p_brand AS brand, year(l.l_shipdate) AS yr,
+               sum(CAST(l.l_quantity AS DECIMAL(27,2))) AS q,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(27,4))) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE year(l.l_shipdate) IN (1995, 1996)
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT brand,
+               max(CASE WHEN yr = 1995 THEN CAST(q AS DOUBLE) END) AS q1,
+               max(CASE WHEN yr = 1995 THEN CAST(r AS DOUBLE) END) AS r1,
+               max(CASE WHEN yr = 1996 THEN CAST(q AS DOUBLE) END) AS q2,
+               max(CASE WHEN yr = 1996 THEN CAST(r AS DOUBLE) END) AS r2
+        FROM y GROUP BY 1
+    ),
+    calc AS (
+        SELECT brand, q1, r1, q2, r2,
+               (r2 / q2 - r1 / q1) * q2 AS price_var,
+               (q2 - q1) * (r1 / q1) AS volume_var
+        FROM w
+        WHERE q1 IS NOT NULL AND q2 IS NOT NULL AND q1 > 0 AND q2 > 0
+    )
+    SELECT brand,
+           floor(q1 * 1e2 + 0.5) / 1e2 AS qty_1995,
+           floor(q2 * 1e2 + 0.5) / 1e2 AS qty_1996,
+           floor(r1 * 1e2 + 0.5) / 1e2 AS rev_1995,
+           floor(r2 * 1e2 + 0.5) / 1e2 AS rev_1996,
+           floor(price_var * 1e2 + 0.5) / 1e2 AS price_variance,
+           floor(volume_var * 1e2 + 0.5) / 1e2 AS volume_variance,
+           CASE WHEN abs((r2 - r1) - (price_var + volume_var)) < 0.01
+                THEN 1 ELSE 0 END AS bridge_reconciles
+    FROM calc ORDER BY brand
+    """,
+)
+def q_sales_mix_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    y = (
+        li.where(F.year("l_shipdate").isin(1995, 1996))
+        .join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("q"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(27,4)"
+                )
+            ).alias("r"),
+        )
+    )
+
+    def pick(yr, col):
+        return F.max(
+            F.when(F.col("yr") == yr, F.col(col).cast("double"))
+        )
+
+    w = y.groupBy("brand").agg(
+        pick(1995, "q").alias("q1"),
+        pick(1995, "r").alias("r1"),
+        pick(1996, "q").alias("q2"),
+        pick(1996, "r").alias("r2"),
+    )
+    price_var = (F.col("r2") / F.col("q2") - F.col("r1") / F.col("q1")) * F.col(
+        "q2"
+    )
+    volume_var = (F.col("q2") - F.col("q1")) * (F.col("r1") / F.col("q1"))
+    f2 = lambda c: F.floor(c * 1e2 + F.lit(0.5)) / 1e2  # noqa: E731
+    return (
+        w.where(
+            F.col("q1").isNotNull()
+            & F.col("q2").isNotNull()
+            & (F.col("q1") > 0)
+            & (F.col("q2") > 0)
+        )
+        .select(
+            "brand",
+            f2(F.col("q1")).alias("qty_1995"),
+            f2(F.col("q2")).alias("qty_1996"),
+            f2(F.col("r1")).alias("rev_1995"),
+            f2(F.col("r2")).alias("rev_1996"),
+            f2(price_var).alias("price_variance"),
+            f2(volume_var).alias("volume_variance"),
+            F.when(
+                F.abs(
+                    (F.col("r2") - F.col("r1")) - (price_var + volume_var)
+                )
+                < 0.01,
+                1,
+            )
+            .otherwise(0)
+            .alias("bridge_reconciles"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_landed_cost_allocation — penny-exact largest-remainder allocation:
+# a synthetic 2% freight charge per order is spread over its line items
+# proportionally to extended price, in integer CENTS. Base shares floor;
+# the remainder cents go to the largest fractional shares (tie-broken by
+# line number), so every order conserves exactly — the allocation
+# pattern behind every invoice-proration and cost-distribution job.
+# Integer arithmetic end-to-end → exact oracle. One window over
+# (orderkey) at scale; no shuffle beyond the per-order repartition.
+# ---------------------------------------------------------------------------
+@query(
+    "q_landed_cost_allocation",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(floor(o_totalprice * 0.02 * 100 + 0.5) AS BIGINT)
+                   AS freight_cents
+        FROM orders
+    ),
+    l AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_extendedprice AS DECIMAL(27,2)) AS ep
+        FROM lineitem
+    ),
+    tot AS (
+        SELECT l_orderkey, sum(ep) AS s FROM l GROUP BY 1
+    ),
+    shares AS (
+        SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+               o.freight_cents,
+               CAST(l.ep AS DOUBLE) * o.freight_cents / CAST(t.s AS DOUBLE)
+                   AS raw
+        FROM l
+        JOIN tot t ON l.l_orderkey = t.l_orderkey
+        JOIN o ON l.l_orderkey = o.o_orderkey
+    ),
+    based AS (
+        SELECT *, CAST(floor(raw) AS BIGINT) AS base, raw - floor(raw) AS frac,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY raw - floor(raw) DESC,
+                                           l_linenumber) AS rk,
+               sum(CAST(floor(raw) AS BIGINT)) OVER (PARTITION BY l_orderkey)
+                   AS base_sum
+        FROM shares
+    ),
+    alloc AS (
+        SELECT l_orderkey, o_orderpriority, freight_cents,
+               base + CASE WHEN rk <= freight_cents - base_sum
+                           THEN 1 ELSE 0 END AS cents
+        FROM based
+    ),
+    per_order AS (
+        SELECT l_orderkey, o_orderpriority, freight_cents,
+               sum(cents) AS allocated, count(*) AS n_lines
+        FROM alloc GROUP BY 1, 2, 3
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(sum(allocated) AS BIGINT) AS allocated_cents,
+           CAST(sum(CASE WHEN allocated <> freight_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS conservation_violations
+    FROM per_order GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_landed_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 0.02 * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("freight_cents"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(27,2)").alias("ep"),
+    )
+    tot = li.groupBy("l_orderkey").agg(F.sum("ep").alias("s"))
+    shares = (
+        li.join(tot, "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderpriority",
+            "freight_cents",
+            (
+                F.col("ep").cast("double")
+                * F.col("freight_cents")
+                / F.col("s").cast("double")
+            ).alias("raw"),
+        )
+    )
+    wk = Window.partitionBy("l_orderkey")
+    based = shares.select(
+        "*",
+        F.floor("raw").cast("long").alias("base"),
+        (F.col("raw") - F.floor("raw")).alias("frac"),
+    ).select(
+        "*",
+        F.row_number()
+        .over(wk.orderBy(F.col("frac").desc(), "l_linenumber"))
+        .alias("rk"),
+        F.sum("base").over(wk).alias("base_sum"),
+    )
+    alloc = based.select(
+        "l_orderkey",
+        "o_orderpriority",
+        "freight_cents",
+        (
+            F.col("base")
+            + F.when(
+                F.col("rk") <= F.col("freight_cents") - F.col("base_sum"), 1
+            ).otherwise(0)
+        ).alias("cents"),
+    )
+    per_order = alloc.groupBy(
+        "l_orderkey", "o_orderpriority", "freight_cents"
+    ).agg(
+        F.sum("cents").alias("allocated"), F.count(F.lit(1)).alias("n_lines")
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("allocated").cast("long").alias("allocated_cents"),
+            F.sum(
+                F.when(F.col("allocated") != F.col("freight_cents"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("conservation_violations"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_kaplan_meier_reorder — Kaplan-Meier survival of "days until the
+# customer's next order", right-censored at the corpus end date: the
+# correct churn/retention estimator when observation windows are
+# incomplete (naive retention rates understate the tail). Risk sets and
+# event counts are exact integers from one sorted pass over distinct
+# gap lengths; the product Π(1-d/n) is taken as exp of a DECIMAL-cast
+# prefix sum of per-row logs (order-independent). Survival is reported
+# at the standard 7/14/30/60/90-day horizons. At 100 TB: one window
+# over (customer, date) + one aggregate over distinct durations —
+# thousands of rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "q_kaplan_meier_reorder",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+    seq AS (
+        SELECT o_custkey, o_orderdate,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   AS nxt
+        FROM orders
+    ),
+    dur AS (
+        SELECT CASE WHEN nxt IS NULL
+                    THEN date_diff('day', o_orderdate, (SELECT m FROM mx))
+                    ELSE date_diff('day', o_orderdate, nxt) END AS d,
+               CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+        FROM seq
+    ),
+    byd AS (
+        SELECT d, count(*) AS c, sum(ev) AS de FROM dur GROUP BY 1
+    ),
+    risk AS (
+        SELECT d, de,
+               (SELECT count(*) FROM dur) -
+               (sum(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - c) AS n_risk
+        FROM byd
+    ),
+    km AS (
+        SELECT d,
+               sum(CAST(ln(1 - CAST(de AS DOUBLE) / n_risk)
+                        AS DECIMAL(27,9))) OVER
+                   (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS lsum
+        FROM risk WHERE de > 0 AND de < n_risk
+    ),
+    hz AS (SELECT unnest([7, 14, 30, 60, 90]) AS h),
+    pick AS (
+        SELECT hz.h, max(km.d) AS td
+        FROM hz LEFT JOIN km ON km.d <= hz.h
+        GROUP BY 1
+    )
+    SELECT p.h AS horizon_days,
+           CASE WHEN p.td IS NULL THEN 1.0
+                ELSE floor(exp(CAST(k.lsum AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           END AS survival
+    FROM pick p LEFT JOIN km k ON k.d = p.td
+    ORDER BY 1
+    """,
+)
+def q_kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("m"))
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate")
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("nxt"),
+    )
+    dur = seq.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("nxt").isNull(),
+            F.datediff(F.col("m"), F.col("o_orderdate")),
+        )
+        .otherwise(F.datediff(F.col("nxt"), F.col("o_orderdate")))
+        .alias("d"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    byd = dur.groupBy("d").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("ev").alias("de")
+    )
+    total = dur.agg(F.count(F.lit(1)).alias("n_total"))
+    wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        byd.crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            "de",
+            (
+                F.col("n_total")
+                - (F.sum("c").over(wp) - F.col("c"))
+            ).alias("n_risk"),
+        )
+    )
+    km = (
+        risk.where((F.col("de") > 0) & (F.col("de") < F.col("n_risk")))
+        .select(
+            "d",
+            F.log(1 - F.col("de").cast("double") / F.col("n_risk")).cast(
+                "decimal(27,9)"
+            ).alias("lt"),
+        )
+        .select("d", F.sum("lt").over(wp).alias("lsum"))
+    )
+    hz = spark.range(1).select(
+        F.explode(F.array(*[F.lit(h) for h in (7, 14, 30, 60, 90)])).alias(
+            "h"
+        )
+    )
+    pick = (
+        hz.join(km, km.d <= hz.h, "left")
+        .groupBy("h")
+        .agg(F.max("d").alias("td"))
+    )
+    return (
+        pick.join(km, pick.td == km.d, "left")
+        .select(
+            F.col("h").alias("horizon_days"),
+            F.when(F.col("td").isNull(), F.lit(1.0))
+            .otherwise(
+                F.floor(F.exp(F.col("lsum").cast("double")) * 1e6 + F.lit(0.5))
+                / 1e6
+            )
+            .alias("survival"),
+        )
+        .orderBy("horizon_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_eom_billing_cycle — monthly billing anniversaries with end-of-month
+# clamping: a customer's billing day is the day-of-month of their first
+# order; the next 12 bill dates are add_months(first, k), which clamps
+# Jan 31 → Feb 28 etc. The operator audits, per calendar month, how
+# many bills fall due and how many were CLAMPED — the date-semantics
+# contract (Spark add_months ≡ engine-standard month addition with EOM
+# clamp) that every billing/subscription pipeline silently depends on.
+# Pure date arithmetic + a bounded 12-way explode; exact oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q_eom_billing_cycle",
+    oracle="""
+    WITH first_o AS (
+        SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS fd
+        FROM orders GROUP BY 1
+    ),
+    bills AS (
+        SELECT f.o_custkey, f.fd, k.k,
+               CAST(f.fd + to_months(CAST(k.k AS INTEGER)) AS DATE) AS bill
+        FROM first_o f, (SELECT unnest(range(12)) AS k) k
+    )
+    SELECT strftime(bill, '%Y-%m') AS bill_month,
+           CAST(count(*) AS BIGINT) AS n_bills,
+           CAST(sum(CASE WHEN day(bill) < day(fd) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped
+    FROM bills
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_eom_billing_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    first_o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min(F.col("o_orderdate").cast("date")).alias("fd"))
+    )
+    bills = first_o.select(
+        "o_custkey",
+        "fd",
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("k"),
+    ).select(
+        "o_custkey",
+        "fd",
+        F.add_months(F.col("fd"), F.col("k")).alias("bill"),
+    )
+    return (
+        bills.groupBy(F.date_format("bill", "yyyy-MM").alias("bill_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bills"),
+            F.sum(
+                F.when(
+                    F.dayofmonth("bill") < F.dayofmonth("fd"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clamped"),
+        )
+        .orderBy("bill_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_open_order_float — weekly in-flight ("float") exposure: an order's
+# value is outstanding from its order date until its last line ships,
+# CAPPED at an 8-week SLA horizon (open longer than the cap counts as
+# open through the cap — the cap is what makes the per-order explode
+# bounded by POLICY, not by data, so the plan survives any corpus).
+# Reports, per week, the total value and count of open orders. The
+# interval-to-grain expansion is a ≤9-way explode then a plain hash
+# aggregate: the scalable restatement of an interval join against a
+# calendar spine. DECIMAL value sums → exact oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q_open_order_float",
+    oracle="""
+    WITH span AS (
+        SELECT o.o_orderkey, o.o_totalprice,
+               date_trunc('week', o.o_orderdate) AS w0,
+               -- floor: data has occasional ship < order; cap: 8-week SLA
+               greatest(least(date_trunc('week', max(l.l_shipdate)),
+                              date_trunc('week', o.o_orderdate)
+                                  + to_days(56)),
+                        date_trunc('week', o.o_orderdate)) AS w1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+    ),
+    wk AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(w0 + to_days(7 * CAST(k.k AS INTEGER)) AS DATE) AS week
+        FROM span, (SELECT unnest(range(60)) AS k) k
+        WHERE w0 + to_days(7 * CAST(k.k AS INTEGER)) <= w1
+    )
+    SELECT strftime(week, '%Y-%m-%d') AS week_start,
+           CAST(count(*) AS BIGINT) AS n_open_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS open_value
+    FROM wk GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_open_order_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    span = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_trunc("week", "o_orderdate").alias("w0"),
+        )
+        .agg(
+            # floor: data has occasional ship < order; cap: 8-week SLA
+            F.greatest(
+                F.least(
+                    F.date_trunc("week", F.max("l_shipdate")),
+                    F.col("w0") + F.expr("INTERVAL 56 DAYS"),
+                ),
+                F.col("w0"),
+            ).alias("w1")
+        )
+    )
+    wk = span.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(
+            F.sequence(
+                F.col("w0").cast("date"),
+                F.col("w1").cast("date"),
+                F.expr("INTERVAL 7 DAYS"),
+            )
+        ).alias("week"),
+    )
+    return (
+        wk.groupBy(F.date_format("week", "yyyy-MM-dd").alias("week_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_open_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("open_value"),
+        )
+        .orderBy("week_start")
+    )
