@@ -1239,3 +1239,310 @@ def w24_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# W25 — stochastic oscillator (%K/%D) over the daily event-value bars:
+# %K = 100·(close − L14)/(H14 − L14) over a 14-bar channel, %D = 3-bar
+# SMA of %K. Channel extremes are exact (window min/max); the %D
+# average goes through a per-row DECIMAL cast so the 3-term sum is
+# order-independent. Only full 14-bar windows emit. One sort + one
+# window pass at scale (same plan family as w19 Bollinger).
+# ---------------------------------------------------------------------------
+_OHLC_SQL = """
+    base AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, value, ts, event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT day, value,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM base
+    ),
+    bars AS (
+        SELECT day,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close
+        FROM flagged GROUP BY 1
+    )
+"""
+
+
+def _daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    base = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        base.select(
+            "day",
+            "value",
+            F.row_number().over(wa).alias("rn_a"),
+            F.row_number().over(wd).alias("rn_d"),
+        )
+        .groupBy("day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        )
+    )
+
+
+@query(
+    "w25_stochastic_oscillator",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    chan AS (
+        SELECT day, close,
+               min(low) OVER w AS l14,
+               max(high) OVER w AS h14,
+               count(*) OVER w AS n
+        FROM bars
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT day,
+               CASE WHEN h14 = l14 THEN 50.0
+                    ELSE 100.0 * (close - l14) / (h14 - l14) END AS pk
+        FROM chan WHERE n = 14
+    ),
+    d AS (
+        SELECT day, pk,
+               CAST(sum(CAST(pk AS DECIMAL(27,8))) OVER
+                    (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / 3 AS pd,
+               count(*) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING
+                              AND CURRENT ROW) AS nd
+        FROM k
+    )
+    SELECT day,
+           floor(pk * 1e4 + 0.5) / 1e4 AS pct_k,
+           floor(pd * 1e4 + 0.5) / 1e4 AS pct_d,
+           CASE WHEN pk > 80 THEN 'overbought'
+                WHEN pk < 20 THEN 'oversold' ELSE 'neutral' END AS signal
+    FROM d WHERE nd = 3 ORDER BY day
+    """,
+)
+def w25_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    w14 = Window.orderBy("day").rowsBetween(-13, 0)
+    chan = bars.select(
+        "day",
+        "close",
+        F.min("low").over(w14).alias("l14"),
+        F.max("high").over(w14).alias("h14"),
+        F.count(F.lit(1)).over(w14).alias("n"),
+    )
+    k = chan.where(F.col("n") == 14).select(
+        "day",
+        F.when(F.col("h14") == F.col("l14"), F.lit(50.0))
+        .otherwise(
+            100.0
+            * (F.col("close") - F.col("l14"))
+            / (F.col("h14") - F.col("l14"))
+        )
+        .alias("pk"),
+    )
+    w3 = Window.orderBy("day").rowsBetween(-2, 0)
+    d = k.select(
+        "day",
+        "pk",
+        (
+            F.sum(F.col("pk").cast("decimal(27,8)")).over(w3).cast("double")
+            / 3
+        ).alias("pd"),
+        F.count(F.lit(1)).over(w3).alias("nd"),
+    )
+    return (
+        d.where(F.col("nd") == 3)
+        .select(
+            "day",
+            (F.floor(F.col("pk") * 1e4 + F.lit(0.5)) / 1e4).alias("pct_k"),
+            (F.floor(F.col("pd") * 1e4 + F.lit(0.5)) / 1e4).alias("pct_d"),
+            F.when(F.col("pk") > 80, "overbought")
+            .when(F.col("pk") < 20, "oversold")
+            .otherwise("neutral")
+            .alias("signal"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W26 — Parkinson range volatility over the daily bars: σ_P =
+# √( Σln²(H/L) / (4·ln2·n) ), annualized by √252, on a rolling 20-bar
+# window. The high-low estimator extracts ~5× more information per bar
+# than close-to-close. Per-row ln² terms are DECIMAL-cast before the
+# window sum (order-independent); all values are > 0 in this corpus so
+# the log is total. Same one-window plan shape as w19/w25.
+# ---------------------------------------------------------------------------
+@query(
+    "w26_parkinson_volatility",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    t AS (
+        SELECT day,
+               CAST(ln(high / low) * ln(high / low) AS DECIMAL(27,12)) AS l2
+        FROM bars
+    ),
+    win AS (
+        SELECT day,
+               CAST(sum(l2) OVER w AS DOUBLE) AS s,
+               count(*) OVER w AS n
+        FROM t
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           floor(sqrt(s / (4 * ln(2) * n)) * sqrt(252) * 1e6 + 0.5) / 1e6
+               AS parkinson_vol_ann
+    FROM win WHERE n = 20 ORDER BY day
+    """,
+)
+def w26_parkinson_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    ln_hl = F.log(F.col("high") / F.col("low"))
+    t = bars.select(
+        "day", (ln_hl * ln_hl).cast("decimal(27,12)").alias("l2")
+    )
+    w20 = Window.orderBy("day").rowsBetween(-19, 0)
+    win = t.select(
+        "day",
+        F.sum("l2").over(w20).cast("double").alias("s"),
+        F.count(F.lit(1)).over(w20).alias("n"),
+    )
+    vol = F.sqrt(F.col("s") / (4 * F.log(F.lit(2.0)) * F.col("n"))) * F.sqrt(
+        F.lit(252.0)
+    )
+    return (
+        win.where(F.col("n") == 20)
+        .select(
+            "day",
+            (F.floor(vol * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "parkinson_vol_ann"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W27 — Keltner channels: truncated 10-bar EMA of typical price
+# (H+L+C)/3 ± 2·ATR₁₀. The EMA is the explicit 10-term lag polynomial
+# Σ tpₖ·0.8^k / Σ 0.8^k — one fixed arithmetic expression per row, so
+# both engines evaluate the identical IEEE sequence (the w9 truncation
+# idiom, windowed); true range needs lag(close) and ATR goes through
+# the usual DECIMAL-cast window mean. Emits only rows with a full
+# 10-bar EMA window and 10 valid TRs.
+# ---------------------------------------------------------------------------
+@query(
+    "w27_keltner_channels",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    tp AS (
+        SELECT day, high, low, close,
+               (high + low + close) / 3 AS tp,
+               lag(close) OVER (ORDER BY day) AS pc,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM bars
+    ),
+    tr AS (
+        SELECT day, tp, rn,
+               greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+        FROM tp
+    ),
+    ema AS (
+        SELECT day, rn,
+               (tp
+                + lag(tp, 1) OVER w * 0.8
+                + lag(tp, 2) OVER w * power(0.8, 2)
+                + lag(tp, 3) OVER w * power(0.8, 3)
+                + lag(tp, 4) OVER w * power(0.8, 4)
+                + lag(tp, 5) OVER w * power(0.8, 5)
+                + lag(tp, 6) OVER w * power(0.8, 6)
+                + lag(tp, 7) OVER w * power(0.8, 7)
+                + lag(tp, 8) OVER w * power(0.8, 8)
+                + lag(tp, 9) OVER w * power(0.8, 9))
+               / ((1 - power(0.8, 10)) / (1 - 0.8)) AS ema10,
+               CAST(sum(CAST(tr AS DECIMAL(27,8))) OVER
+                    (ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / 10 AS atr10,
+               count(tr) OVER (ORDER BY day ROWS BETWEEN 9 PRECEDING
+                               AND CURRENT ROW) AS ntr
+        FROM tr
+        WINDOW w AS (ORDER BY day)
+    )
+    SELECT day,
+           floor(ema10 * 1e4 + 0.5) / 1e4 AS ema10,
+           floor(atr10 * 1e4 + 0.5) / 1e4 AS atr10,
+           floor((ema10 + 2 * atr10) * 1e4 + 0.5) / 1e4 AS upper_channel,
+           floor((ema10 - 2 * atr10) * 1e4 + 0.5) / 1e4 AS lower_channel
+    FROM ema WHERE rn >= 11 AND ntr = 10
+    ORDER BY day
+    """,
+)
+def w27_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    wd = Window.orderBy("day")
+    tp = bars.select(
+        "day",
+        "high",
+        "low",
+        "close",
+        ((F.col("high") + F.col("low") + F.col("close")) / 3).alias("tp"),
+        F.lag("close").over(wd).alias("pc"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    tr = tp.select(
+        "day",
+        "tp",
+        "rn",
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - F.col("pc")),
+            F.abs(F.col("low") - F.col("pc")),
+        ).alias("tr"),
+    )
+    ema_num = F.col("tp")
+    for kk in range(1, 10):
+        ema_num = ema_num + F.lag("tp", kk).over(wd) * F.pow(
+            F.lit(0.8), F.lit(kk)
+        )
+    ema10 = ema_num / ((1 - 0.8 ** 10) / (1 - 0.8))
+    w10 = Window.orderBy("day").rowsBetween(-9, 0)
+    ema = tr.select(
+        "day",
+        "rn",
+        ema10.alias("ema10"),
+        (
+            F.sum(F.col("tr").cast("decimal(27,8)")).over(w10).cast("double")
+            / 10
+        ).alias("atr10"),
+        F.count("tr").over(w10).alias("ntr"),
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        ema.where((F.col("rn") >= 11) & (F.col("ntr") == 10))
+        .select(
+            "day",
+            f4(F.col("ema10")).alias("ema10"),
+            f4(F.col("atr10")).alias("atr10"),
+            f4(F.col("ema10") + 2 * F.col("atr10")).alias("upper_channel"),
+            f4(F.col("ema10") - 2 * F.col("atr10")).alias("lower_channel"),
+        )
+        .orderBy("day")
+    )
