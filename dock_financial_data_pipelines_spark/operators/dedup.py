@@ -2371,3 +2371,178 @@ def l_dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("in_exact", "in_lsh", "in_simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_minhash_param_planner — the S-curve table behind the engine's LSH
+# configuration: for every (bands, rows) factorization of the k=12
+# signature, P(candidate | jaccard=j) = 1-(1-j^r)^b over a j grid,
+# plus each family's threshold (1/b)^(1/r) and its catch probability
+# at the 0.8 design point. This is how b/r are CHOSEN before a 100 TB
+# dedup run — the planner makes the trade-off (recall at the target
+# similarity vs candidate-pair volume from low-j mass) inspectable as
+# data. Pure generated-grid scalar math; identical closed form on both
+# engines.
+# ---------------------------------------------------------------------------
+@query(
+    "l_minhash_param_planner",
+    oracle="""
+    WITH cfg AS (
+        SELECT unnest([2, 3, 4, 6, 12]) AS b, unnest([6, 4, 3, 2, 1]) AS r
+    ),
+    grid AS (SELECT unnest(range(1, 20)) AS g),
+    curve AS (
+        SELECT c.b, c.r, g.g * 0.05 AS j,
+               1 - power(1 - power(g.g * 0.05, c.r), c.b) AS p_cand,
+               power(1.0 / c.b, 1.0 / c.r) AS thr,
+               1 - power(1 - power(0.8, c.r), c.b) AS p_at_080
+        FROM cfg c CROSS JOIN grid g
+    )
+    SELECT CAST(b AS INTEGER) AS bands, CAST(r AS INTEGER) AS rows_per_band,
+           floor(j * 1e2 + 0.5) / 1e2 AS jaccard,
+           floor(p_cand * 1e6 + 0.5) / 1e6 AS p_candidate,
+           floor(thr * 1e6 + 0.5) / 1e6 AS family_threshold,
+           floor(p_at_080 * 1e6 + 0.5) / 1e6 AS p_catch_at_080
+    FROM curve ORDER BY bands, jaccard
+    """,
+)
+def l_minhash_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = spark.createDataFrame(
+        [(2, 6), (3, 4), (4, 3), (6, 2), (12, 1)], "b INT, r INT"
+    )
+    grid = spark.range(1, 20).select(F.col("id").cast("int").alias("g"))
+    j = F.col("g") * 0.05
+    p_cand = 1 - F.pow(1 - F.pow(j, F.col("r")), F.col("b"))
+    thr = F.pow(1.0 / F.col("b"), 1.0 / F.col("r"))
+    p080 = 1 - F.pow(1 - F.pow(F.lit(0.8), F.col("r")), F.col("b"))
+    f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        cfg.crossJoin(grid)
+        .select(
+            F.col("b").alias("bands"),
+            F.col("r").alias("rows_per_band"),
+            (F.floor(j * 1e2 + F.lit(0.5)) / 1e2).alias("jaccard"),
+            f6(p_cand).alias("p_candidate"),
+            f6(thr).alias("family_threshold"),
+            f6(p080).alias("p_catch_at_080"),
+        )
+        .orderBy("bands", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_wrapper_pair_audit — pairs where CONTAINMENT and JACCARD disagree:
+# containment ≥ 0.8 (one doc's capped shingle set nearly inside the
+# other's) but jaccard < 0.5 (union dominated by the longer doc). These
+# are exactly the wrapper/boilerplate/quote pairs a jaccard-thresholded
+# dedup pass silently keeps — the audit that justifies running the
+# containment operator alongside MinHash. Same df≤64-capped candidate
+# equi-join as l_containment_pairs (never all-pairs; AQE-splittable hot
+# keys, see tests/test_banded_join_skew.py).
+# ---------------------------------------------------------------------------
+@query(
+    "l_wrapper_pair_audit",
+    oracle=f"""
+    WITH {_MH_SHINGLES_SQL},
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+                   AS h
+        FROM shingles
+    ),
+    freq AS (
+        SELECT h FROM sh GROUP BY h HAVING count(*) <= {_CONT_CAP}
+    ),
+    capped AS (SELECT sh.doc_id, sh.h FROM sh JOIN freq USING (h)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM capped a JOIN capped b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT i.doc_a, i.doc_b, i.n_common,
+               sa.sz AS size_a, sb.sz AS size_b,
+               CAST(i.n_common AS DOUBLE) / least(sa.sz, sb.sz) AS cont,
+               CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common)
+                   AS jac
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    SELECT doc_a, doc_b, n_common, size_a, size_b,
+           floor(jac * 1e6 + 0.5) / 1e6 AS jaccard,
+           floor(cont * 1e6 + 0.5) / 1e6 AS containment
+    FROM scored
+    WHERE cont >= 0.8 AND jac < 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def l_wrapper_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(ws) - 3, 0)),"
+                    " i -> concat_ws(' ', slice(ws, i + 1, 3)))"
+                )
+            ).alias("shingle"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= _CONT_CAP
+    )
+    capped = sh.join(freq.select("h"), "h").localCheckpoint(eager=True)
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")
+    )
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("size_a"), F.col("size_b")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where((cont >= 0.8) & (jac < 0.5))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            f6(jac).alias("jaccard"),
+            f6(cont).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1541,3 +1541,297 @@ def l_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_embedding_centroid_drift — per-label centroid vs the global corpus
+# centroid: n, centroid L2 norm, and cosine(label centroid, global
+# centroid). The embedding-space drift monitor (a source/label whose
+# centroid swings away from the corpus signals an encoder change or a
+# content shift) and the sanity gate before centroid-seeded ANN. Per-
+# dimension means come from DECIMAL component sums (exact, order-free);
+# the final cosine crosses rows only through decimal-cast product sums
+# over the 64 dims. One posexplode + two hash aggregates; the only
+# "collected" object is the 64-row global centroid, broadcast-joined.
+# ---------------------------------------------------------------------------
+@query(
+    "l_embedding_centroid_drift",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS x,
+               unnest(range({_EMB_DIM})) AS i
+        FROM embeddings
+    ),
+    lab AS (
+        SELECT label, i,
+               CAST(sum(CAST(x AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS c,
+               count(*) AS n
+        FROM comp GROUP BY 1, 2
+    ),
+    gcent AS (
+        SELECT i, CAST(sum(CAST(x AS DECIMAL(27,9))) AS DOUBLE) / count(*)
+                   AS g
+        FROM comp GROUP BY 1
+    ),
+    dots AS (
+        SELECT l.label, max(l.n) AS n,
+               CAST(sum(CAST(l.c * g.g AS DECIMAL(27,18))) AS DOUBLE) AS cg,
+               CAST(sum(CAST(l.c * l.c AS DECIMAL(27,18))) AS DOUBLE) AS cc,
+               CAST(sum(CAST(g.g * g.g AS DECIMAL(27,18))) AS DOUBLE) AS gg
+        FROM lab l JOIN gcent g ON l.i = g.i
+        GROUP BY 1
+    )
+    SELECT label,
+           CAST(n AS BIGINT) AS n_vectors,
+           floor(sqrt(cc) * 1e6 + 0.5) / 1e6 AS centroid_norm,
+           floor(cg / (sqrt(cc) * sqrt(gg)) * 1e6 + 0.5) / 1e6
+               AS cos_to_global
+    FROM dots ORDER BY label
+    """,
+)
+def l_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    )
+    lab = comp.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    glob = comp.groupBy("i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("g")
+    )
+    dots = (
+        lab.join(F.broadcast(glob), "i")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum((F.col("c") * F.col("g")).cast("decimal(27,18)"))
+            .cast("double")
+            .alias("cg"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(27,18)"))
+            .cast("double")
+            .alias("cc"),
+            F.sum((F.col("g") * F.col("g")).cast("decimal(27,18)"))
+            .cast("double")
+            .alias("gg"),
+        )
+    )
+    return dots.select(
+        "label",
+        F.col("n").cast("long").alias("n_vectors"),
+        (F.floor(F.sqrt(F.col("cc")) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "centroid_norm"
+        ),
+        (
+            F.floor(
+                F.col("cg")
+                / (F.sqrt(F.col("cc")) * F.sqrt(F.col("gg")))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("cos_to_global"),
+    ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# l_ann_nprobe_curve — the IVF tuning curve: recall@5 against the exact
+# cosine top-5 for nProbe ∈ {1, 2, 4}, over the same trained coarse
+# quantizer l5_ivf_topk serves from (shared memo_index — the persisted-
+# index contract). This is the table an operator reads to pick the
+# recall/cost point before a 100 TB ANN sweep; the whole curve reuses
+# ONE probe-assignment pass (rank ≤ 4 kept, then filtered per nProbe),
+# one bucketed candidate join per config via the nps fanout, and the
+# probe-bounded exact ground truth (10 queries × corpus, never
+# all-pairs). The oracle replays quantizer training bit-for-bit
+# (integer k-means) like every IVF sibling.
+# ---------------------------------------------------------------------------
+def _nprobe_curve_oracle() -> str:
+    return f"""
+    WITH {_ivf_sql_prefix()},
+    corpus AS (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rk
+            FROM dfinal
+        ) WHERE rk <= {_IVF_ASSIGN}
+    ),
+    qp AS (
+        SELECT vec_id AS query_id, cell, rk FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rk
+            FROM dfinal WHERE vec_id < 10
+        ) WHERE rk <= 4
+    ),
+    nps AS (SELECT unnest([1, 2, 4]) AS np),
+    probes AS (
+        SELECT n.np, q.query_id, q.cell
+        FROM qp q JOIN nps n ON q.rk <= n.np
+    ),
+    cand AS (
+        SELECT DISTINCT p.np, p.query_id, c.neighbor_id
+        FROM probes p JOIN corpus c ON p.cell = c.cell
+        WHERE c.neighbor_id <> p.query_id
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    predp AS (
+        SELECT np, query_id, neighbor_id FROM (
+            SELECT cd.np, cd.query_id, cd.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY cd.np, cd.query_id
+                       ORDER BY list_inner_product(q.e, n.e)
+                                / (sqrt(list_inner_product(q.e, q.e))
+                                   * sqrt(list_inner_product(n.e, n.e)))
+                                DESC, cd.neighbor_id) AS pos
+            FROM cand cd
+            JOIN v q ON q.vec_id = cd.query_id
+            JOIN v n ON n.vec_id = cd.neighbor_id
+        ) WHERE pos <= 5
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_inner_product(q.e, n.e)
+                                / (sqrt(list_inner_product(q.e, q.e))
+                                   * sqrt(list_inner_product(n.e, n.e)))
+                                DESC, n.vec_id) AS pos
+            FROM v q JOIN v n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE pos <= 5
+    ),
+    tt AS (
+        SELECT count(*) AS n_truth,
+               count(DISTINCT query_id) AS nq
+        FROM truth
+    ),
+    hits AS (
+        SELECT n.np, count(t.query_id) AS c
+        FROM nps n
+        LEFT JOIN predp p ON p.np = n.np
+        LEFT JOIN truth t ON t.query_id = p.query_id
+                         AND t.neighbor_id = p.neighbor_id
+        GROUP BY 1
+    )
+    SELECT CAST(h.np AS INTEGER) AS nprobe,
+           CAST(tt.nq AS BIGINT) AS n_queries,
+           CAST(tt.n_truth AS BIGINT) AS n_truth,
+           CAST(h.c AS BIGINT) AS n_hits,
+           floor(CAST(h.c AS DOUBLE) / tt.n_truth * 1e6 + 0.5) / 1e6
+               AS recall_at_5
+    FROM hits h CROSS JOIN tt
+    ORDER BY nprobe
+    """
+
+
+@query("l_ann_nprobe_curve", oracle=_nprobe_curve_oracle())
+def l_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    centroids = memo_index(
+        spark,
+        f"ivf_centroids:{sf_tag(sf_dir)}",
+        lambda: _ivf_train_centroids(spark, emb).localCheckpoint(eager=True),
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    qaj = (
+        q.join(F.broadcast(centroids), how="cross")
+        .withColumn("_vq", _ivf_quantize("qe"))
+        .withColumn("_d", F.expr(_IVF_DIST.format(a="_vq", b="cq")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d"), F.col("cell"))
+    qp = (
+        qaj.withColumn("prk", F.row_number().over(wq))
+        .where(F.col("prk") <= 4)
+        .select("query_id", "cell", "prk", "qe")
+    )
+    nps = spark.createDataFrame([(1,), (2,), (4,)], "np INT")
+    probes = qp.join(F.broadcast(nps), qp.prk <= nps.np).select(
+        "np", "query_id", "cell", "qe"
+    )
+    corpus = _ivf_assign(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+        ),
+        centroids,
+        "ce",
+        _IVF_ASSIGN,
+    )
+    cos = _dot("qe", "ce") / (
+        F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))
+    )
+    wp = Window.partitionBy("np", "query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    predp = (
+        probes.join(corpus, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("np", "query_id", "neighbor_id", "qe", "ce")
+        .distinct()
+        .withColumn("cos_raw", cos)
+        .withColumn("pos", F.row_number().over(wp))
+        .where(F.col("pos") <= 5)
+        .select("np", "query_id", "neighbor_id")
+    )
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    truth = (
+        F.broadcast(q)
+        .join(nb, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", cos)
+        .withColumn("pos", F.row_number().over(wt))
+        .where(F.col("pos") <= 5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # read by hits AND the totals row
+    )
+    tt = truth.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.countDistinct("query_id").alias("nq"),
+    )
+    # outer-join back onto nps so an nProbe level with ZERO hits still
+    # emits its c=0 row (the SQL LEFT JOIN counts 0 there; a semi-join
+    # grouped directly would drop the level entirely).
+    hit_rows = predp.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    hits = (
+        F.broadcast(nps)
+        .join(hit_rows.groupBy("np").agg(F.count(F.lit(1)).alias("_c")),
+              "np", "left")
+        .select("np", F.coalesce(F.col("_c"), F.lit(0)).alias("c"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(tt))
+        .select(
+            F.col("np").alias("nprobe"),
+            F.col("nq").cast("long").alias("n_queries"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("c").cast("long").alias("n_hits"),
+            (
+                F.floor(
+                    F.col("c").cast("double") / F.col("n_truth") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("nprobe")
+    )

@@ -2369,3 +2369,255 @@ def l_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("occurrence_share"),
     ).orderBy("band")
+
+
+# ---------------------------------------------------------------------------
+# l_tokens_per_char_by_source — the tokens-per-character compression
+# profile per (source, lang): the first-order signal behind tokenizer
+# budget planning and mixture weighting (a source whose tokens/char
+# ratio drifts is changing register or language). Integer sums only —
+# exact oracle; one scan, one hash aggregate at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "l_tokens_per_char_by_source",
+    oracle="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                 / sum(length(text)) * 100 * 1e4 + 0.5) / 1e4
+               AS tokens_per_100_chars,
+           floor(CAST(sum(length(text)) AS DOUBLE)
+                 / sum(len(string_split(text, ' '))) * 1e4 + 0.5) / 1e4
+               AS chars_per_token
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def l_tokens_per_char_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).alias("tk"),
+        F.length("text").alias("ch"),
+    )
+    tt = F.sum("tk").cast("double")
+    tc = F.sum("ch").cast("double")
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tk").cast("long").alias("total_tokens"),
+            F.sum("ch").cast("long").alias("total_chars"),
+            (F.floor(tt / tc * 100 * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "tokens_per_100_chars"
+            ),
+            (F.floor(tc / tt * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_unicode_anomaly_audit — character-hygiene screen per source: counts
+# of characters outside printable ASCII, replacement characters (U+FFFD,
+# the tell of a mojibake ingest), control characters, untrimmed edges
+# and multi-space runs. On a clean corpus every column reads zero —
+# which is exactly what the audit certifies; on a real crawl these
+# columns decide which ingest shard needs re-decoding. Pure
+# regexp/length arithmetic, identical on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "l_unicode_anomaly_audit",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(length(text)
+                    - length(regexp_replace(text, '[^ -~]', '', 'g')))
+                AS BIGINT) AS non_printable_ascii_chars,
+           CAST(sum(CASE WHEN length(text)
+                              - length(regexp_replace(text, '[^ -~]', '',
+                                                      'g')) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_non_ascii,
+           CAST(sum(len(string_split(text, chr(65533))) - 1) AS BIGINT)
+               AS replacement_chars,
+           CAST(sum(CASE WHEN trim(text) <> text THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_untrimmed,
+           CAST(sum(CASE WHEN regexp_matches(text, '  ') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_multispace
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def l_unicode_anomaly_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    nonp = F.length("text") - F.length(
+        F.regexp_replace("text", "[^ -~]", "")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(nonp).cast("long").alias("non_printable_ascii_chars"),
+            F.sum(F.when(nonp > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_non_ascii"),
+            F.sum(
+                F.size(F.split(F.col("text"), "�", -1)) - 1
+            )
+            .cast("long")
+            .alias("replacement_chars"),
+            F.sum(
+                F.when(F.trim(F.col("text")) != F.col("text"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_untrimmed"),
+            F.sum(
+                F.when(F.col("text").contains("  "), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_multispace"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_repeated_ngram_coverage — the Gopher/MassiveText repetition family
+# l_repetition_stats does not cover: the fraction of CHARACTERS covered
+# by duplicated word 2-grams and 3-grams per document (occurrence count
+# × gram length over text length, capped at 1 since overlapping grams
+# can double-count), aggregated per source with the Rae et al. fail
+# thresholds (dup-2gram > 0.2, dup-3gram > 0.18). Grams keep their
+# strings (lengths are needed), tokenized once into a projected array
+# (the non-CSE'd split lesson); per-doc fractions cross rows only
+# through DECIMAL-cast sums.
+# ---------------------------------------------------------------------------
+@query(
+    "l_repeated_ngram_coverage",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, source, length(text) AS n_chars,
+               string_split(text, ' ') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source, n_chars, 2 AS n,
+               unnest(list_transform(
+                   range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> w[i] || ' ' || w[i + 1])) AS g
+        FROM ws
+        UNION ALL
+        SELECT doc_id, source, n_chars, 3 AS n,
+               unnest(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+        FROM ws
+    ),
+    cnts AS (
+        SELECT doc_id, source, n_chars, n, g, count(*) AS c
+        FROM grams GROUP BY 1, 2, 3, 4, 5
+    ),
+    per_doc AS (
+        SELECT doc_id, source, n,
+               least(CAST(sum(CASE WHEN c >= 2 THEN c * length(g)
+                                   ELSE 0 END) AS DOUBLE)
+                     / max(n_chars), 1.0) AS frac
+        FROM cnts GROUP BY 1, 2, 3
+    ),
+    agg AS (
+        SELECT source, n, count(*) AS n_docs,
+               CAST(sum(CAST(frac AS DECIMAL(27,9))) AS DOUBLE) AS sfrac,
+               sum(CASE WHEN (n = 2 AND frac > 0.2)
+                         OR (n = 3 AND frac > 0.18) THEN 1 ELSE 0 END)
+                   AS n_fail
+        FROM per_doc GROUP BY 1, 2
+    )
+    SELECT source,
+           max(CASE WHEN n = 2 THEN n_docs END) AS n_docs,
+           floor(max(CASE WHEN n = 2 THEN sfrac / n_docs END) * 1e6 + 0.5)
+               / 1e6 AS mean_dup2gram_char_frac,
+           floor(max(CASE WHEN n = 3 THEN sfrac / n_docs END) * 1e6 + 0.5)
+               / 1e6 AS mean_dup3gram_char_frac,
+           CAST(max(CASE WHEN n = 2 THEN n_fail END) AS BIGINT)
+               AS n_fail_dup2gram,
+           CAST(max(CASE WHEN n = 3 THEN n_fail END) AS BIGINT)
+               AS n_fail_dup3gram
+    FROM agg GROUP BY 1 ORDER BY 1
+    """,
+)
+def l_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ws = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.split("text", " ").alias("w"),
+    )
+    grams = ws.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(
+            F.expr(
+                "concat("
+                " CASE WHEN size(w) < 2 THEN array()"
+                "      ELSE transform(sequence(1, size(w) - 1),"
+                "        i -> named_struct('n', 2,"
+                "          'g', concat(w[i-1], ' ', w[i]))) END,"
+                " CASE WHEN size(w) < 3 THEN array()"
+                "      ELSE transform(sequence(1, size(w) - 2),"
+                "        i -> named_struct('n', 3,"
+                "          'g', concat(w[i-1], ' ', w[i], ' ', w[i+1])))"
+                " END)"
+            )
+        ).alias("t"),
+    ).select("doc_id", "source", "n_chars", F.col("t.n").alias("n"),
+             F.col("t.g").alias("g"))
+    cnts = grams.groupBy("doc_id", "source", "n_chars", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = cnts.groupBy("doc_id", "source", "n").agg(
+        F.least(
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(
+                    0
+                )
+            ).cast("double")
+            / F.max("n_chars"),
+            F.lit(1.0),
+        ).alias("frac")
+    )
+    agg = per_doc.groupBy("source", "n").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("frac").cast("decimal(27,9)")).cast("double").alias(
+            "sfrac"
+        ),
+        F.sum(
+            F.when(
+                ((F.col("n") == 2) & (F.col("frac") > 0.2))
+                | ((F.col("n") == 3) & (F.col("frac") > 0.18)),
+                1,
+            ).otherwise(0)
+        ).alias("n_fail"),
+    )
+
+    def pick(n, expr):
+        return F.max(F.when(F.col("n") == n, expr))
+
+    f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        agg.groupBy("source")
+        .agg(
+            pick(2, F.col("n_docs")).alias("n_docs"),
+            f6(pick(2, F.col("sfrac") / F.col("n_docs"))).alias(
+                "mean_dup2gram_char_frac"
+            ),
+            f6(pick(3, F.col("sfrac") / F.col("n_docs"))).alias(
+                "mean_dup3gram_char_frac"
+            ),
+            pick(2, F.col("n_fail")).cast("long").alias("n_fail_dup2gram"),
+            pick(3, F.col("n_fail")).cast("long").alias("n_fail_dup3gram"),
+        )
+        .orderBy("source")
+    )

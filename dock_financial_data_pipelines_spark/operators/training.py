@@ -1630,3 +1630,82 @@ def l_span_mask_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("length_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_shard_assignment_balance — content-hash shard planning: every doc
+# is assigned shard = md5(text)₆₀ mod 16 (the md5-60bit idiom, engine-
+# portable), and the report shows per-shard doc/token/char loads plus
+# each shard's deviation from the ideal 1/16 share in parts-per-10k.
+# This is the pre-flight audit for any hash-partitioned corpus write:
+# CONTENT hashing (not doc_id) keeps duplicates co-sharded so
+# shard-local dedup still catches them, and the deviation columns
+# certify the hash spreads load evenly BEFORE 100 TB gets written into
+# a skewed layout. Integer arithmetic end-to-end.
+# ---------------------------------------------------------------------------
+_N_SHARDS = 16
+
+
+@query(
+    "l_shard_assignment_balance",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CAST(('0x' || substring(md5(text), 1, 15))::BIGINT
+                    % {_N_SHARDS} AS INTEGER) AS shard,
+               len(string_split(text, ' ')) AS tk,
+               length(text) AS ch
+        FROM documents
+    ),
+    per AS (
+        SELECT shard, count(*) AS n_docs,
+               sum(tk) AS n_tokens, sum(ch) AS n_chars
+        FROM assigned GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM per)
+    SELECT p.shard,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           CAST(p.n_chars AS BIGINT) AS n_chars,
+           CAST(floor((CAST(p.n_docs AS DOUBLE) / t.td - 1.0 / {_N_SHARDS})
+                      * 1e4 + 0.5) AS BIGINT) AS doc_share_dev_bp,
+           CAST(floor((CAST(p.n_tokens AS DOUBLE) / t.tt - 1.0 / {_N_SHARDS})
+                      * 1e4 + 0.5) AS BIGINT) AS token_share_dev_bp
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.shard
+    """,
+)
+def l_shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
+            f" % {_N_SHARDS}"
+        )
+        .cast("int")
+        .alias("shard"),
+        F.size(F.split("text", " ")).alias("tk"),
+        F.length("text").alias("ch"),
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tk").alias("n_tokens"),
+        F.sum("ch").alias("n_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_tokens").alias("tt")
+    )
+    dev = lambda n, t: F.floor(  # noqa: E731
+        (F.col(n).cast("double") / F.col(t) - 1.0 / _N_SHARDS) * 1e4
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            dev("n_docs", "td").alias("doc_share_dev_bp"),
+            dev("n_tokens", "tt").alias("token_share_dev_bp"),
+        )
+        .orderBy("shard")
+    )
