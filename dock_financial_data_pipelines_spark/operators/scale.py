@@ -2986,9 +2986,14 @@ def a57_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(nn AS BIGINT) AS n_orders,
            floor(between_ss * 1e2 + 0.5) / 1e2 AS between_ss,
            floor(within_ss * 1e2 + 0.5) / 1e2 AS within_ss,
-           floor((CAST(nn - k AS DOUBLE) / (k - 1))
-                 * (between_ss / within_ss) * 1e6 + 0.5) / 1e6 AS w_stat,
-           CASE WHEN (CAST(nn - k AS DOUBLE) / (k - 1))
+           -- degenerate designs (k<2 groups, or zero within-group
+           -- spread) have no defined W: NULL on both engines
+           CASE WHEN k < 2 OR within_ss = 0 THEN NULL
+                ELSE floor((CAST(nn - k AS DOUBLE) / (k - 1))
+                     * (between_ss / within_ss) * 1e6 + 0.5) / 1e6 END
+               AS w_stat,
+           CASE WHEN k < 2 OR within_ss = 0 THEN NULL
+                WHEN (CAST(nn - k AS DOUBLE) / (k - 1))
                      * (between_ss / within_ss) > 2.372 THEN 1 ELSE 0 END
                AS heteroscedastic_95
     FROM agg
@@ -3040,7 +3045,10 @@ def a58_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("within_ss"),
     )
-    w = (
+    # Degenerate designs (k<2, or zero within-group spread) have no
+    # defined W: emit NULL instead of an ANSI division crash.
+    degen = (F.col("k") < 2) | (F.col("within_ss") == 0)
+    w = F.when(degen, F.lit(None).cast("double")).otherwise(
         (F.col("nn") - F.col("k")).cast("double")
         / (F.col("k") - 1)
         * (F.col("between_ss") / F.col("within_ss"))
@@ -3055,7 +3063,9 @@ def a58_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_ss"
         ),
         (F.floor(w * 1e6 + F.lit(0.5)) / 1e6).alias("w_stat"),
-        F.when(w > 2.372, 1).otherwise(0).alias("heteroscedastic_95"),
+        F.when(w.isNull(), F.lit(None).cast("int"))
+        .otherwise((w > 2.372).cast("int"))
+        .alias("heteroscedastic_95"),
     )
 
 

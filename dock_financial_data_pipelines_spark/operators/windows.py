@@ -1396,9 +1396,12 @@ def w25_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_OHLC_SQL},
     t AS (
+        -- Parkinson is defined for positive price series; bars whose
+        -- low is not positive (hostile/synthetic data) are excluded
+        -- identically on both engines rather than crashing the log.
         SELECT day,
                CAST(ln(high / low) * ln(high / low) AS DECIMAL(27,12)) AS l2
-        FROM bars
+        FROM bars WHERE low > 0
     ),
     win AS (
         SELECT day,
@@ -1414,7 +1417,7 @@ def w25_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w26_parkinson_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = _daily_bars(spark, sf_dir)
+    bars = _daily_bars(spark, sf_dir).where(F.col("low") > 0)
     ln_hl = F.log(F.col("high") / F.col("low"))
     t = bars.select(
         "day", (ln_hl * ln_hl).cast("decimal(27,12)").alias("l2")
