@@ -1429,6 +1429,64 @@ def main() -> int:
         "Exchange SinglePartition" not in p,
     )
 
+    # ---- round-8 additions ----
+    p = plan_of(spark, "l_wrapper_pair_audit", execute=True)
+    check(
+        "l_wrapper_pair_audit",
+        "df-capped candidate join stays a hash/merge equi-join "
+        "(AQE-splittable), never cartesian",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoop" not in p
+        and ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+             or "BroadcastHashJoin" in p),
+    )
+
+    p = plan_of(spark, "a57_kendall_tau", execute=True)
+    check(
+        "a57_kendall_tau",
+        "month-pair self-join is an equi-join on segment "
+        "(months-bounded fanout), never cartesian",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+    )
+
+    p = plan_of(spark, "q_sales_mix_variance")
+    check(
+        "q_sales_mix_variance",
+        "year filter pushed to the lineitem parquet scan",
+        "PushedFilters:" in p and "l_shipdate" in p.split("PushedFilters:")[1][:400],
+    )
+    check(
+        "q_sales_mix_variance.broadcast",
+        "part dim joined by broadcast",
+        "BroadcastHashJoin" in p,
+    )
+
+    p = plan_of(spark, "q_landed_cost_allocation", execute=True)
+    check(
+        "q_landed_cost_allocation",
+        "allocation is windows + equi-joins only (no cartesian, no "
+        "python eval)",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoop" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_ann_nprobe_curve", execute=True)
+    check(
+        "l_ann_nprobe_curve",
+        "candidate join keys on the IVF cell id (equi-join); centroid "
+        "table broadcast",
+        "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "q_open_order_float", execute=True)
+    check(
+        "q_open_order_float",
+        "SLA-capped interval explode feeds a hash aggregate (no "
+        "unpartitioned sort of fact rows)",
+        "Generate explode" in p and "HashAggregate" in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
