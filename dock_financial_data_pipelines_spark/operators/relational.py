@@ -1523,3 +1523,106 @@ def u17_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# u18 — deterministic weighted sampling without replacement
+# (Efraimidis–Spirakis A-Res): each part draws u from its own content
+# hash (md5-60bit → (0,1), engine-portable), scores key = ln(u)/w with
+# w = retail price, and the TOP-K keys are the weighted sample. This is
+# THE distributed weighted-reservoir recipe: fully parallel scoring,
+# one top-k (TakeOrderedAndProject at scale — no global sort), and —
+# because u is hash-derived, not RNG — the "sample" is reproducible
+# run-to-run, partition-count-invariant, and exactly checkable against
+# the oracle. The audit row carries the sampled share of total weight.
+# ---------------------------------------------------------------------------
+_WS_K = 100
+_WS_U_DEN = float(1 << 60) + 1.0
+
+
+@query(
+    "u18_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT p_partkey, p_retailprice AS w,
+               (CAST(('0x' || substring(md5(CAST(p_partkey AS VARCHAR)), 1,
+                                        15))::BIGINT AS DOUBLE) + 1.0)
+                   / {_WS_U_DEN} AS u
+        FROM part
+        WHERE p_retailprice > 0
+    ),
+    keyed AS (
+        SELECT p_partkey, w, u, ln(u) / w AS k
+        FROM scored
+    ),
+    ranked AS (
+        SELECT p_partkey, w, k,
+               row_number() OVER (ORDER BY k DESC, p_partkey) AS rk
+        FROM keyed
+    ),
+    tot AS (SELECT sum(CAST(w AS DECIMAL(27,2))) AS tw FROM scored)
+    SELECT r.rk AS sample_rank,
+           r.p_partkey,
+           floor(r.w * 1e2 + 0.5) / 1e2 AS weight,
+           floor(r.k * 1e9 + 0.5) / 1e9 AS es_key,
+           floor(CAST((SELECT sum(CAST(w AS DECIMAL(27,2))) FROM ranked
+                       WHERE rk <= {_WS_K}) AS DOUBLE)
+                 / CAST(t.tw AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS sampled_weight_share
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rk <= {_WS_K}
+    ORDER BY r.rk
+    """,
+)
+def u18_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    p = load(spark, sf_dir, "part").where(F.col("p_retailprice") > 0)
+    scored = p.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("w"),
+        (
+            (
+                F.expr(
+                    "CAST(conv(substring(md5(CAST(p_partkey AS STRING)),"
+                    " 1, 15), 16, 10) AS BIGINT)"
+                ).cast("double")
+                + 1.0
+            )
+            / _WS_U_DEN
+        ).alias("u"),
+    )
+    keyed = scored.select(
+        "p_partkey", "w", (F.log("u") / F.col("w")).alias("k")
+    )
+    wr = Window.orderBy(F.col("k").desc(), "p_partkey")
+    ranked = keyed.select(
+        "p_partkey", "w", "k", F.row_number().over(wr).alias("rk")
+    )
+    top = ranked.where(F.col("rk") <= _WS_K)
+    tot = scored.agg(
+        F.sum(F.col("w").cast("decimal(27,2)")).alias("tw")
+    )
+    stot = top.agg(
+        F.sum(F.col("w").cast("decimal(27,2)")).alias("sw")
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(stot))
+        .select(
+            F.col("rk").alias("sample_rank"),
+            "p_partkey",
+            (F.floor(F.col("w") * 1e2 + F.lit(0.5)) / 1e2).alias("weight"),
+            (F.floor(F.col("k") * 1e9 + F.lit(0.5)) / 1e9).alias("es_key"),
+            (
+                F.floor(
+                    F.col("sw").cast("double")
+                    / F.col("tw").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("sampled_weight_share"),
+        )
+        .orderBy("sample_rank")
+    )

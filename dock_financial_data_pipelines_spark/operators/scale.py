@@ -16,6 +16,7 @@ single tasks. These operators demonstrate the two standard cures:
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 
@@ -3358,3 +3359,143 @@ def a61_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_alarm_days"),
     )
     return peak.crossJoin(stats)
+
+
+# ---------------------------------------------------------------------------
+# a62 — Benjamini-Hochberg FDR over the (segment × priority) grid of
+# two-proportion tests (cell conversion-to-'F'-status vs the corpus
+# rate): the multiple-testing discipline every segmentation dashboard
+# needs once it tests 25 cells at once. p-values use the Abramowitz &
+# Stegun 7.1.26 normal-CDF polynomial (documented approximation —
+# identical closed form on both engines, no erf dependency); counts
+# are exact integers, the BH step-up runs over the 25-row test grid
+# (bounded, single window). Reject set = all ranks ≤ the largest rank
+# with p ≤ rank·α/m.
+# ---------------------------------------------------------------------------
+_BH_ALPHA = 0.05
+
+
+@query(
+    "a62_benjamini_hochberg",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+               count(*) AS n,
+               sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS nn, sum(x) AS xx FROM cells),
+    z AS (
+        SELECT seg, pri, n, x,
+               (CAST(x AS DOUBLE) / n - CAST(t.xx AS DOUBLE) / t.nn)
+               / sqrt((CAST(t.xx AS DOUBLE) / t.nn)
+                      * (1 - CAST(t.xx AS DOUBLE) / t.nn) / n) AS zst
+        FROM cells CROSS JOIN tot t
+        WHERE t.xx > 0 AND t.xx < t.nn
+    ),
+    p AS (
+        SELECT seg, pri, n, x, zst,
+               2 * (exp(-abs(zst) * abs(zst) / 2) / sqrt(2 * pi())
+                    * (0.319381530 * (1 / (1 + 0.2316419 * abs(zst)))
+                       - 0.356563782 * power(1 / (1 + 0.2316419 * abs(zst)), 2)
+                       + 1.781477937 * power(1 / (1 + 0.2316419 * abs(zst)), 3)
+                       - 1.821255978 * power(1 / (1 + 0.2316419 * abs(zst)), 4)
+                       + 1.330274429 * power(1 / (1 + 0.2316419 * abs(zst)), 5)))
+                   AS pval
+        FROM z
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY pval, seg, pri) AS rk,
+               count(*) OVER () AS m
+        FROM p
+    ),
+    cut AS (
+        SELECT max(CASE WHEN pval <= rk * {_BH_ALPHA} / m THEN rk
+                        ELSE 0 END) OVER () AS kmax
+        FROM ranked LIMIT 1
+    )
+    SELECT r.seg, r.pri,
+           CAST(r.n AS BIGINT) AS n_orders,
+           CAST(r.x AS BIGINT) AS n_final,
+           floor(r.zst * 1e6 + 0.5) / 1e6 AS z,
+           floor(r.pval * 1e6 + 0.5) / 1e6 AS p_value,
+           CAST(r.rk AS BIGINT) AS p_rank,
+           floor(r.rk * {_BH_ALPHA} / r.m * 1e6 + 0.5) / 1e6
+               AS bh_threshold,
+           CASE WHEN r.rk <= c.kmax THEN 1 ELSE 0 END AS rejected
+    FROM ranked r CROSS JOIN cut c
+    ORDER BY r.rk
+    """,
+)
+def a62_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    tot = cells.agg(F.sum("n").alias("nn"), F.sum("x").alias("xx"))
+    pp = F.col("xx").cast("double") / F.col("nn")
+    zst = (F.col("x").cast("double") / F.col("n") - pp) / F.sqrt(
+        pp * (1 - pp) / F.col("n")
+    )
+    z = (
+        cells.crossJoin(F.broadcast(tot))
+        .where((F.col("xx") > 0) & (F.col("xx") < F.col("nn")))
+        .select("seg", "pri", "n", "x", zst.alias("zst"))
+    )
+    az = F.abs(F.col("zst"))
+    k = 1 / (1 + 0.2316419 * az)
+    phi = F.exp(-az * az / 2) / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+    poly = (
+        0.319381530 * k
+        - 0.356563782 * F.pow(k, 2)
+        + 1.781477937 * F.pow(k, 3)
+        - 1.821255978 * F.pow(k, 4)
+        + 1.330274429 * F.pow(k, 5)
+    )
+    p = z.select("seg", "pri", "n", "x", "zst", (2 * phi * poly).alias("pval"))
+    wall = Window.orderBy("pval", "seg", "pri")
+    ranked = p.select(
+        "*",
+        F.row_number().over(wall).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("m"),
+    )
+    wfull = Window.partitionBy()
+    ranked2 = ranked.withColumn(
+        "kmax",
+        F.max(
+            F.when(
+                F.col("pval") <= F.col("rk") * _BH_ALPHA / F.col("m"),
+                F.col("rk"),
+            ).otherwise(0)
+        ).over(wfull),
+    )
+    return ranked2.select(
+        "seg",
+        "pri",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("x").cast("long").alias("n_final"),
+        (F.floor(F.col("zst") * 1e6 + F.lit(0.5)) / 1e6).alias("z"),
+        (F.floor(F.col("pval") * 1e6 + F.lit(0.5)) / 1e6).alias("p_value"),
+        F.col("rk").cast("long").alias("p_rank"),
+        (
+            F.floor(F.col("rk") * _BH_ALPHA / F.col("m") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("bh_threshold"),
+        (F.col("rk") <= F.col("kmax")).cast("int").alias("rejected"),
+    ).orderBy("p_rank")

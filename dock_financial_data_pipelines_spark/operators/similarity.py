@@ -1835,3 +1835,205 @@ def l_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_pq_codebook — product quantization, the memory side of large-scale
+# ANN that IVF (the routing side) doesn't cover: the 64-dim space is
+# split into 4 subspaces of 16 dims, each trained with its own K=4
+# integer-exact Lloyd codebook (md5-ordered seeding, the IVF idiom per
+# subspace), and every vector is assigned its nearest code per
+# subspace. The report shows per-(subspace, code) occupancy and total
+# squared quantization error — the distortion/compression table read
+# before choosing PQ bits at 100 TB. Training state is 4×4×16 integers;
+# assignment is a broadcast join; every quantity is integer-exact so
+# the oracle replays training bit-for-bit.
+# ---------------------------------------------------------------------------
+_PQ_SUB = 4       # subspaces
+_PQ_SUBDIM = _EMB_DIM // _PQ_SUB
+_PQ_K = 4         # codes per subspace
+_PQ_ITERS = 2     # Lloyd passes
+
+
+def _pq_sql() -> str:
+    parts = [
+        f"""
+    veq AS (
+        SELECT vec_id,
+               CAST(floor((unnest(CAST(embedding AS DOUBLE[])) + 1.0)
+                          * {float(_IVF_QSCALE)} + 0.5) AS BIGINT) AS xq,
+               unnest(range({_EMB_DIM})) AS i
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT vec_id, xq, i // {_PQ_SUBDIM} AS sub,
+               i % {_PQ_SUBDIM} AS j
+        FROM veq
+    ),
+    seeds AS (
+        SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings
+        ) WHERE rn <= {_PQ_K}
+    ),
+    c0 AS (
+        SELECT c.sub, s.cell, c.j, c.xq AS cq
+        FROM seeds s JOIN comp c USING (vec_id)
+    )"""
+    ]
+    for it in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f""",
+    d{it} AS (
+        SELECT v.vec_id, v.sub, c.cell,
+               sum((v.xq - c.cq) * (v.xq - c.cq)) AS d
+        FROM comp v JOIN c{it - 1} c ON v.sub = c.sub AND v.j = c.j
+        GROUP BY 1, 2, 3
+    ),
+    a{it} AS (
+        SELECT vec_id, sub, cell FROM (
+            SELECT vec_id, sub, cell,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, cell) AS rk
+            FROM d{it}
+        ) WHERE rk = 1
+    ),
+    m{it} AS (
+        SELECT a.sub, a.cell, v.j,
+               CAST(sum(v.xq) // count(*) AS BIGINT) AS cq
+        FROM a{it} a JOIN comp v ON v.vec_id = a.vec_id AND v.sub = a.sub
+        GROUP BY 1, 2, 3
+    ),
+    c{it} AS (
+        SELECT * FROM m{it}
+        UNION ALL
+        SELECT p.sub, p.cell, p.j, p.cq FROM c{it - 1} p
+        WHERE NOT EXISTS (SELECT 1 FROM m{it} m
+                          WHERE m.sub = p.sub AND m.cell = p.cell)
+    )"""
+        )
+    parts.append(
+        f""",
+    dfin AS (
+        SELECT v.vec_id, v.sub, c.cell,
+               sum((v.xq - c.cq) * (v.xq - c.cq)) AS d
+        FROM comp v JOIN c{_PQ_ITERS} c ON v.sub = c.sub AND v.j = c.j
+        GROUP BY 1, 2, 3
+    ),
+    afin AS (
+        SELECT vec_id, sub, cell, d FROM (
+            SELECT vec_id, sub, cell, d,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, cell) AS rk
+            FROM dfin
+        ) WHERE rk = 1
+    )
+    SELECT CAST(sub AS INTEGER) AS subspace,
+           CAST(cell AS INTEGER) AS code,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(d) AS BIGINT) AS total_sq_err
+    FROM afin GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+    return "WITH" + "".join(parts)
+
+
+@query("l_pq_codebook", oracle=_pq_sql())
+def l_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("e"),
+                lambda x: F.floor((x + 1.0) * float(_IVF_QSCALE) + 0.5).cast(
+                    "long"
+                ),
+            )
+        ).alias("i", "xq"),
+    ).select(
+        "vec_id",
+        "xq",
+        (F.col("i") / _PQ_SUBDIM).cast("int").alias("sub"),
+        (F.col("i") % _PQ_SUBDIM).alias("j"),
+    )
+
+    def build():
+        seed_rows = (
+            emb.select("vec_id")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+            .limit(_PQ_K)
+            .collect()  # bounded: K rows
+        )
+        seeds = spark.createDataFrame(
+            [(int(r["vec_id"]), c) for c, r in enumerate(seed_rows)],
+            "vec_id LONG, cell INT",
+        )
+        cents = (
+            comp.join(F.broadcast(seeds), "vec_id")
+            .select("sub", "cell", "j", F.col("xq").alias("cq"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(_PQ_ITERS):
+            d = (
+                comp.join(F.broadcast(cents), ["sub", "j"])
+                .groupBy("vec_id", "sub", "cell")
+                .agg(
+                    F.sum(
+                        (F.col("xq") - F.col("cq"))
+                        * (F.col("xq") - F.col("cq"))
+                    ).alias("d")
+                )
+            )
+            wv = Window.partitionBy("vec_id", "sub").orderBy(
+                F.col("d"), F.col("cell")
+            )
+            a = (
+                d.withColumn("rk", F.row_number().over(wv))
+                .where(F.col("rk") == 1)
+                .select("vec_id", "sub", "cell")
+            )
+            m = (
+                a.join(comp, ["vec_id", "sub"])
+                .groupBy("sub", "cell", "j")
+                .agg(
+                    F.expr("CAST(sum(xq) DIV count(xq) AS BIGINT)").alias(
+                        "cq"
+                    )
+                )
+            )
+            carry = cents.join(
+                m.select("sub", "cell").distinct(), ["sub", "cell"], "left_anti"
+            )
+            cents = m.unionByName(carry).localCheckpoint(eager=True)
+        return cents
+
+    cents = memo_index(spark, f"pq_codebook:{sf_tag(sf_dir)}", build)
+    dfin = (
+        comp.join(F.broadcast(cents), ["sub", "j"])
+        .groupBy("vec_id", "sub", "cell")
+        .agg(
+            F.sum(
+                (F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))
+            ).alias("d")
+        )
+    )
+    wv = Window.partitionBy("vec_id", "sub").orderBy(F.col("d"), F.col("cell"))
+    afin = (
+        dfin.withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "sub", "cell", "d")
+    )
+    return (
+        afin.groupBy(
+            F.col("sub").cast("int").alias("subspace"),
+            F.col("cell").cast("int").alias("code"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum("d").cast("long").alias("total_sq_err"),
+        )
+        .orderBy("subspace", "code")
+    )
