@@ -71,6 +71,13 @@ HEADLINE = [
     "l_dedup_funnel_e2e",
     "q_duplicate_payments_fuzzy",
     "l_substring_span_pairs",
+    # round-8 additions (appended AFTER existing entries): the new
+    # ANN/dedup components with real join/training shapes — wrapper
+    # pair audit (df-capped candidate join), IVF nProbe recall curve
+    # (shared trained quantizer), PQ codebook training.
+    "l_wrapper_pair_audit",
+    "l_ann_nprobe_curve",
+    "l_pq_codebook",
 ]
 
 
@@ -146,11 +153,16 @@ def main() -> None:
     # regression: value_shared_r3 excludes everything added in r4+,
     # value_shared_r5 excludes the r6+r7 additions, value_shared_r6
     # excludes only the r7 additions.
+    r8_added = {
+        "l_wrapper_pair_audit",
+        "l_ann_nprobe_curve",
+        "l_pq_codebook",
+    }
     r7_added = {
         "l_dedup_funnel_e2e",
         "q_duplicate_payments_fuzzy",
         "l_substring_span_pairs",
-    }
+    } | r8_added
     r6_added = {
         "l5_ivf_topk",
         "l_semantic_dedup",
@@ -171,6 +183,9 @@ def main() -> None:
     shared_r6 = round(
         sum(v for n, v in per_query.items() if n not in r7_added), 3
     )
+    shared_r7 = round(
+        sum(v for n, v in per_query.items() if n not in r8_added), 3
+    )
     summary = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -187,6 +202,7 @@ def main() -> None:
         "value_shared_r3": shared_r3,
         "value_shared_r5": shared_r5,
         "value_shared_r6": shared_r6,
+        "value_shared_r7": shared_r7,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # environment attribution for round-over-round reads:
         # a rebuilt container (new Spark/JVM/testdata files)
