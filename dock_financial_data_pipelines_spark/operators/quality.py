@@ -3984,3 +3984,256 @@ def q_open_order_float(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_revenue_recognition_daily — ratable (straight-line) revenue
+# recognition: each order's total is recognized evenly across its
+# service period (order date → last line-item ship date, capped at
+# _REC_CAP_DAYS so the per-order explode is hard-bounded no matter how
+# late a straggler ship date is — the residual recognizes in the final
+# capped day's month). Cent amounts are integers end-to-end and the
+# daily split uses the largest-remainder rule (cents // n with the
+# first cents % n days getting the extra cent), so monthly recognized
+# totals tie out to billed totals EXACTLY — the deferred-revenue
+# balance is an integer running sum, never a float residue. Plan: one
+# orderkey aggregate (max ship date), a bounded sequence explode
+# (≤ _REC_CAP_DAYS rows per order), two monthly hash aggregates, and a
+# full outer month join; the final cumulative window runs over the
+# ~85-row monthly report only. Restates the reference's daily-batch
+# revenue reporting (REPORT dataflow R12-R14 family) as an accrual view.
+# ---------------------------------------------------------------------------
+_REC_CAP_DAYS = 92
+
+
+@query(
+    "q_revenue_recognition_daily",
+    oracle=f"""
+    WITH ord AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS d0,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               greatest(1, least(
+                   coalesce(max(CAST(l.l_shipdate AS DATE)),
+                            CAST(o.o_orderdate AS DATE))
+                       - CAST(o.o_orderdate AS DATE) + 1,
+                   {_REC_CAP_DAYS})) AS nd
+        FROM orders o
+        LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+    ),
+    days AS (SELECT unnest(generate_series(0, {_REC_CAP_DAYS - 1})) AS i),
+    sched AS (
+        SELECT ord.d0 + CAST(d.i AS INTEGER) AS day,
+               ord.cents // ord.nd
+                   + CASE WHEN d.i < ord.cents % ord.nd THEN 1 ELSE 0 END
+                   AS rec_cents
+        FROM ord CROSS JOIN days d
+        WHERE d.i < ord.nd
+    ),
+    monthly AS (
+        SELECT strftime(day, '%Y-%m') AS month,
+               CAST(sum(rec_cents) AS BIGINT) AS recognized_cents
+        FROM sched GROUP BY 1
+    ),
+    billed AS (
+        SELECT strftime(d0, '%Y-%m') AS month,
+               CAST(sum(cents) AS BIGINT) AS billed_cents
+        FROM ord GROUP BY 1
+    )
+    SELECT coalesce(m.month, b.month) AS month,
+           coalesce(b.billed_cents, 0) AS billed_cents,
+           coalesce(m.recognized_cents, 0) AS recognized_cents,
+           CAST(sum(coalesce(b.billed_cents, 0)
+                    - coalesce(m.recognized_cents, 0))
+                OVER (ORDER BY coalesce(m.month, b.month)
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS deferred_balance_cents
+    FROM monthly m FULL JOIN billed b ON m.month = b.month
+    ORDER BY 1
+    """,
+)
+def q_revenue_recognition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    base = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    ord_ = (
+        base.groupBy("o_orderkey", "d0", "cents")
+        .agg(F.max("sd").alias("msd"))
+        .select(
+            "d0",
+            "cents",
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.datediff(
+                        F.coalesce(F.col("msd"), F.col("d0")), F.col("d0")
+                    )
+                    + 1,
+                    F.lit(_REC_CAP_DAYS),
+                ),
+            ).alias("nd"),
+        )
+    )
+    sched = ord_.select(
+        "d0",
+        "cents",
+        "nd",
+        F.explode(F.sequence(F.lit(0), F.col("nd") - 1)).alias("i"),
+    ).select(
+        F.date_add(F.col("d0"), F.col("i")).alias("day"),
+        (
+            F.expr("cents div nd")
+            + F.when(F.col("i") < F.col("cents") % F.col("nd"), 1).otherwise(0)
+        ).alias("rec_cents"),
+    )
+    monthly = sched.groupBy(
+        F.date_format("day", "yyyy-MM").alias("month")
+    ).agg(F.sum("rec_cents").cast("long").alias("recognized_cents"))
+    billed = ord_.groupBy(
+        F.date_format("d0", "yyyy-MM").alias("month")
+    ).agg(F.sum("cents").cast("long").alias("billed_cents"))
+    joined = monthly.alias("m").join(
+        billed.alias("b"), F.col("m.month") == F.col("b.month"), "full"
+    ).select(
+        F.coalesce(F.col("m.month"), F.col("b.month")).alias("month"),
+        F.coalesce(F.col("billed_cents"), F.lit(0)).alias("billed_cents"),
+        F.coalesce(F.col("recognized_cents"), F.lit(0)).alias(
+            "recognized_cents"
+        ),
+    )
+    wcum = (
+        Window.orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "month",
+        "billed_cents",
+        "recognized_cents",
+        F.sum(F.col("billed_cents") - F.col("recognized_cents"))
+        .over(wcum)
+        .cast("long")
+        .alias("deferred_balance_cents"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# q_reorder_point_policy — inventory reorder-point / safety-stock
+# policy for the top-20 parts by shipped demand: per part, daily-demand
+# mean and sample standard deviation over its active ship days, then
+# ROP = μ·LT + z·σ·√LT with LT = 7 days and z = 1.65 (~95% service
+# level). Exactness: daily demand is an exact DECIMAL sum of
+# quantities; Σq stays DECIMAL, each q² is a deterministic double
+# product cast to DECIMAL(38,6) at the sum (the a38 idiom); the
+# variance/sqrt arithmetic is one fixed-shape double expression floored
+# at 1e-6. Plan: two hash aggregates (partkey×day, then partkey) and a
+# top-k — Spark side uses orderBy+limit (TakeOrderedAndProject, no
+# global sort materialization); parts with < 8 active days are excluded
+# so the sample σ is defined.
+# ---------------------------------------------------------------------------
+_ROP_LT_DAYS = 7.0
+_ROP_Z = 1.65
+_ROP_TOP = 20
+_ROP_MIN_DAYS = 8
+
+
+@query(
+    "q_reorder_point_policy",
+    oracle=f"""
+    WITH demand AS (
+        SELECT l_partkey AS partkey, CAST(l_shipdate AS DATE) AS day,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,2)))
+                    AS DECIMAL(27,2)) AS DOUBLE) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT partkey,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CAST(q AS DECIMAL(27,2))) AS DOUBLE) AS sq,
+               CAST(sum(CAST(q * q AS DECIMAL(38,6))) AS DOUBLE) AS sqq
+        FROM demand GROUP BY 1
+        HAVING count(*) >= {_ROP_MIN_DAYS}
+    ),
+    top AS (
+        SELECT *, row_number() OVER (ORDER BY sq DESC, partkey) AS rk
+        FROM stats QUALIFY rk <= {_ROP_TOP}
+    )
+    SELECT partkey, n_days,
+           floor(sq / n_days * 1e6 + 0.5) / 1e6 AS mean_daily,
+           floor(sqrt((n_days * sqq - sq * sq) / n_days / (n_days - 1))
+                 * 1e6 + 0.5) / 1e6 AS sd_daily,
+           floor({_ROP_Z} * sqrt((n_days * sqq - sq * sq)
+                                 / n_days / (n_days - 1))
+                 * sqrt({_ROP_LT_DAYS}) * 1e6 + 0.5) / 1e6 AS safety_stock,
+           floor((sq / n_days * {_ROP_LT_DAYS}
+                  + {_ROP_Z} * sqrt((n_days * sqq - sq * sq)
+                                    / n_days / (n_days - 1))
+                    * sqrt({_ROP_LT_DAYS})) * 1e6 + 0.5) / 1e6
+               AS reorder_point
+    FROM top ORDER BY partkey
+    """,
+)
+def q_reorder_point_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    demand = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+            .cast("decimal(27,2)")
+            .cast("double")
+            .alias("q")
+        )
+    )
+    stats = (
+        demand.groupBy("partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.col("q").cast("decimal(27,2)")).cast("double").alias(
+                "sq"
+            ),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sqq"),
+        )
+        .where(F.col("n_days") >= _ROP_MIN_DAYS)
+    )
+    top = stats.orderBy(F.col("sq").desc(), "partkey").limit(_ROP_TOP)
+    n, sq, sqq = F.col("n_days"), F.col("sq"), F.col("sqq")
+    var = (n * sqq - sq * sq) / n / (n - 1)
+    sd = F.sqrt(var)
+    return top.select(
+        "partkey",
+        "n_days",
+        (F.floor(sq / n * 1e6 + F.lit(0.5)) / 1e6).alias("mean_daily"),
+        (F.floor(sd * 1e6 + F.lit(0.5)) / 1e6).alias("sd_daily"),
+        (
+            F.floor(
+                F.lit(_ROP_Z) * sd * F.sqrt(F.lit(_ROP_LT_DAYS)) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("safety_stock"),
+        (
+            F.floor(
+                (
+                    sq / n * F.lit(_ROP_LT_DAYS)
+                    + F.lit(_ROP_Z) * sd * F.sqrt(F.lit(_ROP_LT_DAYS))
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("reorder_point"),
+    ).orderBy("partkey")

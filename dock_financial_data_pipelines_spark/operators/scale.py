@@ -3499,3 +3499,403 @@ def a62_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bh_threshold"),
         (F.col("rk") <= F.col("kmax")).cast("int").alias("rejected"),
     ).orderBy("p_rank")
+
+
+# ---------------------------------------------------------------------------
+# a63 — Theil-Sen robust trend slope of the daily-revenue series per
+# market segment: the median of pairwise slopes over the LAST-N daily
+# points (N=40 → ≤ N·(N−1)/2 = 780 pairs per segment, a hard bound that
+# holds at any corpus size because the series is first compacted to one
+# row per (segment, day) and then windowed to the most recent N days).
+# The pair join is an rn-banded self-join on the segment key — never
+# all-days × all-days. Exactness: daily revenue is an exact DECIMAL
+# sum; each slope is one double division of exact inputs; the median is
+# selected positionally ((m+1)//2, (m+2)//2 over the sorted multiset)
+# so engines agree without relying on a median() builtin's
+# interpolation policy. Restates the robust-trend step of a batch
+# revenue-monitoring report (reference REPORT dataflow; no native
+# equivalent — net-new analytics capability).
+# ---------------------------------------------------------------------------
+_TS_LAST_N = 40
+
+
+@query(
+    "a63_theil_sen_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS dd,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,2)))
+                    AS DECIMAL(27,2)) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    recent AS (
+        SELECT seg, dd, rev,
+               row_number() OVER (PARTITION BY seg ORDER BY dd DESC) AS rn
+        FROM daily
+        QUALIFY rn <= {_TS_LAST_N}
+    ),
+    pairs AS (
+        SELECT a.seg,
+               (CAST(a.rev AS DOUBLE) - CAST(b.rev AS DOUBLE))
+                   / (a.dd - b.dd) AS slope
+        FROM recent a JOIN recent b
+          ON a.seg = b.seg AND a.rn < b.rn
+    ),
+    ranked AS (
+        SELECT seg, slope,
+               row_number() OVER (PARTITION BY seg ORDER BY slope) AS rk,
+               count(*) OVER (PARTITION BY seg) AS m
+        FROM pairs
+    ),
+    med AS (
+        SELECT seg, CAST(max(m) AS BIGINT) AS n_pairs,
+               sum(slope) / count(*) AS ts_slope
+        FROM ranked
+        WHERE rk = (m + 1) // 2 OR rk = (m + 2) // 2
+        GROUP BY seg
+    ),
+    nd AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_days
+           FROM recent GROUP BY 1)
+    SELECT m.seg, nd.n_days, m.n_pairs,
+           floor(m.ts_slope * 1e6 + 0.5) / 1e6 AS theil_sen_slope
+    FROM med m JOIN nd ON m.seg = nd.seg
+    ORDER BY m.seg
+    """,
+)
+def a63_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    daily = (
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).alias("dd"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("decimal(27,2)")
+            .alias("rev")
+        )
+    )
+    recent = (
+        daily.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("seg").orderBy(F.col("dd").desc())
+            ),
+        )
+        .where(F.col("rn") <= _TS_LAST_N)
+    )
+    a = recent.alias("a")
+    b = recent.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.seg") == F.col("b.seg")) & (F.col("a.rn") < F.col("b.rn")),
+    ).select(
+        F.col("a.seg").alias("seg"),
+        (
+            (F.col("a.rev").cast("double") - F.col("b.rev").cast("double"))
+            / (F.col("a.dd") - F.col("b.dd"))
+        ).alias("slope"),
+    )
+    ranked = pairs.select(
+        "seg",
+        "slope",
+        F.row_number()
+        .over(Window.partitionBy("seg").orderBy("slope"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("m"),
+    )
+    med = (
+        ranked.where(
+            (F.col("rk") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rk") == F.floor((F.col("m") + 2) / 2))
+        )
+        .groupBy("seg")
+        .agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            (F.sum("slope") / F.count(F.lit(1))).alias("ts_slope"),
+        )
+    )
+    nd = recent.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        med.join(nd, "seg")
+        .select(
+            "seg",
+            "n_days",
+            "n_pairs",
+            (F.floor(F.col("ts_slope") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a64 — lead–lag cross-correlation between two segments' daily-revenue
+# series (does BUILDING lead MACHINERY?): Pearson r at every lag in
+# [−7, +7], with the best |r| lag flagged. The lag grid is a 15-row
+# exploded dimension joined back on (day + lag) — an equi-join, never a
+# window per lag — so the plan is two hash aggregates plus one small
+# equi-join regardless of series length. Exactness: daily revenue is an
+# exact DECIMAL sum; Σx, Σy stay DECIMAL(27,2); each cross/square
+# product is computed in double (deterministic IEEE) and cast to
+# DECIMAL(38,6) before the sum so accumulation order can never flip a
+# bit (the a38 idiom); the final r arithmetic is a fixed-shape double
+# expression floored at 1e-6.
+# ---------------------------------------------------------------------------
+_XC_SEG_X = "BUILDING"
+_XC_SEG_Y = "MACHINERY"
+
+
+@query(
+    "a64_lead_lag_xcorr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS dd,
+               CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,2)))
+                    AS DECIMAL(27,2)) AS DOUBLE) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('{_XC_SEG_X}', '{_XC_SEG_Y}')
+        GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+    j AS (
+        SELECT l.lag, x.rev AS xv, y.rev AS yv
+        FROM daily x
+        CROSS JOIN lags l
+        JOIN daily y ON y.dd = x.dd + l.lag
+        WHERE x.seg = '{_XC_SEG_X}' AND y.seg = '{_XC_SEG_Y}'
+    ),
+    m AS (
+        SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(xv AS DECIMAL(27,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(yv AS DECIMAL(27,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(xv * yv AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(xv * xv AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(yv * yv AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM j GROUP BY lag
+    ),
+    r AS (
+        SELECT lag, CAST(n AS BIGINT) AS n_days,
+               (n * sxy - sx * sy)
+                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                   AS rho
+        FROM m
+    )
+    SELECT lag, n_days,
+           floor(rho * 1e6 + 0.5) / 1e6 AS xcorr,
+           CASE WHEN row_number() OVER (ORDER BY abs(rho) DESC, lag) = 1
+                THEN 1 ELSE 0 END AS is_best_lag
+    FROM r ORDER BY lag
+    """,
+)
+def a64_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    daily = (
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin(_XC_SEG_X, _XC_SEG_Y))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).alias("dd"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("decimal(27,2)")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    x = daily.where(F.col("seg") == _XC_SEG_X).select(
+        F.col("dd").alias("xdd"), F.col("rev").alias("xv")
+    )
+    y = daily.where(F.col("seg") == _XC_SEG_Y).select(
+        F.col("dd").alias("ydd"), F.col("rev").alias("yv")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.sequence(F.lit(-7), F.lit(7))).alias("lag")
+    )
+    j = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("ydd") == F.col("xdd") + F.col("lag"))
+    )
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("xv").cast("decimal(27,2)")).cast("double").alias("sx"),
+        F.sum(F.col("yv").cast("decimal(27,2)")).cast("double").alias("sy"),
+        F.sum((F.col("xv") * F.col("yv")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("xv") * F.col("xv")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("yv") * F.col("yv")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    rho = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx)
+        * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    r = m.select(
+        "lag", n.cast("long").alias("n_days"), rho.alias("rho")
+    )
+    wbest = Window.orderBy(F.abs(F.col("rho")).desc(), "lag")
+    return r.select(
+        "lag",
+        "n_days",
+        (F.floor(F.col("rho") * 1e6 + F.lit(0.5)) / 1e6).alias("xcorr"),
+        F.when(F.row_number().over(wbest) == 1, 1)
+        .otherwise(0)
+        .alias("is_best_lag"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# a65 — single-changepoint detection (binary-segmentation first step)
+# on the daily-revenue series per segment: the split t maximizing the
+# CUSUM deviation |S_t − (t/n)·S_n|. The score is kept RATIONAL —
+# d_t = |n·S_t − t·S_n| is an exact DECIMAL (integer row indices ×
+# exact DECIMAL prefix sums, no division until the report row) — so the
+# argmax is an exact comparison and can never flip on libm noise; the
+# normalized statistic d/n and the before/after means divide only in
+# the final projection, floored at 1e-6. Plan: one daily hash
+# aggregate, one per-segment cumulative window, one argmax window —
+# shuffle key stays `seg` throughout (no repartitioning between the
+# window stages).
+# ---------------------------------------------------------------------------
+@query(
+    "a65_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS dd,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,2)))
+                    AS DECIMAL(27,2)) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT seg, dd,
+               row_number() OVER w AS t,
+               CAST(sum(rev) OVER w AS DECIMAL(27,2)) AS st,
+               count(*) OVER (PARTITION BY seg) AS n,
+               CAST(sum(rev) OVER (PARTITION BY seg) AS DECIMAL(27,2)) AS sn
+        FROM daily
+        WINDOW w AS (PARTITION BY seg ORDER BY dd ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+        SELECT seg, dd, t, n, st, sn,
+               abs(CAST(n AS DECIMAL(10,0)) * st
+                   - CAST(t AS DECIMAL(10,0)) * sn) AS d
+        FROM cum WHERE t < n
+    ),
+    best AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY seg ORDER BY d DESC, dd) AS rb
+        FROM scored
+    )
+    SELECT seg,
+           CAST(n AS BIGINT) AS n_days,
+           strftime(DATE '1970-01-01' + CAST(dd AS INTEGER), '%Y-%m-%d')
+               AS change_day,
+           CAST(t AS BIGINT) AS split_index,
+           floor(CAST(d AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS cusum_stat,
+           floor(CAST(st AS DOUBLE) / t * 1e6 + 0.5) / 1e6 AS mean_before,
+           floor(CAST(sn - st AS DOUBLE) / (n - t) * 1e6 + 0.5) / 1e6
+               AS mean_after
+    FROM best WHERE rb = 1 ORDER BY seg
+    """,
+)
+def a65_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    daily = (
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).alias("dd"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("decimal(27,2)")
+            .alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("seg")
+        .orderBy("dd")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("seg")
+    cum = daily.select(
+        "seg",
+        "dd",
+        F.row_number().over(Window.partitionBy("seg").orderBy("dd")).alias(
+            "t"
+        ),
+        F.sum("rev").over(w).cast("decimal(27,2)").alias("st"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("rev").over(wp).cast("decimal(27,2)").alias("sn"),
+    )
+    scored = cum.where(F.col("t") < F.col("n")).withColumn(
+        "d",
+        F.abs(
+            F.col("n").cast("decimal(10,0)") * F.col("st")
+            - F.col("t").cast("decimal(10,0)") * F.col("sn")
+        ),
+    )
+    best = scored.withColumn(
+        "rb",
+        F.row_number().over(
+            Window.partitionBy("seg").orderBy(F.col("d").desc(), "dd")
+        ),
+    ).where(F.col("rb") == 1)
+    return best.select(
+        "seg",
+        F.col("n").cast("long").alias("n_days"),
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("dd")),
+            "yyyy-MM-dd",
+        ).alias("change_day"),
+        F.col("t").cast("long").alias("split_index"),
+        (
+            F.floor(F.col("d").cast("double") / F.col("n") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("cusum_stat"),
+        (
+            F.floor(
+                F.col("st").cast("double") / F.col("t") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_before"),
+        (
+            F.floor(
+                (F.col("sn") - F.col("st")).cast("double")
+                / (F.col("n") - F.col("t"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_after"),
+    ).orderBy("seg")

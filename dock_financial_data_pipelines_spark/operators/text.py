@@ -2621,3 +2621,150 @@ def l_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_jsd_source_divergence — pairwise Jensen-Shannon divergence between
+# the unigram token distributions of every source pair: the standard
+# "which crawl sources are interchangeable / which are distinct"
+# diagnostic a training-data mixer runs before collapsing sources into
+# a sampling weight. Distributions are over the global top-_JSD_TOP
+# tokens + <OTHER> (a bounded bin vocabulary, so the per-source vector
+# is ≤ _JSD_TOP+1 long no matter the corpus), Laplace-smoothed so every
+# bin share is strictly positive. Each 0.5·(p·ln(2p/(p+q)) +
+# q·ln(2q/(p+q))) term is cast to DECIMAL(27,9) before the cross-bin
+# sum (the PSI idiom — libm ulp noise cannot flip the hash). Plan:
+# map-side token explode + two hash aggregates; the pair join fans a
+# (sources × bins) grid — 20 sources × 31 bins here — through a bin
+# equi-join, never a doc-level join; JSD is symmetric so only s1 < s2
+# pairs are emitted.
+# ---------------------------------------------------------------------------
+_JSD_TOP = 30
+
+
+@query(
+    "l_jsd_source_divergence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    gtop AS (
+        SELECT tok,
+               row_number() OVER (ORDER BY sum(c) DESC, tok) AS rk
+        FROM counts GROUP BY tok
+        QUALIFY rk <= {_JSD_TOP}
+    ),
+    binned AS (
+        SELECT c.source,
+               CASE WHEN g.tok IS NOT NULL THEN c.tok
+                    ELSE '<OTHER>' END AS bin,
+               CAST(sum(c.c) AS BIGINT) AS n
+        FROM counts c LEFT JOIN gtop g ON c.tok = g.tok
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.source, b.bin
+        FROM (SELECT DISTINCT source FROM binned) s
+        CROSS JOIN (SELECT DISTINCT bin FROM binned) b
+    ),
+    filled AS (
+        SELECT g.source, g.bin, coalesce(b.n, 0) AS n,
+               sum(coalesce(b.n, 0)) OVER (PARTITION BY g.source) AS tot,
+               count(*) OVER (PARTITION BY g.source) AS nb
+        FROM grid g
+        LEFT JOIN binned b ON g.source = b.source AND g.bin = b.bin
+    ),
+    shares AS (
+        SELECT source, bin, (n + 1.0) / (tot + nb) AS p FROM filled
+    ),
+    terms AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(0.5 * (a.p * ln(2 * a.p / (a.p + b.p))
+                           + b.p * ln(2 * b.p / (a.p + b.p)))
+                    AS DECIMAL(27,9)) AS term
+        FROM shares a JOIN shares b
+          ON a.bin = b.bin AND a.source < b.source
+    )
+    SELECT src_a, src_b,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(CAST(sum(term) AS DECIMAL(27,9)) AS DOUBLE) AS jsd
+    FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def l_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "source", F.explode(_tokens()).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    gtop = (
+        counts.groupBy("tok")
+        .agg(F.sum("c").alias("gc"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("gc").desc(), "tok")),
+        )
+        .where(F.col("rk") <= _JSD_TOP)
+        .select("tok")
+    )
+    binned = (
+        counts.join(F.broadcast(gtop.withColumn("hit", F.lit(1))), "tok", "left")
+        .select(
+            "source",
+            F.when(F.col("hit").isNotNull(), F.col("tok"))
+            .otherwise("<OTHER>")
+            .alias("bin"),
+            "c",
+        )
+        .groupBy("source", "bin")
+        .agg(F.sum("c").cast("long").alias("n"))
+    )
+    grid = (
+        binned.select("source").distinct()
+        .crossJoin(F.broadcast(binned.select("bin").distinct()))
+    )
+    filled = grid.join(binned, ["source", "bin"], "left").select(
+        "source",
+        "bin",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    wsrc = Window.partitionBy("source")
+    shares = filled.select(
+        "source",
+        "bin",
+        (
+            (F.col("n") + 1.0)
+            / (F.sum("n").over(wsrc) + F.count(F.lit(1)).over(wsrc))
+        ).alias("p"),
+    )
+    a = shares.alias("a")
+    b = shares.alias("b")
+    p, q = F.col("a.p"), F.col("b.p")
+    terms = a.join(
+        b,
+        (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        (
+            0.5
+            * (
+                p * F.log(2 * p / (p + q))
+                + q * F.log(2 * q / (p + q))
+            )
+        )
+        .cast("decimal(27,9)")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum("term").cast("decimal(27,9)").cast("double").alias("jsd"),
+        )
+        .orderBy("src_a", "src_b")
+    )

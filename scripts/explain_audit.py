@@ -1487,6 +1487,60 @@ def main() -> int:
         "Generate explode" in p and "HashAggregate" in p,
     )
 
+    p = plan_of(spark, "a63_theil_sen_slope", execute=True)
+    check(
+        "a63_theil_sen_slope",
+        "pairwise-slope join is a seg equi-join over the last-N "
+        "compacted series (never all-days cartesian)",
+        "CartesianProduct" not in p
+        and ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+             or "BroadcastHashJoin" in p),
+    )
+
+    p = plan_of(spark, "a64_lead_lag_xcorr", execute=True)
+    check(
+        "a64_lead_lag_xcorr",
+        "lag fanout is a 15-row broadcast; series align via dd "
+        "equi-join, never cartesian",
+        "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "a65_changepoint_cusum", execute=True)
+    check(
+        "a65_changepoint_cusum",
+        "dim join broadcast; CUSUM scan is windows on the seg key "
+        "(no cartesian, no python eval)",
+        "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_revenue_recognition_daily", execute=True)
+    check(
+        "q_revenue_recognition_daily",
+        "cap-bounded schedule explode feeds hash aggregates "
+        "(no cartesian)",
+        "Generate explode" in p
+        and "HashAggregate" in p
+        and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "q_reorder_point_policy", execute=True)
+    check(
+        "q_reorder_point_policy",
+        "top-20 parts via TakeOrderedAndProject (no global sort "
+        "materialization of the parts table)",
+        "TakeOrderedAndProject" in p,
+    )
+
+    p = plan_of(spark, "l_jsd_source_divergence", execute=True)
+    check(
+        "l_jsd_source_divergence",
+        "top-token bin table and bin grid broadcast; pair join keys "
+        "on the bounded bin id, never doc-level cartesian",
+        "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
