@@ -1549,3 +1549,459 @@ def w27_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared daily-volume compaction for the volume-weighted indicators
+# (w31/w32): one row per day, so the downstream unpartitioned windows
+# run over at most #days rows no matter how large the events table is —
+# the only at-scale cost is the groupBy-day shuffle, identical to the
+# bars compaction.
+# ---------------------------------------------------------------------------
+_VOL_SQL = """
+    vol AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS vol
+        FROM events GROUP BY 1
+    )
+"""
+
+
+def _daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("vol"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W28 — MACD on the HOURLY closes: truncated-lag-polynomial EMAs (the
+# w9/w27 idiom — a FIXED per-row arithmetic expression, so both engines
+# evaluate the identical IEEE sequence; no recursive state). EMA_n uses
+# decay (n-1)/(n+1) over n explicit lag terms normalized by the
+# geometric sum (1-d^n)/(1-d); MACD = EMA12 - EMA26, signal = 9-term
+# EMA of MACD (decay 0.8), histogram = MACD - signal. Emitted only once
+# every lag is populated (rn >= 34) — hourly bars (not daily) so the
+# 34-bar warmup is satisfied at test scale; the compaction is still
+# one hash-aggregate, one row per hour, so the unpartitioned window
+# sees at most #hours rows at any corpus size. Restates the
+# trend-following step of a batch market-monitoring report; net-new vs
+# the reference.
+# ---------------------------------------------------------------------------
+_HCLOSE_SQL = """
+    hser AS (
+        SELECT hr, max(CASE WHEN rn_d = 1 THEN value END) AS close
+        FROM (
+            SELECT strftime(ts, '%Y-%m-%d %H') AS hr, value,
+                   row_number() OVER (
+                       PARTITION BY strftime(ts, '%Y-%m-%d %H')
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events)
+        GROUP BY 1
+    )
+"""
+
+
+def _hourly_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    base = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hr"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wd = Window.partitionBy("hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        base.select("hr", "value", F.row_number().over(wd).alias("rn_d"))
+        .groupBy("hr")
+        .agg(F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"))
+    )
+def _ema_poly_sql(col: str, decay: str, n: int) -> str:
+    terms = [f"{col}"] + [
+        f"lag({col}, {k}) OVER w * power({decay}, {k})" for k in range(1, n)
+    ]
+    return (
+        "(" + "\n                + ".join(terms) + ")\n"
+        f"               / ((1 - power({decay}, {n})) / (1 - {decay}))"
+    )
+
+
+def _ema_poly_spark(col: str, decay: float, n: int, wd) -> "F.Column":
+    num = F.col(col)
+    for k in range(1, n):
+        num = num + F.lag(col, k).over(wd) * F.pow(F.lit(decay), F.lit(k))
+    return num / ((1 - decay ** n) / (1 - decay))
+
+
+@query(
+    "w28_macd",
+    oracle=f"""
+    WITH {_HCLOSE_SQL},
+    ser AS (
+        SELECT hr, close, row_number() OVER (ORDER BY hr) AS rn
+        FROM hser
+    ),
+    ema AS (
+        SELECT hr, rn,
+               {_ema_poly_sql("close", "11.0/13.0", 12)} AS ema12,
+               {_ema_poly_sql("close", "25.0/27.0", 26)} AS ema26
+        FROM ser
+        WINDOW w AS (ORDER BY hr)
+    ),
+    macd AS (
+        SELECT hr, rn, ema12, ema26, ema12 - ema26 AS macd
+        FROM ema
+    ),
+    sig AS (
+        SELECT hr, rn, ema12, ema26, macd,
+               {_ema_poly_sql("macd", "0.8", 9)} AS signal
+        FROM macd
+        WINDOW w AS (ORDER BY hr)
+    )
+    SELECT hr,
+           floor(ema12 * 1e4 + 0.5) / 1e4 AS ema12,
+           floor(ema26 * 1e4 + 0.5) / 1e4 AS ema26,
+           floor(macd * 1e4 + 0.5) / 1e4 AS macd,
+           floor(signal * 1e4 + 0.5) / 1e4 AS signal,
+           floor((macd - signal) * 1e4 + 0.5) / 1e4 AS histogram
+    FROM sig WHERE rn >= 34
+    ORDER BY hr
+    """,
+)
+def w28_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_close(spark, sf_dir)
+    wd = Window.orderBy("hr")
+    base = bars.select(
+        "hr", "close", F.row_number().over(wd).alias("rn")
+    )
+    ema = base.select(
+        "hr",
+        "rn",
+        _ema_poly_spark("close", 11.0 / 13.0, 12, wd).alias("ema12"),
+        _ema_poly_spark("close", 25.0 / 27.0, 26, wd).alias("ema26"),
+    )
+    macd = ema.select(
+        "hr", "rn", "ema12", "ema26",
+        (F.col("ema12") - F.col("ema26")).alias("macd"),
+    )
+    sig = macd.select(
+        "hr", "rn", "ema12", "ema26", "macd",
+        _ema_poly_spark("macd", 0.8, 9, wd).alias("signal"),
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        sig.where(F.col("rn") >= 34)
+        .select(
+            "hr",
+            f4(F.col("ema12")).alias("ema12"),
+            f4(F.col("ema26")).alias("ema26"),
+            f4(F.col("macd")).alias("macd"),
+            f4(F.col("signal")).alias("signal"),
+            f4(F.col("macd") - F.col("signal")).alias("histogram"),
+        )
+        .orderBy("hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W29 — Aroon indicator over a trailing 25-bar window: days since the
+# 25-period high/low, tie broken to the MOST RECENT bar achieving the
+# extreme (stated explicitly so both engines agree). Formulated as an
+# rn-banded self-join (the a63 pattern — each anchor joins at most 25
+# bars, a hard bound at any corpus size because the series is the
+# one-row-per-day compaction), then a conditional max recovers the
+# latest rn attaining the window extreme; double equality against the
+# window max is exact because max returns one of the input values
+# bit-for-bit. aroon_up = 100*(25-days_since_high)/25 = 4*(25-days),
+# emitted as an exact INT.
+# ---------------------------------------------------------------------------
+@query(
+    "w29_aroon",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    ser AS (
+        SELECT day, high, low, row_number() OVER (ORDER BY day) AS rn
+        FROM bars
+    ),
+    pairs AS (
+        SELECT a.day, a.rn, b.rn AS brn, b.high AS bhigh, b.low AS blow
+        FROM ser a JOIN ser b
+          ON b.rn BETWEEN a.rn - 24 AND a.rn
+        WHERE a.rn >= 25
+    ),
+    ext AS (
+        SELECT day, rn, max(bhigh) AS h25, min(blow) AS l25
+        FROM pairs GROUP BY 1, 2
+    ),
+    arg AS (
+        SELECT p.day, p.rn,
+               max(CASE WHEN p.bhigh = e.h25 THEN p.brn END) AS hi_rn,
+               max(CASE WHEN p.blow = e.l25 THEN p.brn END) AS lo_rn
+        FROM pairs p JOIN ext e ON p.rn = e.rn
+        GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(rn - hi_rn AS INT) AS days_since_high,
+           CAST(rn - lo_rn AS INT) AS days_since_low,
+           CAST((25 - (rn - hi_rn)) * 4 AS INT) AS aroon_up,
+           CAST((25 - (rn - lo_rn)) * 4 AS INT) AS aroon_down
+    FROM arg ORDER BY day
+    """,
+)
+def w29_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    wd = Window.orderBy("day")
+    base = bars.select(
+        "day", "high", "low", F.row_number().over(wd).alias("rn")
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.rn") >= F.col("a.rn") - 24)
+            & (F.col("b.rn") <= F.col("a.rn")),
+        )
+        .where(F.col("a.rn") >= 25)
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.rn").alias("rn"),
+            F.col("b.rn").alias("brn"),
+            F.col("b.high").alias("bhigh"),
+            F.col("b.low").alias("blow"),
+        )
+    )
+    ext = pairs.groupBy("day", "rn").agg(
+        F.max("bhigh").alias("h25"), F.min("blow").alias("l25")
+    )
+    arg = (
+        pairs.join(ext.select("rn", "h25", "l25"), "rn")
+        .groupBy("day", "rn")
+        .agg(
+            F.max(
+                F.when(F.col("bhigh") == F.col("h25"), F.col("brn"))
+            ).alias("hi_rn"),
+            F.max(
+                F.when(F.col("blow") == F.col("l25"), F.col("brn"))
+            ).alias("lo_rn"),
+        )
+    )
+    return arg.select(
+        "day",
+        (F.col("rn") - F.col("hi_rn")).cast("int").alias("days_since_high"),
+        (F.col("rn") - F.col("lo_rn")).cast("int").alias("days_since_low"),
+        ((25 - (F.col("rn") - F.col("hi_rn"))) * 4)
+        .cast("int")
+        .alias("aroon_up"),
+        ((25 - (F.col("rn") - F.col("lo_rn"))) * 4)
+        .cast("int")
+        .alias("aroon_down"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# W30 — Ulcer index: per-bar percentage drawdown from the trailing
+# 14-bar max close (a per-row double — identical on both engines), then
+# UI = sqrt(mean of the 14 squared drawdowns), the squared terms
+# DECIMAL-cast before the window sum. Two chained windows over the
+# daily compaction; emitted once both are full (rn >= 27). Positive
+# closes only (drawdown of a non-positive price series is undefined).
+# ---------------------------------------------------------------------------
+@query(
+    "w30_ulcer_index",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    ser AS (
+        SELECT day, close, row_number() OVER (ORDER BY day) AS rn
+        FROM bars WHERE close > 0
+    ),
+    dd AS (
+        SELECT day, rn,
+               100.0 * (close - max(close) OVER w14)
+                     / max(close) OVER w14 AS ddown
+        FROM ser
+        WINDOW w14 AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    ui AS (
+        SELECT day, rn, ddown,
+               CAST(sum(CAST(ddown * ddown AS DECIMAL(27,10))) OVER w14
+                    AS DOUBLE) / 14 AS msq,
+               count(*) OVER w14 AS n
+        FROM dd
+        WINDOW w14 AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           floor(ddown * 1e6 + 0.5) / 1e6 AS drawdown_pct,
+           floor(sqrt(msq) * 1e6 + 0.5) / 1e6 AS ulcer_index
+    FROM ui WHERE rn >= 27 AND n = 14
+    ORDER BY day
+    """,
+)
+def w30_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir).where(F.col("close") > 0)
+    wd = Window.orderBy("day")
+    w14 = Window.orderBy("day").rowsBetween(-13, 0)
+    base = bars.select("day", "close", F.row_number().over(wd).alias("rn"))
+    mx = F.max("close").over(w14)
+    dd = base.select(
+        "day",
+        "rn",
+        (100.0 * (F.col("close") - mx) / mx).alias("ddown"),
+    )
+    ui = dd.select(
+        "day",
+        "rn",
+        "ddown",
+        (
+            F.sum(
+                (F.col("ddown") * F.col("ddown")).cast("decimal(27,10)")
+            )
+            .over(w14)
+            .cast("double")
+            / 14
+        ).alias("msq"),
+        F.count(F.lit(1)).over(w14).alias("n"),
+    )
+    f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        ui.where((F.col("rn") >= 27) & (F.col("n") == 14))
+        .select(
+            "day",
+            f6(F.col("ddown")).alias("drawdown_pct"),
+            f6(F.sqrt(F.col("msq"))).alias("ulcer_index"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W31 — on-balance volume: cumulative signed daily event volume, the
+# sign taken from the close-to-close direction. All-integer arithmetic
+# (BIGINT volume × {-1,0,+1}, cumulative BIGINT sum) — exact at any
+# scale and order-independent. The first bar contributes 0 (no prior
+# close). Joins the two per-day compactions on the day key.
+# ---------------------------------------------------------------------------
+@query(
+    "w31_obv",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    {_VOL_SQL},
+    seq AS (
+        SELECT b.day, b.close, v.vol,
+               lag(b.close) OVER (ORDER BY b.day) AS pc
+        FROM bars b JOIN vol v ON b.day = v.day
+    ),
+    signed AS (
+        SELECT day, vol,
+               CASE WHEN pc IS NULL OR close = pc THEN 0
+                    WHEN close > pc THEN 1 ELSE -1 END AS direction
+        FROM seq
+    )
+    SELECT day, CAST(direction AS INT) AS direction, vol,
+           CAST(sum(direction * vol) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS obv
+    FROM signed ORDER BY day
+    """,
+)
+def w31_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    vol = _daily_volume(spark, sf_dir)
+    wd = Window.orderBy("day")
+    seq = bars.join(vol, "day").select(
+        "day", "close", "vol", F.lag("close").over(wd).alias("pc")
+    )
+    signed = seq.select(
+        "day",
+        "vol",
+        F.when(F.col("pc").isNull() | (F.col("close") == F.col("pc")), 0)
+        .when(F.col("close") > F.col("pc"), 1)
+        .otherwise(-1)
+        .alias("direction"),
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return signed.select(
+        "day",
+        F.col("direction").cast("int").alias("direction"),
+        "vol",
+        F.sum(F.col("direction") * F.col("vol"))
+        .over(wc)
+        .cast("long")
+        .alias("obv"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# W32 — Chaikin money flow over 20 bars: money-flow multiplier
+# ((C-L)-(H-C))/(H-L) (0 when H=L, stated identically in both engines),
+# money-flow volume = multiplier × BIGINT day volume, CMF = Σ20 MFV /
+# Σ20 vol with the MFV terms DECIMAL-cast before the window sum and the
+# volume sum exact BIGINT. Same two-compaction join + one window plan
+# as w31.
+# ---------------------------------------------------------------------------
+@query(
+    "w32_chaikin_money_flow",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    {_VOL_SQL},
+    mf AS (
+        SELECT b.day, v.vol,
+               CASE WHEN b.high = b.low THEN 0.0
+                    ELSE ((b.close - b.low) - (b.high - b.close))
+                         / (b.high - b.low) END AS mfm
+        FROM bars b JOIN vol v ON b.day = v.day
+    ),
+    win AS (
+        SELECT day,
+               floor(mfm * 1e6 + 0.5) / 1e6 AS mfm,
+               CAST(sum(CAST(mfm * vol AS DECIMAL(27,8))) OVER w20
+                    AS DOUBLE) AS mfv20,
+               CAST(sum(vol) OVER w20 AS BIGINT) AS vol20,
+               count(*) OVER w20 AS n
+        FROM mf
+        WINDOW w20 AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, mfm, vol20,
+           floor(mfv20 / vol20 * 1e6 + 0.5) / 1e6 AS cmf
+    FROM win WHERE n = 20 ORDER BY day
+    """,
+)
+def w32_chaikin_money_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    vol = _daily_volume(spark, sf_dir)
+    mf = bars.join(vol, "day").select(
+        "day",
+        "vol",
+        F.when(F.col("high") == F.col("low"), F.lit(0.0))
+        .otherwise(
+            ((F.col("close") - F.col("low")) - (F.col("high") - F.col("close")))
+            / (F.col("high") - F.col("low"))
+        )
+        .alias("mfm"),
+    )
+    w20 = Window.orderBy("day").rowsBetween(-19, 0)
+    f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    win = mf.select(
+        "day",
+        f6(F.col("mfm")).alias("mfm"),
+        F.sum((F.col("mfm") * F.col("vol")).cast("decimal(27,8)"))
+        .over(w20)
+        .cast("double")
+        .alias("mfv20"),
+        F.sum("vol").over(w20).cast("long").alias("vol20"),
+        F.count(F.lit(1)).over(w20).alias("n"),
+    )
+    return (
+        win.where(F.col("n") == 20)
+        .select(
+            "day",
+            "mfm",
+            "vol20",
+            f6(F.col("mfv20") / F.col("vol20")).alias("cmf"),
+        )
+        .orderBy("day")
+    )

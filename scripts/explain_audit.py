@@ -1541,6 +1541,52 @@ def main() -> int:
         "BroadcastHashJoin" in p and "CartesianProduct" not in p,
     )
 
+    p = plan_of(spark, "w28_macd", execute=True)
+    check(
+        "w28_macd",
+        "EMA lag-polynomials are pure window expressions over the "
+        "hourly-close compaction; no join, no Python",
+        "Window" in p and "HashAggregate" in p
+        and "BatchEvalPython" not in p and "Join" not in p,
+    )
+
+    p = plan_of(spark, "w29_aroon", execute=True)
+    check(
+        "w29_aroon",
+        "25-bar banded self-join runs on the one-row-per-day "
+        "compaction (bounded broadcast NLJ, never a fact-table "
+        "cartesian); argmax recovered via broadcast equi-join",
+        "BroadcastNestedLoopJoin" in p and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w30_ulcer_index", execute=True)
+    check(
+        "w30_ulcer_index",
+        "two chained 14-bar windows over the daily compaction; "
+        "no join, no Python",
+        "Window" in p and "HashAggregate" in p
+        and "BatchEvalPython" not in p and "Join" not in p,
+    )
+
+    p = plan_of(spark, "w31_obv", execute=True)
+    check(
+        "w31_obv",
+        "bars and volume compactions join broadcast on day; "
+        "all-integer cumulative window; no cartesian, no Python",
+        "BroadcastHashJoin" in p and "Window" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w32_chaikin_money_flow", execute=True)
+    check(
+        "w32_chaikin_money_flow",
+        "same two-compaction broadcast day-join as w31; 20-bar "
+        "decimal-summed window; no cartesian, no Python",
+        "BroadcastHashJoin" in p and "Window" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
