@@ -67,6 +67,12 @@ _SWEEP_FIRST = [
     # rewritten in r7) re-queues at slot 18 via _STALE_BEFORE; round-8
     # registrations (absent from both lists) queue from slot 19 via
     # class 3, filling the remaining 32-slot budget.
+    # Round-8 registrations stopped at 36 (31 class-3 in-budget +
+    # w28-w32 at slots 51-55, a deliberate 5-entry overhang committed
+    # with full builder evidence). ROUND-9 PLAN: put w28_macd,
+    # w29_aroon, w30_ulcer_index, w31_obv, w32_chaikin_money_flow in
+    # slots 1-5 of the next _SWEEP_FIRST and budget r9 additions at
+    # <= 45 so the overhang clears immediately.
     # SQL-oracled, never driver-checked (slots 1-17)
     "q_intercompany_elimination",
     "q_fifo_inventory",
