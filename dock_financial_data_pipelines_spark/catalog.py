@@ -116,6 +116,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_parquet_or_empty(
+    spark: SparkSession, path: str, schema, **options
+) -> DataFrame:
+    """Read back a parquet path/glob written by this engine, returning
+    an empty DataFrame with the given schema when nothing was written.
+
+    A 0-row dynamic-partitioned write produces no partition directories
+    and a foreachBatch sink with no triggered batches produces no
+    batch_id dirs, so a bare ``spark.read.parquet`` on the round-trip
+    path throws UNABLE_TO_INFER_SCHEMA / PATH_NOT_FOUND. Empty daily
+    partitions are routine at production scale — a publish-then-read
+    pipeline must treat them as empty relations, not errors. The
+    explicit schema also decouples read-back from schema inference.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.options(**options).schema(schema).parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
 def _normalize_nanos(df: DataFrame) -> DataFrame:
     """Normalize fixture timestamp flavors to session-timezone TIMESTAMP:
 

@@ -134,6 +134,11 @@ def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_quantity), 2) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- Engine semantics: no input, no rows. Spark's rollup emits nothing
+    -- on an empty relation; drop SQL's empty grand-total artifact (on
+    -- non-empty input every rollup row aggregates >= 1 row, so this
+    -- never changes a real result).
+    HAVING count(*) >= 1
     """,
 )
 def a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,6 +160,7 @@ def a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)::DOUBLE AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING count(*) >= 1  -- engine semantics: no input, no rows (a4_rollup note)
     """,
 )
 def a4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,6 +267,7 @@ def a7_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority, count(*) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING count(*) >= 1  -- engine semantics: no input, no rows (a4_rollup note)
     """,
 )
 def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,11 +463,14 @@ def a18_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.crossJoin(exact).select(
         "exact_users",
         "n_daily_sketches",
-        (
+        # Vacuously true on an empty corpus (0/0 is no tolerance claim).
+        F.when(F.col("exact_users") == 0, F.lit(True))
+        .otherwise(
             F.abs(F.col("est_users") - F.col("exact_users"))
             / F.col("exact_users")
             <= 0.05
-        ).alias("merged_within_5pct"),
+        )
+        .alias("merged_within_5pct"),
     )
 
 
@@ -486,6 +496,7 @@ def a18_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     GROUP BY GROUPING SETS ((day), (month), ())
+    HAVING count(*) >= 1  -- engine semantics: no input, no rows (a4_rollup note)
     """,
 )
 def a19_time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -560,7 +560,17 @@ def g_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == F.expr("(n + 1) div 2"))
         .select(F.col("d").alias("k"))
     )
-    k = kval.collect()[0]["k"]  # scalar: the peel threshold (driver-safe)
+    krows = kval.collect()  # scalar: the peel threshold (driver-safe)
+    if not krows:
+        # Empty graph: every peel round holds 0 nodes / 0 edges, the
+        # median degree k is undefined (NULL), and the peel is trivially
+        # converged — the same ladder the oracle's CTE chain emits.
+        return spark.createDataFrame(
+            [(i, 0, 0, None, True) for i in range(_KCORE_ROUNDS + 1)],
+            "round INT, n_nodes BIGINT, n_edges BIGINT, k BIGINT, "
+            "converged BOOLEAN",
+        ).orderBy("round")
+    k = krows[0]["k"]
     active = d0.select(F.col("src").alias("node"))
     counts = [(0, active.count(), e.count() // 2)]
     cur_edges = e

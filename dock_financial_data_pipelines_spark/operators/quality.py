@@ -3148,6 +3148,7 @@ def w25_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(CAST(sum(net_c + tax_c) AS DOUBLE) / 100 * 1e2 + 0.5) / 1e2
                AS gross_amount
     FROM lines GROUP BY ROLLUP (rate_bp)
+    HAVING count(*) >= 1  -- engine semantics: no input, no rows (a4_rollup note)
     ORDER BY rate_bp
     """,
 )

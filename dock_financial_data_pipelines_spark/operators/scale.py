@@ -1756,6 +1756,7 @@ def a45_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / (max(n1) * max(n2)))
                   * max(n1) * max(n2) AS BOOLEAN) AS distributions_differ
     FROM cum
+    HAVING max(n1) > 0 AND max(n2) > 0  -- two-sample test needs both arms
     """,
 )
 def a46_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1792,6 +1793,8 @@ def a46_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2, mg = F.col("n1"), F.col("n2"), F.col("max_gap")
     crit = 1.358 * F.sqrt((n1 + n2).cast("double") / (n1 * n2))
+    # A two-sample test with an empty arm is undefined — emit nothing.
+    agg = agg.where((n1 > 0) & (n2 > 0))
     return agg.select(
         n1.cast("long").alias("n_urgent"),
         n2.cast("long").alias("n_low"),
@@ -1979,6 +1982,7 @@ _BOOT_HI = -(-975 * _BOOT_B // 1000)  # ceil(0.975·B)
            (SELECT floor(CAST(sum_rev AS DOUBLE) / (SELECT n FROM nn)
                          * 1e6 + 0.5) / 1e6
             FROM ranked WHERE rn = {_BOOT_HI}) AS ci_hi
+    FROM nn WHERE nn.n > 0  -- bootstrap of an empty series is undefined
     """,
 )
 def a48_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1994,7 +1998,11 @@ def a48_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = daily.agg(F.count(F.lit(1)).alias("n"))
     picks = (
-        nn.select(
+        # n > 0 guard: on an empty series sequence(1, 0) would DESCEND
+        # ([1, 0]) and the pick modulo would divide by zero — the whole
+        # statistic is undefined there, so emit nothing instead.
+        nn.where(F.col("n") > 0)
+        .select(
             F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"), "n"
         )
         .select("b", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"), "n")
@@ -2410,7 +2418,9 @@ _SQ_K = 500
                  / (SELECT e.v FROM exact e, nn
                     WHERE e.re = CAST(ceil(q * nn.n) AS BIGINT))
                  * 1e6 + 0.5) / 1e6 AS rel_error
-    FROM qs ORDER BY q
+    FROM qs, nn
+    WHERE nn.n > 0  -- quantiles of an empty relation are undefined
+    ORDER BY q
     """,
 )
 def a52_sample_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2834,6 +2844,7 @@ def a55_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
                      > (n - 1) + 2 * sqrt(2.0 * (n - 1))
                 THEN 1 ELSE 0 END AS overdispersed
     FROM t
+    WHERE n >= 2 AND s > 0  -- dispersion undefined below 2 days
     """,
 )
 def a56_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2849,6 +2860,9 @@ def a56_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
     chi2 = num / F.col("s").cast("double")
+    # Dispersion of an empty/one-day series is undefined (and the n-1
+    # critical value would take sqrt of a negative) — emit nothing.
+    t = t.where((F.col("n") >= 2) & (F.col("s") > 0))
     return t.select(
         F.col("n").cast("long").alias("n_days"),
         F.col("s").cast("long").alias("total_orders"),
@@ -3010,11 +3024,13 @@ def a57_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(within_ss * 1e2 + 0.5) / 1e2 AS within_ss,
            -- degenerate designs (k<2 groups, or zero within-group
            -- spread) have no defined W: NULL on both engines
-           CASE WHEN k < 2 OR within_ss = 0 THEN NULL
+           CASE WHEN k IS NULL OR k < 2 OR within_ss = 0 THEN NULL
                 ELSE floor((CAST(nn - k AS DOUBLE) / (k - 1))
                      * (between_ss / within_ss) * 1e6 + 0.5) / 1e6 END
                AS w_stat,
-           CASE WHEN k < 2 OR within_ss = 0 THEN NULL
+           -- k IS NULL (empty input) must short-circuit like k < 2:
+           -- without it the NULL comparison falls through to ELSE 0.
+           CASE WHEN k IS NULL OR k < 2 OR within_ss = 0 THEN NULL
                 WHEN (CAST(nn - k AS DOUBLE) / (k - 1))
                      * (between_ss / within_ss) > 2.372 THEN 1 ELSE 0 END
                AS heteroscedastic_95
@@ -3341,6 +3357,7 @@ _PH_LAMBDA = 100000.0
         (SELECT CAST(count(*) AS BIGINT) FROM ph) AS n_days,
         (SELECT CAST(count(*) AS BIGINT) FROM ph
          WHERE ph > {_PH_LAMBDA}) AS n_alarm_days
+    WHERE EXISTS (SELECT 1 FROM ph)  -- no series, no detector readout
     """,
 )
 def a61_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:

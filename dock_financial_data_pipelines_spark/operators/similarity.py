@@ -640,7 +640,8 @@ def l5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.vec_id < 10
     )
     SELECT count(*) AS n_pairs,
-           max(abs(cos_f - cos_q)) <= 0.02 AS max_err_le_2pct
+           CASE WHEN count(*) = 0 THEN TRUE  -- vacuous on no pairs
+                ELSE max(abs(cos_f - cos_q)) <= 0.02 END AS max_err_le_2pct
     FROM pairs
     """,
 )
@@ -689,7 +690,12 @@ def l9_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
             F.max(F.abs(F.col("cos_f") - F.col("cos_q"))).alias("_max_err"),
         )
-        .select("n_pairs", (F.col("_max_err") <= 0.02).alias("max_err_le_2pct"))
+        .select(
+            "n_pairs",
+            F.when(F.col("n_pairs") == 0, F.lit(True))  # vacuous on no pairs
+            .otherwise(F.col("_max_err") <= 0.02)
+            .alias("max_err_le_2pct"),
+        )
     )
 
 
@@ -1045,6 +1051,8 @@ def l_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PCA_ITERS - 1):
         rows = matvec_frame(v).collect()  # dim-sized vector only
         wvec = {int(r["pos"]): int(r["w"]) for r in rows}
+        if not wvec:
+            break  # empty corpus: every matvec is empty, output is too
         m = max(abs(x) for x in wvec.values())
         v = [
             (-1 if wvec[d] < 0 else 1) * ((abs(wvec[d]) * 4096) // m)
@@ -1730,8 +1738,9 @@ def _nprobe_curve_oracle() -> str:
            CAST(tt.nq AS BIGINT) AS n_queries,
            CAST(tt.n_truth AS BIGINT) AS n_truth,
            CAST(h.c AS BIGINT) AS n_hits,
-           floor(CAST(h.c AS DOUBLE) / tt.n_truth * 1e6 + 0.5) / 1e6
-               AS recall_at_5
+           CASE WHEN tt.n_truth = 0 THEN NULL
+                ELSE floor(CAST(h.c AS DOUBLE) / tt.n_truth * 1e6 + 0.5)
+                     / 1e6 END AS recall_at_5
     FROM hits h CROSS JOIN tt
     ORDER BY nprobe
     """
@@ -1825,13 +1834,16 @@ def l_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nq").cast("long").alias("n_queries"),
             F.col("n_truth").cast("long").alias("n_truth"),
             F.col("c").cast("long").alias("n_hits"),
-            (
+            # Recall of an empty truth set is undefined, not a crash.
+            F.when(F.col("n_truth") == 0, F.lit(None).cast("double"))
+            .otherwise(
                 F.floor(
                     F.col("c").cast("double") / F.col("n_truth") * 1e6
                     + F.lit(0.5)
                 )
                 / 1e6
-            ).alias("recall_at_5"),
+            )
+            .alias("recall_at_5"),
         )
         .orderBy("nprobe")
     )

@@ -598,11 +598,13 @@ def l_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+    # count(when) not sum(when): sum over an empty corpus is NULL, the
+    # oracle's count(*) is 0.
     counts = docs.agg(
-        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        F.count(F.when(F.col("split") == "test", 1))
         .cast("bigint")
         .alias("n_test_docs"),
-        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        F.count(F.when(F.col("split") == "train", 1))
         .cast("bigint")
         .alias("n_train_docs"),
     )

@@ -1055,6 +1055,7 @@ def l_sft_format_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(-CAST(sum(t) AS DOUBLE) / sum(n12) * 1e6 + 0.5) / 1e6
                AS cross_entropy_nats
     FROM terms
+    HAVING count(*) >= 1  -- no bigrams, no model: emit nothing
     """,
 )
 def l_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1292,6 +1293,7 @@ def l_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(-CAST(sum(tao) AS DOUBLE) / sum(n12) * 1e6 + 0.5) / 1e6
                AS addone_cross_entropy_nats
     FROM terms
+    HAVING count(*) >= 1  -- no bigrams, no model: emit nothing
     """,
 )
 def l_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1340,21 +1342,29 @@ def l_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n12") * p_ao).cast("decimal(27,9)").alias("tao"),
         )
     )
-    return terms.crossJoin(F.broadcast(tt)).agg(
-        F.sum("n12").cast("long").alias("n_bigram_tokens"),
-        F.max("t").cast("long").alias("n_bigram_types"),
-        (
-            F.floor(
-                -F.sum("tkn").cast("double") / F.sum("n12") * 1e6 + F.lit(0.5)
-            )
-            / 1e6
-        ).alias("kn_cross_entropy_nats"),
-        (
-            F.floor(
-                -F.sum("tao").cast("double") / F.sum("n12") * 1e6 + F.lit(0.5)
-            )
-            / 1e6
-        ).alias("addone_cross_entropy_nats"),
+    return (
+        terms.crossJoin(F.broadcast(tt))
+        .agg(
+            F.sum("n12").cast("long").alias("n_bigram_tokens"),
+            F.max("t").cast("long").alias("n_bigram_types"),
+            (
+                F.floor(
+                    -F.sum("tkn").cast("double") / F.sum("n12") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("kn_cross_entropy_nats"),
+            (
+                F.floor(
+                    -F.sum("tao").cast("double") / F.sum("n12") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("addone_cross_entropy_nats"),
+        )
+        # No bigrams, no model: drop the NULL row the global aggregate
+        # emits on an empty corpus (mirrors the oracle's HAVING).
+        .where(F.col("n_bigram_tokens").isNotNull())
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import dec_sum, load
+from dock_financial_data_pipelines_spark.catalog import dec_sum, load, read_parquet_or_empty
 from dock_financial_data_pipelines_spark.registry import query
 from dock_financial_data_pipelines_spark.sources.sinks import write_partitioned
 
@@ -159,15 +159,25 @@ def pipeline_daily_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the reference's replace=True idempotence, REPORT:172).
     run_daily_pipeline(spark, sf_dir, "1998-12-31", out)
     run_daily_pipeline(spark, sf_dir, "1998-12-31", out)
+    # Read back with the report's own schema: a publish of an empty
+    # customer base writes no partition dirs, and the summary must then
+    # be the 1-row zero report the oracle states (count 0, NULL total),
+    # not a read error. The global aggregate equals the old per-
+    # partition groupBy on any non-empty publish (one report_date), and
+    # still catches broken idempotence: an append instead of a dynamic
+    # overwrite doubles n_customers and fails the hash.
+    report_schema = balance_report(spark, sf_dir, "1998-12-31").schema
     return (
-        spark.read.parquet(out)
-        # Partition-column type inference reads report_date back as DATE;
-        # cast to string to match the written value and the oracle.
-        .groupBy(F.col("report_date").cast("string").alias("report_date"))
+        read_parquet_or_empty(spark, out, report_schema)
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.sum(F.col("total_billed").cast("decimal(27,2)")), 2)
             .cast("double")
             .alias("total_billed_all"),
+        )
+        .select(
+            F.lit("1998-12-31").alias("report_date"),
+            "n_customers",
+            "total_billed_all",
         )
     )

@@ -38,7 +38,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from dock_financial_data_pipelines_spark.catalog import dec_sum, load, sf_tag
+from dock_financial_data_pipelines_spark.catalog import (
+    dec_sum,
+    load,
+    read_parquet_or_empty,
+    sf_tag,
+)
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -392,9 +397,11 @@ def s10_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Fragmented layout: default parallelism → many files per day.
         ev.repartition(8).write.mode("overwrite").partitionBy("day").parquet(frag)
         # Compaction: repartition BY the partition column → exactly one
-        # task (one file) per day partition.
+        # task (one file) per day partition. An empty source writes no
+        # partition dirs at all — read back with the source schema so
+        # the compaction of an empty day is an empty relation.
         (
-            spark.read.option("basePath", frag).parquet(frag)
+            read_parquet_or_empty(spark, frag, ev.schema)
             .repartition("day")
             .write.mode("overwrite")
             .partitionBy("day")
@@ -405,13 +412,16 @@ def s10_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_frag = len(glob.glob(os.path.join(frag, "day=*", "*.parquet")))
     n_tight = len(glob.glob(os.path.join(tight, "day=*", "*.parquet")))
     return (
-        spark.read.option("basePath", tight).parquet(tight)
+        read_parquet_or_empty(spark, tight, ev.schema)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("day").alias("n_days"),
             dec_sum("value", scale=6).alias("total_value"),
         )
-        .withColumn("compacted_fewer_files", F.lit(n_tight < n_frag))
+        # Vacuously true when there was nothing to compact.
+        .withColumn(
+            "compacted_fewer_files", F.lit(n_frag == 0 or n_tight < n_frag)
+        )
     )
 
 
@@ -436,25 +446,27 @@ def s10_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s12_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _workdir(f"rollup_{sf_tag(sf_dir)}")
     marker = os.path.join(base, "_built")
-    if not os.path.exists(marker):
-        daily = (
-            load(spark, sf_dir, "events")
-            .groupBy(
-                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-                "user_id",
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_value"),
-            )
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
         )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_value"),
+        )
+    )
+    if not os.path.exists(marker):
         daily.write.mode("overwrite").partitionBy("day").parquet(
             os.path.join(base, "daily")
         )
         with open(marker, "w") as fh:
             fh.write("ok")
-    rollups = spark.read.option("basePath", os.path.join(base, "daily")).parquet(
-        os.path.join(base, "daily")
+    # An empty source day writes no partition dirs — an empty MV, not an
+    # error (daily.schema keeps the read-back contract explicit).
+    rollups = read_parquet_or_empty(
+        spark, os.path.join(base, "daily"), daily.schema
     )
     # Partition-pruned merge: only the 14 daily rollups in range are read.
     return (

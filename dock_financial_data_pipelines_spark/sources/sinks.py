@@ -17,7 +17,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import load, read_parquet_or_empty
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -115,7 +115,7 @@ def s5_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     last_year = orders.agg(F.max("order_year")).collect()[0][0]
     write_partitioned(orders.where(F.col("order_year") == last_year), out, "order_year")
     return (
-        spark.read.parquet(out)
+        read_parquet_or_empty(spark, out, orders.schema)
         .groupBy(F.col("order_year").cast("bigint").alias("order_year"))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -278,28 +278,50 @@ def _register_query() -> None:
         import tempfile
         import uuid
 
+        from pyspark.sql.types import (
+            BinaryType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
         zip_dir = _build_zip_fixture(spark, sf_dir)
         remote = LocalDirRemote(root=os.path.dirname(zip_dir))
         remote_dir = os.path.basename(zip_dir)
 
-        sensor = Sensor(remote=remote, path=remote_dir, attempts=3)
-        sensor.wait_for(lambda name: name.endswith(".zip"))  # file landed?
-
-        landing = os.path.join(
-            tempfile.gettempdir(), "dock_fdp_spark", "landing", uuid.uuid4().hex
+        # An empty document corpus produces no archives to land: the
+        # flow's day is simply empty (the sensor contract — failing when
+        # an EXPECTED file never lands — is exercised by the transport
+        # tests; a day with nothing to publish is not that case).
+        has_zips = any(
+            n.endswith(".zip") for n in remote.listdir(remote_dir)
         )
-        for name in remote.listdir(remote_dir):
-            if name.endswith(".zip"):
-                transfer_to_landing(
-                    remote, os.path.join(remote_dir, name), landing
-                )
-
-        binary = (
-            spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.zip")
-            .load(landing)
-            .select("path", "content")
+        bin_schema = StructType(
+            [StructField("path", StringType()),
+             StructField("content", BinaryType())]
         )
+        if not has_zips:
+            binary = spark.createDataFrame([], bin_schema)
+        else:
+            sensor = Sensor(remote=remote, path=remote_dir, attempts=3)
+            sensor.wait_for(lambda name: name.endswith(".zip"))
+
+            landing = os.path.join(
+                tempfile.gettempdir(), "dock_fdp_spark", "landing",
+                uuid.uuid4().hex,
+            )
+            for name in remote.listdir(remote_dir):
+                if name.endswith(".zip"):
+                    transfer_to_landing(
+                        remote, os.path.join(remote_dir, name), landing
+                    )
+
+            binary = (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.zip")
+                .load(landing)
+                .select("path", "content")
+            )
         return unzip_binary_files(binary).agg(
             F.count(F.lit(1)).alias("n_entries"),
             F.sum("entry_bytes").alias("total_bytes"),

@@ -36,7 +36,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from dock_financial_data_pipelines_spark.catalog import dec_sum, events_stream_source, sf_tag
+from dock_financial_data_pipelines_spark.catalog import (
+    dec_sum,
+    events_stream_source,
+    read_parquet_or_empty,
+    sf_tag,
+)
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -514,18 +519,25 @@ def x9_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(sink, f"batch_id={batch_id}"))
         )
 
+    stream = _events_stream_multibatch(spark, sf_dir)
     with _stream_partitions(spark):
         q = (
-            _events_stream_multibatch(spark, sf_dir)
-            .writeStream.foreachBatch(upsert)
+            stream.writeStream.foreachBatch(upsert)
             .option("checkpointLocation", os.path.join(scratch, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+    # An empty source triggers no batches, so the batch_id=* glob can
+    # match nothing — an empty sink, not an error. ingest_date is a
+    # partition directory; naming it in the schema fills it on read.
+    from pyspark.sql.types import StringType as _Str
+    sink_schema = stream.schema.add("ingest_date", _Str())
     return (
-        spark.read.option("basePath", sink)
-        .parquet(os.path.join(sink, "batch_id=*"))
+        read_parquet_or_empty(
+            spark, os.path.join(sink, "batch_id=*"), sink_schema,
+            basePath=sink,
+        )
         .groupBy("ingest_date")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -842,8 +854,10 @@ def x8_incremental_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    # A 0-row stream leaves the parquet sink without data files; read
+    # back with the stream's schema so an empty day is an empty sink.
     return (
-        spark.read.parquet(sink)
+        read_parquet_or_empty(spark, sink, enriched.schema)
         .groupBy("ingest_date")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
