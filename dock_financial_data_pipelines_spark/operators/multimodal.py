@@ -91,7 +91,9 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_assets,
-           CAST(sum(length(text)) AS BIGINT) AS total_bytes
+           -- strlen = UTF-8 BYTES (the binary payload's length);
+           -- length() counts codepoints and diverges on multibyte text
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
     FROM documents GROUP BY 1
     """,
 )
@@ -116,7 +118,7 @@ def l7_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(doc_id % 10 AS BIGINT) AS shard,
            count(*) AS n_assets,
-           CAST(sum(least(length(text), 32)) AS BIGINT) AS sampled_bytes
+           CAST(sum(least(strlen(text), 32)) AS BIGINT) AS sampled_bytes
     FROM documents GROUP BY 1
     """,
 )
@@ -172,8 +174,8 @@ def resize_assets(assets: DataFrame, budget: int = _RESIZE_BUDGET) -> DataFrame:
     "l7_resize_stub",
     oracle=f"""
     SELECT count(*) AS n_assets,
-           CAST(sum(least(length(text), {_RESIZE_BUDGET})) AS BIGINT) AS total_out_bytes,
-           CAST(sum(length(text)) AS BIGINT) AS total_in_bytes
+           CAST(sum(least(strlen(text), {_RESIZE_BUDGET})) AS BIGINT) AS total_out_bytes,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_in_bytes
     FROM documents
     """,
 )
@@ -203,7 +205,9 @@ def l7_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT md5(text) AS content_md5,
            count(*) AS n_copies,
            min(doc_id) AS kept_asset,
-           CAST(sum(length(text)) AS BIGINT) AS total_bytes
+           -- strlen = UTF-8 BYTES (the binary payload's length);
+           -- length() counts codepoints and diverges on multibyte text
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
     FROM documents
     GROUP BY 1
     """,
@@ -329,7 +333,7 @@ _MAGIC_RIFF = b"RIFF"
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'text/plain' END AS modality,
            count(*) AS n_assets,
-           CAST(sum(length(text) + CASE WHEN doc_id % 3 = 2 THEN 0
+           CAST(sum(strlen(text) + CASE WHEN doc_id % 3 = 2 THEN 0
                                         ELSE 4 END) AS BIGINT) AS total_bytes
     FROM documents GROUP BY 1 ORDER BY 1
     """,

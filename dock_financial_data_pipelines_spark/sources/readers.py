@@ -221,7 +221,7 @@ def unzip_binary_files(binary_df: DataFrame) -> DataFrame:
     "s4_zip_ingest_unzip",
     oracle="""
     SELECT count(*) AS n_entries,
-           CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
            count(DISTINCT doc_id) AS n_docs
     FROM documents
     """,

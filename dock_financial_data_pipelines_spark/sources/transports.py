@@ -269,7 +269,7 @@ def _register_query() -> None:
         "r_sftp_landing_flow",
         oracle="""
         SELECT count(*) AS n_entries,
-               CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
                count(DISTINCT doc_id) AS n_docs
         FROM documents
         """,

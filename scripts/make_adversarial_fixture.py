@@ -238,6 +238,22 @@ def documents() -> None:
     texts += [f"{base8} tail{k} extra words here now" for k in range(4)]
     # heavy repetition (repetition-stats extremes)
     texts += ["spam " * 20, "a b " * 15]
+    # Unicode hostility (round 8): multibyte accents/CJK/emoji (length()
+    # must count codepoints identically on both engines), U+FFFD
+    # replacement chars, NBSP, untrimmed whitespace, and double spaces
+    # (split on ' ' yields EMPTY tokens — both engines must agree).
+    texts += [
+        "café naïve résumé über straße",
+        "日本語 テスト 中文 文字",
+        "emoji \U0001f600 test \U0001f680 rocket \U0001f9ea lab",
+        "bad�byte repl�ced twice",
+        "nbsp joined tokens here",
+        "  leading and trailing  ",
+        "double  space  tokens  inside",
+    ]
+    # One LONG document (2k tokens): shingle/token paths must stay O(n)
+    # per doc and agree on the tail.
+    texts += [" ".join(f"tok{i % 97}x{i}" for i in range(2000))]
     # ordinary filler to keep aggregates non-trivial
     texts += [
         " ".join(f"w{(i * 7 + j) % 23}" for j in range(10 + i % 13)) for i in range(40)
