@@ -676,3 +676,118 @@ def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bom_explosion — multi-level bill-of-materials explosion + cost
+# rollup, the classic recursive-CTE workload (the reference's statement
+# pipeline feeds exactly this kind of assembly costing downstream;
+# REPORT: script-dag-dock-report consumers). The part hierarchy is
+# derived deterministically from the key space (child c >= 10 has
+# parent c div 10 when that part exists, per-edge quantity
+# (c mod 5) + 1), giving a forest whose depth grows with log10(N) —
+# 5-6 levels at production key ranges.
+#
+# Spark has no recursive CTE, so the ancestor closure is built with the
+# standard iterative frontier expansion: each round joins the frontier
+# to the edge list (equi-join on the child key — one bounded shuffle per
+# level), localCheckpoints the frontier to truncate lineage, and stops
+# when a level adds no rows. Depth is bounded by log10(max key), so the
+# loop is O(log N) rounds — at 100 TB that is ~7 equi-joins, each
+# shuffling only the still-open frontier, never the full closure.
+# Path quantity multiplies BIGINT edge quantities (<= 5^depth, far
+# inside 2^63); extended cost casts the per-row mult x retailprice
+# double to DECIMAL(27,2) before the order-independent decimal sum.
+# The DuckDB oracle is the same closure as a WITH RECURSIVE CTE.
+# ---------------------------------------------------------------------------
+_BOM_MAX_DEPTH = 12
+
+
+@query(
+    "q_bom_explosion",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT c.p_partkey AS child,
+               c.p_partkey // 10 AS parent,
+               (c.p_partkey % 5) + 1 AS qty
+        FROM part c JOIN part p ON p.p_partkey = c.p_partkey // 10
+        WHERE c.p_partkey >= 10
+    ),
+    clo AS (
+        SELECT p_partkey AS dsc, p_partkey AS anc,
+               CAST(1 AS BIGINT) AS mult, 0 AS lvl
+        FROM part
+        UNION ALL
+        SELECT c.dsc, e.parent, c.mult * e.qty, c.lvl + 1
+        FROM clo c JOIN edges e ON c.anc = e.child
+    )
+    SELECT c.anc AS assembly_key,
+           count(*) AS n_components,
+           CAST(max(c.lvl) AS INT) AS subtree_depth,
+           CAST(sum(c.mult) AS BIGINT) AS total_units,
+           CAST(round(sum(CAST(c.mult * p.p_retailprice
+                               AS DECIMAL(27,2))), 2) AS DOUBLE)
+               AS rolled_up_cost
+    FROM clo c JOIN part p ON p.p_partkey = c.dsc
+    GROUP BY 1
+    """,
+)
+def q_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    keys = part.select("p_partkey")
+    edges = (
+        keys.where(F.col("p_partkey") >= 10)
+        .select(
+            F.col("p_partkey").alias("child"),
+            F.expr("p_partkey div 10").alias("parent"),
+            ((F.col("p_partkey") % 5) + 1).cast("long").alias("qty"),
+        )
+        .join(
+            keys.select(F.col("p_partkey").alias("parent")),
+            "parent",
+            "semi",
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = keys.select(
+        F.col("p_partkey").alias("dsc"),
+        F.col("p_partkey").alias("anc"),
+        F.lit(1).cast("long").alias("mult"),
+        F.lit(0).alias("lvl"),
+    ).localCheckpoint(eager=True)
+    closure = base
+    frontier = base
+    for _ in range(_BOM_MAX_DEPTH):
+        nxt = (
+            frontier.join(edges, frontier["anc"] == edges["child"])
+            .select(
+                "dsc",
+                F.col("parent").alias("anc"),
+                (F.col("mult") * F.col("qty")).alias("mult"),
+                (F.col("lvl") + 1).alias("lvl"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        closure = closure.unionByName(nxt)
+        frontier = nxt
+    return (
+        closure.join(part, closure["dsc"] == part["p_partkey"])
+        .groupBy(F.col("anc").alias("assembly_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.max("lvl").cast("int").alias("subtree_depth"),
+            F.sum("mult").cast("long").alias("total_units"),
+            F.round(
+                F.sum(
+                    (F.col("mult") * F.col("p_retailprice")).cast(
+                        "decimal(27,2)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("rolled_up_cost"),
+        )
+    )

@@ -1626,3 +1626,105 @@ def u18_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sample_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# u19_interval_merge — consolidate overlapping validity intervals per
+# key (gaps-and-islands), the canonical coverage/entitlement shape: each
+# order opens a 7-day service window [orderdate, orderdate+7d); windows
+# that overlap or touch merge into one island. Classic two-window plan:
+# a running max of interval ends (shifted one row back) marks island
+# starts, a running sum of those marks numbers the islands — one shuffle
+# on the customer key, two windows over the same (cust, start, orderkey)
+# sort, then an ordinary aggregate. All comparisons are on exact
+# timestamps and the outputs are integer day/order counts, so the DuckDB
+# twin matches bit-for-bit. At 100 TB the partition key is o_custkey
+# (high cardinality, no skew) and nothing leaves the per-key sort.
+# ---------------------------------------------------------------------------
+@query(
+    "u19_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey AS cust, o_orderkey,
+               o_orderdate AS s,
+               o_orderdate + INTERVAL 7 DAY AS e
+        FROM orders
+    ),
+    marked AS (
+        SELECT cust, o_orderkey, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY cust ORDER BY s, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) >= s THEN 0 ELSE 1 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT cust, s, e,
+               sum(new_island) OVER (
+                   PARTITION BY cust ORDER BY s, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM marked
+    ),
+    merged AS (
+        SELECT cust, island,
+               count(*) AS n_orders,
+               min(s) AS ms, max(e) AS me
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT cust AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(max(n_orders) AS BIGINT) AS max_island_orders,
+           CAST(sum((epoch(me) - epoch(ms)) // 86400) AS BIGINT)
+               AS covered_days
+    FROM merged GROUP BY 1
+    """,
+)
+def u19_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("cust")
+        .orderBy("s", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "cust",
+        "o_orderkey",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
+        .otherwise(1)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("cust")
+        .orderBy("s", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "cust",
+        "s",
+        "e",
+        F.sum("new_island").over(w_run).alias("island"),
+    )
+    merged = islands.groupBy("cust", "island").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+    )
+    return merged.groupBy(F.col("cust").alias("c_custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.max("n_orders").cast("long").alias("max_island_orders"),
+        F.sum(
+            F.expr("(unix_timestamp(me) - unix_timestamp(ms)) div 86400")
+        )
+        .cast("long")
+        .alias("covered_days"),
+    )

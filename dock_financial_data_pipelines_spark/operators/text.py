@@ -2770,3 +2770,150 @@ def l_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_bm25_score — Okapi BM25 relevance scoring of every document against
+# a fixed query-term set (k1=1.2, b=0.75), the standard lexical ranking
+# function for retrieval/RAG candidate generation (one step past the
+# TF-IDF ranking in l2_tfidf_top_terms: BM25 adds tf saturation and
+# doc-length normalization). Plan: one scan tokenizes (tokens projected
+# once — the non-CSE'd split rule), a 4-row literal term table explodes
+# against it for per-(doc,term) tf via a filter lambda, per-term df and
+# the corpus scalars (N, avgdl) come back as broadcast joins, and the
+# per-term partial scores are quantized to DECIMAL(27,6) before the
+# per-doc sum (order-independent; the log and the divisions are
+# per-row IEEE arithmetic stated identically in both engines).
+# At 100 TB: everything keys on doc_id except two tiny broadcasts;
+# df/N/avgdl are map-side-combined aggregates.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("join", "window", "stream", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "l_bm25_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    dt AS (
+        SELECT doc_id, dl, term,
+               len(list_filter(ws, x -> x = term)) AS tf
+        FROM tok CROSS JOIN (
+            SELECT unnest(['join', 'window', 'stream', 'merge']) AS term
+        )
+    ),
+    stats AS (
+        SELECT term,
+               CAST(count(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) AS df
+        FROM dt GROUP BY 1
+    ),
+    scal AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               floor(CAST(sum(dl) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+                   AS avgdl
+        FROM tok
+    ),
+    idf AS (
+        SELECT term,
+               floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                     * 1e6 + 0.5) / 1e6 AS idf
+        FROM stats CROSS JOIN scal
+    ),
+    parts AS (
+        SELECT d.doc_id, d.dl,
+               CAST(floor(i.idf * (d.tf * ({_BM25_K1} + 1))
+                          / (d.tf + {_BM25_K1} * (1 - {_BM25_B}
+                             + {_BM25_B} * d.dl / s.avgdl))
+                          * 1e6 + 0.5) / 1e6
+                    AS DECIMAL(27,6)) AS part_score
+        FROM dt d JOIN idf i USING (term) CROSS JOIN scal s
+        WHERE d.tf > 0
+    )
+    SELECT doc_id,
+           CAST(max(dl) AS BIGINT) AS dl,
+           CAST(count(*) AS BIGINT) AS n_hit_terms,
+           CAST(sum(part_score) AS DOUBLE) AS bm25
+    FROM parts GROUP BY 1
+    """,
+)
+def l_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k1, b = _BM25_K1, _BM25_B
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", "ws", F.size("ws").alias("dl"))
+    )
+    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    dt = tok.select(
+        "doc_id",
+        "dl",
+        F.explode(terms).alias("term"),
+        "ws",
+    ).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.expr("size(filter(ws, x -> x = term))").alias("tf"),
+    )
+    stats = dt.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).cast("double").alias("df")
+    )
+    scal = tok.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.floor(
+                F.sum("dl").cast("double") / F.count(F.lit(1)) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("avgdl"),
+    )
+    idf = stats.crossJoin(F.broadcast(scal)).select(
+        "term",
+        (
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("idf"),
+    )
+    parts = (
+        dt.where(F.col("tf") > 0)
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            "dl",
+            (
+                F.floor(
+                    F.col("idf")
+                    * (F.col("tf") * (k1 + 1))
+                    / (
+                        F.col("tf")
+                        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            )
+            .cast("decimal(27,6)")
+            .alias("part_score"),
+        )
+    )
+    return parts.groupBy("doc_id").agg(
+        F.max("dl").cast("long").alias("dl"),
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        F.sum("part_score").cast("double").alias("bm25"),
+    )

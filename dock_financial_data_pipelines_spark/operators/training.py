@@ -1719,3 +1719,63 @@ def l_shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_feature_hashing — the hashing trick (Weinberger et al. 2009): map an
+# unbounded token vocabulary into a fixed D=64-dimensional signed count
+# vector without a driver-side dictionary. Bucket = md5-60bit(token)
+# mod D (the registry's cross-engine md5 idiom), sign from an
+# independent md5 nibble, so collisions cancel in expectation exactly as
+# the estimator prescribes. Output is the corpus-level feature vector:
+# per bucket the signed weight (exact BIGINT), occurrence count, and
+# distinct-term count. One explode + one 64-group hash aggregate with
+# map-side partial combine — no vocabulary shuffle, no driver state;
+# this is the piece that lets a 100 TB corpus featurize in one pass.
+# ---------------------------------------------------------------------------
+_FHASH_D = 64
+
+
+@query(
+    "l_feature_hashing",
+    oracle=f"""
+    WITH tokw AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    hashed AS (
+        SELECT w,
+               ('0x' || substring(md5(w), 1, 15))::BIGINT % {_FHASH_D}
+                   AS bucket,
+               CASE WHEN ascii(substring(md5(w), 16, 1)) % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tokw
+    )
+    SELECT bucket,
+           CAST(sum(sgn) AS BIGINT) AS signed_weight,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_terms
+    FROM hashed GROUP BY 1
+    """,
+)
+def l_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    D = _FHASH_D
+    tokw = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+    )
+    hashed = tokw.select(
+        "w",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long") % D
+        ).alias("bucket"),
+        F.when(
+            F.ascii(F.substring(F.md5("w"), 16, 1)) % 2 == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return hashed.groupBy("bucket").agg(
+        F.sum("sgn").cast("long").alias("signed_weight"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("n_distinct_terms"),
+    )
