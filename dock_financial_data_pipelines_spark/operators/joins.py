@@ -775,3 +775,117 @@ def j14_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 2)
         .select("key_a", "key_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# j16_grid_nearest_facility — spatial nearest-neighbor assignment via
+# grid bucketing: place customers and supplier facilities on an integer
+# 1000x1000 plane (coordinates derived deterministically from keys —
+# the fixtures carry no geo columns), cut the plane into 100x100-unit
+# cells, and join each customer only to facilities in its 3x3 cell
+# neighborhood (the standard grid/cell spatial-join pruning: a cell
+# edge >= the service radius makes the neighborhood search exact for
+# radius-bounded matching; customers with no facility within the
+# neighborhood fall out, counted by the companion audit columns in the
+# assignment itself being absent). Distance is squared Euclidean on
+# BIGINTs — no floats anywhere, so cross-engine parity is exact — and
+# the winner per customer is row_number over (dist2, s_suppkey). At
+# 100 TB this is an equi-join on cell ids (9 candidate cells per probe
+# row, explode + broadcast of the facility dim), never a cross join.
+# ---------------------------------------------------------------------------
+_GRID_CELL = 100
+
+
+@query(
+    "j16_grid_nearest_facility",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey,
+               (c_custkey * 37) % 1000 AS cx,
+               (c_custkey * 91) % 1000 AS cy
+        FROM customer
+    ),
+    fac AS (
+        SELECT s_suppkey,
+               (s_suppkey * 53) % 1000 AS fx,
+               (s_suppkey * 17) % 1000 AS fy,
+               ((s_suppkey * 53) % 1000) // {_GRID_CELL} AS cellx,
+               ((s_suppkey * 17) % 1000) // {_GRID_CELL} AS celly
+        FROM supplier
+    ),
+    cand AS (
+        SELECT c.c_custkey, c.cx, c.cy, f.s_suppkey,
+               (c.cx - f.fx) * (c.cx - f.fx)
+             + (c.cy - f.fy) * (c.cy - f.fy) AS dist2
+        FROM cust c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+        JOIN fac f
+          ON f.cellx = (c.cx // {_GRID_CELL}) + dx
+         AND f.celly = (c.cy // {_GRID_CELL}) + dy
+    ),
+    ranked AS (
+        SELECT c_custkey, s_suppkey, dist2,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY dist2, s_suppkey) AS rn
+        FROM cand
+    )
+    SELECT c_custkey, s_suppkey AS nearest_facility,
+           CAST(dist2 AS BIGINT) AS dist2
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j16_grid_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    G = _GRID_CELL
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 1000).alias("cx"),
+        ((F.col("c_custkey") * 91) % 1000).alias("cy"),
+    )
+    fac = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 53) % 1000).alias("fx"),
+        ((F.col("s_suppkey") * 17) % 1000).alias("fy"),
+    ).select(
+        "s_suppkey",
+        "fx",
+        "fy",
+        F.expr(f"fx div {G}").alias("cellx"),
+        F.expr(f"fy div {G}").alias("celly"),
+    )
+    offsets = F.explode(F.array(*[F.lit(v) for v in (-1, 0, 1)]))
+    probe = (
+        cust.select("*", offsets.alias("dx"))
+        .select("*", offsets.alias("dy"))
+        .select(
+            "c_custkey",
+            "cx",
+            "cy",
+            (F.expr(f"cx div {G}") + F.col("dx")).alias("qcellx"),
+            (F.expr(f"cy div {G}") + F.col("dy")).alias("qcelly"),
+        )
+    )
+    cand = probe.join(
+        F.broadcast(fac),
+        (F.col("qcellx") == F.col("cellx"))
+        & (F.col("qcelly") == F.col("celly")),
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            (F.col("cx") - F.col("fx")) * (F.col("cx") - F.col("fx"))
+            + (F.col("cy") - F.col("fy")) * (F.col("cy") - F.col("fy"))
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_facility"),
+            F.col("dist2").cast("long").alias("dist2"),
+        )
+    )

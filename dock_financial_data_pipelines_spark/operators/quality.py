@@ -4238,3 +4238,182 @@ def q_reorder_point_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("reorder_point"),
     ).orderBy("partkey")
+
+
+# ---------------------------------------------------------------------------
+# q_target_encoding — leave-one-out target encoding with additive
+# smoothing (the standard categorical-feature encoder for ML prep;
+# leave-one-out so a row never sees its own label, smoothing toward the
+# global prior so rare categories shrink to it): enc_i = (seg_sum - y_i
+# + m*prior) / (seg_cnt - 1 + m), m = 20. Segment sums accumulate as
+# DECIMAL(27,2) (order-independent), the prior is quantized once, and
+# the per-row encode is scalar double arithmetic — so the whole thing
+# is two map-side-combined aggregates (segment, global), two broadcast
+# joins back to the fact, and zero row-order sensitivity. Output is
+# per-order (the encoded training column itself).
+# ---------------------------------------------------------------------------
+_TE_M = 20
+
+
+@query(
+    "q_target_encoding",
+    oracle=f"""
+    WITH fact AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS segment,
+               o.o_totalprice AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    seg AS (
+        SELECT segment, count(*) AS cnt,
+               CAST(sum(CAST(y AS DECIMAL(27,2))) AS DOUBLE) AS ssum
+        FROM fact GROUP BY 1
+    ),
+    gpr AS (
+        SELECT floor(CAST(sum(CAST(y AS DECIMAL(27,2))) AS DOUBLE)
+                     / count(*) * 1e6 + 0.5) / 1e6 AS prior
+        FROM fact
+    )
+    SELECT f.o_orderkey, f.segment,
+           floor((s.ssum - f.y + {_TE_M} * g.prior)
+                 / (s.cnt - 1 + {_TE_M}) * 1e6 + 0.5) / 1e6
+               AS loo_target_enc
+    FROM fact f JOIN seg s USING (segment) CROSS JOIN gpr g
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _TE_M
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("y")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    fact = orders.join(
+        maybe_broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "segment", "y")
+    seg = fact.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("y").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("ssum"),
+    )
+    glob = fact.agg(
+        (
+            F.floor(
+                F.sum(F.col("y").cast("decimal(27,2)")).cast("double")
+                / F.count(F.lit(1))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("prior")
+    )
+    return (
+        fact.join(F.broadcast(seg), "segment")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "segment",
+            (
+                F.floor(
+                    (F.col("ssum") - F.col("y") + m * F.col("prior"))
+                    / (F.col("cnt") - 1 + m)
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("loo_target_enc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_npv_discounted_cashflow — net present value of the per-region
+# revenue stream at an 8% annual discount rate. The discount-factor
+# table is a shared 10-row literal (t, 1/1.08^t rounded to 6dp) so the
+# two engines multiply by bit-identical constants — the idiomatic way
+# to keep pow() out of cross-engine arithmetic (libm pow differs in the
+# last ulp). Yearly revenue accumulates as DECIMAL(27,2); the
+# discounted terms are quantized to DECIMAL(27,6) before the final
+# <=10-row sum. Cashflow years outside the factor horizon drop via the
+# inner join on t (stated semantics, identical in both engines). Plan:
+# one fact aggregate keyed (region, year), two broadcast dims, one
+# 10-row broadcast factor join.
+# ---------------------------------------------------------------------------
+_NPV_BASE_YEAR = 1995
+_NPV_FACTORS = [
+    (0, 1.0),
+    (1, 0.925926),
+    (2, 0.857339),
+    (3, 0.793832),
+    (4, 0.73503),
+    (5, 0.680583),
+    (6, 0.63017),
+    (7, 0.58349),
+    (8, 0.540269),
+    (9, 0.500249),
+]
+
+
+@query(
+    "q_npv_discounted_cashflow",
+    oracle=f"""
+    WITH factors(t, f) AS (
+        VALUES {", ".join(f"({t}, {f})" for t, f in _NPV_FACTORS)}
+    ),
+    rev AS (
+        SELECT r.r_name,
+               year(o.o_orderdate) - {_NPV_BASE_YEAR} AS t,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                   AS cf
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ),
+    disc AS (
+        SELECT r_name,
+               CAST(floor(cf * f * 1e6 + 0.5) / 1e6 AS DECIMAL(27,6))
+                   AS dcf
+        FROM rev JOIN factors USING (t)
+    )
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_years,
+           CAST(sum(dcf) AS DOUBLE) AS npv
+    FROM disc GROUP BY 1
+    """,
+)
+def q_npv_discounted_cashflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    factors = spark.createDataFrame(_NPV_FACTORS, "t int, f double")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            maybe_broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .join(maybe_broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(maybe_broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            "r_name",
+            (F.year("o_orderdate") - _NPV_BASE_YEAR).alias("t"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("cf")
+        )
+    )
+    disc = rev.join(F.broadcast(factors), "t").select(
+        "r_name",
+        (F.floor(F.col("cf") * F.col("f") * 1e6 + F.lit(0.5)) / 1e6)
+        .cast("decimal(27,6)")
+        .alias("dcf"),
+    )
+    return disc.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_years"),
+        F.sum("dcf").cast("double").alias("npv"),
+    )

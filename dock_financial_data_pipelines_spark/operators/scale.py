@@ -3937,3 +3937,142 @@ def a65_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("mean_after"),
     ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# j15_bloom_filter_join — runtime Bloom-filter semi-join reduction, the
+# technique Spark's own runtime row-group filtering uses: hash the small
+# (filtered) build side's keys into an m=1024-bit / k=3 Bloom set,
+# probe the fact side against the set BEFORE the real join, and audit
+# the reduction (candidates vs true matches vs false positives). The
+# bit-set is represented relationally as the distinct set of occupied
+# bit positions (<= 1024 rows, broadcast), so membership is "all k
+# probe positions present" — a posexplode + broadcast-join + count==k
+# aggregate, no driver-side bitmap. Hashes use the registry's
+# cross-engine md5-60bit idiom salted per hash index. At 100 TB the
+# probe is one broadcast hash join against <=1024 rows followed by a
+# per-row aggregate keyed on the fact's composite id — the shuffle the
+# filter EXISTS to avoid (the full fact join) only ever sees candidate
+# rows.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 1024
+_BLOOM_K = 3
+
+
+@query(
+    "j15_bloom_filter_join",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT s.s_suppkey AS k
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    bits AS (
+        SELECT DISTINCT
+               ('0x' || substring(md5(CAST(h AS VARCHAR) || ':' ||
+                                      CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                   % {_BLOOM_M} AS bit_pos
+        FROM build CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS h)
+    ),
+    probe AS (
+        SELECT l_orderkey, l_linenumber, l_suppkey,
+               ('0x' || substring(md5(CAST(h AS VARCHAR) || ':' ||
+                                      CAST(l_suppkey AS VARCHAR)), 1, 15))
+                   ::BIGINT % {_BLOOM_M} AS bit_pos
+        FROM lineitem CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS h)
+    ),
+    hits AS (
+        SELECT p.l_orderkey, p.l_linenumber, p.l_suppkey,
+               count(b.bit_pos) AS n_set
+        FROM probe p LEFT JOIN bits b USING (bit_pos)
+        GROUP BY 1, 2, 3
+    ),
+    flags AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN n_set = {_BLOOM_K} THEN 1 ELSE 0 END AS cand,
+               CASE WHEN l_suppkey IN (SELECT k FROM build)
+                    THEN 1 ELSE 0 END AS truehit
+        FROM hits
+    )
+    SELECT CAST(count(*) AS BIGINT) AS probe_rows,
+           CAST(sum(cand) AS BIGINT) AS candidate_rows,
+           CAST(sum(truehit) AS BIGINT) AS true_rows,
+           CAST(sum(CASE WHEN cand = 1 AND truehit = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives,
+           CAST(sum(CASE WHEN cand = 0 AND truehit = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS missed_rows
+    FROM flags
+    """,
+)
+def j15_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    M, K = _BLOOM_M, _BLOOM_K
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    build = (
+        sup.join(
+            maybe_broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+        )
+        .join(maybe_broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select(F.col("s_suppkey").alias("k"))
+        .distinct()
+    )
+    hidx = F.explode(F.array(*[F.lit(i) for i in range(K)])).alias("h")
+
+    def bit_pos(key_col):
+        salted = F.concat(
+            F.col("h").cast("string"), F.lit(":"), key_col.cast("string")
+        )
+        return (
+            F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+            % M
+        )
+
+    bits = (
+        build.select("k", hidx)
+        .select(bit_pos(F.col("k")).alias("bit_pos"))
+        .distinct()
+    )
+    probe = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey", hidx)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            bit_pos(F.col("l_suppkey")).alias("bit_pos"),
+        )
+    )
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("present", F.lit(1))),
+                   "bit_pos", "left")
+        .groupBy("l_orderkey", "l_linenumber", "l_suppkey")
+        .agg(F.count("present").alias("n_set"))
+    )
+    flags = hits.join(
+        F.broadcast(build.withColumn("istrue", F.lit(1))),
+        hits["l_suppkey"] == build["k"],
+        "left",
+    ).select(
+        F.when(F.col("n_set") == K, 1).otherwise(0).alias("cand"),
+        F.coalesce(F.col("istrue"), F.lit(0)).alias("truehit"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("probe_rows"),
+        F.sum("cand").cast("long").alias("candidate_rows"),
+        F.sum("truehit").cast("long").alias("true_rows"),
+        F.sum(
+            F.when((F.col("cand") == 1) & (F.col("truehit") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("false_positives"),
+        F.sum(
+            F.when((F.col("cand") == 0) & (F.col("truehit") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("missed_rows"),
+    )
