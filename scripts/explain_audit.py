@@ -1587,6 +1587,78 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "q_bom_explosion", execute=True)
+    check(
+        "q_bom_explosion",
+        "iterative closure: equi-joins only (no cartesian), "
+        "final rollup is a hash aggregate; no Python",
+        "CartesianProduct" not in p and "HashAggregate" in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "u19_interval_merge", execute=True)
+    check(
+        "u19_interval_merge",
+        "two windows over one (cust, start) sort, then hash "
+        "aggregates; single shuffle key, no join at all",
+        p.count("Window") >= 2 and "HashAggregate" in p
+        and "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_bm25_score", execute=True)
+    check(
+        "l_bm25_score",
+        "idf/avgdl scalars enter via broadcast joins; per-doc "
+        "aggregate; no cartesian fact-side blowup, no Python",
+        "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_feature_hashing", execute=True)
+    check(
+        "l_feature_hashing",
+        "single explode + 64-group hash aggregate with map-side "
+        "partial combine; no join, no Python",
+        "Generate" in p and "HashAggregate" in p
+        and "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "j15_bloom_filter_join", execute=True)
+    check(
+        "j15_bloom_filter_join",
+        "bit-set and build side probe as broadcast joins (the fact "
+        "never shuffles for membership); no cartesian",
+        p.count("BroadcastHashJoin") >= 2
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "j16_grid_nearest_facility", execute=True)
+    check(
+        "j16_grid_nearest_facility",
+        "facility dim broadcast on cell keys (grid pruning, not "
+        "cross join); row_number window picks the winner",
+        "BroadcastHashJoin" in p and "Window" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_target_encoding", execute=True)
+    check(
+        "q_target_encoding",
+        "segment stats and prior rejoin the fact as broadcasts; "
+        "customer dim broadcast; no Python",
+        p.count("BroadcastHashJoin") >= 2
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_npv_discounted_cashflow", execute=True)
+    check(
+        "q_npv_discounted_cashflow",
+        "all three dims + factor table broadcast; fact aggregated "
+        "once on (region, year); no cartesian",
+        p.count("BroadcastHashJoin") >= 3 and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
