@@ -67,12 +67,17 @@ _SWEEP_FIRST = [
     # rewritten in r7) re-queues at slot 18 via _STALE_BEFORE; round-8
     # registrations (absent from both lists) queue from slot 19 via
     # class 3, filling the remaining 32-slot budget.
-    # Round-8 registrations stopped at 36 (31 class-3 in-budget +
-    # w28-w32 at slots 51-55, a deliberate 5-entry overhang committed
-    # with full builder evidence). ROUND-9 PLAN: put w28_macd,
-    # w29_aroon, w30_ulcer_index, w31_obv, w32_chaikin_money_flow in
-    # slots 1-5 of the next _SWEEP_FIRST and budget r9 additions at
-    # <= 45 so the overhang clears immediately.
+    # Round-8 registrations ended at 44 (31 class-3 in-budget + a
+    # deliberate 13-entry overhang at slots 51-63, each committed with
+    # full builder evidence: five-fixture oracle sweeps + plan audit).
+    # The overhang, in the deterministic class-3 import order the
+    # driver will see: l_repeated_ngram_coverage, l_jsd_source_divergence,
+    # l_bm25_score, l_shard_assignment_balance, l_feature_hashing,
+    # w25_stochastic_oscillator, w26_parkinson_volatility,
+    # w27_keltner_channels, w28_macd, w29_aroon, w30_ulcer_index,
+    # w31_obv, w32_chaikin_money_flow. ROUND-9 PLAN: put those 13 in
+    # slots 1-13 of the next _SWEEP_FIRST and budget r9 additions at
+    # <= 37 so the overhang clears immediately.
     # SQL-oracled, never driver-checked (slots 1-17)
     "q_intercompany_elimination",
     "q_fifo_inventory",
