@@ -3946,9 +3946,12 @@ def a65_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe the fact side against the set BEFORE the real join, and audit
 # the reduction (candidates vs true matches vs false positives). The
 # bit-set is represented relationally as the distinct set of occupied
-# bit positions (<= 1024 rows, broadcast), so membership is "all k
-# probe positions present" — a posexplode + broadcast-join + count==k
-# aggregate, no driver-side bitmap. Hashes use the registry's
+# bit positions (<= 1024 rows, broadcast), so membership is "no probe
+# position absent" — a posexplode + broadcast-anti-count aggregate, no
+# driver-side bitmap. (Counting misses rather than hits keeps the
+# predicate exact when the fixture repeats (orderkey, linenumber)
+# rows — a hit-count==k compare sees 2k probe rows for those groups
+# and manufactures false negatives.) Hashes use the registry's
 # cross-engine md5-60bit idiom salted per hash index. At 100 TB the
 # probe is one broadcast hash join against <=1024 rows followed by a
 # per-row aggregate keyed on the fact's composite id — the shuffle the
@@ -3985,13 +3988,13 @@ _BLOOM_K = 3
     ),
     hits AS (
         SELECT p.l_orderkey, p.l_linenumber, p.l_suppkey,
-               count(b.bit_pos) AS n_set
+               sum(CASE WHEN b.bit_pos IS NULL THEN 1 ELSE 0 END) AS n_miss
         FROM probe p LEFT JOIN bits b USING (bit_pos)
         GROUP BY 1, 2, 3
     ),
     flags AS (
         SELECT l_orderkey, l_linenumber,
-               CASE WHEN n_set = {_BLOOM_K} THEN 1 ELSE 0 END AS cand,
+               CASE WHEN n_miss = 0 THEN 1 ELSE 0 END AS cand,
                CASE WHEN l_suppkey IN (SELECT k FROM build)
                     THEN 1 ELSE 0 END AS truehit
         FROM hits
@@ -4045,18 +4048,28 @@ def j15_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             bit_pos(F.col("l_suppkey")).alias("bit_pos"),
         )
     )
+    # Membership = NO probe bit misses the set. Counting misses (not
+    # "n_set == K") keeps the predicate correct when the fixture holds
+    # duplicate (l_orderkey, l_linenumber) rows: the group then sees
+    # 2K probe rows and a hit-count compare would reject true members
+    # — a false negative a Bloom filter must never produce
+    # (regression: tests/test_round8_invariants.py).
     hits = (
         probe.join(F.broadcast(bits.withColumn("present", F.lit(1))),
                    "bit_pos", "left")
         .groupBy("l_orderkey", "l_linenumber", "l_suppkey")
-        .agg(F.count("present").alias("n_set"))
+        .agg(
+            F.sum(F.when(F.col("present").isNull(), 1).otherwise(0)).alias(
+                "n_miss"
+            )
+        )
     )
     flags = hits.join(
         F.broadcast(build.withColumn("istrue", F.lit(1))),
         hits["l_suppkey"] == build["k"],
         "left",
     ).select(
-        F.when(F.col("n_set") == K, 1).otherwise(0).alias("cand"),
+        F.when(F.col("n_miss") == 0, 1).otherwise(0).alias("cand"),
         F.coalesce(F.col("istrue"), F.lit(0)).alias("truehit"),
     )
     return flags.agg(
