@@ -10,13 +10,16 @@ rolling scans) and require the operators to agree."""
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
 
 import dock_financial_data_pipelines_spark as engine
 
-SF = "/root/testdata/sf0.001"
+# Respect the harness fixture override so the hostile-fixture sweeps
+# (adversarial/minimal/empty, other SFs) drive these references too.
+SF = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _run(spark, name: str) -> pd.DataFrame:
@@ -281,13 +284,22 @@ def test_lead_lag_xcorr_matches_numpy_pearson(spark):
             if dd + lag in y.index:
                 xs.append(xv)
                 ys.append(y[dd + lag])
-        rho = float(np.corrcoef(xs, ys)[0, 1])
+        if lag not in got.index:
+            # no aligned days for this lag: no output row on either side
+            assert len(xs) == 0, lag
+            continue
         row = got.loc[lag]
         assert row["n_days"] == len(xs), lag
+        if len(xs) < 2 or len(set(xs)) == 1 or len(set(ys)) == 1:
+            # degenerate series: r undefined on both sides
+            assert pd.isna(row["xcorr"]), lag
+            continue
+        rho = float(np.corrcoef(xs, ys)[0, 1])
         assert abs(row["xcorr"] - rho) < 2e-6, lag
         if abs(rho) > best[1]:
             best = (lag, abs(rho))
-    assert got[got["is_best_lag"] == 1].index.tolist() == [best[0]]
+    if best[0] is not None:
+        assert got[got["is_best_lag"] == 1].index.tolist() == [best[0]]
 
 
 def test_aroon_matches_rolling_scan(spark):
@@ -309,7 +321,7 @@ def test_aroon_matches_rolling_scan(spark):
         assert row["days_since_low"] == since_low, days[i]
         assert row["aroon_up"] == (25 - since_high) * 4, days[i]
         assert row["aroon_down"] == (25 - since_low) * 4, days[i]
-    assert len(got) == len(days) - 24
+    assert len(got) == max(0, len(days) - 24)
 
 
 def test_obv_matches_sequential_scan(spark):
@@ -357,7 +369,7 @@ def test_chaikin_money_flow_matches_rolling_scan(spark):
         assert row["vol20"] == v20, days[i]
         assert abs(row["mfm"] - mfm[i]) < 2e-6, days[i]
         assert abs(row["cmf"] - mfv / v20) < 1e-5, days[i]
-    assert len(got) == len(days) - 19
+    assert len(got) == max(0, len(days) - 19)
 
 
 def test_keep_latest_k_matches_bruteforce(spark):

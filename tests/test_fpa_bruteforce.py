@@ -10,13 +10,16 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 from collections import defaultdict
 
 import pandas as pd
 
 import dock_financial_data_pipelines_spark as engine
 
-SF = "/root/testdata/sf0.001"
+# Respect the harness fixture override so the hostile-fixture sweeps
+# (adversarial/minimal/empty, other SFs) drive these references too.
+SF = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _run(spark, name: str) -> pd.DataFrame:
@@ -199,12 +202,13 @@ def test_weighted_sample_matches_es_reservoir(spark):
         ) / den
         keyed.append((math.log(u) / w, pk, w))
     keyed.sort(key=lambda t: (-t[0], t[1]))
-    top = keyed[:100]
+    k = min(100, len(keyed))  # small fixtures have fewer than K parts
+    top = keyed[:k]
     share = sum(round(w * 100) for _, _, w in top) / sum(
         round(w * 100) for w in part["p_retailprice"]
     )
     assert got["p_partkey"].tolist() == [pk for _, pk, _ in top]
-    assert got["sample_rank"].tolist() == list(range(1, 101))
+    assert got["sample_rank"].tolist() == list(range(1, k + 1))
     for row, (k, pk, w) in zip(got.itertuples(), top):
         assert abs(row.weight - w) < 0.005, pk
         assert abs(row.es_key - k) < 2e-9, pk

@@ -10,6 +10,7 @@ way would still be caught here."""
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 import pytest
@@ -20,7 +21,9 @@ from dock_financial_data_pipelines_spark.operators.quality import _TE_M
 from dock_financial_data_pipelines_spark.operators.text import _BM25_TERMS
 from dock_financial_data_pipelines_spark.operators.training import _FHASH_D
 
-SF = "/root/testdata/sf0.001"
+# Respect the harness fixture override so the hostile-fixture sweeps
+# (adversarial/minimal/empty, other SFs) drive these references too.
+SF = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _run(spark, name: str) -> pd.DataFrame:

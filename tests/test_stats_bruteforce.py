@@ -11,12 +11,15 @@ a57/a60/a62/a63/a65, Kaplan-Meier, and MACD family the same way."""
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 
 import dock_financial_data_pipelines_spark as engine
 
-SF = "/root/testdata/sf0.001"
+# Respect the harness fixture override so the hostile-fixture sweeps
+# (adversarial/minimal/empty, other SFs) drive these references too.
+SF = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _run(spark, name: str) -> pd.DataFrame:

@@ -11,13 +11,16 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 from collections import Counter, defaultdict
 
 import pandas as pd
 
 import dock_financial_data_pipelines_spark as engine
 
-SF = "/root/testdata/sf0.001"
+# Respect the harness fixture override so the hostile-fixture sweeps
+# (adversarial/minimal/empty, other SFs) drive these references too.
+SF = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _run(spark, name: str) -> pd.DataFrame:
@@ -59,13 +62,18 @@ def test_repeated_ngram_coverage_matches_dict_counting(spark):
     with Counters over joined gram strings (gram length includes the
     joining spaces), capped at 1, then averaged per source."""
     got = _run(spark, "l_repeated_ngram_coverage").set_index("source")
-    per_source = defaultdict(lambda: {"n": 0, 2: [], 3: []})
+    # Domain note (matches both engines): a doc contributes to the
+    # n-gram stats only if it HAS at least one n-gram (>= n tokens) —
+    # 1-word docs have no repetition fraction to speak of. n_docs is
+    # the 2-gram domain size.
+    per_source = defaultdict(lambda: {2: [], 3: []})
     for _, d in _docs().iterrows():
         ws = d["text"].split(" ")
         n_chars = len(d["text"])
         st = per_source[d["source"]]
-        st["n"] += 1
         for n in (2, 3):
+            if len(ws) < n:
+                continue
             grams = Counter(
                 " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
             )
@@ -73,15 +81,20 @@ def test_repeated_ngram_coverage_matches_dict_counting(spark):
                 c * len(g) for g, c in grams.items() if c >= 2
             )
             st[n].append(min(covered / n_chars, 1.0) if n_chars else 0.0)
-    assert set(got.index) == set(per_source)
-    for src, st in per_source.items():
+    expected_srcs = {s for s, st in per_source.items() if st[2]}
+    assert set(got.index) == expected_srcs
+    for src in expected_srcs:
+        st = per_source[src]
         row = got.loc[src]
-        assert row["n_docs"] == st["n"], src
+        assert row["n_docs"] == len(st[2]), src
         for n, mcol, fcol, thr in (
             (2, "mean_dup2gram_char_frac", "n_fail_dup2gram", 0.2),
             (3, "mean_dup3gram_char_frac", "n_fail_dup3gram", 0.18),
         ):
-            mean = sum(st[n]) / st["n"]
+            if not st[n]:
+                assert pd.isna(row[mcol]), (src, n)
+                continue
+            mean = sum(st[n]) / len(st[n])
             assert abs(row[mcol] - mean) < 2e-6, (src, n)
             assert row[fcol] == sum(1 for f in st[n] if f > thr), (src, n)
 
