@@ -26,6 +26,19 @@ def _run(spark, name: str) -> pd.DataFrame:
     return engine.QUERIES[name](spark, SF).toPandas()
 
 
+def _skip_if_empty(table: str) -> None:
+    """The empty-input contracts are oracle-checked (check_all on the
+    empty fixture + tests/test_degenerate_fixtures.py); a brute-force
+    reference adds nothing there, so skip rather than re-derive every
+    empty shape."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    if pq.read_metadata(f"{SF}/{table}.parquet").num_rows == 0:
+        pytest.skip(f"{table} empty: contract covered by the empty-fixture sweep")
+
+
+
 def _daily_bars():
     ev = pd.read_parquet(
         f"{SF}/events.parquet", columns=["ts", "value", "event_id"]
@@ -222,6 +235,7 @@ def test_page_hinkley_matches_sequential_scan(spark):
     """Run the PH recursion as the literal sequential loop: m_t =
     Σ(x_i − mean_i), PH_t = m_t − min m; peak day, alarm-day count and
     the max statistic must match."""
+    _skip_if_empty("orders")
     got = _run(spark, "a61_page_hinkley").iloc[0]
     o = pd.read_parquet(
         f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
@@ -276,6 +290,11 @@ def test_lead_lag_xcorr_matches_numpy_pearson(spark):
         for seg, grp in df.groupby("c_mktsegment")
         if seg in ("BUILDING", "MACHINERY")
     }
+    if "BUILDING" not in series or "MACHINERY" not in series:
+        # a segment absent from the fixture: the day join is empty and
+        # the operator emits no rows at all
+        assert len(got) == 0
+        return
     x, y = series["BUILDING"], series["MACHINERY"]
     best = (None, -1.0)
     for lag in range(-7, 8):

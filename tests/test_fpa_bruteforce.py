@@ -26,6 +26,19 @@ def _run(spark, name: str) -> pd.DataFrame:
     return engine.QUERIES[name](spark, SF).toPandas()
 
 
+def _skip_if_empty(table: str) -> None:
+    """The empty-input contracts are oracle-checked (check_all on the
+    empty fixture + tests/test_degenerate_fixtures.py); a brute-force
+    reference adds nothing there, so skip rather than re-derive every
+    empty shape."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    if pq.read_metadata(f"{SF}/{table}.parquet").num_rows == 0:
+        pytest.skip(f"{table} empty: contract covered by the empty-fixture sweep")
+
+
+
 def _daily_bars() -> pd.DataFrame:
     ev = pd.read_parquet(
         f"{SF}/events.parquet", columns=["ts", "value", "event_id"]
@@ -189,6 +202,7 @@ def test_sales_mix_variance_bridge_identity(spark):
 def test_weighted_sample_matches_es_reservoir(spark):
     """Efraimidis-Spirakis A-Res replayed with hashlib-derived uniform
     draws: the exact top-100 membership, order, and weight share."""
+    _skip_if_empty("part")
     got = _run(spark, "u18_weighted_sample")
     part = pd.read_parquet(
         f"{SF}/part.parquet", columns=["p_partkey", "p_retailprice"]
@@ -229,6 +243,12 @@ def test_effect_sizes_match_textbook_formulas(spark):
     a = df[df["c_mktsegment"] == "BUILDING"]["o_totalprice"]
     b = df[df["c_mktsegment"] == "MACHINERY"]["o_totalprice"]
     n1, n2 = len(a), len(b)
+    if n1 == 0 or n2 == 0 or n1 + n2 < 3:
+        # a side missing (or zero pooled dof): the stats are undefined
+        # and the operator's pivot row carries NULLs
+        for col in ("pooled_sd", "cohens_d", "hedges_g"):
+            assert pd.isna(got[col]), col
+        return
     sp = math.sqrt(
         ((a - a.mean()) ** 2).sum() + ((b - b.mean()) ** 2).sum()
     ) / math.sqrt(n1 + n2 - 2)

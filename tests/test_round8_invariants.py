@@ -30,12 +30,26 @@ def _run(spark, name: str) -> pd.DataFrame:
     return engine.QUERIES[name](spark, SF).toPandas()
 
 
+def _skip_if_empty(table: str) -> None:
+    """The empty-input contracts are oracle-checked (check_all on the
+    empty fixture + tests/test_degenerate_fixtures.py); a brute-force
+    reference adds nothing there, so skip rather than re-derive every
+    empty shape."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    if pq.read_metadata(f"{SF}/{table}.parquet").num_rows == 0:
+        pytest.skip(f"{table} empty: contract covered by the empty-fixture sweep")
+
+
+
 def test_bloom_filter_has_no_false_negatives(spark):
     """The defining Bloom-filter guarantee: membership probes may
     over-approximate but never under-approximate. missed_rows is the
     count of true build-side members the bit probes rejected — any
     value other than zero means the hash families diverged between the
     build and probe sides."""
+    _skip_if_empty("lineitem")
     row = _run(spark, "j15_bloom_filter_join").iloc[0]
     assert row["missed_rows"] == 0
     assert row["candidate_rows"] == row["true_rows"] + row["false_positives"]
@@ -98,6 +112,7 @@ def test_grid_nearest_equals_global_nearest_when_in_neighborhood(spark):
     the operator must return the globally nearest facility (suppkey
     tiebreak), at the recomputed squared distance. Customers whose
     whole neighborhood is facility-free must be absent, never wrong."""
+    _skip_if_empty("supplier")
     got = _run(spark, "j16_grid_nearest_facility").set_index("c_custkey")
     cust, sup = _grid_points(SF)
     G = _GRID_CELL
@@ -129,6 +144,7 @@ def test_target_encoding_is_convex_blend_of_loo_mean_and_prior(spark):
     leave-one-out encoding must lie between its segment's LOO mean and
     the global prior (up to the 1e-6 quantization plus float slack).
     Singleton segments must collapse exactly to the prior."""
+    _skip_if_empty("orders")
     got = _run(spark, "q_target_encoding")
     orders = pd.read_parquet(
         f"{SF}/orders.parquet",

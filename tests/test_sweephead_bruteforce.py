@@ -25,6 +25,19 @@ def _run(spark, name: str) -> pd.DataFrame:
     return engine.QUERIES[name](spark, SF).toPandas()
 
 
+def _skip_if_empty(table: str) -> None:
+    """The empty-input contracts are oracle-checked (check_all on the
+    empty fixture + tests/test_degenerate_fixtures.py); a brute-force
+    reference adds nothing there, so skip rather than re-derive every
+    empty shape."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    if pq.read_metadata(f"{SF}/{table}.parquet").num_rows == 0:
+        pytest.skip(f"{table} empty: contract covered by the empty-fixture sweep")
+
+
+
 def _daily_cents() -> pd.Series:
     o = pd.read_parquet(
         f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
@@ -100,6 +113,11 @@ def test_decile_lift_matches_explicit_ntile(spark):
     pos = 0
     cum = 0
     for d, sz in enumerate(sizes, start=1):
+        if sz == 0:
+            # fewer customers than deciles: ntile emits no row for the
+            # empty tiles
+            assert d not in got.index, d
+            continue
         chunk = spend.iloc[pos : pos + sz]
         pos += sz
         c = chunk["cents"].sum()
@@ -113,6 +131,7 @@ def test_decile_lift_matches_explicit_ntile(spark):
 
 
 def test_two_proportion_ztest_matches_direct_formula(spark):
+    _skip_if_empty("events")
     got = _run(spark, "a55_two_proportion_ztest").iloc[0]
     ev = pd.read_parquet(
         f"{SF}/events.parquet", columns=["user_id", "event_type"]
@@ -123,8 +142,18 @@ def test_two_proportion_ztest_matches_direct_formula(spark):
         .max()
     )
     grp = conv.groupby(conv.index % 2)
-    n0, x0 = len(grp.get_group(0)), int(grp.get_group(0).sum())
-    n1, x1 = len(grp.get_group(1)), int(grp.get_group(1).sum())
+    sides = {g: (len(v), int(v.sum())) for g, v in grp}
+    if 0 not in sides or 1 not in sides:
+        # a whole arm missing: its pivot cells (and z) are NULL.
+        # group 0 fills the *_a columns, group 1 the *_b columns.
+        present = 0 if 0 in sides else 1
+        have, miss = ("a", "b") if present == 0 else ("b", "a")
+        n, x = sides[present]
+        assert got[f"n_{have}"] == n and got[f"conv_{have}"] == x
+        assert pd.isna(got[f"n_{miss}"]) and pd.isna(got["z"])
+        return
+    n0, x0 = sides[0]
+    n1, x1 = sides[1]
     p0, p1 = x0 / n0, x1 / n1
     pp = (x0 + x1) / (n0 + n1)
     assert got["n_a"] == n0 and got["conv_a"] == x0

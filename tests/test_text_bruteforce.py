@@ -27,6 +27,19 @@ def _run(spark, name: str) -> pd.DataFrame:
     return engine.QUERIES[name](spark, SF).toPandas()
 
 
+def _skip_if_empty(table: str) -> None:
+    """The empty-input contracts are oracle-checked (check_all on the
+    empty fixture + tests/test_degenerate_fixtures.py); a brute-force
+    reference adds nothing there, so skip rather than re-derive every
+    empty shape."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    if pq.read_metadata(f"{SF}/{table}.parquet").num_rows == 0:
+        pytest.skip(f"{table} empty: contract covered by the empty-fixture sweep")
+
+
+
 def _docs() -> pd.DataFrame:
     return pd.read_parquet(
         f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
@@ -105,6 +118,7 @@ def test_bpe_merge_step_matches_greedy_scan(spark):
     selection, and a LEFT-GREEDY scan per word type for the merge
     application (the independent formulation of the operator's
     island-parity trick)."""
+    _skip_if_empty("documents")
     got = _run(spark, "l_bpe_merge_step").iloc[0]
     vocab: Counter = Counter()
     for text in _docs()["text"]:
@@ -143,6 +157,7 @@ def test_kneser_ney_matches_dict_model(spark):
     """KN and add-one bigram cross-entropies rebuilt from dict count
     tables with float math (no decimal staging) — agreement within the
     quantization tolerance."""
+    _skip_if_empty("documents")
     got = _run(spark, "l_kneser_ney_bigram").iloc[0]
     c12: Counter = Counter()
     vocab = set()
