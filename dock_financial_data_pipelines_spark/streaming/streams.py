@@ -1348,6 +1348,50 @@ def _events_stream_modsplit(
     )
 
 
+def _x17_check_progress(
+    progress: list, chunk_counts: list, guaranteed_b2_drops: int
+) -> None:
+    """x17's runtime staircase pin, module-level so the armed-path test
+    (tests/test_streaming_pins.py) can drive it with synthetic progress
+    lists and prove each trip-wire actually raises. ``progress`` is the
+    list of StreamingQueryProgress dicts the memory-sink drain observed;
+    ``chunk_counts`` is the expected one-file-per-trigger batch
+    composition; ``guaranteed_b2_drops`` is a data-derived lower bound
+    on batch-2 watermark drops (0 ⇒ the third check goes quiet rather
+    than false-alarming on cardinality-starved fixtures)."""
+    data = [p for p in progress if p.get("numInputRows", 0) > 0]
+    inputs = [p["numInputRows"] for p in data]
+    drops = [
+        (p.get("stateOperators") or [{}])[0].get(
+            "numRowsDroppedByWatermark", 0
+        )
+        for p in data
+    ]
+    if inputs != chunk_counts:
+        raise RuntimeError(
+            "x17 oracle assumption broken: expected one micro-batch "
+            f"per chunk with numInputRows={chunk_counts}, observed "
+            f"{inputs} — the file source no longer batches one file "
+            "per trigger (or a chunk was written as multiple part "
+            "files); the oracle's staircase replay is invalid."
+        )
+    if any(drops[:2]):
+        raise RuntimeError(
+            "x17 oracle assumption broken: batches 0-1 dropped "
+            f"{drops[:2]} rows — the one-batch watermark propagation "
+            "lag (batch k gated by the staircase through k-2) no "
+            "longer holds; Spark now enforces the watermark earlier."
+        )
+    if len(drops) >= 3 and drops[2] == 0 and guaranteed_b2_drops > 0:
+        raise RuntimeError(
+            "x17 oracle assumption broken: batch 2 dropped 0 rows "
+            f"although the data guarantees >= {guaranteed_b2_drops} "
+            "drops under the k-2 staircase — watermark propagation "
+            "is now slower than the measured one-batch lag, so the "
+            "oracle would under-drop."
+        )
+
+
 @query(
     "x17_stream_late_data_drop",
     oracle="""
@@ -1434,37 +1478,7 @@ def x17_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _pin_assumptions(progress: list) -> None:
-        data = [p for p in progress if p.get("numInputRows", 0) > 0]
-        inputs = [p["numInputRows"] for p in data]
-        drops = [
-            (p.get("stateOperators") or [{}])[0].get(
-                "numRowsDroppedByWatermark", 0
-            )
-            for p in data
-        ]
-        if inputs != chunk_counts:
-            raise RuntimeError(
-                "x17 oracle assumption broken: expected one micro-batch "
-                f"per chunk with numInputRows={chunk_counts}, observed "
-                f"{inputs} — the file source no longer batches one file "
-                "per trigger (or a chunk was written as multiple part "
-                "files); the oracle's staircase replay is invalid."
-            )
-        if any(drops[:2]):
-            raise RuntimeError(
-                "x17 oracle assumption broken: batches 0-1 dropped "
-                f"{drops[:2]} rows — the one-batch watermark propagation "
-                "lag (batch k gated by the staircase through k-2) no "
-                "longer holds; Spark now enforces the watermark earlier."
-            )
-        if len(drops) >= 3 and drops[2] == 0 and guaranteed_b2_drops > 0:
-            raise RuntimeError(
-                "x17 oracle assumption broken: batch 2 dropped 0 rows "
-                f"although the data guarantees >= {guaranteed_b2_drops} "
-                "drops under the k-2 staircase — watermark propagation "
-                "is now slower than the measured one-batch lag, so the "
-                "oracle would under-drop."
-            )
+        _x17_check_progress(progress, chunk_counts, guaranteed_b2_drops)
 
     agg = (
         _events_stream_modsplit(spark, sf_dir)
