@@ -96,6 +96,59 @@ def main() -> int:
         os.path.join(out, "embeddings.parquet")
     )
 
+    # Relational 10x (round-9: extend the rehearsal beyond the document
+    # family — VERDICT r8 item 3b/4). Honest scale-up shape: FACTS tile
+    # 10x with key striding (orders/lineitem stay join-consistent via
+    # the same o_orderkey stride; foreign keys into dims are left
+    # unchanged so per-dim fan-in grows 10x, exactly what a real
+    # volume scale-up does), DIMS are copied verbatim (dim cardinality
+    # does not grow with fact volume).
+    orders = load(spark, SRC, "orders")
+    (
+        orders.crossJoin(copies)
+        .select(
+            (F.col("o_orderkey") + F.col("c").cast("long") * ID_STRIDE).alias(
+                "o_orderkey"
+            ),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        )
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "orders.parquet"))
+    )
+    li = load(spark, SRC, "lineitem")
+    (
+        li.crossJoin(copies)
+        .select(
+            (F.col("l_orderkey") + F.col("c").cast("long") * ID_STRIDE).alias(
+                "l_orderkey"
+            ),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "lineitem.parquet"))
+    )
+    ev = load(spark, SRC, "events")
+    (
+        # stride is a multiple of 4 so copy 0's event_id % 4 chunk
+        # assignment (the x17 batch composition) is preserved per copy
+        ev.crossJoin(copies)
+        .select(
+            (F.col("event_id") + F.col("c").cast("long") * ID_STRIDE).alias(
+                "event_id"
+            ),
+            *[c for c in ev.columns if c != "event_id"],
+        )
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "events.parquet"))
+    )
+    for dim in ("customer", "supplier", "part", "nation", "region"):
+        load(spark, SRC, dim).write.mode("overwrite").parquet(
+            os.path.join(out, f"{dim}.parquet")
+        )
+
     print(
         f"sf1 fixture at {out}: "
         f"{spark.read.parquet(os.path.join(out, 'documents.parquet')).count()} docs, "
