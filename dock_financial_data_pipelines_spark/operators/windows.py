@@ -2005,3 +2005,553 @@ def w32_chaikin_money_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# W33 — Commodity Channel Index over 20 bars: CCI = (tp − SMA20(tp)) /
+# (0.015 · MD20), where MD20 is the mean absolute deviation of the 20
+# trailing typical prices from THAT window's SMA. MD is not
+# decomposable into running sums (each window's deviations reference
+# the window's own mean), so it is formulated as the w29/a63 rn-banded
+# self-join on the one-row-per-day compaction — each anchor joins at
+# most 20 bars, a hard bound at any corpus size — in two grouped
+# passes (SMA, then deviations against it). Cross-row additions go
+# through DECIMAL(27,8) so both engines accumulate exactly.
+# Reference capability: rolling z-score-family indicators over event
+# streams (reference repo has no analytics surface; engine mandate).
+# ---------------------------------------------------------------------------
+@query(
+    "w33_cci",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    tp AS (
+        SELECT day, (high + low + close) / 3 AS tp,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM bars
+    ),
+    pairs AS (
+        SELECT a.day, a.tp, a.rn, b.tp AS btp
+        FROM tp a JOIN tp b ON a.rn - b.rn BETWEEN 0 AND 19
+    ),
+    sma AS (
+        SELECT day, max(tp) AS tp, max(rn) AS rn,
+               CAST(sum(CAST(btp AS DECIMAL(27,8))) AS DOUBLE) / 20 AS sma20,
+               count(*) AS n
+        FROM pairs GROUP BY day
+    ),
+    md AS (
+        SELECT p.day, s.tp, s.sma20,
+               CAST(sum(CAST(abs(p.btp - s.sma20) AS DECIMAL(27,8)))
+                    AS DOUBLE) / 20 AS md20
+        FROM pairs p JOIN sma s ON p.day = s.day AND s.n = 20
+        GROUP BY p.day, s.tp, s.sma20
+    )
+    SELECT day,
+           floor(sma20 * 1e4 + 0.5) / 1e4 AS sma20,
+           floor(md20 * 1e4 + 0.5) / 1e4 AS md20,
+           floor((tp - sma20) / (0.015 * md20) * 1e4 + 0.5) / 1e4 AS cci
+    FROM md WHERE md20 <> 0
+    ORDER BY day
+    """,
+)
+def w33_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    wd = Window.orderBy("day")
+    tp = bars.select(
+        "day",
+        ((F.col("high") + F.col("low") + F.col("close")) / 3).alias("tp"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    a, b = tp.alias("a"), tp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.rn") - F.col("b.rn") >= 0)
+        & (F.col("a.rn") - F.col("b.rn") <= 19),
+    ).select(
+        F.col("a.day").alias("day"),
+        F.col("a.tp").alias("tp"),
+        F.col("b.tp").alias("btp"),
+    )
+    sma = pairs.groupBy("day").agg(
+        F.max("tp").alias("tp"),
+        (
+            F.sum(F.col("btp").cast("decimal(27,8)")).cast("double") / 20
+        ).alias("sma20"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    md = (
+        pairs.join(
+            sma.where(F.col("n") == 20).select("day", "sma20"),
+            "day",
+        )
+        .groupBy("day", "tp", "sma20")
+        .agg(
+            (
+                F.sum(
+                    F.abs(F.col("btp") - F.col("sma20")).cast(
+                        "decimal(27,8)"
+                    )
+                ).cast("double")
+                / 20
+            ).alias("md20")
+        )
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        md.where(F.col("md20") != 0)
+        .select(
+            "day",
+            f4(F.col("sma20")).alias("sma20"),
+            f4(F.col("md20")).alias("md20"),
+            f4(
+                (F.col("tp") - F.col("sma20"))
+                / (0.015 * F.col("md20"))
+            ).alias("cci"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W34 — Williams %R over 14 bars: −100 · (HH14 − C) / (HH14 − LL14).
+# Pure trailing-window min/max over the daily compaction (no joins,
+# no state). Flat channels (HH = LL) are emitted by NEITHER engine —
+# the indicator is undefined there; the guard is stated identically.
+# ---------------------------------------------------------------------------
+@query(
+    "w34_williams_r",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    chan AS (
+        SELECT day, close,
+               max(high) OVER w14 AS hh,
+               min(low) OVER w14 AS ll,
+               count(*) OVER w14 AS n
+        FROM bars
+        WINDOW w14 AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           floor(hh * 1e4 + 0.5) / 1e4 AS hh14,
+           floor(ll * 1e4 + 0.5) / 1e4 AS ll14,
+           floor(-100 * (hh - close) / (hh - ll) * 1e4 + 0.5) / 1e4
+               AS williams_r
+    FROM chan WHERE n = 14 AND hh <> ll
+    ORDER BY day
+    """,
+)
+def w34_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    w14 = Window.orderBy("day").rowsBetween(-13, 0)
+    chan = bars.select(
+        "day",
+        "close",
+        F.max("high").over(w14).alias("hh"),
+        F.min("low").over(w14).alias("ll"),
+        F.count(F.lit(1)).over(w14).alias("n"),
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        chan.where((F.col("n") == 14) & (F.col("hh") != F.col("ll")))
+        .select(
+            "day",
+            f4(F.col("hh")).alias("hh14"),
+            f4(F.col("ll")).alias("ll14"),
+            f4(
+                F.lit(-100)
+                * (F.col("hh") - F.col("close"))
+                / (F.col("hh") - F.col("ll"))
+            ).alias("williams_r"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W35 — Money Flow Index over 14 bars: typical-price money flow
+# (tp · volume) split into positive/negative by tp vs previous tp
+# (ties flow to neither side), 14-bar DECIMAL-summed flows, MFI =
+# 100 · pos / (pos + neg). Same two-compaction broadcast day-join as
+# w31/w32. The first bar (no previous tp) contributes to neither sum
+# — both engines state the CASE identically — and the row set starts
+# at rn 15 so every window holds 14 fully-defined directional terms.
+# ---------------------------------------------------------------------------
+@query(
+    "w35_mfi",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    {_VOL_SQL},
+    tp AS (
+        SELECT b.day, (b.high + b.low + b.close) / 3 AS tp, v.vol,
+               row_number() OVER (ORDER BY b.day) AS rn
+        FROM bars b JOIN vol v ON b.day = v.day
+    ),
+    flow AS (
+        SELECT day, rn,
+               CASE WHEN tp > lag(tp) OVER w THEN tp * vol ELSE 0 END AS pos,
+               CASE WHEN tp < lag(tp) OVER w THEN tp * vol ELSE 0 END AS neg
+        FROM tp
+        WINDOW w AS (ORDER BY day)
+    ),
+    s AS (
+        SELECT day, rn,
+               CAST(sum(CAST(pos AS DECIMAL(27,8))) OVER w14 AS DOUBLE)
+                   AS pos14,
+               CAST(sum(CAST(neg AS DECIMAL(27,8))) OVER w14 AS DOUBLE)
+                   AS neg14
+        FROM flow
+        WINDOW w14 AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           floor(pos14 * 1e4 + 0.5) / 1e4 AS pos14,
+           floor(neg14 * 1e4 + 0.5) / 1e4 AS neg14,
+           floor(100 * pos14 / (pos14 + neg14) * 1e4 + 0.5) / 1e4 AS mfi
+    FROM s WHERE rn >= 15 AND pos14 + neg14 <> 0
+    ORDER BY day
+    """,
+)
+def w35_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    vol = _daily_volume(spark, sf_dir)
+    wd = Window.orderBy("day")
+    w14 = Window.orderBy("day").rowsBetween(-13, 0)
+    tp = bars.join(vol, "day").select(
+        "day",
+        ((F.col("high") + F.col("low") + F.col("close")) / 3).alias("tp"),
+        "vol",
+        F.row_number().over(wd).alias("rn"),
+    )
+    flow = tp.select(
+        "day",
+        "rn",
+        F.when(
+            F.col("tp") > F.lag("tp").over(wd), F.col("tp") * F.col("vol")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pos"),
+        F.when(
+            F.col("tp") < F.lag("tp").over(wd), F.col("tp") * F.col("vol")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("neg"),
+    )
+    s = flow.select(
+        "day",
+        "rn",
+        F.sum(F.col("pos").cast("decimal(27,8)"))
+        .over(w14)
+        .cast("double")
+        .alias("pos14"),
+        F.sum(F.col("neg").cast("decimal(27,8)"))
+        .over(w14)
+        .cast("double")
+        .alias("neg14"),
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        s.where(
+            (F.col("rn") >= 15)
+            & (F.col("pos14") + F.col("neg14") != 0)
+        )
+        .select(
+            "day",
+            f4(F.col("pos14")).alias("pos14"),
+            f4(F.col("neg14")).alias("neg14"),
+            f4(
+                F.lit(100)
+                * F.col("pos14")
+                / (F.col("pos14") + F.col("neg14"))
+            ).alias("mfi"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W36 — TRIX on the hourly closes: 1-bar rate of change of a TRIPLE
+# 9-period EMA, each stage the same truncated-lag-polynomial the
+# w9/w27/w28 family uses (a FIXED per-row expression — both engines
+# evaluate the identical IEEE sequence; no recursive state). Stage k's
+# polynomial reads stage k−1's projected column, so every value at
+# rn ≥ 25 has all 3×8 lag terms defined; the ROC needs one more bar
+# (rn ≥ 26). Emitted in basis points, floor-1e4-rounded.
+# ---------------------------------------------------------------------------
+@query(
+    "w36_trix",
+    oracle=f"""
+    WITH {_HCLOSE_SQL},
+    ser AS (
+        SELECT hr, close, row_number() OVER (ORDER BY hr) AS rn
+        FROM hser
+    ),
+    e1 AS (
+        SELECT hr, rn, {_ema_poly_sql("close", "0.8", 9)} AS ema1
+        FROM ser WINDOW w AS (ORDER BY hr)
+    ),
+    e2 AS (
+        SELECT hr, rn, ema1, {_ema_poly_sql("ema1", "0.8", 9)} AS ema2
+        FROM e1 WINDOW w AS (ORDER BY hr)
+    ),
+    e3 AS (
+        SELECT hr, rn, ema2, {_ema_poly_sql("ema2", "0.8", 9)} AS ema3
+        FROM e2 WINDOW w AS (ORDER BY hr)
+    ),
+    roc AS (
+        SELECT hr, rn, ema3, lag(ema3) OVER (ORDER BY hr) AS pe3
+        FROM e3
+    )
+    SELECT hr,
+           floor(ema3 * 1e4 + 0.5) / 1e4 AS ema3,
+           floor(10000 * (ema3 - pe3) / pe3 * 1e4 + 0.5) / 1e4 AS trix_bp
+    FROM roc WHERE rn >= 26 AND pe3 <> 0
+    ORDER BY hr
+    """,
+)
+def w36_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _hourly_close(spark, sf_dir)
+    wd = Window.orderBy("hr")
+    ser = bars.select("hr", "close", F.row_number().over(wd).alias("rn"))
+    e1 = ser.select(
+        "hr", "rn", _ema_poly_spark("close", 0.8, 9, wd).alias("ema1")
+    )
+    e2 = e1.select(
+        "hr", "rn", _ema_poly_spark("ema1", 0.8, 9, wd).alias("ema2")
+    )
+    e3 = e2.select(
+        "hr", "rn", _ema_poly_spark("ema2", 0.8, 9, wd).alias("ema3")
+    )
+    roc = e3.select(
+        "hr", "rn", "ema3", F.lag("ema3").over(wd).alias("pe3")
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        roc.where((F.col("rn") >= 26) & (F.col("pe3") != 0))
+        .select(
+            "hr",
+            f4(F.col("ema3")).alias("ema3"),
+            f4(
+                F.lit(10000)
+                * (F.col("ema3") - F.col("pe3"))
+                / F.col("pe3")
+            ).alias("trix_bp"),
+        )
+        .orderBy("hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W37 — Vortex indicator over 14 bars: VI+ = Σ14|H − prevL| / Σ14 TR,
+# VI− = Σ14|L − prevH| / Σ14 TR, TR the usual true range against the
+# previous close. One lag pass + three DECIMAL-summed trailing windows
+# over the daily compaction; rows start at rn 15 so every window holds
+# 14 fully-defined lag terms. Zero total true range (14 flat bars) is
+# undefined on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "w37_vortex",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    lagged AS (
+        SELECT day, high, low,
+               lag(high) OVER w AS ph,
+               lag(low) OVER w AS pl,
+               lag(close) OVER w AS pc,
+               row_number() OVER w AS rn
+        FROM bars
+        WINDOW w AS (ORDER BY day)
+    ),
+    terms AS (
+        SELECT day, rn,
+               abs(high - pl) AS vmp,
+               abs(low - ph) AS vmm,
+               greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+        FROM lagged
+    ),
+    s AS (
+        SELECT day, rn,
+               CAST(sum(CAST(vmp AS DECIMAL(27,8))) OVER w14 AS DOUBLE)
+                   AS vmp14,
+               CAST(sum(CAST(vmm AS DECIMAL(27,8))) OVER w14 AS DOUBLE)
+                   AS vmm14,
+               CAST(sum(CAST(tr AS DECIMAL(27,8))) OVER w14 AS DOUBLE)
+                   AS tr14
+        FROM terms
+        WINDOW w14 AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           floor(tr14 * 1e4 + 0.5) / 1e4 AS tr14,
+           floor(vmp14 / tr14 * 1e4 + 0.5) / 1e4 AS vi_plus,
+           floor(vmm14 / tr14 * 1e4 + 0.5) / 1e4 AS vi_minus
+    FROM s WHERE rn >= 15 AND tr14 <> 0
+    ORDER BY day
+    """,
+)
+def w37_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    wd = Window.orderBy("day")
+    w14 = Window.orderBy("day").rowsBetween(-13, 0)
+    lagged = bars.select(
+        "day",
+        "high",
+        "low",
+        F.lag("high").over(wd).alias("ph"),
+        F.lag("low").over(wd).alias("pl"),
+        F.lag("close").over(wd).alias("pc"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    terms = lagged.select(
+        "day",
+        "rn",
+        F.abs(F.col("high") - F.col("pl")).alias("vmp"),
+        F.abs(F.col("low") - F.col("ph")).alias("vmm"),
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - F.col("pc")),
+            F.abs(F.col("low") - F.col("pc")),
+        ).alias("tr"),
+    )
+    s = terms.select(
+        "day",
+        "rn",
+        F.sum(F.col("vmp").cast("decimal(27,8)"))
+        .over(w14)
+        .cast("double")
+        .alias("vmp14"),
+        F.sum(F.col("vmm").cast("decimal(27,8)"))
+        .over(w14)
+        .cast("double")
+        .alias("vmm14"),
+        F.sum(F.col("tr").cast("decimal(27,8)"))
+        .over(w14)
+        .cast("double")
+        .alias("tr14"),
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        s.where((F.col("rn") >= 15) & (F.col("tr14") != 0))
+        .select(
+            "day",
+            f4(F.col("tr14")).alias("tr14"),
+            f4(F.col("vmp14") / F.col("tr14")).alias("vi_plus"),
+            f4(F.col("vmm14") / F.col("tr14")).alias("vi_minus"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W38 — Elder's force index: FI(1) = (close − prev close) · volume,
+# smoothed by a 13-period EMA (the truncated-lag polynomial, decay
+# 12/14 = 6/7). Two-compaction broadcast day-join (w31 pattern);
+# FI(1) is defined from rn 2, so rn ≥ 14 guarantees all 13 lag terms.
+# ---------------------------------------------------------------------------
+@query(
+    "w38_force_index",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    {_VOL_SQL},
+    seq AS (
+        SELECT b.day, b.close, v.vol,
+               lag(b.close) OVER w AS pc,
+               row_number() OVER w AS rn
+        FROM bars b JOIN vol v ON b.day = v.day
+        WINDOW w AS (ORDER BY b.day)
+    ),
+    fi AS (
+        SELECT day, rn, (close - pc) * vol AS fi1
+        FROM seq
+    ),
+    ema AS (
+        SELECT day, rn, fi1, {_ema_poly_sql("fi1", "6.0/7.0", 13)} AS fi13
+        FROM fi WINDOW w AS (ORDER BY day)
+    )
+    SELECT day,
+           floor(fi1 * 1e4 + 0.5) / 1e4 AS fi1,
+           floor(fi13 * 1e4 + 0.5) / 1e4 AS fi13
+    FROM ema WHERE rn >= 14
+    ORDER BY day
+    """,
+)
+def w38_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    vol = _daily_volume(spark, sf_dir)
+    wd = Window.orderBy("day")
+    seq = bars.join(vol, "day").select(
+        "day",
+        "close",
+        "vol",
+        F.lag("close").over(wd).alias("pc"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    fi = seq.select(
+        "day",
+        "rn",
+        ((F.col("close") - F.col("pc")) * F.col("vol")).alias("fi1"),
+    )
+    ema = fi.select(
+        "day",
+        "rn",
+        "fi1",
+        _ema_poly_spark("fi1", 6.0 / 7.0, 13, wd).alias("fi13"),
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        ema.where(F.col("rn") >= 14)
+        .select(
+            "day",
+            f4(F.col("fi1")).alias("fi1"),
+            f4(F.col("fi13")).alias("fi13"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W39 — Elder-ray bull/bear power: high − EMA13(close) and
+# low − EMA13(close) on the daily compaction (13-term lag polynomial,
+# decay 6/7). Pure window expressions, no join, no state.
+# ---------------------------------------------------------------------------
+@query(
+    "w39_elder_ray",
+    oracle=f"""
+    WITH {_OHLC_SQL},
+    ser AS (
+        SELECT day, high, low, close, row_number() OVER (ORDER BY day) AS rn
+        FROM bars
+    ),
+    ema AS (
+        SELECT day, rn, high, low,
+               {_ema_poly_sql("close", "6.0/7.0", 13)} AS ema13
+        FROM ser WINDOW w AS (ORDER BY day)
+    )
+    SELECT day,
+           floor(ema13 * 1e4 + 0.5) / 1e4 AS ema13,
+           floor((high - ema13) * 1e4 + 0.5) / 1e4 AS bull_power,
+           floor((low - ema13) * 1e4 + 0.5) / 1e4 AS bear_power
+    FROM ema WHERE rn >= 13
+    ORDER BY day
+    """,
+)
+def w39_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _daily_bars(spark, sf_dir)
+    wd = Window.orderBy("day")
+    ser = bars.select(
+        "day", "high", "low", "close", F.row_number().over(wd).alias("rn")
+    )
+    ema = ser.select(
+        "day",
+        "rn",
+        "high",
+        "low",
+        _ema_poly_spark("close", 6.0 / 7.0, 13, wd).alias("ema13"),
+    )
+    f4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        ema.where(F.col("rn") >= 13)
+        .select(
+            "day",
+            f4(F.col("ema13")).alias("ema13"),
+            f4(F.col("high") - F.col("ema13")).alias("bull_power"),
+            f4(F.col("low") - F.col("ema13")).alias("bear_power"),
+        )
+        .orderBy("day")
+    )

@@ -1587,6 +1587,65 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "w33_cci", execute=True)
+    check(
+        "w33_cci",
+        "20-bar mean-deviation runs as the rn-banded self-join on the "
+        "daily compaction (bounded BNLJ, never a fact cartesian)",
+        "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w34_williams_r", execute=True)
+    check(
+        "w34_williams_r",
+        "pure trailing min/max windows over the daily compaction; "
+        "no join, no Python",
+        "Window" in p and "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w35_mfi", execute=True)
+    check(
+        "w35_mfi",
+        "two-compaction broadcast day-join + 14-bar decimal-summed "
+        "flow windows; no cartesian, no Python",
+        "BroadcastHashJoin" in p and "Window" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w36_trix", execute=True)
+    check(
+        "w36_trix",
+        "triple chained EMA lag-polynomials are pure window "
+        "expressions over the hourly compaction; no join, no Python",
+        "Window" in p and "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w37_vortex", execute=True)
+    check(
+        "w37_vortex",
+        "one lag pass + three decimal trailing sums over the daily "
+        "compaction; no join, no Python",
+        "Window" in p and "Join" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w38_force_index", execute=True)
+    check(
+        "w38_force_index",
+        "bars x volume broadcast day-join, 13-term EMA polynomial "
+        "window; no cartesian, no Python",
+        "BroadcastHashJoin" in p and "Window" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "w39_elder_ray", execute=True)
+    check(
+        "w39_elder_ray",
+        "EMA13 polynomial + bull/bear projections, windows only; "
+        "no join, no Python",
+        "Window" in p and "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "q_bom_explosion", execute=True)
     check(
         "q_bom_explosion",
