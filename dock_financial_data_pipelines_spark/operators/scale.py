@@ -4089,3 +4089,973 @@ def j15_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("missed_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A66 — Durbin-Watson statistic on the residuals of the daily-revenue
+# trend regression: the standard serial-correlation screen run after
+# any OLS fit (DW ≈ 2 → independent residuals, → 0 positive, → 4
+# negative autocorrelation). Two passes over the bounded daily series
+# (calendar-bounded, not corpus-bounded — the a25 rationale): (1) the
+# a23 moment sums give slope/intercept as exact-moment doubles, (2) the
+# residual series e_t = y_t − (b0 + b1·t) lags by one day via an
+# unpartitioned window over the compacted series, and both quadratic
+# sums accumulate as per-row DECIMAL(27,6) casts so the division is
+# order-independent. Reference capability: regression diagnostics over
+# report series (reference repo has no analytics; engine mandate).
+# ---------------------------------------------------------------------------
+@query(
+    "a66_durbin_watson",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, y,
+               CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS t
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(t AS DECIMAL(27,2))) AS DOUBLE) AS st,
+               CAST(sum(CAST(y AS DECIMAL(27,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(t * y AS DECIMAL(27,4))) AS DOUBLE) AS sty,
+               CAST(sum(CAST(t * t AS DECIMAL(27,4))) AS DOUBLE) AS stt
+        FROM idx
+    ),
+    fit AS (
+        SELECT n,
+               (n * sty - st * sy) / (n * stt - st * st) AS b1,
+               (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n
+                   AS b0
+        FROM m WHERE n >= 3 AND n * stt - st * st <> 0
+    ),
+    resid AS (
+        SELECT i.day, i.y - (f.b0 + f.b1 * i.t) AS e, f.n
+        FROM idx i CROSS JOIN fit f
+    ),
+    lagged AS (
+        SELECT e, lag(e) OVER (ORDER BY day) AS ep, n FROM resid
+    ),
+    s AS (
+        SELECT max(n) AS n,
+               CAST(sum(CAST(e * e AS DECIMAL(27,6))) AS DOUBLE) AS sse,
+               CAST(sum(CAST(CASE WHEN ep IS NULL THEN NULL
+                                  ELSE (e - ep) * (e - ep) END
+                             AS DECIMAL(27,6))) AS DOUBLE) AS ssd
+        FROM lagged
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           floor(ssd / sse * 1e6 + 0.5) / 1e6 AS dw,
+           floor((1 - ssd / sse / 2) * 1e6 + 0.5) / 1e6 AS rho_hat
+    FROM s WHERE sse > 0
+    """,
+)
+def a66_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    idx = daily.select(
+        "day",
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("t"),
+    )
+    dec = lambda c, s: F.sum(c.cast(f"decimal(27,{s})")).cast("double")  # noqa: E731
+    m = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("t"), 2).alias("st"),
+        dec(F.col("y"), 2).alias("sy"),
+        dec(F.col("t") * F.col("y"), 4).alias("sty"),
+        dec(F.col("t") * F.col("t"), 4).alias("stt"),
+    )
+    n, st, sy = F.col("n"), F.col("st"), F.col("sy")
+    sty, stt = F.col("sty"), F.col("stt")
+    b1 = (n * sty - st * sy) / (n * stt - st * st)
+    fit = m.where((n >= 3) & (n * stt - st * st != 0)).select(
+        n.alias("n"), b1.alias("b1"), ((sy - b1 * st) / n).alias("b0")
+    )
+    resid = idx.crossJoin(F.broadcast(fit)).select(
+        "day",
+        (F.col("y") - (F.col("b0") + F.col("b1") * F.col("t"))).alias("e"),
+        "n",
+    )
+    lagged = resid.select(
+        "e", F.lag("e").over(Window.orderBy("day")).alias("ep"), "n"
+    )
+    s = lagged.agg(
+        F.max("n").alias("n"),
+        dec(F.col("e") * F.col("e"), 6).alias("sse"),
+        dec(
+            F.when(
+                F.col("ep").isNull(), F.lit(None).cast("double")
+            ).otherwise((F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))),
+            6,
+        ).alias("ssd"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return s.where(F.col("sse") > 0).select(
+        F.col("n").cast("long").alias("n_days"),
+        r6(F.col("ssd") / F.col("sse")).alias("dw"),
+        r6(1 - F.col("ssd") / F.col("sse") / 2).alias("rho_hat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A67 — Cronbach's alpha over the three per-lineitem "items"
+# (quantity, discount, tax): the internal-consistency coefficient
+# α = k/(k−1) · (1 − Σ σ²_item / σ²_total), with every variance built
+# from DECIMAL-exact moment sums (sample variance, n−1 denominator).
+# One aggregate pass over the fact table — the per-item squares and the
+# row-total squares are all per-row doubles cast to DECIMAL at the sum,
+# so k=3 item variances and the total variance come out of a single
+# shuffle-free reduction. Reference capability: survey/score
+# reliability screens in report validation (engine mandate).
+# ---------------------------------------------------------------------------
+@query(
+    "a67_cronbach_alpha",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,4)))
+                    AS DOUBLE) AS q1,
+               CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(l_discount * l_discount AS DECIMAL(27,4)))
+                    AS DOUBLE) AS q2,
+               CAST(sum(CAST(l_tax AS DECIMAL(27,2))) AS DOUBLE) AS s3,
+               CAST(sum(CAST(l_tax * l_tax AS DECIMAL(27,4))) AS DOUBLE)
+                   AS q3,
+               CAST(sum(CAST((l_quantity + l_discount + l_tax)
+                             * (l_quantity + l_discount + l_tax)
+                             AS DECIMAL(27,4))) AS DOUBLE) AS qt
+        FROM lineitem
+    ),
+    v AS (
+        SELECT n,
+               (q1 - s1 * s1 / n) / (n - 1) AS v1,
+               (q2 - s2 * s2 / n) / (n - 1) AS v2,
+               (q3 - s3 * s3 / n) / (n - 1) AS v3,
+               (qt - (s1 + s2 + s3) * (s1 + s2 + s3) / n) / (n - 1) AS vt
+        FROM s WHERE n >= 2
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           3 AS k_items,
+           floor(v1 * 1e6 + 0.5) / 1e6 AS var_quantity,
+           floor(v2 * 1e6 + 0.5) / 1e6 AS var_discount,
+           floor(v3 * 1e6 + 0.5) / 1e6 AS var_tax,
+           floor(vt * 1e6 + 0.5) / 1e6 AS var_total,
+           floor(1.5 * (1 - (v1 + v2 + v3) / vt) * 1e6 + 0.5) / 1e6
+               AS cronbach_alpha
+    FROM v WHERE vt > 0
+    """,
+)
+def a67_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c, s: F.sum(c.cast(f"decimal(27,{s})")).cast("double")  # noqa: E731
+    q, d, t = F.col("l_quantity"), F.col("l_discount"), F.col("l_tax")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(q, 2).alias("s1"),
+        dec(q * q, 4).alias("q1"),
+        dec(d, 2).alias("s2"),
+        dec(d * d, 4).alias("q2"),
+        dec(t, 2).alias("s3"),
+        dec(t * t, 4).alias("q3"),
+        dec((q + d + t) * (q + d + t), 4).alias("qt"),
+    )
+    n = F.col("n")
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    v2 = (F.col("q2") - F.col("s2") * F.col("s2") / n) / (n - 1)
+    v3 = (F.col("q3") - F.col("s3") * F.col("s3") / n) / (n - 1)
+    stot = F.col("s1") + F.col("s2") + F.col("s3")
+    vt = (F.col("qt") - stot * stot / n) / (n - 1)
+    v = s.where(n >= 2).select(
+        n.alias("n"),
+        v1.alias("v1"),
+        v2.alias("v2"),
+        v3.alias("v3"),
+        vt.alias("vt"),
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return v.where(F.col("vt") > 0).select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.lit(3).alias("k_items"),
+        r6(F.col("v1")).alias("var_quantity"),
+        r6(F.col("v2")).alias("var_discount"),
+        r6(F.col("v3")).alias("var_tax"),
+        r6(F.col("vt")).alias("var_total"),
+        r6(
+            1.5 * (1 - (F.col("v1") + F.col("v2") + F.col("v3")) / F.col("vt"))
+        ).alias("cronbach_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A68 — Cohen's kappa between two binary "raters" on orders: rater A
+# says an order is expedited (priority 1-URGENT/2-HIGH), rater B says
+# it is high-value (totalprice > 250 000). Kappa corrects observed
+# agreement for chance: κ = (p_o − p_e)/(1 − p_e). The 2×2 confusion
+# counts come out of one conditional-aggregate pass (exact integers);
+# the κ arithmetic runs on exact-count doubles. Degenerate p_e = 1
+# (a rater with one constant answer on both sides) emits nothing —
+# κ is undefined there (the a56 empty-on-undefined contract).
+# ---------------------------------------------------------------------------
+@query(
+    "a68_cohens_kappa",
+    oracle="""
+    WITH flags AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS ra,
+               CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS rb
+        FROM orders
+    ),
+    c AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(count(CASE WHEN ra = 1 AND rb = 1 THEN 1 END)
+                    AS DOUBLE) AS a11,
+               CAST(count(CASE WHEN ra = 1 AND rb = 0 THEN 1 END)
+                    AS DOUBLE) AS a10,
+               CAST(count(CASE WHEN ra = 0 AND rb = 1 THEN 1 END)
+                    AS DOUBLE) AS a01,
+               CAST(count(CASE WHEN ra = 0 AND rb = 0 THEN 1 END)
+                    AS DOUBLE) AS a00
+        FROM flags
+    ),
+    k AS (
+        SELECT n, a11, a10, a01, a00,
+               (a11 + a00) / n AS po,
+               ((a11 + a10) * (a11 + a01)
+                + (a01 + a00) * (a10 + a00)) / (n * n) AS pe
+        FROM c WHERE n > 0
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(a11 AS BIGINT) AS both_yes,
+           CAST(a10 AS BIGINT) AS a_only,
+           CAST(a01 AS BIGINT) AS b_only,
+           CAST(a00 AS BIGINT) AS both_no,
+           floor(po * 1e6 + 0.5) / 1e6 AS p_observed,
+           floor(pe * 1e6 + 0.5) / 1e6 AS p_expected,
+           floor((po - pe) / (1 - pe) * 1e6 + 0.5) / 1e6 AS kappa
+    FROM k WHERE pe < 1
+    """,
+)
+def a68_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    flags = o.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("ra"),
+        F.when(F.col("o_totalprice") > 250000, 1).otherwise(0).alias("rb"),
+    )
+    cnt = lambda cond: F.count(F.when(cond, F.lit(1))).cast("double")  # noqa: E731
+    ra, rb = F.col("ra"), F.col("rb")
+    c = flags.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        cnt((ra == 1) & (rb == 1)).alias("a11"),
+        cnt((ra == 1) & (rb == 0)).alias("a10"),
+        cnt((ra == 0) & (rb == 1)).alias("a01"),
+        cnt((ra == 0) & (rb == 0)).alias("a00"),
+    )
+    n = F.col("n")
+    po = (F.col("a11") + F.col("a00")) / n
+    pe = (
+        (F.col("a11") + F.col("a10")) * (F.col("a11") + F.col("a01"))
+        + (F.col("a01") + F.col("a00")) * (F.col("a10") + F.col("a00"))
+    ) / (n * n)
+    k = c.where(n > 0).select(
+        n.alias("n"),
+        F.col("a11"),
+        F.col("a10"),
+        F.col("a01"),
+        F.col("a00"),
+        po.alias("po"),
+        pe.alias("pe"),
+    )
+    r6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return k.where(F.col("pe") < 1).select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("a11").cast("long").alias("both_yes"),
+        F.col("a10").cast("long").alias("a_only"),
+        F.col("a01").cast("long").alias("b_only"),
+        F.col("a00").cast("long").alias("both_no"),
+        r6(F.col("po")).alias("p_observed"),
+        r6(F.col("pe")).alias("p_expected"),
+        r6((F.col("po") - F.col("pe")) / (1 - F.col("pe"))).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A69 — Kruskal-Wallis H across the five order priorities on order
+# value: the k-group generalization of a47's Mann-Whitney (rank-based
+# one-way ANOVA). Mid-ranks for ties come from rank() + the tie-group
+# size ((2·minrank + c − 1)/2 — exact halves, so rank sums accumulate
+# as DECIMAL(27,1)); the tie-correction factor uses Σ(t³−t) over
+# value-tie groups. The global rank is a single range-partitioned sort
+# of the compacted (value)-level — at 100 TB this is the one operator
+# family where a total sort is the stated cost, the same contract as
+# a10's exact percentiles. H_corrected = H / (1 − Σ(t³−t)/(N³−N)).
+# ---------------------------------------------------------------------------
+@query(
+    "a69_kruskal_wallis",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS x,
+               rank() OVER (ORDER BY o_totalprice) AS rmin,
+               count(*) OVER (PARTITION BY o_totalprice) AS c
+        FROM orders
+    ),
+    mid AS (
+        SELECT grp, (2.0 * rmin + c - 1) / 2 AS mr FROM ranked
+    ),
+    g AS (
+        SELECT grp, CAST(count(*) AS DOUBLE) AS ng,
+               CAST(sum(CAST(mr AS DECIMAL(27,1))) AS DOUBLE) AS rsum
+        FROM mid GROUP BY 1
+    ),
+    ties AS (
+        SELECT CAST(sum(CAST(c * c * c - c AS DECIMAL(27,0))) AS DOUBLE)
+                   AS tsum
+        FROM (SELECT CAST(count(*) AS DOUBLE) AS c
+              FROM orders GROUP BY o_totalprice)
+    ),
+    h AS (
+        SELECT CAST(sum(CAST(g.ng AS DECIMAL(27,0))) AS DOUBLE) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(g.rsum * g.rsum / g.ng AS DECIMAL(27,6)))
+                    AS DOUBLE) AS rr
+        FROM g
+    )
+    SELECT CAST(h.n AS BIGINT) AS n_orders, h.k AS k_groups,
+           floor((12 / (h.n * (h.n + 1)) * h.rr - 3 * (h.n + 1))
+                 * 1e6 + 0.5) / 1e6 AS h_stat,
+           floor((12 / (h.n * (h.n + 1)) * h.rr - 3 * (h.n + 1))
+                 / (1 - t.tsum / (h.n * h.n * h.n - h.n))
+                 * 1e6 + 0.5) / 1e6 AS h_corrected
+    FROM h CROSS JOIN ties t
+    WHERE h.n >= 2 AND t.tsum < h.n * h.n * h.n - h.n
+    """,
+)
+def a69_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("x"),
+        F.rank().over(Window.orderBy("o_totalprice")).alias("rmin"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_totalprice"))
+        .alias("c"),
+    )
+    mid = ranked.select(
+        "grp", ((2.0 * F.col("rmin") + F.col("c") - 1) / 2).alias("mr")
+    )
+    g = mid.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum(F.col("mr").cast("decimal(27,1)")).cast("double").alias("rsum"),
+    )
+    ties = (
+        o.groupBy("o_totalprice")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .agg(
+            F.sum(
+                (F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast(
+                    "decimal(27,0)"
+                )
+            )
+            .cast("double")
+            .alias("tsum")
+        )
+    )
+    h = g.agg(
+        F.sum(F.col("ng").cast("decimal(27,0)")).cast("double").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum((F.col("rsum") * F.col("rsum") / F.col("ng")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("rr"),
+    )
+    n, rr, tsum = F.col("n"), F.col("rr"), F.col("tsum")
+    hstat = 12 / (n * (n + 1)) * rr - 3 * (n + 1)
+    r6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        h.crossJoin(F.broadcast(ties))
+        .where((n >= 2) & (tsum < n * n * n - n))
+        .select(
+            n.cast("long").alias("n_orders"),
+            F.col("k").alias("k_groups"),
+            r6(hstat).alias("h_stat"),
+            r6(hstat / (1 - tsum / (n * n * n - n))).alias("h_corrected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A70 — Ljung-Box portmanteau test on the daily order-count series:
+# Q(m) = n(n+2) Σ_{k≤m} ρ̂_k²/(n−k) for m = 1..7, the "is this series
+# white noise" gate run before fitting any ARIMA-family model. The
+# autocorrelations extend a25 to multiple lags: the compacted daily
+# series self-joins on (rn − k) for the seven fixed lags (each row
+# meets ≤7 partners — bounded fan-out), deviations multiply per-row as
+# doubles against the exact-moment mean, and every cross-row sum is a
+# DECIMAL cast. Q accumulates over lags through a 7-row window — one
+# output row per lag with its ρ̂_k and the cumulative Q statistic.
+# ---------------------------------------------------------------------------
+@query(
+    "a70_ljung_box",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(y AS DECIMAL(27,0))) AS DOUBLE) AS sy
+        FROM idx
+    ),
+    dev AS (
+        SELECT i.rn, i.y - m.sy / m.n AS d, m.n
+        FROM idx i CROSS JOIN m WHERE m.n >= 9
+    ),
+    den AS (
+        SELECT CAST(sum(CAST(d * d AS DECIMAL(27,6))) AS DOUBLE) AS s0,
+               max(n) AS n
+        FROM dev
+    ),
+    lags(k) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+    num AS (
+        SELECT l.k,
+               CAST(sum(CAST(a.d * b.d AS DECIMAL(27,6))) AS DOUBLE) AS sk
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON a.rn - l.k = b.rn
+        GROUP BY l.k
+    ),
+    rho AS (
+        SELECT n.k, d.n, n.sk / d.s0 AS r
+        FROM num n CROSS JOIN den d WHERE d.s0 > 0
+    )
+    SELECT k AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           floor(r * 1e6 + 0.5) / 1e6 AS rho,
+           floor(n * (n + 2)
+                 * sum(r * r / (n - k)) OVER (ORDER BY k)
+                 * 1e6 + 0.5) / 1e6 AS q_ljung_box
+    FROM rho ORDER BY k
+    """,
+)
+def a70_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    idx = daily.select(
+        "y", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    m = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("y").cast("decimal(27,0)")).cast("double").alias("sy"),
+    ).where(F.col("n") >= 9)
+    dev = idx.crossJoin(F.broadcast(m)).select(
+        "rn", (F.col("y") - F.col("sy") / F.col("n")).alias("d"), "n"
+    )
+    den = dev.agg(
+        F.sum((F.col("d") * F.col("d")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("s0"),
+        F.max("n").alias("n"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    a, b = dev.alias("a"), dev.alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("a.rn") - F.col("k") == F.col("b.rn"))
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("a.d") * F.col("b.d")).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sk")
+        )
+    )
+    rho = num.crossJoin(F.broadcast(den.where(F.col("s0") > 0))).select(
+        "k", "n", (F.col("sk") / F.col("s0")).alias("r")
+    )
+    n, k, r = F.col("n"), F.col("k"), F.col("r")
+    wq = Window.orderBy("k")
+    r6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return rho.select(
+        k.alias("lag"),
+        n.cast("long").alias("n_days"),
+        r6(r).alias("rho"),
+        r6(n * (n + 2) * F.sum(r * r / (n - k)).over(wq)).alias(
+            "q_ljung_box"
+        ),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# A71 — Hurst exponent by rescaled-range (R/S) analysis of the daily
+# revenue series: blocks of 8/16/32 days each yield R (range of the
+# cumulative deviation from the block mean) over S (population std of
+# the block); the Hurst estimate is the OLS slope of ln(mean R/S) on
+# ln(block size) across the three sizes. Long-memory screen for
+# revenue persistence (H > 0.5 trending, < 0.5 mean-reverting).
+# Block cumulative sums are per-block windows (size-bounded, ≤32 rows
+# — never a global window); the ln() values are floor-quantized to
+# 1e9 before the 3-point slope (the a50 idiom: ln is libm, quantize
+# before any cross-engine reuse). Incomplete tail blocks drop.
+# ---------------------------------------------------------------------------
+@query(
+    "a71_hurst_rs",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, row_number() OVER (ORDER BY day) - 1 AS rn FROM daily
+    ),
+    sizes(sz) AS (VALUES (8), (16), (32)),
+    blocks AS (
+        SELECT s.sz, i.rn // s.sz AS blk, i.rn, i.y
+        FROM idx i JOIN sizes s ON TRUE
+    ),
+    bstat AS (
+        SELECT sz, blk,
+               CAST(count(*) AS DOUBLE) AS bc,
+               CAST(sum(CAST(y AS DECIMAL(27,2))) AS DOUBLE) AS bs,
+               CAST(sum(CAST(y * y AS DECIMAL(27,4))) AS DOUBLE) AS bq
+        FROM blocks GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT b.sz, b.blk,
+               CAST(sum(CAST(b.y - s.bs / s.bc AS DECIMAL(27,6)))
+                    OVER (PARTITION BY b.sz, b.blk ORDER BY b.rn)
+                    AS DOUBLE) AS z,
+               s.bc, s.bs, s.bq
+        FROM blocks b JOIN bstat s ON b.sz = s.sz AND b.blk = s.blk
+        WHERE s.bc = s.sz
+    ),
+    rs AS (
+        SELECT sz, blk,
+               (max(z) - min(z))
+               / sqrt(max(bq) / max(bc)
+                      - (max(bs) / max(bc)) * (max(bs) / max(bc))) AS ratio
+        FROM cum
+        GROUP BY 1, 2
+        HAVING max(bq) / max(bc)
+               - (max(bs) / max(bc)) * (max(bs) / max(bc)) > 0
+    ),
+    mean_rs AS (
+        SELECT sz, CAST(count(*) AS DOUBLE) AS nb,
+               CAST(sum(CAST(ratio AS DECIMAL(27,6))) AS DOUBLE) AS sr
+        FROM rs GROUP BY 1
+    ),
+    pts AS (
+        SELECT floor(ln(CAST(sz AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS lx,
+               floor(ln(sr / nb) * 1e9 + 0.5) / 1e9 AS ly,
+               sz, nb, sr
+        FROM mean_rs WHERE sr / nb > 0
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS DOUBLE) AS np,
+               sum(lx) AS sx, sum(ly) AS sy,
+               sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+        FROM pts
+    )
+    SELECT p.sz AS block_size,
+           CAST(p.nb AS BIGINT) AS n_blocks,
+           floor(p.sr / p.nb * 1e6 + 0.5) / 1e6 AS mean_rs,
+           floor((f.np * f.sxy - f.sx * f.sy)
+                 / (f.np * f.sxx - f.sx * f.sx) * 1e6 + 0.5) / 1e6
+               AS hurst
+    FROM pts p CROSS JOIN fit f
+    WHERE f.np >= 2 AND f.np * f.sxx - f.sx * f.sx <> 0
+    ORDER BY p.sz
+    """,
+)
+def a71_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    idx = daily.select(
+        "y",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("rn"),
+    )
+    sizes = spark.createDataFrame([(8,), (16,), (32,)], "sz int")
+    blocks = idx.crossJoin(F.broadcast(sizes)).select(
+        "sz", (F.col("rn") / F.col("sz")).cast("long").alias("blk"), "rn", "y"
+    )
+    dec = lambda c, s: F.sum(c.cast(f"decimal(27,{s})")).cast("double")  # noqa: E731
+    bstat = blocks.groupBy("sz", "blk").agg(
+        F.count(F.lit(1)).cast("double").alias("bc"),
+        dec(F.col("y"), 2).alias("bs"),
+        dec(F.col("y") * F.col("y"), 4).alias("bq"),
+    )
+    cum = (
+        blocks.join(bstat, ["sz", "blk"])
+        .where(F.col("bc") == F.col("sz"))
+        .select(
+            "sz",
+            "blk",
+            F.sum(
+                (F.col("y") - F.col("bs") / F.col("bc")).cast("decimal(27,6)")
+            )
+            .over(Window.partitionBy("sz", "blk").orderBy("rn"))
+            .cast("double")
+            .alias("z"),
+            "bc",
+            "bs",
+            "bq",
+        )
+    )
+    var = F.max("bq") / F.max("bc") - (F.max("bs") / F.max("bc")) * (
+        F.max("bs") / F.max("bc")
+    )
+    rs = (
+        cum.groupBy("sz", "blk")
+        .agg(
+            ((F.max("z") - F.min("z")) / F.sqrt(var)).alias("ratio"),
+            var.alias("v"),
+        )
+        .where(F.col("v") > 0)
+        .drop("v")
+    )
+    mean_rs = rs.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("double").alias("nb"),
+        dec(F.col("ratio"), 6).alias("sr"),
+    )
+    r9 = lambda c_: F.floor(c_ * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    pts = mean_rs.where(F.col("sr") / F.col("nb") > 0).select(
+        r9(F.log(F.col("sz").cast("double"))).alias("lx"),
+        r9(F.log(F.col("sr") / F.col("nb"))).alias("ly"),
+        "sz",
+        "nb",
+        "sr",
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("np"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    np_, sx, sy = F.col("np"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    r6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .where((np_ >= 2) & (np_ * sxx - sx * sx != 0))
+        .select(
+            F.col("sz").alias("block_size"),
+            F.col("nb").cast("long").alias("n_blocks"),
+            r6(F.col("sr") / F.col("nb")).alias("mean_rs"),
+            r6((np_ * sxy - sx * sy) / (np_ * sxx - sx * sx)).alias("hurst"),
+        )
+        .orderBy("block_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A72 — Grubbs' outlier statistic on the daily revenue series:
+# G = max|y − ȳ|/s (sample std), reported with the day that attains
+# it — "is the single most extreme day an outlier" (the statistic is
+# emitted; the t-based critical value is the caller's table lookup).
+# Mean and std come from one DECIMAL-exact moment pass; the arg-max
+# day resolves ties by earliest day (rank over (|dev| DESC, day ASC)
+# — a total order). Two passes over the calendar-bounded daily
+# compaction, no global sort (the rank window orders ~thousands of
+# rows, the same contract as a25/a66).
+# ---------------------------------------------------------------------------
+@query(
+    "a72_grubbs_statistic",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(y AS DECIMAL(27,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(y * y AS DECIMAL(27,4))) AS DOUBLE) AS qy
+        FROM daily
+    ),
+    s AS (
+        SELECT n, sy / n AS mu,
+               sqrt((qy - sy * sy / n) / (n - 1)) AS sd
+        FROM m WHERE n >= 3 AND qy - sy * sy / n > 0
+    ),
+    ranked AS (
+        SELECT d.day, d.y, s.n, s.mu, s.sd,
+               abs(d.y - s.mu) AS dev,
+               rank() OVER (ORDER BY abs(d.y - s.mu) DESC, d.day) AS r
+        FROM daily d CROSS JOIN s
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           day AS outlier_day,
+           floor(y * 1e2 + 0.5) / 1e2 AS outlier_revenue,
+           floor(mu * 1e6 + 0.5) / 1e6 AS mean_revenue,
+           floor(sd * 1e6 + 0.5) / 1e6 AS std_revenue,
+           floor(dev / sd * 1e6 + 0.5) / 1e6 AS grubbs_g
+    FROM ranked WHERE r = 1
+    """,
+)
+def a72_grubbs_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    dec = lambda c, s: F.sum(c.cast(f"decimal(27,{s})")).cast("double")  # noqa: E731
+    m = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("y"), 2).alias("sy"),
+        dec(F.col("y") * F.col("y"), 4).alias("qy"),
+    )
+    n, sy, qy = F.col("n"), F.col("sy"), F.col("qy")
+    s = m.where((n >= 3) & (qy - sy * sy / n > 0)).select(
+        n.alias("n"),
+        (sy / n).alias("mu"),
+        F.sqrt((qy - sy * sy / n) / (n - 1)).alias("sd"),
+    )
+    ranked = daily.crossJoin(F.broadcast(s)).select(
+        "day",
+        "y",
+        "n",
+        "mu",
+        "sd",
+        F.abs(F.col("y") - F.col("mu")).alias("dev"),
+        F.rank()
+        .over(Window.orderBy(F.abs(F.col("y") - F.col("mu")).desc(), "day"))
+        .alias("r"),
+    )
+    r6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return ranked.where(F.col("r") == 1).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("day").alias("outlier_day"),
+        (F.floor(F.col("y") * 1e2 + F.lit(0.5)) / 1e2).alias(
+            "outlier_revenue"
+        ),
+        r6(F.col("mu")).alias("mean_revenue"),
+        r6(F.col("sd")).alias("std_revenue"),
+        r6(F.col("dev") / F.col("sd")).alias("grubbs_g"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A73 — partial autocorrelation (PACF) of the daily order-count series
+# at lags 1–3 via the closed-form Durbin-Levinson recursion on the
+# a70-style autocorrelations: φ11 = r1; φ22 = (r2 − r1²)/(1 − r1²);
+# φ33 from the level-2 coefficients. The AR-order selection companion
+# to a70's white-noise gate. The three ρ̂_k come from the same bounded
+# lag self-join (DECIMAL-exact sums); the recursion itself is scalar
+# double arithmetic on a 3-row frame pivoted to one row — identical
+# per-value FP on both engines, quantized once at output.
+# ---------------------------------------------------------------------------
+@query(
+    "a73_yule_walker_pacf",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(y AS DECIMAL(27,0))) AS DOUBLE) AS sy
+        FROM idx
+    ),
+    dev AS (
+        SELECT i.rn, i.y - m.sy / m.n AS d, m.n
+        FROM idx i CROSS JOIN m WHERE m.n >= 5
+    ),
+    den AS (
+        SELECT CAST(sum(CAST(d * d AS DECIMAL(27,6))) AS DOUBLE) AS s0,
+               max(n) AS n
+        FROM dev
+    ),
+    lags(k) AS (VALUES (1), (2), (3)),
+    num AS (
+        SELECT l.k,
+               CAST(sum(CAST(a.d * b.d AS DECIMAL(27,6))) AS DOUBLE) AS sk
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON a.rn - l.k = b.rn
+        GROUP BY l.k
+    ),
+    r AS (
+        SELECT max(CASE WHEN n.k = 1 THEN n.sk / d.s0 END) AS r1,
+               max(CASE WHEN n.k = 2 THEN n.sk / d.s0 END) AS r2,
+               max(CASE WHEN n.k = 3 THEN n.sk / d.s0 END) AS r3,
+               max(d.n) AS n
+        FROM num n CROSS JOIN den d WHERE d.s0 > 0
+    ),
+    p AS (
+        SELECT n, r1, r2, r3,
+               r1 AS p11,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+        FROM r
+        WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL
+          AND 1 - r1 * r1 <> 0
+    ),
+    p3 AS (
+        SELECT n, r1, r2, r3, p11, p22,
+               r1 * (1 - p22) AS p21
+        FROM p
+    ),
+    fin AS (
+        SELECT n, r1, r2, r3, p11, p22,
+               (r3 - p21 * r2 - p22 * r1)
+                   / (1 - p21 * r1 - p22 * r2) AS p33
+        FROM p3 WHERE 1 - p21 * r1 - p22 * r2 <> 0
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_days,
+           floor(rho * 1e6 + 0.5) / 1e6 AS rho,
+           floor(pacf * 1e6 + 0.5) / 1e6 AS pacf
+    FROM (
+        SELECT 1 AS lag, n, r1 AS rho, p11 AS pacf FROM fin
+        UNION ALL
+        SELECT 2, n, r2, p22 FROM fin
+        UNION ALL
+        SELECT 3, n, r3, p33 FROM fin
+    ) ORDER BY lag
+    """,
+)
+def a73_yule_walker_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    idx = daily.select(
+        "y", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    m = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("y").cast("decimal(27,0)")).cast("double").alias("sy"),
+    ).where(F.col("n") >= 5)
+    dev = idx.crossJoin(F.broadcast(m)).select(
+        "rn", (F.col("y") - F.col("sy") / F.col("n")).alias("d"), "n"
+    )
+    den = dev.agg(
+        F.sum((F.col("d") * F.col("d")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("s0"),
+        F.max("n").alias("n"),
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    a, b = dev.alias("a"), dev.alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("a.rn") - F.col("k") == F.col("b.rn"))
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("a.d") * F.col("b.d")).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sk")
+        )
+    )
+    rho1 = lambda kk: F.max(  # noqa: E731
+        F.when(F.col("k") == kk, F.col("sk") / F.col("s0"))
+    )
+    r = (
+        num.crossJoin(F.broadcast(den.where(F.col("s0") > 0)))
+        .agg(
+            rho1(1).alias("r1"),
+            rho1(2).alias("r2"),
+            rho1(3).alias("r3"),
+            F.max("n").alias("n"),
+        )
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p = r.where(
+        r1.isNotNull()
+        & r2.isNotNull()
+        & r3.isNotNull()
+        & (1 - r1 * r1 != 0)
+    ).select(
+        "n",
+        "r1",
+        "r2",
+        "r3",
+        r1.alias("p11"),
+        ((r2 - r1 * r1) / (1 - r1 * r1)).alias("p22"),
+    )
+    p3 = p.select("*", (r1 * (1 - F.col("p22"))).alias("p21"))
+    p21, p22 = F.col("p21"), F.col("p22")
+    fin = p3.where(1 - p21 * r1 - p22 * r2 != 0).select(
+        "n",
+        "r1",
+        "r2",
+        "r3",
+        "p11",
+        "p22",
+        (
+            (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+        ).alias("p33"),
+    )
+    rows = (
+        fin.select(
+            F.lit(1).alias("lag"),
+            F.col("n"),
+            r1.alias("rho"),
+            F.col("p11").alias("pacf"),
+        )
+        .unionAll(
+            fin.select(
+                F.lit(2).alias("lag"), F.col("n"), r2.alias("rho"), p22.alias("pacf")
+            )
+        )
+        .unionAll(
+            fin.select(
+                F.lit(3).alias("lag"),
+                F.col("n"),
+                r3.alias("rho"),
+                F.col("p33").alias("pacf"),
+            )
+        )
+    )
+    r6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return rows.select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        r6(F.col("rho")).alias("rho"),
+        r6(F.col("pacf")).alias("pacf"),
+    ).orderBy("lag")

@@ -1718,6 +1718,79 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "a66_durbin_watson", execute=True)
+    check(
+        "a66_durbin_watson",
+        "1-row fit broadcast onto the daily compaction (never a "
+        "shuffled join); lag window; no cartesian blowup, no Python",
+        "BroadcastNestedLoopJoin" in p and "Window" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a67_cronbach_alpha", execute=True)
+    check(
+        "a67_cronbach_alpha",
+        "all item variances from ONE hash-aggregate pass over the "
+        "fact (no join, no second scan); no Python",
+        "HashAggregate" in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a68_cohens_kappa", execute=True)
+    check(
+        "a68_cohens_kappa",
+        "2x2 confusion counts in one conditional-aggregate pass; "
+        "no join, no Python",
+        "HashAggregate" in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a69_kruskal_wallis", execute=True)
+    check(
+        "a69_kruskal_wallis",
+        "rank windows + hash aggregates; the ties frame joins as a "
+        "1-row broadcast, never a shuffled join; no Python",
+        "Window" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a70_ljung_box", execute=True)
+    check(
+        "a70_ljung_box",
+        "7-lag self-join is an equi-join on rn with the lags table "
+        "broadcast (bounded fan-out, never all-pairs); no Python",
+        "BroadcastNestedLoopJoin" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a71_hurst_rs", execute=True)
+    check(
+        "a71_hurst_rs",
+        "per-(size, block) windows over the tripled compaction "
+        "(block-bounded, never global); 1-row fit broadcast back; "
+        "no cartesian blowup, no Python",
+        "Window" in p and "BroadcastNestedLoopJoin" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a72_grubbs_statistic", execute=True)
+    check(
+        "a72_grubbs_statistic",
+        "1-row moments broadcast onto the daily compaction; argmax "
+        "via rank window; no cartesian blowup, no Python",
+        "BroadcastNestedLoopJoin" in p and "Window" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "a73_yule_walker_pacf", execute=True)
+    check(
+        "a73_yule_walker_pacf",
+        "3-lag bounded self-join + scalar Durbin-Levinson on a "
+        "pivoted 1-row frame; union of 3 projections; no Python",
+        "Union" in p and "BroadcastNestedLoopJoin" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
