@@ -1791,6 +1791,78 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "q_var_cvar", execute=True)
+    check(
+        "q_var_cvar",
+        "tail selection via per-segment windows over the daily "
+        "compaction (no global sort of the fact); no Python",
+        "Window" in p and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_beta_capm", execute=True)
+    check(
+        "q_beta_capm",
+        "market series joins back by day as a broadcast (calendar-"
+        "bounded); customer dim broadcast; no cartesian blowup",
+        "BroadcastHashJoin" in p and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_amortization_schedule", execute=True)
+    check(
+        "q_amortization_schedule",
+        "closed-form schedule: one region aggregate, 12-row factor "
+        "table broadcast (no recursion, no per-period shuffle)",
+        "BroadcastNestedLoopJoin" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_roll_rate_matrix", execute=True)
+    check(
+        "q_roll_rate_matrix",
+        "one custkey shuffle for the lag window, then a count "
+        "aggregate — no join at all; no Python",
+        "Window" in p and "HashAggregate" in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_fx_triangulation", execute=True)
+    check(
+        "q_fx_triangulation",
+        "both nation dims and customer/supplier broadcast; the fact "
+        "shuffles once for the corridor aggregate; no cartesian",
+        p.count("BroadcastHashJoin") >= 4 and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_ecl_staging", execute=True)
+    check(
+        "q_ecl_staging",
+        "first-ship compaction left-joined to orders; dim chain "
+        "broadcast; no cartesian, no Python",
+        "BroadcastHashJoin" in p and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_liquidity_ladder", execute=True)
+    check(
+        "q_liquidity_ladder",
+        "as-of date enters as a 1-row broadcast (no driver round-"
+        "trip); 5-bucket aggregate then tiny cumulative window",
+        "BroadcastNestedLoopJoin" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_contribution_breakeven", execute=True)
+    check(
+        "q_contribution_breakeven",
+        "part dim broadcast onto the fact; single brand aggregate; "
+        "no cartesian, no Python",
+        "BroadcastHashJoin" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
