@@ -2546,3 +2546,148 @@ def l_wrapper_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_cross_shard_dup_rate — how a sharded dedup composes: assign each
+# document to one of 16 shards by id-hash (the md5-60bit idiom mod 16,
+# bit-identical across engines), group exact duplicates by content
+# digest, and measure what fraction of duplicate GROUPS (and rows)
+# span more than one shard. This is the quantity that decides whether
+# per-shard local dedup is sufficient at 100 TB or a global (cross-
+# shard) pass is required: every group counted in `groups_cross_shard`
+# is a duplicate a shard-local pass would MISS. One digest-keyed
+# aggregate carrying count + distinct-shard count — shuffles
+# (digest, shard), never text.
+# ---------------------------------------------------------------------------
+@query(
+    "l_cross_shard_dup_rate",
+    oracle="""
+    WITH sharded AS (
+        SELECT md5(text) AS dg,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 16 AS shard
+        FROM documents
+    ),
+    grp AS (
+        SELECT dg, count(*) AS sz, count(DISTINCT shard) AS nsh
+        FROM sharded GROUP BY dg
+    ),
+    dups AS (SELECT * FROM grp WHERE sz > 1)
+    SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+           CAST(count(CASE WHEN nsh > 1 THEN 1 END) AS BIGINT)
+               AS groups_cross_shard,
+           CAST(coalesce(sum(sz - 1), 0) AS BIGINT) AS removable_rows,
+           CAST(coalesce(sum(CASE WHEN nsh > 1 THEN sz - 1 ELSE 0 END), 0)
+                AS BIGINT) AS rows_needing_global_pass,
+           CASE WHEN count(*) > 0
+                THEN floor(CAST(count(CASE WHEN nsh > 1 THEN 1 END)
+                                AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS cross_shard_group_rate
+    FROM dups
+    """,
+)
+def l_cross_shard_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sharded = docs.select(
+        F.md5("text").alias("dg"),
+        F.pmod(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ),
+            F.lit(16),
+        ).alias("shard"),
+    )
+    grp = sharded.groupBy("dg").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("shard").alias("nsh"),
+    )
+    dups = grp.where(F.col("sz") > 1)
+    cross = F.count(F.when(F.col("nsh") > 1, F.lit(1)))
+    total = F.count(F.lit(1))
+    return dups.agg(
+        total.cast("long").alias("dup_groups"),
+        cross.cast("long").alias("groups_cross_shard"),
+        F.coalesce(F.sum(F.col("sz") - 1), F.lit(0))
+        .cast("long")
+        .alias("removable_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("nsh") > 1, F.col("sz") - 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("rows_needing_global_pass"),
+        F.when(
+            total > 0,
+            F.floor(cross.cast("double") / total * 1e6 + F.lit(0.5)) / 1e6,
+        )
+        .otherwise(0.0)
+        .alias("cross_shard_group_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_fingerprint_collision_audit — choosing a fingerprint width for
+# 100 TB dedup: truncate the content digest to 24/32/40 bits over the
+# DISTINCT texts and count fingerprint collisions (distinct texts
+# whose truncated digests coincide → rows a fingerprint-keyed dedup
+# would WRONGLY merge), next to the birthday-bound expectation
+# m(m−1)/2^(b+1). The audit that justifies the 60-bit idiom used by
+# the MinHash family: at small corpora every width looks safe; the
+# expectation column is the number that extrapolates. One distinct
+# pass, then three width-keyed aggregates via a 3-row literal.
+# ---------------------------------------------------------------------------
+@query(
+    "l_fingerprint_collision_audit",
+    oracle="""
+    WITH dist AS (SELECT DISTINCT md5(text) AS dg FROM documents),
+    widths(bits, hexchars) AS (VALUES (24, 6), (32, 8), (40, 10)),
+    fp AS (
+        SELECT w.bits,
+               substring(d.dg, 1, w.hexchars) AS f
+        FROM dist d CROSS JOIN widths w
+    ),
+    agg AS (
+        SELECT bits,
+               CAST(count(*) AS BIGINT) AS n_texts,
+               CAST(count(DISTINCT f) AS BIGINT) AS n_fingerprints
+        FROM fp GROUP BY bits
+    )
+    SELECT bits, n_texts, n_fingerprints,
+           n_texts - n_fingerprints AS collisions,
+           floor(CAST(n_texts AS DOUBLE) * (n_texts - 1)
+                 / power(2.0, bits + 1) * 1e6 + 0.5) / 1e6
+               AS expected_collisions
+    FROM agg ORDER BY bits
+    """,
+)
+def l_fingerprint_collision_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dist = docs.select(F.md5("text").alias("dg")).distinct()
+    widths = spark.createDataFrame(
+        [(24, 6), (32, 8), (40, 10)], "bits int, hexchars int"
+    )
+    fp = dist.crossJoin(F.broadcast(widths)).select(
+        "bits", F.expr("substring(dg, 1, hexchars)").alias("f")
+    )
+    agg = fp.groupBy("bits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_texts"),
+        F.countDistinct("f").cast("long").alias("n_fingerprints"),
+    )
+    n = F.col("n_texts").cast("double")
+    return agg.select(
+        "bits",
+        "n_texts",
+        "n_fingerprints",
+        (F.col("n_texts") - F.col("n_fingerprints")).alias("collisions"),
+        (
+            F.floor(
+                n * (n - 1) / F.pow(F.lit(2.0), F.col("bits") + 1) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("expected_collisions"),
+    ).orderBy("bits")

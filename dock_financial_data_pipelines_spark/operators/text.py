@@ -2917,3 +2917,463 @@ def l_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
         F.sum("part_score").cast("double").alias("bm25"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l_stopword_profile — stopword-ratio screen per (source, lang): the
+# classic C4/Gopher quality signal ("too few stopwords → not natural
+# prose; too many → boilerplate"). A fixed 10-word function-word list
+# enters both engines as a literal; per-doc ratios are exact rationals
+# (stop_tokens / tokens) and the band counts use count(CASE) (zero on
+# empty). One explode-free pass: the per-doc stop count is a filtered
+# size() over the projected token array — the whole profile stays in
+# one codegen stage with the scan.
+# ---------------------------------------------------------------------------
+_STOPWORDS = (
+    "the", "a", "and", "of", "to", "in", "is", "it", "on", "for",
+)
+
+
+@query(
+    "l_stopword_profile",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, lang,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})))
+                   AS n_stop
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_stop) AS BIGINT) AS stop_tokens,
+           floor(CAST(sum(n_stop) AS DOUBLE) / sum(n_tok) * 1e6 + 0.5)
+               / 1e6 AS stop_share,
+           CAST(count(CASE WHEN n_tok > 0
+                           AND CAST(n_stop AS DOUBLE) / n_tok < 0.05
+                           THEN 1 END) AS BIGINT) AS docs_low_stop,
+           CAST(count(CASE WHEN n_tok > 0
+                           AND CAST(n_stop AS DOUBLE) / n_tok > 0.5
+                           THEN 1 END) AS BIGINT) AS docs_high_stop
+    FROM toks
+    GROUP BY 1, 2 HAVING sum(n_tok) > 0
+    ORDER BY 1, 2
+    """,
+)
+def l_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    toks = docs.select(
+        "source",
+        "lang",
+        F.expr("size(split(text, ' '))").alias("n_tok"),
+        F.expr(
+            f"size(filter(split(text, ' '), t -> t IN ({sw})))"
+        ).alias("n_stop"),
+    )
+    ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    return (
+        toks.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("n_stop").cast("long").alias("stop_tokens"),
+            (
+                F.floor(
+                    F.sum("n_stop").cast("double") / F.sum("n_tok") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("stop_share"),
+            F.count(F.when((F.col("n_tok") > 0) & (ratio < 0.05), F.lit(1)))
+            .cast("long")
+            .alias("docs_low_stop"),
+            F.count(F.when((F.col("n_tok") > 0) & (ratio > 0.5), F.lit(1)))
+            .cast("long")
+            .alias("docs_high_stop"),
+        )
+        .where(F.sum("n_tok") > 0)
+        .orderBy("source", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_char_class_profile — character-class composition per source
+# (letter / digit / space / punctuation / other codepoint shares): the
+# first-pass corpus screen that separates prose from tables, code and
+# mojibake before any tokenizer runs. Class counts are codepoint
+# counts via regexp_replace-stripping (identical regex semantics both
+# engines; class complements, so the five counts sum to the total).
+# Everything reduces in one aggregate over the scan.
+# ---------------------------------------------------------------------------
+@query(
+    "l_char_class_profile",
+    oracle=r"""
+    WITH c AS (
+        SELECT source,
+               length(text) AS total,
+               length(text) - length(regexp_replace(text, '[a-zA-Z]', '',
+                                                    'g')) AS letters,
+               length(text) - length(regexp_replace(text, '[0-9]', '',
+                                                    'g')) AS digits,
+               length(text) - length(regexp_replace(text, ' ', '', 'g'))
+                   AS spaces,
+               length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\[\]{}-]', '', 'g')) AS puncts
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(total) AS BIGINT) AS total_chars,
+           floor(CAST(sum(letters) AS DOUBLE) / sum(total) * 1e6 + 0.5)
+               / 1e6 AS letter_share,
+           floor(CAST(sum(digits) AS DOUBLE) / sum(total) * 1e6 + 0.5)
+               / 1e6 AS digit_share,
+           floor(CAST(sum(spaces) AS DOUBLE) / sum(total) * 1e6 + 0.5)
+               / 1e6 AS space_share,
+           floor(CAST(sum(puncts) AS DOUBLE) / sum(total) * 1e6 + 0.5)
+               / 1e6 AS punct_share,
+           floor(CAST(sum(total - letters - digits - spaces - puncts)
+                      AS DOUBLE) / sum(total) * 1e6 + 0.5) / 1e6
+               AS other_share
+    FROM c GROUP BY 1 HAVING sum(total) > 0 ORDER BY 1
+    """,
+)
+def l_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    strip = lambda pat: F.length("text") - F.length(  # noqa: E731
+        F.regexp_replace("text", pat, "")
+    )
+    c = docs.select(
+        "source",
+        F.length("text").alias("total"),
+        strip("[a-zA-Z]").alias("letters"),
+        strip("[0-9]").alias("digits"),
+        strip(" ").alias("spaces"),
+        strip(r"""[.,;:!?'"()\[\]{}-]""").alias("puncts"),
+    )
+    share = lambda col: (  # noqa: E731
+        F.floor(
+            F.sum(col).cast("double") / F.sum("total") * 1e6 + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("total").cast("long").alias("total_chars"),
+            share(F.col("letters")).alias("letter_share"),
+            share(F.col("digits")).alias("digit_share"),
+            share(F.col("spaces")).alias("space_share"),
+            share(F.col("puncts")).alias("punct_share"),
+            share(
+                F.col("total")
+                - F.col("letters")
+                - F.col("digits")
+                - F.col("spaces")
+                - F.col("puncts")
+            ).alias("other_share"),
+        )
+        .where(F.sum("total") > 0)
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_numeric_density_filter — numeric-content screen per source: per-doc
+# digit-codepoint ratio and numeric-token share (tokens that are pure
+# number/punctuation forms), banded into low/mid/high numeric density.
+# Tables, price lists and serialized data light up the high band; the
+# counts are what a filter stage would drop. Same single-pass shape as
+# the stopword profile (filtered size() over the projected tokens).
+# ---------------------------------------------------------------------------
+@query(
+    "l_numeric_density_filter",
+    oracle=r"""
+    WITH d AS (
+        SELECT source,
+               length(text) AS nc,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS nd,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                   t -> regexp_full_match(t, '[0-9.,%$+\-]+')))
+                   AS n_numtok
+        FROM documents
+    ),
+    banded AS (
+        SELECT source, nc, nd, n_tok, n_numtok,
+               CASE WHEN nc = 0 OR CAST(nd AS DOUBLE) / nc < 0.05
+                    THEN 'low'
+                    WHEN CAST(nd AS DOUBLE) / nc < 0.2 THEN 'mid'
+                    ELSE 'high' END AS band
+        FROM d
+    )
+    SELECT source, band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nd) AS BIGINT) AS digit_chars,
+           CAST(sum(n_numtok) AS BIGINT) AS numeric_tokens,
+           floor(CAST(sum(n_numtok) AS DOUBLE) / sum(n_tok) * 1e6 + 0.5)
+               / 1e6 AS numeric_token_share
+    FROM banded GROUP BY 1, 2 HAVING sum(n_tok) > 0 ORDER BY 1, 2
+    """,
+)
+def l_numeric_density_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.length("text").alias("nc"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).alias("nd"),
+        F.expr("size(split(text, ' '))").alias("n_tok"),
+        F.expr(
+            r"size(filter(split(text, ' '),"
+            r" t -> t RLIKE '^[0-9.,%$+\\-]+$'))"
+        ).alias("n_numtok"),
+    )
+    ratio = F.col("nd").cast("double") / F.col("nc")
+    banded = d.select(
+        "*",
+        F.when((F.col("nc") == 0) | (ratio < 0.05), "low")
+        .when(ratio < 0.2, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    return (
+        banded.groupBy("source", "band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nd").cast("long").alias("digit_chars"),
+            F.sum("n_numtok").cast("long").alias("numeric_tokens"),
+            (
+                F.floor(
+                    F.sum("n_numtok").cast("double")
+                    / F.sum("n_tok")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("numeric_token_share"),
+        )
+        .where(F.sum("n_tok") > 0)
+        .orderBy("source", "band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_word_length_profile — word-length morphology per source: mean
+# token length, share of 1–2-char tokens, share of >15-char tokens
+# (the Gopher "mean word length in [3, 10]" rule plus its two tail
+# flags, as data). Token lengths come from a single explode with
+# map-side combine on (source, len) — vocabulary-bounded shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "l_word_length_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT source, length(unnest(string_split(text, ' '))) AS wl
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(wl) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+               AS mean_word_len,
+           floor(CAST(count(CASE WHEN wl <= 2 THEN 1 END) AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS short_share,
+           floor(CAST(count(CASE WHEN wl > 15 THEN 1 END) AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS long_share,
+           CASE WHEN CAST(sum(wl) AS DOUBLE) / count(*) >= 3
+                 AND CAST(sum(wl) AS DOUBLE) / count(*) <= 10
+                THEN 1 ELSE 0 END AS passes_gopher_rule
+    FROM toks GROUP BY 1 ORDER BY 1
+    """,
+)
+def l_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("source", F.length("tok").alias("wl"))
+    mean_wl = F.sum("wl").cast("double") / F.count(F.lit(1))
+    r6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            r6(mean_wl).alias("mean_word_len"),
+            r6(
+                F.count(F.when(F.col("wl") <= 2, F.lit(1))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("short_share"),
+            r6(
+                F.count(F.when(F.col("wl") > 15, F.lit(1))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("long_share"),
+            F.when((mean_wl >= 3) & (mean_wl <= 10), 1)
+            .otherwise(0)
+            .alias("passes_gopher_rule"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_hapax_ratio — vocabulary-richness profile per source: vocabulary
+# size, hapax legomena (terms seen exactly once) and their share of
+# the vocabulary, plus the token/type ratio. The companion number to
+# the Heaps/Zipf fits: a collapsing hapax share is the classic symptom
+# of template/boilerplate corpora. Two vocabulary-bounded aggregates
+# (term counts, then the summary) — the corpus is scanned once.
+# ---------------------------------------------------------------------------
+@query(
+    "l_hapax_ratio",
+    oracle="""
+    WITH tf AS (
+        SELECT source, term, count(*) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS hapax_count,
+           floor(CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS hapax_share,
+           floor(CAST(sum(c) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+               AS tokens_per_type
+    FROM tf GROUP BY 1 ORDER BY 1
+    """,
+)
+def l_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("c") == 1, F.lit(1)))
+            .cast("long")
+            .alias("hapax_count"),
+            r6(
+                F.count(F.when(F.col("c") == 1, F.lit(1))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("hapax_share"),
+            r6(F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+                "tokens_per_type"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_common_ngram_blocklist — cross-document boilerplate screen: build
+# the top-20 corpus 5-grams by document frequency (ties broken
+# lexicographically — a total order), then report per source how many
+# documents contain at least one blocklisted 5-gram and the average
+# number of distinct blocklisted grams per affected doc. The C4-style
+# "common template phrase" detector, the cross-doc complement of
+# l_repeated_ngram_coverage's within-doc repetition. Scale shape:
+# grams explode once with per-doc DISTINCT, DF counts combine
+# map-side (vocabulary-bounded shuffle), the 20-row blocklist joins
+# back as a broadcast — never a gram×gram or doc×doc product.
+# ``ws`` is projected before the transform (Spark does not CSE
+# split() across lambda references).
+# ---------------------------------------------------------------------------
+@query(
+    "l_common_ngram_blocklist",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(w[i:i+4], ' ') AS g
+        FROM (SELECT doc_id, source, w,
+                     unnest(range(1, len(w) - 3)) AS i
+              FROM ws WHERE len(w) >= 5)
+    ),
+    df AS (
+        SELECT g, count(*) AS df FROM grams GROUP BY 1
+    ),
+    top AS (
+        SELECT g, df,
+               row_number() OVER (ORDER BY df DESC, g) AS rk
+        FROM df
+    ),
+    blocklist AS (SELECT g, df FROM top WHERE rk <= 20),
+    hits AS (
+        SELECT gr.source, gr.doc_id, count(*) AS n_hits
+        FROM grams gr JOIN blocklist b ON gr.g = b.g
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_with_blocklisted,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           floor(CAST(sum(n_hits) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+               AS mean_hits_per_doc
+    FROM hits GROUP BY 1 ORDER BY 1
+    """,
+)
+def l_common_ngram_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", "source", F.split(F.col("text"), " ").alias("w"))
+    grams = (
+        ws.where(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 5),"
+                    " i -> array_join(slice(w, i + 1, 5), ' '))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    top = df.select(
+        "g",
+        "df",
+        F.row_number().over(Window.orderBy(F.col("df").desc(), "g")).alias(
+            "rk"
+        ),
+    )
+    blocklist = top.where(F.col("rk") <= 20).select("g", "df")
+    hits = (
+        grams.join(F.broadcast(blocklist), "g")
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_with_blocklisted"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+            (
+                F.floor(
+                    F.sum("n_hits").cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("mean_hits_per_doc"),
+        )
+        .orderBy("source")
+    )

@@ -1863,6 +1863,60 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_cross_shard_dup_rate", execute=True)
+    check(
+        "l_cross_shard_dup_rate",
+        "digest-keyed aggregate shuffles (digest, shard), never the "
+        "text; no join, no Python",
+        "HashAggregate" in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_fingerprint_collision_audit", execute=True)
+    check(
+        "l_fingerprint_collision_audit",
+        "distinct digests once, 3-row widths table broadcast; "
+        "no cartesian blowup, no Python",
+        "BroadcastNestedLoopJoin" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_stopword_profile", execute=True)
+    check(
+        "l_stopword_profile",
+        "explode-free filtered size() over projected tokens — one "
+        "aggregate with the scan; no join, no Python",
+        "HashAggregate" in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_word_length_profile", execute=True)
+    check(
+        "l_word_length_profile",
+        "single explode, per-source aggregate with map-side "
+        "combine; no join, no Python",
+        "Generate" in p and "HashAggregate" in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_hapax_ratio", execute=True)
+    check(
+        "l_hapax_ratio",
+        "two vocabulary-bounded aggregates off one explode; "
+        "no join, no Python",
+        "Generate" in p and "HashAggregate" in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_common_ngram_blocklist", execute=True)
+    check(
+        "l_common_ngram_blocklist",
+        "20-row blocklist joins back as broadcast (never gram x "
+        "gram); DF counts hash-aggregate; no cartesian",
+        "BroadcastHashJoin" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
