@@ -768,3 +768,167 @@ def s16_corrupt_jsonl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bad_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s17_compaction_binpack — the small-files compaction PLAN, computed
+# from table metadata scale: monthly partitions of the orders table
+# are first-fit bin-packed (in month order) into output bins of a
+# 2 000-row target by a cumulative-sum assignment — bin =
+# floor(running_rows_before / target). This is the planning step of
+# s10's compaction executor at 100 TB: the plan works on the
+# per-partition row-count aggregate (thousands of rows of metadata,
+# never the data), so it is driver-light and shuffle-light no matter
+# the corpus size. Output: one row per output bin with its month span
+# and row total. Cumulative window over the month-ordered partition
+# list (calendar-bounded — the a25 contract).
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET = 2000
+
+
+@query(
+    "s17_compaction_binpack",
+    oracle=f"""
+    WITH parts AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+               CAST(count(*) AS BIGINT) AS rows_
+        FROM orders GROUP BY 1
+    ),
+    packed AS (
+        SELECT mon, rows_,
+               CAST(coalesce(sum(rows_) OVER (
+                   ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) // {_COMPACT_TARGET} AS BIGINT)
+                   AS bin
+        FROM parts
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           min(mon) AS first_month,
+           max(mon) AS last_month,
+           CAST(sum(rows_) AS BIGINT) AS total_rows
+    FROM packed GROUP BY 1 ORDER BY 1
+    """,
+)
+def s17_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    parts = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mon"))
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_"))
+    )
+    w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding, -1)
+    packed = parts.select(
+        "mon",
+        "rows_",
+        F.floor(
+            F.coalesce(F.sum("rows_").over(w), F.lit(0)) / _COMPACT_TARGET
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        packed.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.min("mon").alias("first_month"),
+            F.max("mon").alias("last_month"),
+            F.sum("rows_").cast("long").alias("total_rows"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s18_rowgroup_pruning_probe — how effective column min/max statistics
+# are for scan pruning: the orders table is cut into synthetic "row
+# groups" of 1 000 rows in orderkey order (the layout a writer
+# produces), per-group o_orderdate min/max stats are computed (exactly
+# what a parquet footer stores), and a literal one-year predicate is
+# evaluated against the STATS vs against the ROWS. Groups split into
+# pruned (stats exclude the range), true-positive (stats overlap and
+# rows match) and false-positive (stats overlap but NO row matches —
+# the clustering-quality signal: high FP means the table needs a sort
+# by date before write). The decision input for choosing a layout at
+# 100 TB; everything reduces on group keys, corpus-bounded / 1000.
+# ---------------------------------------------------------------------------
+@query(
+    "s18_rowgroup_pruning_probe",
+    oracle="""
+    WITH rg AS (
+        SELECT (row_number() OVER (ORDER BY o_orderkey) - 1) // 1000 AS rg,
+               o_orderdate,
+               CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                     AND o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS hit
+        FROM orders
+    ),
+    stats AS (
+        SELECT rg,
+               min(o_orderdate) AS mn, max(o_orderdate) AS mx,
+               CAST(sum(hit) AS BIGINT) AS matching_rows,
+               CAST(count(*) AS BIGINT) AS rows_
+        FROM rg GROUP BY 1
+    ),
+    classed AS (
+        SELECT rg, rows_, matching_rows,
+               CASE WHEN mx < TIMESTAMP '1997-01-01'
+                      OR mn >= TIMESTAMP '1998-01-01' THEN 'pruned'
+                    WHEN matching_rows > 0 THEN 'scan_hit'
+                    ELSE 'scan_false_positive' END AS outcome
+        FROM stats
+    )
+    SELECT outcome,
+           CAST(count(*) AS BIGINT) AS n_rowgroups,
+           CAST(sum(rows_) AS BIGINT) AS rows_scanned,
+           CAST(sum(matching_rows) AS BIGINT) AS rows_matching
+    FROM classed GROUP BY 1 ORDER BY 1
+    """,
+)
+def s18_rowgroup_pruning_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lo, hi = "1997-01-01", "1998-01-01"
+    o = load(spark, sf_dir, "orders")
+    rg = o.select(
+        F.floor(
+            (F.row_number().over(Window.orderBy("o_orderkey")) - 1) / 1000
+        ).alias("rg"),
+        "o_orderdate",
+        F.when(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp")),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    stats = rg.groupBy("rg").agg(
+        F.min("o_orderdate").alias("mn"),
+        F.max("o_orderdate").alias("mx"),
+        F.sum("hit").cast("long").alias("matching_rows"),
+        F.count(F.lit(1)).cast("long").alias("rows_"),
+    )
+    classed = stats.select(
+        "rg",
+        "rows_",
+        "matching_rows",
+        F.when(
+            (F.col("mx") < F.lit(lo).cast("timestamp"))
+            | (F.col("mn") >= F.lit(hi).cast("timestamp")),
+            "pruned",
+        )
+        .when(F.col("matching_rows") > 0, "scan_hit")
+        .otherwise("scan_false_positive")
+        .alias("outcome"),
+    )
+    return (
+        classed.groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rowgroups"),
+            F.sum("rows_").cast("long").alias("rows_scanned"),
+            F.sum("matching_rows").cast("long").alias("rows_matching"),
+        )
+        .orderBy("outcome")
+    )
