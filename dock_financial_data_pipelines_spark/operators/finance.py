@@ -857,7 +857,7 @@ _FIXED_COST = 1_000_000.0
         FROM fact GROUP BY 1
     )
     SELECT p_brand, n_lines,
-           CAST(units AS BIGINT) AS units,
+           CAST(floor(units + 0.5) AS BIGINT) AS units,
            floor(contribution * 1e2 + 0.5) / 1e2 AS contribution,
            floor(contribution / units * 1e6 + 0.5) / 1e6
                AS contribution_per_unit,
@@ -891,7 +891,7 @@ def q_contribution_breakeven(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_brand",
             "n_lines",
-            units.cast("long").alias("units"),
+            F.floor(units + F.lit(0.5)).cast("long").alias("units"),
             (F.floor(contrib * 1e2 + F.lit(0.5)) / 1e2).alias("contribution"),
             _r6(contrib / units).alias("contribution_per_unit"),
             F.ceil(_FIXED_COST / (contrib / units))
