@@ -1791,6 +1791,41 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    # -- round-10: ledger the r9 global-sort legs (VERDICT r9 item 4) --
+    p = plan_of(spark, "a69_kruskal_wallis", execute=True)
+    check(
+        "a69_kruskal_wallis.sort_bound",
+        "exact-rank contract (SCALE.md global-sort ledger): the "
+        "unpartitioned rank window consumes raw order rows BY DESIGN "
+        "(the a10/a46/a47 class); mid-ranks reduce immediately to k "
+        "group rows via hash aggregate — no second pass over the "
+        "sorted fact; substitution = binned mid-ranks (ledger row)",
+        "Exchange SinglePartition" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "s17_compaction_binpack", execute=True)
+    check(
+        "s17_compaction_binpack",
+        "plan works on the monthly-partition metadata aggregate "
+        "(calendar-bounded, the a25 contract) — cumulative window "
+        "over months, never rows; no join, no Python",
+        "HashAggregate" in p and "Window" in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "s18_rowgroup_pruning_probe", execute=True)
+    check(
+        "s18_rowgroup_pruning_probe.sort_bound",
+        "global row_number is the layout probe's stated cost (SCALE.md "
+        "ledger): it emulates writer row order to manufacture row "
+        "groups; production substitution = real parquet footer stats "
+        "(zero sort); group stats then reduce on rg keys; no join, "
+        "no Python",
+        "Exchange SinglePartition" in p and "HashAggregate" in p
+        and "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "q_var_cvar", execute=True)
     check(
         "q_var_cvar",
