@@ -60,15 +60,24 @@ _STALE_BEFORE = {
     "x10_transform_with_state": 7,
 }
 
-# Round-9 sweep plan (generated by scripts/sweep_rotate.py at round-9
-# start): the 13-entry late-round-8 overhang fills slots 1-13, closing
-# the cumulative official driver record to 404/404. Round-9
-# registrations (absent from both lists) queue from slot 14 via class 3
-# in import order — addition budget this round is therefore exactly 37
-# so the round can end with ZERO never-sampled entries for the first
-# time (VERDICT r8 item 5).
+# Round-10 sweep plan (scripts/sweep_rotate.py at round-10 start):
+# the 6 round-10 planning ops fill slots 1-6, the advice-touched
+# q_contribution_breakeven re-verifies at slot 7, and previously
+# verified entries rotate through the remaining 43 slots. Budget
+# for further round-10 additions: <= 43 so the zero-never-sampled
+# invariant holds (VERDICT r9 item 6).
 _SWEEP_FIRST = [
-    # SQL-oracled, never driver-checked (slots 1-13)
+    # SQL-oracled, never driver-checked (slots 1-6)
+    "l_shard_count_advisor",
+    "l_sharded_dedup_rehearsal",
+    "l_cross_shard_neardup_rate",
+    "l_hot_bucket_skew_advisor",
+    "l_dedup_stage_cost_model",
+    "s19_partition_size_advisor",
+    # re-verify: output path changed this round (floor-quantize units)
+    "q_contribution_breakeven",
+]
+_SWEEP_LAST = [
     "l_repeated_ngram_coverage",
     "l_jsd_source_divergence",
     "l_bm25_score",
@@ -82,8 +91,6 @@ _SWEEP_FIRST = [
     "w30_ulcer_index",
     "w31_obv",
     "w32_chaikin_money_flow",
-]
-_SWEEP_LAST = [
     "q_intercompany_elimination",
     "q_fifo_inventory",
     "u16_keep_latest_k",
@@ -475,6 +482,40 @@ _SWEEP_LAST = [
     "j15_bloom_filter_join",
     "l_tokens_per_char_by_source",
     "l_unicode_anomaly_audit",
+    "l_cross_shard_dup_rate",
+    "l_fingerprint_collision_audit",
+    "q_var_cvar",
+    "q_sharpe_sortino",
+    "q_beta_capm",
+    "q_amortization_schedule",
+    "q_roll_rate_matrix",
+    "q_interest_accrual_daycount",
+    "q_fx_triangulation",
+    "q_ecl_staging",
+    "q_liquidity_ladder",
+    "a66_durbin_watson",
+    "a67_cronbach_alpha",
+    "a68_cohens_kappa",
+    "a69_kruskal_wallis",
+    "a70_ljung_box",
+    "a71_hurst_rs",
+    "a72_grubbs_statistic",
+    "a73_yule_walker_pacf",
+    "l_stopword_profile",
+    "l_char_class_profile",
+    "l_numeric_density_filter",
+    "l_word_length_profile",
+    "l_hapax_ratio",
+    "l_common_ngram_blocklist",
+    "w33_cci",
+    "w34_williams_r",
+    "w35_mfi",
+    "w36_trix",
+    "w37_vortex",
+    "w38_force_index",
+    "w39_elder_ray",
+    "s17_compaction_binpack",
+    "s18_rowgroup_pruning_probe",
 ]
 
 

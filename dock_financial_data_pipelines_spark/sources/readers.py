@@ -932,3 +932,73 @@ def s18_rowgroup_pruning_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("outcome")
     )
+
+
+# ---------------------------------------------------------------------------
+# s19_partition_size_advisor — the layout-maintenance input s17's
+# bin-packer consumes, computed from row content instead of assumed:
+# per ingest-month partition of orders, the estimated on-disk bytes
+# (fixed-width columns at 8 bytes + actual UTF-8 byte lengths of the
+# string columns) and the file count a 128 KB-target writer should
+# emit (the fixture-scale stand-in for the 128 MB production target —
+# same arithmetic, smaller constant). The verdict column separates
+# partitions to coalesce (small-files problem), to split (row-group
+# oversize), and to leave alone. Metadata-grain output (months), one
+# hash aggregate over a byte-width projection — the scan never
+# shuffles row content, only (month, bytes).
+# ---------------------------------------------------------------------------
+_S19_TARGET = 131072  # bytes per output file at fixture scale
+
+
+@query(
+    "s19_partition_size_advisor",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+               32 + strlen(o_orderstatus) + strlen(o_orderpriority)
+                   AS row_bytes
+        FROM orders
+    ),
+    m AS (
+        SELECT mon, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(row_bytes) AS BIGINT) AS est_bytes
+        FROM rows_ GROUP BY 1
+    )
+    SELECT mon, n_rows, est_bytes,
+           greatest(CAST(ceil(CAST(est_bytes AS DOUBLE)
+                              / {_S19_TARGET}.0) AS BIGINT), 1)
+               AS target_files,
+           CASE WHEN est_bytes < {_S19_TARGET} // 2 THEN 'coalesce'
+                WHEN est_bytes > {_S19_TARGET} * 2 THEN 'split'
+                ELSE 'ok' END AS verdict
+    FROM m ORDER BY mon
+    """,
+)
+def s19_partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    rows_ = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        (
+            F.lit(32)
+            + F.octet_length("o_orderstatus")
+            + F.octet_length("o_orderpriority")
+        ).alias("row_bytes"),
+    )
+    m = rows_.groupBy("mon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("row_bytes").cast("long").alias("est_bytes"),
+    )
+    b = F.col("est_bytes")
+    return m.select(
+        "mon",
+        "n_rows",
+        "est_bytes",
+        F.greatest(
+            F.ceil(b.cast("double") / F.lit(float(_S19_TARGET))).cast("long"),
+            F.lit(1),
+        ).alias("target_files"),
+        F.when(b < _S19_TARGET // 2, "coalesce")
+        .when(b > _S19_TARGET * 2, "split")
+        .otherwise("ok")
+        .alias("verdict"),
+    ).orderBy("mon")

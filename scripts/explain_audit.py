@@ -1826,6 +1826,66 @@ def main() -> int:
         and "Join" not in p and "BatchEvalPython" not in p,
     )
 
+    # -- round-10: sharded-dedup planning family --------------------------
+    p = plan_of(spark, "l_shard_count_advisor", execute=True)
+    check(
+        "l_shard_count_advisor",
+        "4x shard-count explode over the DIGEST projection (never "
+        "text); per-n stats join as 4-row broadcast; no cartesian, "
+        "no Python",
+        "Generate" in p and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_sharded_dedup_rehearsal", execute=True)
+    check(
+        "l_sharded_dedup_rehearsal",
+        "one (shard, digest) aggregate reused by both passes "
+        "(localCheckpoint); three 1-row frames cross as broadcasts; "
+        "no text shuffle, no Python",
+        "BroadcastNestedLoopJoin" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_cross_shard_neardup_rate", execute=True)
+    check(
+        "l_cross_shard_neardup_rate",
+        "bucket/bucket-shard aggregates off one checkpointed banded "
+        "projection; 1-row broadcast cross; never materializes a "
+        "pair; no Python",
+        "BroadcastNestedLoopJoin" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_hot_bucket_skew_advisor", execute=True)
+    check(
+        "l_hot_bucket_skew_advisor",
+        "tier aggregate over bucket sizes with the pair total riding "
+        "as a 1-row broadcast; no pair materialization, no Python",
+        "BroadcastNestedLoopJoin" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_dedup_stage_cost_model", execute=True)
+    check(
+        "l_dedup_stage_cost_model",
+        "three group-keyed counting stages union to 3 rows; C(n,2) "
+        "denominator as 1-row broadcast; no stage materializes a "
+        "pair; no Python",
+        "Union" in p and "BroadcastNestedLoopJoin" in p
+        and "HashAggregate" in p and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "s19_partition_size_advisor", execute=True)
+    check(
+        "s19_partition_size_advisor",
+        "byte-width projection into one month-grain hash aggregate "
+        "(metadata-grain output); no join, no Python",
+        "HashAggregate" in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "q_var_cvar", execute=True)
     check(
         "q_var_cvar",
