@@ -900,3 +900,285 @@ def q_contribution_breakeven(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_supplier_hhi — Herfindahl-Hirschman concentration of supplier
+# revenue within each nation: share_i = supplier i's net lineitem
+# revenue / nation total, HHI = Σ share_i² (0..1 scale), classified
+# against the DOJ-style 0.15/0.25 thresholds. The sourcing-risk
+# report a finance team runs on the reference's supplier data. Shares
+# divide two decimal-exact sums as doubles; the share² cross-row sum
+# goes through a per-row DECIMAL(27,12) cast (the a38 pattern);
+# classification compares the ROUNDED hhi so the boundary is
+# engine-portable. supplier/nation are broadcast dims; lineitem
+# shuffles once on suppkey.
+# ---------------------------------------------------------------------------
+@query(
+    "q_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS sup_rev
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    nat AS (
+        SELECT s_nationkey,
+               CAST(sum(CAST(sup_rev AS DECIMAL(27,6))) AS DOUBLE)
+                   AS nat_rev,
+               CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM rev GROUP BY 1
+    ),
+    shares AS (
+        SELECT r.s_nationkey, r.sup_rev / n.nat_rev AS share
+        FROM rev r JOIN nat n USING (s_nationkey)
+        WHERE n.nat_rev > 0
+    ),
+    h AS (
+        SELECT s_nationkey,
+               floor(CAST(sum(CAST(share * share AS DECIMAL(27,12)))
+                          AS DOUBLE) * 1e6 + 0.5) / 1e6 AS hhi,
+               floor(max(share) * 1e6 + 0.5) / 1e6 AS top_share
+        FROM shares GROUP BY 1
+    )
+    SELECT nn.n_name AS nation, nat.n_suppliers, h.hhi, h.top_share,
+           CASE WHEN h.hhi > 0.25 THEN 'concentrated'
+                WHEN h.hhi > 0.15 THEN 'moderate'
+                ELSE 'competitive' END AS classification
+    FROM h
+    JOIN nat USING (s_nationkey)
+    JOIN nation nn ON h.s_nationkey = nn.n_nationkey
+    ORDER BY nation
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    nn = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            _dec(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+            ).alias("sup_rev")
+        )
+    )
+    nat = rev.groupBy("s_nationkey").agg(
+        _dec(F.col("sup_rev"), 6).alias("nat_rev"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    shares = (
+        rev.join(maybe_broadcast(nat), "s_nationkey")
+        .where(F.col("nat_rev") > 0)
+        .select(
+            "s_nationkey", (F.col("sup_rev") / F.col("nat_rev")).alias("share")
+        )
+    )
+    h = shares.groupBy("s_nationkey").agg(
+        _r6(
+            F.sum((F.col("share") * F.col("share")).cast("decimal(27,12)"))
+            .cast("double")
+        ).alias("hhi"),
+        _r6(F.max("share")).alias("top_share"),
+    )
+    return (
+        h.join(maybe_broadcast(nat), "s_nationkey")
+        .join(maybe_broadcast(nn), h.s_nationkey == nn.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            "hhi",
+            "top_share",
+            F.when(F.col("hhi") > 0.25, "concentrated")
+            .when(F.col("hhi") > 0.15, "moderate")
+            .otherwise("competitive")
+            .alias("classification"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dupont_decomposition — two-factor DuPont per market segment:
+# net margin (contribution profit / net revenue) × asset turnover
+# (net revenue / account-balance asset base) = return on assets;
+# the ratio tree a finance team reads off the reference's balance
+# report. Profit reuses the contribution idiom (net revenue minus the
+# 0.8 · retailprice · qty variable-cost proxy); the asset base is the
+# segment's summed customer account balances (the balance-report
+# domain). Every cross-row sum is decimal-cast; ratios divide doubles
+# and each reported ratio is independently floor-quantized (the
+# margin × turnover = ROA identity holds pre-quantization). Dims
+# broadcast; lineitem shuffles once on orderkey.
+# ---------------------------------------------------------------------------
+@query(
+    "q_dupont_decomposition",
+    oracle="""
+    WITH li AS (
+        SELECT o.o_custkey,
+               l.l_extendedprice * (1 - l.l_discount) AS net_rev,
+               l.l_extendedprice * (1 - l.l_discount)
+                   - 0.8 * p.p_retailprice * l.l_quantity AS profit
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    seg AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(sum(CAST(li.net_rev AS DECIMAL(27,6))) AS DOUBLE)
+                   AS revenue,
+               CAST(sum(CAST(li.profit AS DECIMAL(27,6))) AS DOUBLE)
+                   AS profit
+        FROM li JOIN customer c ON li.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    assets AS (
+        SELECT c_mktsegment AS segment,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+                   AS asset_base
+        FROM customer GROUP BY 1
+    )
+    SELECT s.segment,
+           floor(s.revenue * 1e2 + 0.5) / 1e2 AS revenue,
+           floor(s.profit * 1e2 + 0.5) / 1e2 AS profit,
+           floor(s.profit / s.revenue * 1e6 + 0.5) / 1e6 AS net_margin,
+           floor(s.revenue / a.asset_base * 1e6 + 0.5) / 1e6
+               AS asset_turnover,
+           floor(s.profit / a.asset_base * 1e6 + 0.5) / 1e6 AS roa
+    FROM seg s JOIN assets a USING (segment)
+    WHERE s.revenue > 0 AND a.asset_base > 0
+    ORDER BY s.segment
+    """,
+)
+def q_dupont_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    c = load(spark, sf_dir, "customer")
+    net_rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    fact = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "o_custkey",
+            net_rev.alias("net_rev"),
+            (
+                net_rev - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("profit"),
+        )
+    )
+    seg = (
+        fact.join(maybe_broadcast(c), fact.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            _dec(F.col("net_rev"), 6).alias("revenue"),
+            _dec(F.col("profit"), 6).alias("profit"),
+        )
+    )
+    assets = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        _dec(F.col("c_acctbal"), 2).alias("asset_base")
+    )
+    f2 = lambda col: F.floor(col * 1e2 + F.lit(0.5)) / 1e2  # noqa: E731
+    return (
+        seg.join(maybe_broadcast(assets), "segment")
+        .where((F.col("revenue") > 0) & (F.col("asset_base") > 0))
+        .select(
+            "segment",
+            f2(F.col("revenue")).alias("revenue"),
+            f2(F.col("profit")).alias("profit"),
+            _r6(F.col("profit") / F.col("revenue")).alias("net_margin"),
+            _r6(F.col("revenue") / F.col("asset_base")).alias(
+                "asset_turnover"
+            ),
+            _r6(F.col("profit") / F.col("asset_base")).alias("roa"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_receivables_aging — the accounts-receivable aging report: open
+# orders (status 'O' or 'P' — not yet finalized) bucketed by days
+# outstanding against a fixed as-of date, per market segment: current
+# (not yet due), 1-30, 31-60, 61-90, over 90 days, each with order
+# count and decimal-exact amount. The collections report every
+# finance team runs on the reference's order book. Age is calendar
+# datediff (exact integers on both engines); bucket labels carry a
+# sort prefix so ORDER BY is engine-portable. One broadcast dim join
+# + one (segment, bucket) aggregate.
+# ---------------------------------------------------------------------------
+_AGING_ASOF = "1998-08-02"
+
+
+@query(
+    "q_receivables_aging",
+    oracle=f"""
+    WITH open_orders AS (
+        SELECT c.c_mktsegment AS segment,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         DATE '{_AGING_ASOF}') AS age_days,
+               o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus IN ('O', 'P')
+    ),
+    bucketed AS (
+        SELECT segment,
+               CASE WHEN age_days <= 0 THEN 'a_current'
+                    WHEN age_days <= 30 THEN 'b_1_30'
+                    WHEN age_days <= 60 THEN 'c_31_60'
+                    WHEN age_days <= 90 THEN 'd_61_90'
+                    ELSE 'e_over_90' END AS bucket,
+               o_totalprice
+        FROM open_orders
+    )
+    SELECT segment, bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                 * 1e2 + 0.5) / 1e2 AS amount
+    FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_receivables_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    aged = (
+        o.where(F.col("o_orderstatus").isin("O", "P"))
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.lit(_AGING_ASOF).cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("age_days"),
+            "o_totalprice",
+        )
+    )
+    bucketed = aged.select(
+        "segment",
+        F.when(F.col("age_days") <= 0, "a_current")
+        .when(F.col("age_days") <= 30, "b_1_30")
+        .when(F.col("age_days") <= 60, "c_31_60")
+        .when(F.col("age_days") <= 90, "d_61_90")
+        .otherwise("e_over_90")
+        .alias("bucket"),
+        "o_totalprice",
+    )
+    return (
+        bucketed.groupBy("segment", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.floor(
+                    F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+                    .cast("double")
+                    * 1e2
+                    + F.lit(0.5)
+                )
+                / 1e2
+            ).alias("amount"),
+        )
+        .orderBy("segment", "bucket")
+    )

@@ -181,3 +181,119 @@ def pipeline_daily_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_billed_all",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_sharded_dedup — the round-10 planning family run as an
+# ACTUAL pipeline: pass 1 dedups each of 16 doc-id-hash shards locally
+# (keep-first = min doc_id per (shard, digest)) and PUBLISHES the
+# survivors to a shard-partitioned parquet staging table (dynamic
+# overwrite, run twice — idempotence is part of the contract); pass 2
+# reads the staging table back and dedups globally over survivors
+# only. Because keep-first composes associatively (min of per-shard
+# mins == global min), the two-pass kept set must equal the
+# single-pass kept set EXACTLY — keep_mismatches counts violations by
+# joining the two kept sets and must be 0. This is the end-to-end
+# rehearsal that licenses the sharded schedule at 100 TB, where pass 1
+# runs shard-at-a-time (state bounded per shard) and pass 2's input is
+# |survivors| << |corpus|. The oracle recomputes every number straight
+# from `documents`, so the hash check covers the report math AND the
+# staging sink round-trip (an append instead of an overwrite doubles
+# pass1_survivors and fails the hash).
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_sharded_dedup",
+    oracle="""
+    WITH sharded AS MATERIALIZED (
+        SELECT doc_id, md5(text) AS dg,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 16 AS shard
+        FROM documents
+    ),
+    pass1 AS MATERIALIZED (
+        SELECT shard, dg, min(doc_id) AS keep_id
+        FROM sharded GROUP BY 1, 2
+    ),
+    pass2 AS (
+        SELECT dg, min(keep_id) AS keep_id FROM pass1 GROUP BY 1
+    ),
+    direct AS (
+        SELECT dg, min(doc_id) AS keep_id FROM sharded GROUP BY 1
+    ),
+    mism AS (
+        SELECT CAST(count(*) AS BIGINT) AS keep_mismatches
+        FROM pass2 p JOIN direct d USING (dg)
+        WHERE p.keep_id <> d.keep_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM sharded) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM pass1) AS pass1_survivors,
+           (SELECT CAST(count(*) AS BIGINT) FROM pass2) AS final_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM sharded)
+               - (SELECT CAST(count(*) AS BIGINT) FROM pass2)
+               AS removed_total,
+           m.keep_mismatches
+    FROM mism m
+    """,
+)
+def pipeline_sharded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    docs = load(spark, sf_dir, "documents")
+    sharded = docs.select(
+        "doc_id",
+        F.md5("text").alias("dg"),
+        F.pmod(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ),
+            F.lit(16),
+        ).alias("shard"),
+    )
+    pass1 = sharded.groupBy("shard", "dg").agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "dock_fdp_spark",
+        f"dedup_stage_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    # Publish twice: the second run must dynamically overwrite every
+    # shard partition, not append (the REPORT:172 idempotence contract).
+    write_partitioned(pass1, out, "shard")
+    write_partitioned(pass1, out, "shard")
+    stage_schema = StructType(
+        [
+            StructField("dg", StringType()),
+            StructField("keep_id", LongType()),
+            StructField("shard", LongType()),
+        ]
+    )
+    survivors = read_parquet_or_empty(spark, out, stage_schema)
+    pass2 = survivors.groupBy("dg").agg(F.min("keep_id").alias("keep_id"))
+    direct = sharded.groupBy("dg").agg(F.min("doc_id").alias("keep_id"))
+    mism = (
+        pass2.alias("p")
+        .join(direct.alias("d"), "dg")
+        .where(F.col("p.keep_id") != F.col("d.keep_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("keep_mismatches"))
+    )
+    n_docs = sharded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    p1 = survivors.agg(
+        F.count(F.lit(1)).cast("long").alias("pass1_survivors")
+    )
+    p2 = pass2.agg(F.count(F.lit(1)).cast("long").alias("final_rows"))
+    return (
+        n_docs.crossJoin(F.broadcast(p1))
+        .crossJoin(F.broadcast(p2))
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "n_docs",
+            "pass1_survivors",
+            "final_rows",
+            (F.col("n_docs") - F.col("final_rows")).alias("removed_total"),
+            "keep_mismatches",
+        )
+    )

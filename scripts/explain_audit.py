@@ -1886,6 +1886,44 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_sharded_dedup", execute=True)
+    check(
+        "pipeline_sharded_dedup",
+        "two-pass dedup through a REAL shard-partitioned staging sink "
+        "(write-twice idempotence); digest-keyed aggregates, dims/"
+        "1-row frames broadcast; no text shuffle, no Python",
+        "HashAggregate" in p and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_supplier_hhi", execute=True)
+    check(
+        "q_supplier_hhi",
+        "supplier/nation dims broadcast; shares via (nation, supplier) "
+        "aggregates, share-squared decimal sums; no cartesian, "
+        "no Python",
+        "BroadcastHashJoin" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_dupont_decomposition", execute=True)
+    check(
+        "q_dupont_decomposition",
+        "part/customer dims broadcast onto the lineitem-orders fact "
+        "join; segment-grain decimal sums; no cartesian, no Python",
+        "BroadcastHashJoin" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "q_receivables_aging", execute=True)
+    check(
+        "q_receivables_aging",
+        "status IN-filter pushed to the orders scan; customer dim "
+        "broadcast; (segment, bucket) aggregate; no Python",
+        "In(o_orderstatus" in p and "BroadcastHashJoin" in p
+        and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "q_var_cvar", execute=True)
     check(
         "q_var_cvar",

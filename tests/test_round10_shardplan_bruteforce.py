@@ -255,3 +255,33 @@ def test_partition_size_advisor_matches_byte_walk(spark):
             else "split" if est > S19_TARGET * 2 else "ok"
         )
         assert row["verdict"] == want
+
+
+def test_pipeline_sharded_dedup_matches_two_pass_queue(spark):
+    _skip_if_empty("documents")
+    docs = _docs()
+    # pass 1: explicit per-shard keep-first walk
+    pass1 = {}  # (shard, dg) -> min doc_id
+    groups = defaultdict(list)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        shard = _h60(str(doc_id)) % 16
+        dg = _md5(text)
+        k = (shard, dg)
+        pass1[k] = min(pass1.get(k, doc_id), doc_id)
+        groups[dg].append(doc_id)
+    # pass 2: keep-first over shard survivors
+    pass2 = {}
+    for (shard, dg), keep in pass1.items():
+        pass2[dg] = min(pass2.get(dg, keep), keep)
+    direct = {dg: min(ids) for dg, ids in groups.items()}
+
+    got = _run(spark, "pipeline_sharded_dedup")
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["n_docs"] == len(docs)
+    assert row["pass1_survivors"] == len(pass1)
+    assert row["final_rows"] == len(pass2)
+    assert row["removed_total"] == len(docs) - len(pass2)
+    assert row["keep_mismatches"] == 0
+    # associativity of keep-first is a theorem; assert it independently
+    assert pass2 == direct
