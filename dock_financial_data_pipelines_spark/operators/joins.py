@@ -889,3 +889,107 @@ def j16_grid_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist2").cast("long").alias("dist2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# j17_join_skew_advisor — the relational-side partition-skew planning
+# op (the join analogue of the round-10 dedup shard advisors): for
+# candidate shuffle-partition counts P in (8, 32, 128), model hash
+# partitioning of the events fact on user_id (the engine's canonical
+# hot-key column — J10/A9's salting target) with the engine-portable
+# md5-60bit hash, and report: max/avg partition load (skew ratio),
+# the hottest single key's share of its partition, and the salting
+# factor that would spread that key across average-loaded partitions
+# (ceil(top_key_rows · P / total) — the ×16 J10 idiom generalized).
+# skew_ratio ~ 1 at some P means AQE coalescing suffices; a flat-high
+# ratio across P means the skew is KEY-concentrated and only salting
+# (or skew-join splitting) helps — the decision this advisor exists
+# to make before a 100 TB join. Key frequencies aggregate once;
+# the 3× expansion explodes the per-KEY frequency table (bounded by
+# distinct keys), never the fact.
+# ---------------------------------------------------------------------------
+@query(
+    "j17_join_skew_advisor",
+    oracle="""
+    WITH freq AS MATERIALIZED (
+        SELECT user_id, count(*) AS c,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+        FROM events GROUP BY 1
+    ),
+    expanded AS (
+        SELECT t.p, freq.h % t.p AS part, freq.c
+        FROM freq CROSS JOIN (SELECT unnest([8, 32, 128]) AS p) t
+    ),
+    loads AS (
+        SELECT p, part, sum(c) AS load
+        FROM expanded GROUP BY 1, 2
+    ),
+    per_p AS (
+        SELECT p,
+               CAST(max(load) AS BIGINT) AS max_partition_rows,
+               CAST(sum(load) AS BIGINT) AS total_rows,
+               CAST(count(*) AS BIGINT) AS partitions_nonempty
+        FROM loads GROUP BY 1
+    ),
+    top_key AS (
+        SELECT CAST(max(c) AS BIGINT) AS top_key_rows FROM freq
+    )
+    SELECT CAST(pp.p AS BIGINT) AS n_partitions,
+           pp.partitions_nonempty, pp.max_partition_rows,
+           floor(CAST(pp.max_partition_rows * pp.p AS DOUBLE)
+                 / pp.total_rows * 1e6 + 0.5) / 1e6 AS skew_ratio,
+           tk.top_key_rows,
+           floor(CAST(tk.top_key_rows * pp.p AS DOUBLE) / pp.total_rows
+                 * 1e6 + 0.5) / 1e6 AS top_key_load_factor,
+           greatest(CAST(ceil(CAST(tk.top_key_rows * pp.p AS DOUBLE)
+                              / pp.total_rows) AS BIGINT), 1)
+               AS recommended_salt
+    FROM per_p pp CROSS JOIN top_key tk
+    ORDER BY n_partitions
+    """,
+)
+def j17_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).select(
+        "user_id",
+        "c",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).localCheckpoint(eager=True)
+    expanded = freq.select(
+        F.explode(F.array(*[F.lit(x) for x in (8, 32, 128)])).alias("p"),
+        F.col("h"),
+        F.col("c"),
+    ).select("p", F.pmod(F.col("h"), F.col("p")).alias("part"), "c")
+    loads = expanded.groupBy("p", "part").agg(F.sum("c").alias("load"))
+    per_p = loads.groupBy("p").agg(
+        F.max("load").cast("long").alias("max_partition_rows"),
+        F.sum("load").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("partitions_nonempty"),
+    )
+    top_key = freq.agg(F.max("c").cast("long").alias("top_key_rows"))
+    f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    load_factor = (
+        F.col("top_key_rows") * F.col("p")
+    ).cast("double") / F.col("total_rows")
+    return (
+        per_p.crossJoin(F.broadcast(top_key))
+        .select(
+            F.col("p").cast("long").alias("n_partitions"),
+            "partitions_nonempty",
+            "max_partition_rows",
+            f6(
+                (F.col("max_partition_rows") * F.col("p")).cast("double")
+                / F.col("total_rows")
+            ).alias("skew_ratio"),
+            "top_key_rows",
+            f6(load_factor).alias("top_key_load_factor"),
+            F.greatest(
+                F.ceil(load_factor).cast("long"), F.lit(1)
+            ).alias("recommended_salt"),
+        )
+        .orderBy("n_partitions")
+    )

@@ -32,7 +32,16 @@ from dock_financial_data_pipelines_spark.session import get_spark
 engine.load_all()
 
 SFS = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/tmp/dock_sf1"}
-NAMES = ("l_wrapper_pair_audit", "l_ann_nprobe_curve")
+NAMES = (
+    "l_wrapper_pair_audit",
+    "l_ann_nprobe_curve",
+    # round-10 sharded-dedup planning family: the end-to-end
+    # rehearsal VERDICT r9 item 7 asked for, measured at 10x
+    "l_shard_count_advisor",
+    "l_sharded_dedup_rehearsal",
+    "l_cross_shard_neardup_rate",
+    "pipeline_sharded_dedup",
+)
 N = 3
 
 
