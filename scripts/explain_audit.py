@@ -1886,6 +1886,16 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "j17_join_skew_advisor", execute=True)
+    check(
+        "j17_join_skew_advisor",
+        "3x partition-count explode over the per-KEY frequency table "
+        "(bounded by distinct keys, never the fact); top-key stat "
+        "rides as 1-row broadcast; no cartesian, no Python",
+        "Generate" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "pipeline_sharded_dedup", execute=True)
     check(
         "pipeline_sharded_dedup",

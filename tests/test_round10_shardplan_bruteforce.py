@@ -285,3 +285,28 @@ def test_pipeline_sharded_dedup_matches_two_pass_queue(spark):
     assert row["keep_mismatches"] == 0
     # associativity of keep-first is a theorem; assert it independently
     assert pass2 == direct
+
+
+def test_join_skew_advisor_matches_partition_model(spark):
+    _skip_if_empty("events")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    freq = Counter(ev["user_id"])
+    top = max(freq.values())
+    total = sum(freq.values())
+    got = _run(spark, "j17_join_skew_advisor")
+    assert list(got["n_partitions"]) == [8, 32, 128]
+    for p in (8, 32, 128):
+        loads = Counter()
+        for uid, c in freq.items():
+            loads[_h60(str(uid)) % p] += c
+        row = got[got["n_partitions"] == p].iloc[0]
+        assert row["partitions_nonempty"] == len(loads)
+        assert row["max_partition_rows"] == max(loads.values())
+        assert (
+            abs(row["skew_ratio"] - _r6(max(loads.values()) * p / total))
+            < 1.1e-6
+        )
+        assert row["top_key_rows"] == top
+        lf = top * p / total
+        assert abs(row["top_key_load_factor"] - _r6(lf)) < 1.1e-6
+        assert row["recommended_salt"] == max(math.ceil(lf), 1)
