@@ -78,6 +78,14 @@ HEADLINE = [
     "l_wrapper_pair_audit",
     "l_ann_nprobe_curve",
     "l_pq_codebook",
+    # round-10 additions (appended AFTER existing entries): the
+    # sharded-dedup planning family's plan-shape bearers — the
+    # end-to-end two-pass staging pipeline (real sink round-trip),
+    # the 4x-explode shard-count advisor, and the relational
+    # join-skew advisor (frequency-table partition model).
+    "pipeline_sharded_dedup",
+    "l_shard_count_advisor",
+    "j17_join_skew_advisor",
 ]
 
 
