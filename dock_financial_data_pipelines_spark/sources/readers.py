@@ -1002,3 +1002,162 @@ def s19_partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("verdict"),
     ).orderBy("mon")
+
+
+# ---------------------------------------------------------------------------
+# s20_sort_layout_advisor — which write-time sort order to choose for
+# a two-predicate scan workload (the decision s18's false-positive
+# signal motivates): the orders table is laid out three ways —
+# insertion order (o_orderkey), date-sorted (o_orderdate), and
+# customer-then-date — cut into synthetic 1000-row row groups per
+# layout, and the workload predicate (one-year date range AND a
+# custkey prefix) is evaluated against each layout's per-group
+# min/max stats for BOTH columns. A group is pruned when EITHER
+# column's stats exclude its predicate (the conjunctive pruning a
+# parquet reader performs). Output per layout: groups pruned / groups
+# scanned that match / false-positive groups + rows scanned — the
+# rows_matching column is layout-invariant (a built-in conservation
+# check). Same manufactured-row-group contract as s18 (SCALE.md
+# global-sort ledger): production reads real footer stats; the probe
+# exists to CHOOSE the layout before paying the write-time sort.
+# All ordering keys carry explicit tiebreakers so row_number is
+# deterministic on both engines.
+# ---------------------------------------------------------------------------
+_S20_DATE_LO, _S20_DATE_HI = "1997-01-01", "1998-01-01"
+_S20_CUST_HI = 500
+
+
+def _s20_layout_sql(label: str, order_by: str) -> str:
+    return f"""
+        SELECT '{label}' AS layout,
+               (row_number() OVER (ORDER BY {order_by}) - 1) // 1000 AS rg,
+               o_orderdate, o_custkey,
+               CASE WHEN o_orderdate >= TIMESTAMP '{_S20_DATE_LO}'
+                     AND o_orderdate < TIMESTAMP '{_S20_DATE_HI}'
+                     AND o_custkey < {_S20_CUST_HI}
+                    THEN 1 ELSE 0 END AS hit
+        FROM orders
+    """
+
+
+@query(
+    "s20_sort_layout_advisor",
+    oracle=f"""
+    WITH laid AS (
+        {_s20_layout_sql('a_insertion', 'o_orderkey')}
+        UNION ALL {_s20_layout_sql('b_by_date', 'o_orderdate, o_orderkey')}
+        UNION ALL {_s20_layout_sql(
+            'c_by_cust_date', 'o_custkey, o_orderdate, o_orderkey')}
+    ),
+    stats AS (
+        SELECT layout, rg,
+               min(o_orderdate) AS dmn, max(o_orderdate) AS dmx,
+               min(o_custkey) AS cmn, max(o_custkey) AS cmx,
+               CAST(sum(hit) AS BIGINT) AS matching_rows,
+               CAST(count(*) AS BIGINT) AS rows_
+        FROM laid GROUP BY 1, 2
+    ),
+    classed AS (
+        SELECT layout, rows_, matching_rows,
+               CASE WHEN dmx < TIMESTAMP '{_S20_DATE_LO}'
+                      OR dmn >= TIMESTAMP '{_S20_DATE_HI}'
+                      OR cmn >= {_S20_CUST_HI} THEN 'pruned'
+                    WHEN matching_rows > 0 THEN 'scan_hit'
+                    ELSE 'scan_false_positive' END AS outcome
+        FROM stats
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_rowgroups,
+           CAST(count(CASE WHEN outcome = 'pruned' THEN 1 END) AS BIGINT)
+               AS groups_pruned,
+           CAST(count(CASE WHEN outcome = 'scan_false_positive' THEN 1 END)
+                AS BIGINT) AS groups_false_positive,
+           CAST(coalesce(sum(CASE WHEN outcome <> 'pruned'
+                                  THEN rows_ ELSE 0 END), 0) AS BIGINT)
+               AS rows_scanned,
+           CAST(coalesce(sum(matching_rows), 0) AS BIGINT) AS rows_matching
+    FROM classed GROUP BY 1 ORDER BY 1
+    """,
+)
+def s20_sort_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    date_lo = F.lit(_S20_DATE_LO).cast("timestamp")
+    date_hi = F.lit(_S20_DATE_HI).cast("timestamp")
+    layouts = [
+        ("a_insertion", [F.col("o_orderkey")]),
+        ("b_by_date", [F.col("o_orderdate"), F.col("o_orderkey")]),
+        (
+            "c_by_cust_date",
+            [F.col("o_custkey"), F.col("o_orderdate"), F.col("o_orderkey")],
+        ),
+    ]
+    hit = (
+        F.when(
+            (F.col("o_orderdate") >= date_lo)
+            & (F.col("o_orderdate") < date_hi)
+            & (F.col("o_custkey") < _S20_CUST_HI),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit")
+    )
+    laid = None
+    for label, order_cols in layouts:
+        part = o.select(
+            F.lit(label).alias("layout"),
+            F.floor(
+                (F.row_number().over(Window.orderBy(*order_cols)) - 1) / 1000
+            ).alias("rg"),
+            "o_orderdate",
+            "o_custkey",
+            hit,
+        )
+        laid = part if laid is None else laid.unionAll(part)
+    stats = laid.groupBy("layout", "rg").agg(
+        F.min("o_orderdate").alias("dmn"),
+        F.max("o_orderdate").alias("dmx"),
+        F.min("o_custkey").alias("cmn"),
+        F.sum("hit").cast("long").alias("matching_rows"),
+        F.count(F.lit(1)).cast("long").alias("rows_"),
+    )
+    outcome = (
+        F.when(
+            (F.col("dmx") < date_lo)
+            | (F.col("dmn") >= date_hi)
+            | (F.col("cmn") >= _S20_CUST_HI),
+            "pruned",
+        )
+        .when(F.col("matching_rows") > 0, "scan_hit")
+        .otherwise("scan_false_positive")
+        .alias("outcome")
+    )
+    classed = stats.select("layout", "rows_", "matching_rows", outcome)
+    return (
+        classed.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rowgroups"),
+            F.count(F.when(F.col("outcome") == "pruned", F.lit(1)))
+            .cast("long")
+            .alias("groups_pruned"),
+            F.count(
+                F.when(F.col("outcome") == "scan_false_positive", F.lit(1))
+            )
+            .cast("long")
+            .alias("groups_false_positive"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("outcome") != "pruned", F.col("rows_"))
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rows_scanned"),
+            F.coalesce(F.sum("matching_rows"), F.lit(0))
+            .cast("long")
+            .alias("rows_matching"),
+        )
+        .orderBy("layout")
+    )

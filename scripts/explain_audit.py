@@ -1886,6 +1886,19 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "s20_sort_layout_advisor", execute=True)
+    check(
+        "s20_sort_layout_advisor.sort_bound",
+        "three global row_numbers are the layout probe's stated cost "
+        "(SCALE.md ledger, the s18 class): they manufacture candidate "
+        "write orders to compare; production pays ONE write-time sort "
+        "for the winning layout and reads real footer stats; group "
+        "stats reduce on (layout, rg) keys; no join, no Python",
+        "Exchange SinglePartition" in p and "HashAggregate" in p
+        and "Union" in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "j17_join_skew_advisor", execute=True)
     check(
         "j17_join_skew_advisor",

@@ -108,3 +108,50 @@ def test_rowgroup_pruning_probe_matches_chunked_minmax(spark):
     # stats are sound: a pruned group can never contain a matching row
     pruned = got[got["outcome"] == "pruned"]
     assert pruned.empty or int(pruned["rows_matching"].iloc[0]) == 0
+
+
+def test_sort_layout_advisor_matches_three_layout_walk(spark):
+    _skip_if_empty("orders")
+    o = _orders()
+    if o["o_orderkey"].duplicated().any():
+        pytest.skip(
+            "duplicate o_orderkey: insertion-layout chunk boundaries "
+            "are tie-order-dependent; parity pins this fixture instead"
+        )
+    dlo, dhi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    chi = 500
+    rows = list(zip(o["o_orderkey"], o["o_orderdate"], o["o_custkey"]))
+    layouts = {
+        "a_insertion": sorted(rows, key=lambda r: r[0]),
+        "b_by_date": sorted(rows, key=lambda r: (r[1], r[0])),
+        "c_by_cust_date": sorted(rows, key=lambda r: (r[2], r[1], r[0])),
+    }
+    got = engine.QUERIES["s20_sort_layout_advisor"](spark, SF).toPandas()
+    assert list(got["layout"]) == sorted(layouts)
+    for _, row in got.iterrows():
+        ordered = layouts[row["layout"]]
+        n_rg = pruned = fp = scanned = matching = 0
+        for start in range(0, len(ordered), RG_ROWS):
+            chunk = ordered[start : start + RG_ROWS]
+            dates = [d for _, d, _ in chunk]
+            custs = [c for _, _, c in chunk]
+            m = sum(
+                1
+                for _, d, c in chunk
+                if dlo <= d < dhi and c < chi
+            )
+            matching += m
+            n_rg += 1
+            if max(dates) < dlo or min(dates) >= dhi or min(custs) >= chi:
+                pruned += 1
+            else:
+                scanned += len(chunk)
+                if m == 0:
+                    fp += 1
+        assert row["n_rowgroups"] == n_rg
+        assert row["groups_pruned"] == pruned
+        assert row["groups_false_positive"] == fp
+        assert row["rows_scanned"] == scanned
+        assert row["rows_matching"] == matching
+    # conservation: matching rows are layout-invariant
+    assert got["rows_matching"].nunique() == 1
