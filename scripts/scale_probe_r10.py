@@ -41,6 +41,12 @@ NAMES = (
     "l_sharded_dedup_rehearsal",
     "l_cross_shard_neardup_rate",
     "pipeline_sharded_dedup",
+    # layout probes (manufactured row groups: s20 pays 3 global
+    # sorts by design — measure what that costs at 10x) and the
+    # relational join-skew advisor (key-grain bounded)
+    "s18_rowgroup_pruning_probe",
+    "s20_sort_layout_advisor",
+    "j17_join_skew_advisor",
 )
 N = 3
 
