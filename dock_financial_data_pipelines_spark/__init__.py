@@ -60,12 +60,16 @@ _STALE_BEFORE = {
     "x10_transform_with_state": 7,
 }
 
-# Round-10 sweep plan (scripts/sweep_rotate.py at round-10 start):
-# the 6 round-10 planning ops fill slots 1-6, the advice-touched
-# q_contribution_breakeven re-verifies at slot 7, and previously
-# verified entries rotate through the remaining 43 slots. Budget
-# for further round-10 additions: <= 43 so the zero-never-sampled
-# invariant holds (VERDICT r9 item 6).
+# Round-10 sweep plan (scripts/sweep_rotate.py at round-10 start,
+# extended in-session): the 12 round-10 additions (6 planned here +
+# 6 later registrations that queue via class 3 in import order:
+# q_supplier_hhi, q_dupont_decomposition, q_receivables_aging,
+# j17_join_skew_advisor, pipeline_sharded_dedup,
+# s20_sort_layout_advisor) fill slots 1-12; the advice-touched
+# q_contribution_breakeven re-verifies at slot 13; previously
+# verified entries rotate through the remaining 37 slots — the
+# zero-never-sampled invariant holds (VERDICT r9 item 6; verified
+# max new-entry slot = 13 at round end).
 _SWEEP_FIRST = [
     # SQL-oracled, never driver-checked (slots 1-6)
     "l_shard_count_advisor",
