@@ -37,6 +37,19 @@ from dock_financial_data_pipelines_spark.registry import ORACLES, query
 def _tokens():
     return F.split(F.col("text"), " ")
 
+
+def _pairs2(c):
+    """Exact C(n,2) in pure int64: shiftright(c*(c-1), 1).
+
+    The product of two consecutive non-negative integers is even, so a
+    right shift IS the exact halving — no double division (which the
+    oracles' integer `//` would drift from once c*(c-1) exceeds 2^53,
+    i.e. a degenerate bucket beyond ~9.5e7 rows at 100 TB scale).
+    Exact for all c up to ~3e9 (int64 product bound)."""
+    c = F.col(c) if isinstance(c, str) else c
+    c = c.cast("long")
+    return F.shiftright(c * (c - F.lit(1)), 1)
+
 # ---------------------------------------------------------------------------
 # L3 — exact dedup by content hash (md5 matches DuckDB's md5)
 # ---------------------------------------------------------------------------
@@ -1388,11 +1401,7 @@ def l4_band_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return buckets.groupBy("band", "bucket_size").agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(
-            F.col("bucket_size") * (F.col("bucket_size") - 1) / F.lit(2)
-        )
-        .cast("long")
-        .alias("candidate_pairs"),
+        F.sum(_pairs2("bucket_size")).cast("long").alias("candidate_pairs"),
     )
 
 
@@ -3020,11 +3029,7 @@ def l_cross_shard_neardup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = bsz.agg(
         F.coalesce(
-            F.sum(
-                (F.col("size_") * (F.col("size_") - 1) / F.lit(2)).cast(
-                    "long"
-                )
-            ),
+            F.sum(_pairs2("size_")),
             F.lit(0),
         )
         .cast("long")
@@ -3032,7 +3037,7 @@ def l_cross_shard_neardup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     win = bssz.agg(
         F.coalesce(
-            F.sum((F.col("s") * (F.col("s") - 1) / F.lit(2)).cast("long")),
+            F.sum(_pairs2("s")),
             F.lit(0),
         )
         .cast("long")
@@ -3103,9 +3108,7 @@ def l_hot_bucket_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.where(F.col("size_") >= 2)
         .select(
             "size_",
-            (F.col("size_") * (F.col("size_") - 1) / F.lit(2))
-            .cast("long")
-            .alias("p"),
+            _pairs2("size_").alias("p"),
         )
         .localCheckpoint(eager=True)
     )
@@ -3222,12 +3225,10 @@ def l_dedup_stage_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (denominator undefined, corpus-ratio contract)."""
     docs = load(spark, sf_dir, "documents")
     ap = docs.agg(F.count(F.lit(1)).alias("n_docs")).select(
-        (F.col("n_docs") * (F.col("n_docs") - 1) / F.lit(2))
-        .cast("long")
-        .alias("all_pairs")
+        _pairs2("n_docs").alias("all_pairs")
     )
     pair_sum = lambda c: F.coalesce(  # noqa: E731
-        F.sum((F.col(c) * (F.col(c) - 1) / F.lit(2)).cast("long")), F.lit(0)
+        F.sum(_pairs2(c)), F.lit(0)
     ).cast("long")
     exact_s = (
         docs.groupBy(F.md5("text").alias("dg"))

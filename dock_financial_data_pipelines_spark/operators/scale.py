@@ -2952,7 +2952,11 @@ def a57_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = monthly.groupBy("seg").agg(F.count(F.lit(1)).alias("n_months"))
-    n0 = (F.col("n_months") * (F.col("n_months") - 1) / 2).cast("long")
+    # Exact C(n,2) in int64 (shiftright of the even product — matches
+    # the oracle's integer `//`; no double-division drift past 2^53).
+    n0 = F.shiftright(
+        F.col("n_months").cast("long") * (F.col("n_months") - F.lit(1)), 1
+    )
     tau = (F.col("conc") - F.col("disc")).cast("double") / F.sqrt(
         n0.cast("double") * (n0 - F.col("tied")).cast("double")
     )

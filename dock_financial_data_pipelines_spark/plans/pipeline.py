@@ -16,13 +16,19 @@ STMTS:240-245) → the per-account statement with running balance.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import dec_sum, load, read_parquet_or_empty
+from dock_financial_data_pipelines_spark.catalog import (
+    dec_sum,
+    load,
+    read_parquet_or_empty,
+    sf_tag,
+)
 from dock_financial_data_pipelines_spark.registry import query
 from dock_financial_data_pipelines_spark.sources.sinks import write_partitioned
 
@@ -253,11 +259,19 @@ def pipeline_sharded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass1 = sharded.groupBy("shard", "dg").agg(
         F.min("doc_id").alias("keep_id")
     )
+    # Keyed by sf_tag (path-hash + source mtimes), never bare basename:
+    # two sf_dirs sharing a basename must not share staging, and a
+    # regenerated fixture invalidates the key. Dynamic partition
+    # overwrite only replaces partitions PRESENT in the current write,
+    # so a shard that is empty this run (tiny/empty fixtures) would
+    # otherwise retain stale rows from a previous run at the same path —
+    # clear the staging dir before the first publish.
     out = os.path.join(
         tempfile.gettempdir(),
         "dock_fdp_spark",
-        f"dedup_stage_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"dedup_stage_{sf_tag(sf_dir)}",
     )
+    shutil.rmtree(out, ignore_errors=True)
     # Publish twice: the second run must dynamically overwrite every
     # shard partition, not append (the REPORT:172 idempotence contract).
     write_partitioned(pass1, out, "shard")
