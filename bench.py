@@ -23,70 +23,86 @@ from dock_financial_data_pipelines_spark.session import get_spark
 
 engine.load_all()
 
-HEADLINE = [
-    "flagship_segment_monthly_revenue",
-    "a1_pricing_summary",
-    "j1_inner_join",
-    "j9_star_join",
-    "j8_asof_join",
-    "w3_running_balance",
-    "w6_topk_per_group",
-    "x1_tumbling_window",
-    "x3_session_window",
-    "q_daily_statement",
-    "l2_term_frequency",
-    "l3_exact_dedup_keep_first",
-    "l4_minhash_lsh_neardup",
-    "l5_cosine_topk",
-    "l_quality_score",
-    "f6_json_extraction",
-    "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items",
-    "j8_asof_join_sortmerge",
-    "a9_salted_skew_agg",
-    "report_region_market_share",
-    "l5_ann_lsh_topk",
+# Each headline entry carries the SUITE VERSION (round) it joined, and
+# the shared-subtotal exclusion sets are DERIVED from these tags — the
+# r10 regression was a hand-maintained exclusion chain that stopped at
+# r8, so the three r10 additions silently leaked into every
+# value_shared_* subtotal (published +24% r9->r10 drift where the true
+# same-query drift was +7%). With tags, adding a query cannot corrupt
+# an existing subtotal: value_shared_rK sums exactly the queries whose
+# tag is <= K.
+HEADLINE_ROUNDS: list[tuple[str, int]] = [
+    ("flagship_segment_monthly_revenue", 1),
+    ("a1_pricing_summary", 1),
+    ("j1_inner_join", 1),
+    ("j9_star_join", 1),
+    ("j8_asof_join", 1),
+    ("w3_running_balance", 1),
+    ("w6_topk_per_group", 1),
+    ("x1_tumbling_window", 1),
+    ("x3_session_window", 1),
+    ("q_daily_statement", 1),
+    ("l2_term_frequency", 1),
+    ("l3_exact_dedup_keep_first", 1),
+    ("l4_minhash_lsh_neardup", 1),
+    ("l5_cosine_topk", 1),
+    ("l_quality_score", 1),
+    ("f6_json_extraction", 1),
+    ("tpch_q3_shipping_priority", 2),
+    ("tpch_q10_returned_items", 2),
+    ("j8_asof_join_sortmerge", 2),
+    ("a9_salted_skew_agg", 2),
+    ("report_region_market_share", 2),
+    ("l5_ann_lsh_topk", 2),
     # round-3 additions: decorrelated subqueries, text quality filters,
     # event-stream analytics
-    "tpch_q21_waiting_suppliers",
-    "tpch_q5_local_supplier_volume",
-    "l_repetition_stats",
-    "q_retention_cohorts",
+    ("tpch_q21_waiting_suppliers", 3),
+    ("tpch_q5_local_supplier_volume", 3),
+    ("l_repetition_stats", 3),
+    ("q_retention_cohorts", 3),
     # round-4 additions (appended AFTER existing entries so round-over-
     # round stays attributable query-for-query): training-data prep
-    "l_pack_sequences",
-    "l_chunk_exact_dedup",
-    "l_unigram_logprob",
-    "q_ledger_reconciliation",
-    # round-6 additions (appended AFTER existing entries): the ANN/dedup
-    # family SQL-oracled in round 5 — their bucketed/broadcast plans are
-    # the engine's 100 TB scale path, so they belong in the headline.
-    "l5_ivf_topk",
-    "l_semantic_dedup",
-    "l_incremental_dedup",
-    # round-7 additions (appended AFTER existing entries): the three
-    # join-shape-bearing round-6 operators whose 100 TB plans deserve
-    # round-over-round tracking — end-to-end dedup funnel, banded
-    # duplicate-payment screen, anchor-join substring span dedup.
-    "l_dedup_funnel_e2e",
-    "q_duplicate_payments_fuzzy",
-    "l_substring_span_pairs",
-    # round-8 additions (appended AFTER existing entries): the new
-    # ANN/dedup components with real join/training shapes — wrapper
-    # pair audit (df-capped candidate join), IVF nProbe recall curve
-    # (shared trained quantizer), PQ codebook training.
-    "l_wrapper_pair_audit",
-    "l_ann_nprobe_curve",
-    "l_pq_codebook",
-    # round-10 additions (appended AFTER existing entries): the
-    # sharded-dedup planning family's plan-shape bearers — the
-    # end-to-end two-pass staging pipeline (real sink round-trip),
-    # the 4x-explode shard-count advisor, and the relational
-    # join-skew advisor (frequency-table partition model).
-    "pipeline_sharded_dedup",
-    "l_shard_count_advisor",
-    "j17_join_skew_advisor",
+    ("l_pack_sequences", 4),
+    ("l_chunk_exact_dedup", 4),
+    ("l_unigram_logprob", 4),
+    ("q_ledger_reconciliation", 4),
+    # round-6 additions: the ANN/dedup family SQL-oracled in round 5 —
+    # their bucketed/broadcast plans are the engine's 100 TB scale path.
+    ("l5_ivf_topk", 6),
+    ("l_semantic_dedup", 6),
+    ("l_incremental_dedup", 6),
+    # round-7 additions: the three join-shape-bearing round-6 operators
+    # whose 100 TB plans deserve round-over-round tracking.
+    ("l_dedup_funnel_e2e", 7),
+    ("q_duplicate_payments_fuzzy", 7),
+    ("l_substring_span_pairs", 7),
+    # round-8 additions: wrapper pair audit (df-capped candidate join),
+    # IVF nProbe recall curve (shared trained quantizer), PQ codebook.
+    ("l_wrapper_pair_audit", 8),
+    ("l_ann_nprobe_curve", 8),
+    ("l_pq_codebook", 8),
+    # round-10 additions: sharded-dedup planning family plan-shape
+    # bearers — two-pass staging pipeline (real sink round-trip),
+    # 4x-explode shard-count advisor, join-skew advisor.
+    ("pipeline_sharded_dedup", 10),
+    ("l_shard_count_advisor", 10),
+    ("j17_join_skew_advisor", 10),
 ]
+HEADLINE = [n for n, _ in HEADLINE_ROUNDS]
+# The no-broadcast skew probes re-run round-1/2 queries; tag them with
+# the base query's round so the derived subtotals keep their historical
+# membership (the hand-built chain never excluded them either).
+_ROUND_OF = {n: r for n, r in HEADLINE_ROUNDS}
+for _base in (
+    "flagship_segment_monthly_revenue",
+    "j9_star_join",
+    "report_region_market_share",
+):
+    _ROUND_OF[f"{_base}__noBroadcast"] = _ROUND_OF[_base]
+# Suite-version boundaries the subtotals are published at. r3/r5/r6/r7
+# keep their historical names and (now-corrected) membership; r9 is the
+# pre-r10 suite, the comparator for r10+ rounds.
+_SHARED_BOUNDARIES = (3, 5, 6, 7, 9)
 
 
 def _time_one(spark, name: str, sf_dir: str) -> float:
@@ -104,6 +120,80 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _calibrate_py() -> float:
+    """Fixed single-core CPython probe: md5 chain over 256 MB in 64 KB
+    blocks (deterministic work, no allocation churn). Per-query time at
+    this fixture tracks container single-core speed (single-row-group
+    parquet caps scan parallelism at 1 task — see drift_note), so this
+    probe is the normalizer that separates code regressions from
+    container drift."""
+    import hashlib
+
+    block = b"\x5a" * 65536
+    t0 = time.time()
+    h = hashlib.md5()
+    for _ in range(4096):
+        h.update(block)
+    h.hexdigest()
+    return round(time.time() - t0, 4)
+
+
+def _calibrate_jvm(spark) -> float:
+    """Fixed single-core JVM probe: 50M-row range sum on ONE partition
+    (whole-stage codegen arithmetic, no I/O). Median of 3."""
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 50_000_000, 1, 1).selectExpr(
+            "sum(id * 2 + 1) AS s"
+        ).collect()
+        ts.append(time.time() - t0)
+    return round(_median(ts), 4)
+
+
+def _anchor_comparison(per_query: dict, calib_py: float, calib_jvm: float,
+                       sf: str) -> dict:
+    """Compare this run against the pinned absolute anchor
+    (BENCH_ANCHOR.json, written once per container era by
+    scripts/make_bench_anchor.py). Returns {} when no anchor exists or
+    the SF differs. vs_anchor is the raw shared-subset ratio;
+    vs_anchor_calib_adjusted divides out container single-core drift
+    (JVM probe ratio), so the within-2x gate reads against a FIXED
+    anchor instead of compounding round-over-round container drift."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_ANCHOR.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        anchor = json.load(fh)
+    if str(anchor.get("sf")) != str(sf):
+        return {}
+    common = sorted(set(anchor["queries"]) & set(per_query))
+    if not common:
+        return {}
+    cur = sum(per_query[n] for n in common)
+    ref = sum(anchor["queries"][n] for n in common)
+    out = {
+        "anchor_era": anchor.get("era"),
+        "anchor_shared_n": len(common),
+        "vs_anchor": round(cur / ref, 4) if ref else None,
+    }
+    a_jvm = anchor.get("calib_jvm_sec")
+    if a_jvm and calib_jvm and ref:
+        out["vs_anchor_calib_adjusted"] = round(
+            (cur / ref) / (calib_jvm / a_jvm), 4
+        )
+    worst = None
+    for n in common:
+        if anchor["queries"][n] > 0.05:  # sub-50ms anchors are noise
+            r = per_query[n] / anchor["queries"][n]
+            if worst is None or r > worst[1]:
+                worst = (n, round(r, 3))
+    if worst:
+        out["vs_anchor_worst_query"] = {worst[0]: worst[1]}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
@@ -118,6 +208,11 @@ def main() -> None:
     t0 = time.time()
     engine.QUERIES["a1_pricing_summary"](spark, sf_dir).collect()
     warmup_sec = round(time.time() - t0, 3)
+
+    # Container-speed calibration (run AFTER warmup so JIT is settled,
+    # BEFORE the suite so it reflects the same container state).
+    calib_py = _calibrate_py()
+    calib_jvm = _calibrate_jvm(spark)
 
     # n_runs passes over the whole suite (pass-major order, so run k of
     # query A is separated from run k+1 by the full suite — adjacent
@@ -158,42 +253,15 @@ def main() -> None:
     total = round(sum(per_query.values()), 3)
     # Subtotals over the queries earlier rounds' suites also ran, so
     # "value" growing from suite EXPANSION can't read as a perf
-    # regression: value_shared_r3 excludes everything added in r4+,
-    # value_shared_r5 excludes the r6+r7 additions, value_shared_r6
-    # excludes only the r7 additions.
-    r8_added = {
-        "l_wrapper_pair_audit",
-        "l_ann_nprobe_curve",
-        "l_pq_codebook",
+    # regression. Membership is DERIVED from HEADLINE_ROUNDS tags (see
+    # comment there): value_shared_rK = sum of queries whose suite
+    # round is <= K.
+    shared = {
+        f"value_shared_r{k}": round(
+            sum(v for n, v in per_query.items() if _ROUND_OF[n] <= k), 3
+        )
+        for k in _SHARED_BOUNDARIES
     }
-    r7_added = {
-        "l_dedup_funnel_e2e",
-        "q_duplicate_payments_fuzzy",
-        "l_substring_span_pairs",
-    } | r8_added
-    r6_added = {
-        "l5_ivf_topk",
-        "l_semantic_dedup",
-        "l_incremental_dedup",
-    } | r7_added
-    r4_added = {
-        "l_pack_sequences",
-        "l_chunk_exact_dedup",
-        "l_unigram_logprob",
-        "q_ledger_reconciliation",
-    } | r6_added
-    shared_r3 = round(
-        sum(v for n, v in per_query.items() if n not in r4_added), 3
-    )
-    shared_r5 = round(
-        sum(v for n, v in per_query.items() if n not in r6_added), 3
-    )
-    shared_r6 = round(
-        sum(v for n, v in per_query.items() if n not in r7_added), 3
-    )
-    shared_r7 = round(
-        sum(v for n, v in per_query.items() if n not in r8_added), 3
-    )
     summary = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -207,10 +275,10 @@ def main() -> None:
         "queries": per_query,
         "n_runs": n_runs,
         "warmup_sec": warmup_sec,
-        "value_shared_r3": shared_r3,
-        "value_shared_r5": shared_r5,
-        "value_shared_r6": shared_r6,
-        "value_shared_r7": shared_r7,
+        "calib_py_sec": calib_py,
+        "calib_jvm_sec": calib_jvm,
+        **shared,
+        **_anchor_comparison(per_query, calib_py, calib_jvm, sf),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # environment attribution for round-over-round reads:
         # a rebuilt container (new Spark/JVM/testdata files)
