@@ -58,30 +58,40 @@ _STALE_BEFORE = {
     # transformWithStateInPandas path via the vendored protobuf runtime,
     # so the proof that the NATIVE branch runs needs a fresh driver row.
     "x10_transform_with_state": 7,
+    # Round-11 ADVICE fixes rewrote the Spark-side arithmetic/staging of
+    # these six (C(n,2) double-division -> shiftright int64; staging dir
+    # keyed by sf_tag + pre-write rmtree): pre-r11 hash-greens certify
+    # the old code paths.
+    "l4_band_occupancy_audit": 10,
+    "l_cross_shard_neardup_rate": 10,
+    "l_hot_bucket_skew_advisor": 10,
+    "l_dedup_stage_cost_model": 10,
+    "a57_kendall_tau": 10,
+    "pipeline_sharded_dedup": 10,
 }
 
-# Round-10 sweep plan (scripts/sweep_rotate.py at round-10 start,
-# extended in-session): the 12 round-10 additions (6 planned here +
-# 6 later registrations that queue via class 3 in import order:
-# q_supplier_hhi, q_dupont_decomposition, q_receivables_aging,
-# j17_join_skew_advisor, pipeline_sharded_dedup,
-# s20_sort_layout_advisor) fill slots 1-12; the advice-touched
-# q_contribution_breakeven re-verifies at slot 13; previously
-# verified entries rotate through the remaining 37 slots — the
-# zero-never-sampled invariant holds (VERDICT r9 item 6; verified
-# max new-entry slot = 13 at round end).
+# Round-11 sweep plan (scripts/sweep_rotate.py at round-11 start):
+# all 451 pre-r11 entries carry a driver hash-green, so slots 1-6 go to
+# the _STALE_BEFORE re-verifies (ADVICE-fix-touched code paths:
+# C(n,2) shiftright arithmetic, sf_tag-keyed staging). Round-11
+# registrations queue next (class 3 in import order, or planned here as
+# they land); previously verified entries rotate through the remaining
+# slots via _SWEEP_LAST order — zero-never-sampled invariant holds.
 _SWEEP_FIRST = [
-    # SQL-oracled, never driver-checked (slots 1-6)
-    "l_shard_count_advisor",
-    "l_sharded_dedup_rehearsal",
+    # stale re-verifies (slots 1-6): Spark-side code changed in r11
+    "l4_band_occupancy_audit",
     "l_cross_shard_neardup_rate",
     "l_hot_bucket_skew_advisor",
     "l_dedup_stage_cost_model",
-    "s19_partition_size_advisor",
-    # re-verify: output path changed this round (floor-quantize units)
-    "q_contribution_breakeven",
+    "a57_kendall_tau",
+    "pipeline_sharded_dedup",
 ]
+
 _SWEEP_LAST = [
+    "l_shard_count_advisor",
+    "l_sharded_dedup_rehearsal",
+    "s19_partition_size_advisor",
+    "q_contribution_breakeven",
     "l_repeated_ngram_coverage",
     "l_jsd_source_divergence",
     "l_bm25_score",
@@ -381,7 +391,6 @@ _SWEEP_LAST = [
     "l_pca_power_iteration",
     "l_index_shard_plan",
     "l_matryoshka_recall",
-    "l4_band_occupancy_audit",
     "l4_minhash_estimate_error",
     "l_containment_pairs",
     "l_substring_span_pairs",
@@ -474,7 +483,6 @@ _SWEEP_LAST = [
     "u18_weighted_sample",
     "u19_interval_merge",
     "a56_poisson_dispersion",
-    "a57_kendall_tau",
     "a58_levene_brown_forsythe",
     "a59_effect_sizes",
     "a60_jarque_bera",
@@ -520,6 +528,11 @@ _SWEEP_LAST = [
     "w39_elder_ray",
     "s17_compaction_binpack",
     "s18_rowgroup_pruning_probe",
+    "q_supplier_hhi",
+    "q_dupont_decomposition",
+    "q_receivables_aging",
+    "j17_join_skew_advisor",
+    "s20_sort_layout_advisor",
 ]
 
 
