@@ -85,6 +85,8 @@ _SWEEP_FIRST = [
     "l_dedup_stage_cost_model",
     "a57_kendall_tau",
     "pipeline_sharded_dedup",
+    # round-11 additions (SQL-oracled, never driver-checked)
+    "s20_sort_layout_advisor_sampled",
 ]
 
 _SWEEP_LAST = [

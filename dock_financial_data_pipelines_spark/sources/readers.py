@@ -1161,3 +1161,182 @@ def s20_sort_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# s20_sort_layout_advisor_sampled — the PRODUCTION form of the layout
+# probe. The exact advisor (above) manufactures THREE global sort
+# layouts of the full table to compare them — 8.9x wall at 10x data by
+# design (SCALE.md), fine as an oracle twin but not the plan you run at
+# 100 TB. The production answer is: sort a deterministic ~1% sample
+# (md5(o_orderkey) mod 100 == 0 — engine-portable, reproducible, no
+# RNG), cut it into PROPORTIONALLY scaled synthetic row groups (10
+# sampled rows stand in for a 1000-row group), and report pruning
+# RATIOS, not absolutes — the quantities that transfer from sample to
+# full table. The three sorts now touch 1% of rows, so cost scales
+# with the sample, not the table; the sample filter sits BELOW every
+# sort in the plan. rows_matching-layout-invariance still holds within
+# the sample (same conservation check as the exact form). Ratios are
+# IEEE double division of identical BIGINTs on both engines — exact.
+# ---------------------------------------------------------------------------
+_S20S_MOD = 100  # keep 1 of every 100 keys, by md5 bucket
+_S20S_RG = 10    # 1000-row groups x 1% sample
+
+
+def _s20s_layout_sql(label: str, order_by: str) -> str:
+    return f"""
+        SELECT '{label}' AS layout,
+               (row_number() OVER (ORDER BY {order_by}) - 1) // {_S20S_RG}
+                   AS rg,
+               o_orderdate, o_custkey,
+               CASE WHEN o_orderdate >= TIMESTAMP '{_S20_DATE_LO}'
+                     AND o_orderdate < TIMESTAMP '{_S20_DATE_HI}'
+                     AND o_custkey < {_S20_CUST_HI}
+                    THEN 1 ELSE 0 END AS hit
+        FROM (SELECT * FROM orders
+              WHERE CAST(concat('0x',
+                        substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {_S20S_MOD} = 0)
+    """
+
+
+@query(
+    "s20_sort_layout_advisor_sampled",
+    oracle=f"""
+    WITH laid AS (
+        {_s20s_layout_sql('a_insertion', 'o_orderkey')}
+        UNION ALL {_s20s_layout_sql('b_by_date', 'o_orderdate, o_orderkey')}
+        UNION ALL {_s20s_layout_sql(
+            'c_by_cust_date', 'o_custkey, o_orderdate, o_orderkey')}
+    ),
+    stats AS (
+        SELECT layout, rg,
+               min(o_orderdate) AS dmn, max(o_orderdate) AS dmx,
+               min(o_custkey) AS cmn,
+               CAST(sum(hit) AS BIGINT) AS matching_rows,
+               CAST(count(*) AS BIGINT) AS rows_
+        FROM laid GROUP BY 1, 2
+    ),
+    classed AS (
+        SELECT layout, rows_, matching_rows,
+               CASE WHEN dmx < TIMESTAMP '{_S20_DATE_LO}'
+                      OR dmn >= TIMESTAMP '{_S20_DATE_HI}'
+                      OR cmn >= {_S20_CUST_HI} THEN 'pruned'
+                    WHEN matching_rows > 0 THEN 'scan_hit'
+                    ELSE 'scan_false_positive' END AS outcome
+        FROM stats
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_rowgroups_sampled,
+           CAST(sum(rows_) AS BIGINT) AS rows_sampled,
+           count(CASE WHEN outcome = 'pruned' THEN 1 END)
+               / CAST(count(*) AS DOUBLE) AS pruned_ratio,
+           count(CASE WHEN outcome = 'scan_false_positive' THEN 1 END)
+               / CAST(count(*) AS DOUBLE) AS false_positive_ratio,
+           coalesce(sum(CASE WHEN outcome <> 'pruned'
+                             THEN rows_ ELSE 0 END), 0)
+               / CAST(sum(rows_) AS DOUBLE) AS scan_ratio,
+           coalesce(sum(matching_rows), 0)
+               / CAST(sum(rows_) AS DOUBLE) AS match_ratio
+    FROM classed GROUP BY 1 ORDER BY 1
+    """,
+)
+def s20_sort_layout_advisor_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    sample = load(spark, sf_dir, "orders").where(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15),"
+            f" 16, 10) AS BIGINT) % {_S20S_MOD} = 0"
+        )
+    )
+    date_lo = F.lit(_S20_DATE_LO).cast("timestamp")
+    date_hi = F.lit(_S20_DATE_HI).cast("timestamp")
+    layouts = [
+        ("a_insertion", [F.col("o_orderkey")]),
+        ("b_by_date", [F.col("o_orderdate"), F.col("o_orderkey")]),
+        (
+            "c_by_cust_date",
+            [F.col("o_custkey"), F.col("o_orderdate"), F.col("o_orderkey")],
+        ),
+    ]
+    hit = (
+        F.when(
+            (F.col("o_orderdate") >= date_lo)
+            & (F.col("o_orderdate") < date_hi)
+            & (F.col("o_custkey") < _S20_CUST_HI),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit")
+    )
+    laid = None
+    for label, order_cols in layouts:
+        part = sample.select(
+            F.lit(label).alias("layout"),
+            F.floor(
+                (F.row_number().over(Window.orderBy(*order_cols)) - 1)
+                / _S20S_RG
+            ).alias("rg"),
+            "o_orderdate",
+            "o_custkey",
+            hit,
+        )
+        laid = part if laid is None else laid.unionAll(part)
+    stats = laid.groupBy("layout", "rg").agg(
+        F.min("o_orderdate").alias("dmn"),
+        F.max("o_orderdate").alias("dmx"),
+        F.min("o_custkey").alias("cmn"),
+        F.sum("hit").cast("long").alias("matching_rows"),
+        F.count(F.lit(1)).cast("long").alias("rows_"),
+    )
+    outcome = (
+        F.when(
+            (F.col("dmx") < date_lo)
+            | (F.col("dmn") >= date_hi)
+            | (F.col("cmn") >= _S20_CUST_HI),
+            "pruned",
+        )
+        .when(F.col("matching_rows") > 0, "scan_hit")
+        .otherwise("scan_false_positive")
+        .alias("outcome")
+    )
+    classed = stats.select("layout", "rows_", "matching_rows", outcome)
+    n_groups = F.count(F.lit(1)).cast("long")
+    n_rows = F.sum("rows_").cast("long")
+    return (
+        classed.groupBy("layout")
+        .agg(
+            n_groups.alias("n_rowgroups_sampled"),
+            n_rows.alias("rows_sampled"),
+            (
+                F.count(F.when(F.col("outcome") == "pruned", F.lit(1)))
+                / n_groups.cast("double")
+            ).alias("pruned_ratio"),
+            (
+                F.count(
+                    F.when(
+                        F.col("outcome") == "scan_false_positive", F.lit(1)
+                    )
+                )
+                / n_groups.cast("double")
+            ).alias("false_positive_ratio"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("outcome") != "pruned", F.col("rows_"))
+                        .otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                / n_rows.cast("double")
+            ).alias("scan_ratio"),
+            (
+                F.coalesce(F.sum("matching_rows"), F.lit(0))
+                / n_rows.cast("double")
+            ).alias("match_ratio"),
+        )
+        .orderBy("layout")
+    )

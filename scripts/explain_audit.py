@@ -1899,6 +1899,23 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "s20_sort_layout_advisor_sampled", execute=True)
+    check(
+        "s20_sort_layout_advisor_sampled.sample_below_sorts",
+        "the PRODUCTION layout probe: the deterministic md5-bucket "
+        "sample Filter sits BELOW all three global sorts (each sort "
+        "touches ~1% of rows, so probe cost scales with the sample, "
+        "not the table); ratios reduce on (layout, rg); no join, no "
+        "Python",
+        "Filter" in p and "md5" in p
+        and p.index("Filter") > p.index("Sort")  # formatted plans list
+        # operators top-down root-first, so a LATER index = DEEPER in
+        # the tree: the Filter prints below the Sort it feeds.
+        and "Exchange SinglePartition" in p and "HashAggregate" in p
+        and "Union" in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "j17_join_skew_advisor", execute=True)
     check(
         "j17_join_skew_advisor",

@@ -1,0 +1,139 @@
+"""Brute-force references for the round-11 batch, recomputed from raw
+parquet with textbook plain-Python (no Spark, no DuckDB) so a defect
+shared by both engines' twin implementations would still surface."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+import pytest
+
+import dock_financial_data_pipelines_spark as engine
+
+SF = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _run(spark, name: str) -> pd.DataFrame:
+    return engine.QUERIES[name](spark, SF).toPandas()
+
+
+def _skip_if_empty(table: str) -> None:
+    import pyarrow.parquet as pq
+
+    if pq.read_metadata(f"{SF}/{table}.parquet").num_rows == 0:
+        pytest.skip(f"{table} empty: contract covered by the empty-fixture sweep")
+
+
+def _md5_bucket(key) -> int:
+    """The engine's md5-60bit idiom, replayed with hashlib: top 15 hex
+    chars of md5(str(key)) as an integer."""
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+
+def test_s20_sampled_matches_plain_python_replay(spark):
+    """Replay the sampled layout probe with explicit Python loops:
+    hashlib sample selection, three explicit sorts, fixed-width group
+    cutting, per-group min/max pruning — then compare every ratio."""
+    _skip_if_empty("orders")
+    from dock_financial_data_pipelines_spark.sources.readers import (
+        _S20_CUST_HI,
+        _S20_DATE_HI,
+        _S20_DATE_LO,
+        _S20S_MOD,
+        _S20S_RG,
+    )
+
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_custkey"],
+    )
+    sample = orders[
+        orders["o_orderkey"].map(lambda k: _md5_bucket(k) % _S20S_MOD == 0)
+    ]
+    got = _run(spark, "s20_sort_layout_advisor_sampled")
+    if sample.empty:
+        assert got.empty
+        return
+    lo = pd.Timestamp(_S20_DATE_LO)
+    hi = pd.Timestamp(_S20_DATE_HI)
+    layouts = {
+        "a_insertion": ["o_orderkey"],
+        "b_by_date": ["o_orderdate", "o_orderkey"],
+        "c_by_cust_date": ["o_custkey", "o_orderdate", "o_orderkey"],
+    }
+    expected = {}
+    for label, order_cols in layouts.items():
+        laid = sample.sort_values(order_cols).reset_index(drop=True)
+        n_groups = pruned = false_pos = rows_scanned = matching = 0
+        for start in range(0, len(laid), _S20S_RG):
+            g = laid.iloc[start : start + _S20S_RG]
+            n_groups += 1
+            hits = (
+                (g["o_orderdate"] >= lo)
+                & (g["o_orderdate"] < hi)
+                & (g["o_custkey"] < _S20_CUST_HI)
+            ).sum()
+            if (
+                g["o_orderdate"].max() < lo
+                or g["o_orderdate"].min() >= hi
+                or g["o_custkey"].min() >= _S20_CUST_HI
+            ):
+                pruned += 1
+            else:
+                rows_scanned += len(g)
+                matching += int(hits)
+                if hits == 0:
+                    false_pos += 1
+        expected[label] = {
+            "n_rowgroups_sampled": n_groups,
+            "rows_sampled": len(laid),
+            "pruned_ratio": pruned / n_groups,
+            "false_positive_ratio": false_pos / n_groups,
+            "scan_ratio": rows_scanned / len(laid),
+            "match_ratio": matching / len(laid),
+        }
+    assert sorted(got["layout"]) == sorted(expected)
+    for _, row in got.iterrows():
+        exp = expected[row["layout"]]
+        for col, val in exp.items():
+            assert row[col] == pytest.approx(val, abs=1e-12), (
+                row["layout"],
+                col,
+            )
+
+
+def test_s20_sampled_rows_and_match_rate_layout_invariant(spark):
+    """Conservation: every layout sees the SAME sampled rows, so
+    rows_sampled and match_ratio (matching rows / sampled rows) must be
+    identical across layouts — only pruning/scan ratios may differ."""
+    _skip_if_empty("orders")
+    got = _run(spark, "s20_sort_layout_advisor_sampled")
+    if got.empty:
+        return
+    assert got["rows_sampled"].nunique() == 1
+    assert got["match_ratio"].nunique() == 1
+
+
+def test_pairs2_is_exact_beyond_double_precision(spark):
+    """The ADVICE-fix contract: C(n,2) stays exact where double
+    division would drift. 2^53 has no exact double neighbors at odd
+    offsets, so c = 2^27 + 3 makes c*(c-1) land beyond 2^53 where
+    double arithmetic rounds; shiftright must still give the exact
+    integer."""
+    from pyspark.sql import functions as F
+
+    from dock_financial_data_pipelines_spark.operators.dedup import _pairs2
+
+    cases = [0, 1, 2, 3, (1 << 27) + 3, (1 << 31) + 7]
+    df = spark.createDataFrame([(c,) for c in cases], "c long")
+    got = {
+        r["c"]: r["p"]
+        for r in df.select("c", _pairs2("c").alias("p")).collect()
+    }
+    for c in cases:
+        assert got[c] == c * (c - 1) // 2, c
+        # and show the double path WOULD have drifted for the big ones
+    big = (1 << 31) + 7
+    assert int(big * (big - 1) / 2) != big * (big - 1) // 2
