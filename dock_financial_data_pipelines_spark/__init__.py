@@ -87,6 +87,7 @@ _SWEEP_FIRST = [
     "pipeline_sharded_dedup",
     # round-11 additions (SQL-oracled, never driver-checked)
     "s20_sort_layout_advisor_sampled",
+    "l_model_quality_scorer",
 ]
 
 _SWEEP_LAST = [

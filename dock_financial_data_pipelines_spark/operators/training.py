@@ -21,6 +21,8 @@ stage ever needs a global sort.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1778,4 +1780,134 @@ def l_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sgn").cast("long").alias("signed_weight"),
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.countDistinct("w").cast("long").alias("n_distinct_terms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_model_quality_scorer — the model-INFERENCE pipeline stage: a trained
+# (here: fixed, integer-quantized) logistic quality classifier applied
+# to every document with broadcast weights, the fasttext-style
+# keep/drop scorer every LLM data pipeline runs between heuristic
+# filtering and training. Shape, not heuristics, is the point:
+#
+# - Feature extraction stays JVM-side (whole-stage codegen: split /
+#   length / regexp_replace), so the Python boundary carries k small
+#   integers per doc, never text.
+# - The model runs as ONE Arrow-vectorized pandas UDF (ArrowEvalPython
+#   in the plan): weights ride the UDF closure — on a cluster that IS a
+#   broadcast (serialized once per executor, not per row/batch); the
+#   dot product is exact int64 numpy (weights are micro-quantized
+#   integers, the form a serving-optimized model ships in).
+# - No shuffle anywhere: pure per-partition map at any scale.
+# - Cross-engine exactness: the link is the RATIONAL "fast sigmoid"
+#   0.5 + x/(2*(1+|x|)) — same monotone S-shape, but only IEEE basic
+#   ops (abs/add/mul/div), which are bit-identical between numpy and
+#   DuckDB; libm exp() would not be guaranteed to the last ulp. The
+#   oracle replays feature extraction AND model in pure SQL, so the
+#   whole inference path is hash-checked, not tolerance-checked.
+# ---------------------------------------------------------------------------
+_MODEL_W = {  # micro-units: a quantized serving checkpoint
+    "n_tokens": 1800,
+    "n_chars": -35,
+    "n_digits": -420,
+    "n_punct": -260,
+    "n_stop": 900,
+}
+_MODEL_B = -120000  # intercept, micro-units
+_MODEL_STOPS = ("the", "a", "of", "and", "to", "in")
+
+
+@query(
+    "l_model_quality_scorer",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digits,
+               length(text)
+                   - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS n_punct,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN {_MODEL_STOPS})) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST({_MODEL_W['n_tokens']} * n_tokens
+                    + {_MODEL_W['n_chars']} * n_chars
+                    + {_MODEL_W['n_digits']} * n_digits
+                    + {_MODEL_W['n_punct']} * n_punct
+                    + {_MODEL_W['n_stop']} * n_stop
+                    + {_MODEL_B} AS BIGINT) AS logit_micro
+        FROM feats
+    )
+    SELECT doc_id, logit_micro,
+           0.5 + (CAST(logit_micro AS DOUBLE) / 1000000.0)
+               / (2.0 * (1.0 + abs(CAST(logit_micro AS DOUBLE)
+                                   / 1000000.0))) AS score,
+           CASE WHEN logit_micro >= 0 THEN 1 ELSE 0 END AS pred_keep
+    FROM scored
+    """,
+)
+def l_model_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    stop_list = ", ".join(f"'{s}'" for s in _MODEL_STOPS)
+    feats = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n_chars"),
+                F.split("text", " ").alias("ws"), "text")
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            F.col("n_chars").cast("long"),
+            (
+                F.col("n_chars")
+                - F.length(F.regexp_replace("text", "[0-9]", ""))
+            ).cast("long").alias("n_digits"),
+            (
+                F.col("n_chars")
+                - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+            ).cast("long").alias("n_punct"),
+            F.expr(f"size(filter(ws, x -> x IN ({stop_list})))")
+            .cast("long")
+            .alias("n_stop"),
+        )
+    )
+
+    # Weight vector pinned OUTSIDE the UDF in feature order; the closure
+    # serializes once per executor (broadcast semantics on a cluster).
+    import numpy as np
+
+    w = np.array(
+        [_MODEL_W[c] for c in
+         ("n_tokens", "n_chars", "n_digits", "n_punct", "n_stop")],
+        dtype=np.int64,
+    )
+    b = np.int64(_MODEL_B)
+
+    @pandas_udf("logit_micro long, score double")
+    def infer(nt: pd.Series, nc: pd.Series, nd: pd.Series,
+              np_: pd.Series, ns: pd.Series) -> pd.DataFrame:
+        X = np.stack(
+            [s.to_numpy(dtype=np.int64) for s in (nt, nc, nd, np_, ns)],
+            axis=1,
+        )
+        logit = X @ w + b  # exact int64
+        x = logit.astype(np.float64) / 1000000.0
+        score = 0.5 + x / (2.0 * (1.0 + np.abs(x)))
+        return pd.DataFrame({"logit_micro": logit, "score": score})
+
+    out = feats.select(
+        "doc_id",
+        infer("n_tokens", "n_chars", "n_digits", "n_punct", "n_stop")
+        .alias("m"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("m.logit_micro").alias("logit_micro"),
+        F.col("m.score").alias("score"),
+        F.when(F.col("m.logit_micro") >= 0, 1).otherwise(0).alias("pred_keep"),
     )

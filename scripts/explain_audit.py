@@ -128,6 +128,18 @@ def main() -> int:
         "ArrowEvalPython" in p,
     )
 
+    p = plan_of(spark, "l_model_quality_scorer", execute=True)
+    check(
+        "l_model_quality_scorer",
+        "model inference stage: feature extraction stays JVM-side, the "
+        "quantized logistic model runs as ONE Arrow-vectorized pandas "
+        "UDF over k integers per doc (never text), and the whole path "
+        "is a pure per-partition map — no shuffle, no join, no "
+        "row-at-a-time Python",
+        "ArrowEvalPython" in p and "Exchange" not in p
+        and "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "l5_ann_lsh_topk", execute=True)
     check(
         "l5_ann_lsh_topk",

@@ -137,3 +137,43 @@ def test_pairs2_is_exact_beyond_double_precision(spark):
         # and show the double path WOULD have drifted for the big ones
     big = (1 << 31) + 7
     assert int(big * (big - 1) / 2) != big * (big - 1) // 2
+
+
+def test_model_quality_scorer_matches_plain_python(spark):
+    """Replay the whole inference path — feature extraction, int64 dot
+    product, fast-sigmoid link — with plain Python string ops and
+    arithmetic (no regex engine, no numpy), then compare bit-for-bit."""
+    _skip_if_empty("documents")
+    from dock_financial_data_pipelines_spark.operators.training import (
+        _MODEL_B,
+        _MODEL_STOPS,
+        _MODEL_W,
+    )
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = (
+        _run(spark, "l_model_quality_scorer")
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == len(docs)
+    for _, d in docs.iterrows():
+        text = d["text"]
+        feats = {
+            "n_tokens": len(text.split(" ")) if text != "" else 1,
+            "n_chars": len(text),
+            "n_digits": sum(ch.isdigit() and ch.isascii() for ch in text),
+            "n_punct": sum(ch in ".,!?;:" for ch in text),
+            "n_stop": sum(
+                w in _MODEL_STOPS for w in text.split(" ")
+            ),
+        }
+        logit = sum(_MODEL_W[k] * v for k, v in feats.items()) + _MODEL_B
+        x = float(logit) / 1000000.0
+        score = 0.5 + x / (2.0 * (1.0 + abs(x)))
+        row = got.loc[d["doc_id"]]
+        assert row["logit_micro"] == logit, (d["doc_id"], feats)
+        assert row["score"] == score, d["doc_id"]  # bit-exact contract
+        assert row["pred_keep"] == (1 if logit >= 0 else 0)
