@@ -68,6 +68,8 @@ _STALE_BEFORE = {
     "l_dedup_stage_cost_model": 10,
     "a57_kendall_tau": 10,
     "pipeline_sharded_dedup": 10,
+    # s5's staging path re-keyed by sf_tag + pre-write rmtree in r11.
+    "s5_partitioned_sink_roundtrip": 10,
 }
 
 # Round-11 sweep plan (scripts/sweep_rotate.py at round-11 start):
@@ -88,6 +90,9 @@ _SWEEP_FIRST = [
     # round-11 additions (SQL-oracled, never driver-checked)
     "s20_sort_layout_advisor_sampled",
     "l_model_quality_scorer",
+    "l_shard_export_writer",
+    # re-verify: s5's staging path re-keyed by sf_tag this round
+    "s5_partitioned_sink_roundtrip",
 ]
 
 _SWEEP_LAST = [

@@ -11,13 +11,18 @@ keeps re-runs O(one day), not O(table).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load, read_parquet_or_empty
+from dock_financial_data_pipelines_spark.catalog import (
+    load,
+    read_parquet_or_empty,
+    sf_tag,
+)
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -101,11 +106,17 @@ def s3a_conf(
     """,
 )
 def s5_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sf_tag-keyed + cleared up front: dynamic overwrite only replaces
+    # partitions PRESENT in the current write, so a year absent from
+    # this fixture would otherwise survive from a prior run at a
+    # colliding path (same hazard the r11 ADVICE flagged in
+    # pipeline_sharded_dedup).
     out = os.path.join(
         tempfile.gettempdir(),
         "dock_fdp_spark",
-        f"sink_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"sink_{sf_tag(sf_dir)}",
     )
+    shutil.rmtree(out, ignore_errors=True)
     orders = load(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate")
     )
@@ -123,4 +134,116 @@ def s5_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("double")
             .alias("total"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_shard_export_writer — the dataset-RELEASE last mile: write the
+# corpus as token-bounded shard files plus a manifest row per shard
+# (shard, docs, tokens, payload bytes, content digest). s17/s19 and
+# l_dataset_card ADVISE on shard counts; this operator actually EMITS
+# the artifact and proves it round-trips.
+#
+# Shard assignment is a deterministic greedy pack: docs in doc_id order
+# accumulate tokens, and a doc opens shard k when its running total
+# STARTS at or past k*budget — every shard holds ~budget tokens
+# (overshoot bounded by one doc), and the assignment is a pure window
+# cumsum both engines replay exactly. The write is a REAL partitioned
+# parquet sink (one file per shard via repartition("shard"),
+# sf_tag-keyed scratch, cleared up front); the manifest is then
+# recomputed FROM THE READ-BACK, while the oracle recomputes it from
+# the source table — hash-equality proves the writer wrote every doc
+# exactly once (no loss, no duplication, no stale partitions).
+#
+# The digest is order-independent and engine-portable: per-doc
+# md5(doc_id '#' md5(text)), sorted, comma-joined, md5'd again — a
+# release consumer can re-derive it from the shard files alone.
+# At 100 TB: the cumsum is one global-ordered window over (doc_id,
+# tokens) pairs — metadata grain, not text; text moves once, straight
+# to its shard file; per-shard digest lists are bounded by
+# budget/min_doc_tokens docs.
+# ---------------------------------------------------------------------------
+_EXPORT_TOKEN_BUDGET = 4000
+
+
+@query(
+    "l_shard_export_writer",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS tokens,
+               strlen(text) AS bytes,
+               md5(CAST(doc_id AS VARCHAR) || '#' || md5(text)) AS dg
+        FROM documents
+    ),
+    c AS (
+        SELECT *, sum(tokens) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    ),
+    s AS (
+        SELECT *, (cum - tokens) // {_EXPORT_TOKEN_BUDGET} AS shard FROM c
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(bytes) AS BIGINT) AS n_bytes,
+           md5(string_agg(dg, ',' ORDER BY dg)) AS digest
+    FROM s GROUP BY 1
+    """,
+)
+def l_shard_export_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        F.octet_length("text").cast("long").alias("bytes"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("#"),
+                     F.md5("text"))
+        ).alias("dg"),
+    )
+    cum = F.sum("tokens").over(
+        Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    sharded = docs.withColumn("cum", cum).withColumn(
+        "shard",
+        F.expr(f"(cum - tokens) div {_EXPORT_TOKEN_BUDGET}").cast("long"),
+    ).drop("cum")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "dock_fdp_spark",
+        f"shard_export_{sf_tag(sf_dir)}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    # One file per shard: the release artifact a consumer downloads.
+    write_partitioned(sharded.repartition("shard"), out, "shard")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("tokens", LongType()),
+            StructField("bytes", LongType()),
+            StructField("dg", StringType()),
+            StructField("shard", LongType()),
+        ]
+    )
+    back = read_parquet_or_empty(spark, out, schema)
+    return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("n_tokens"),
+        F.sum("bytes").cast("long").alias("n_bytes"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("dg")))
+        ).alias("digest"),
     )

@@ -1928,6 +1928,18 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_shard_export_writer", execute=True)
+    check(
+        "l_shard_export_writer",
+        "release manifest recomputed from the READ-BACK of the shard "
+        "files (the write side ran eagerly: one global metadata-grain "
+        "cumsum window, text moved once to its shard file); manifest "
+        "itself is a shard-keyed hash aggregate over the written "
+        "parquet — no join, no Python",
+        "HashAggregate" in p and "Scan parquet" in p
+        and "Join" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "j17_join_skew_advisor", execute=True)
     check(
         "j17_join_skew_advisor",

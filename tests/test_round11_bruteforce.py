@@ -177,3 +177,79 @@ def test_model_quality_scorer_matches_plain_python(spark):
         assert row["logit_micro"] == logit, (d["doc_id"], feats)
         assert row["score"] == score, d["doc_id"]  # bit-exact contract
         assert row["pred_keep"] == (1 if logit >= 0 else 0)
+
+
+def test_shard_export_writer_readback_identity(spark):
+    """Verify the written release artifact DIRECTLY with pyarrow (not
+    through Spark): every source doc appears in exactly one shard file,
+    each shard dir holds exactly one parquet file, shard k's docs are
+    exactly those whose greedy-pack cumsum starts in [k*B, (k+1)*B),
+    and the manifest the query returns matches a hashlib replay."""
+    _skip_if_empty("documents")
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dock_financial_data_pipelines_spark.catalog import sf_tag
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        _EXPORT_TOKEN_BUDGET,
+    )
+
+    manifest = _run(spark, "l_shard_export_writer")
+    out = os.path.join(
+        "/tmp" if os.path.isdir("/tmp") else ".",
+        "dock_fdp_spark",
+        f"shard_export_{sf_tag(SF)}",
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    # greedy-pack replay in plain python
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    cum = 0
+    expect: dict[int, list] = {}
+    for _, d in docs.iterrows():
+        tokens = len(d["text"].split(" "))
+        shard = cum // _EXPORT_TOKEN_BUDGET
+        expect.setdefault(shard, []).append((d["doc_id"], d["text"], tokens))
+        cum += tokens
+    shard_dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(shard_dirs) == len(expect)
+    seen_ids = []
+    for sd in shard_dirs:
+        k = int(sd.rsplit("=", 1)[1])
+        files = glob.glob(os.path.join(sd, "*.parquet"))
+        assert len(files) == 1, f"shard {k}: expected ONE release file"
+        tbl = pq.read_table(files[0]).to_pandas()
+        exp = expect[k]
+        assert sorted(tbl["doc_id"]) == sorted(i for i, _, _ in exp)
+        seen_ids.extend(tbl["doc_id"].tolist())
+        # manifest row replay with hashlib
+        dgs = sorted(
+            hashlib.md5(
+                (str(i) + "#" + hashlib.md5(t.encode()).hexdigest()).encode()
+            ).hexdigest()
+            for i, t, _ in exp
+        )
+        row = manifest[manifest["shard"] == k].iloc[0]
+        assert row["n_docs"] == len(exp)
+        assert row["n_tokens"] == sum(tk for _, _, tk in exp)
+        assert row["n_bytes"] == sum(len(t.encode()) for _, t, _ in exp)
+        assert row["digest"] == hashlib.md5(
+            ",".join(dgs).encode()
+        ).hexdigest()
+    assert sorted(seen_ids) == sorted(docs["doc_id"])
+
+
+def test_shard_export_token_budget_respected(spark):
+    """Every shard except possibly the last STARTS under its budget
+    boundary, so n_tokens < budget + max single-doc tokens (greedy-pack
+    overshoot bound)."""
+    _skip_if_empty("documents")
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        _EXPORT_TOKEN_BUDGET,
+    )
+
+    manifest = _run(spark, "l_shard_export_writer")
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    max_doc = max(len(t.split(" ")) for t in docs["text"])
+    assert (manifest["n_tokens"] < _EXPORT_TOKEN_BUDGET + max_doc).all()
