@@ -91,6 +91,7 @@ _SWEEP_FIRST = [
     "s20_sort_layout_advisor_sampled",
     "l_model_quality_scorer",
     "l_shard_export_writer",
+    "l_bpe_train_multistep",
     # re-verify: s5's staging path re-keyed by sf_tag this round
     "s5_partitioned_sink_roundtrip",
 ]

@@ -3377,3 +3377,213 @@ def l_common_ngram_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# l_bpe_train_multistep — BPE TRAINING to a fixed merge budget (K=8),
+# extending l_bpe_merge_step from one step to the iterative algorithm a
+# real tokenizer trainer runs. State between rounds is the exploded
+# SYMBOL table (w, cnt, pos, sym) — vocab grain × word length, never
+# the corpus — rewritten each round: count adjacent pairs weighted by
+# word frequency, pick the argmax (deterministic pc DESC, a, b
+# tiebreak), merge every left-greedy occurrence (island parity: runs of
+# consecutive matched positions only arise for self-pairs, and odd
+# in-island ranks are the merge heads), drop the consumed right symbol,
+# re-rank positions. Each round's table is localCheckpointed: K
+# compounding window/join lineages would otherwise stack into one
+# mega-plan, and the checkpoint bound is vocab-grain (millions of rows
+# at 100 TB, not billions).
+#
+# Output: one row per executed merge step — step, the merged pair, its
+# corpus pair count, corpus tokens after the merge (the vocab/merges
+# table a tokenizer ships). A round with no remaining pair (every word
+# a single symbol) emits nothing and later rounds stay empty — the
+# K-budget is an upper bound, not a promise.
+#
+# Oracle: the a51/l_pca idiom — the SAME round body unrolled K times as
+# materialized CTE chains (AS MATERIALIZED: DuckDB re-inlines CTEs per
+# reference, which goes exponential across K rounds without it).
+# ---------------------------------------------------------------------------
+_BPE_K = 8
+
+
+def _bpe_round_oracle(k: int) -> str:
+    """One unrolled training round: symt{k} -> sel{k} (the chosen merge)
+    and symt{k+1} (the rewritten symbol table)."""
+    return f"""
+    led{k} AS MATERIALIZED (
+        SELECT w, cnt, pos, sym,
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM symt{k}
+    ),
+    sel{k} AS MATERIALIZED (
+        SELECT sym AS a, nxt AS b, CAST(sum(cnt) AS BIGINT) AS pc
+        FROM led{k} WHERE nxt IS NOT NULL
+        GROUP BY 1, 2 ORDER BY pc DESC, a, b LIMIT 1
+    ),
+    heads{k} AS MATERIALIZED (
+        SELECT w, pos FROM (
+            SELECT w, pos,
+                   row_number() OVER (PARTITION BY w, grp ORDER BY pos)
+                       AS idx
+            FROM (
+                SELECT t.w, t.pos,
+                       t.pos - row_number() OVER (PARTITION BY t.w
+                                                  ORDER BY t.pos) AS grp
+                FROM led{k} t JOIN sel{k} s
+                  ON t.sym = s.a AND t.nxt = s.b
+            )
+        ) WHERE idx % 2 = 1
+    ),
+    symt{k + 1} AS MATERIALIZED (
+        SELECT w, cnt,
+               row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+               sym
+        FROM (
+            SELECT t.w, t.cnt, t.pos,
+                   CASE WHEN h1.pos IS NOT NULL THEN t.sym || t.nxt
+                        ELSE t.sym END AS sym
+            FROM led{k} t
+            LEFT JOIN heads{k} h1
+              ON t.w = h1.w AND t.pos = h1.pos
+            LEFT JOIN heads{k} h2
+              ON t.w = h2.w AND t.pos = h2.pos + 1
+            WHERE h2.pos IS NULL
+        )
+    )"""
+
+
+_BPE_ORACLE = (
+    """
+    WITH symt1 AS MATERIALIZED (
+        SELECT w, cnt, i + 1 AS pos, cs[i + 1] AS sym
+        FROM (
+            SELECT w, cnt, cs, unnest(range(len(cs))) AS i
+            FROM (
+                SELECT w, count(*) AS cnt, string_split(w, '') AS cs
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE len(w) > 0 GROUP BY 1
+            )
+        )
+    ),"""
+    + ",".join(_bpe_round_oracle(k) for k in range(1, _BPE_K + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"""SELECT {k} AS step, a AS merge_left, b AS merge_right,
+               pc AS pair_count,
+               (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT)
+                FROM symt{k + 1}) AS tokens_after
+        FROM sel{k}"""
+        for k in range(1, _BPE_K + 1)
+    )
+)
+
+
+@query("l_bpe_train_multistep", oracle=_BPE_ORACLE)
+def l_bpe_train_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    symt = (
+        vocab.select(
+            "w", "cnt", F.posexplode(F.split("w", "")).alias("i", "sym")
+        )
+        .select("w", "cnt", (F.col("i") + 1).alias("pos"), "sym")
+        .localCheckpoint(eager=True)
+    )
+    w_word = Window.partitionBy("w").orderBy("pos")
+    steps = []
+    for k in range(1, _BPE_K + 1):
+        led = symt.withColumn("nxt", F.lead("sym").over(w_word))
+        sel = (
+            led.where(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("cnt").cast("long").alias("pc"))
+            .orderBy(F.col("pc").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        matched = led.join(
+            F.broadcast(sel.select("a", "b")),
+            (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")),
+        ).select("w", "pos")
+        isl = matched.select(
+            "w",
+            "pos",
+            (F.col("pos") - F.row_number().over(w_word)).alias("grp"),
+        )
+        heads = (
+            isl.select(
+                "w",
+                "pos",
+                F.row_number()
+                .over(Window.partitionBy("w", "grp").orderBy("pos"))
+                .alias("idx"),
+            )
+            .where(F.col("idx") % 2 == 1)
+            .select("w", "pos")
+        )
+        rewritten = (
+            led.alias("t")
+            .join(
+                heads.select(
+                    F.col("w").alias("hw"), F.col("pos").alias("hp")
+                ).alias("h1"),
+                (F.col("t.w") == F.col("hw"))
+                & (F.col("t.pos") == F.col("hp")),
+                "left",
+            )
+            .join(
+                heads.select(
+                    F.col("w").alias("h2w"),
+                    (F.col("pos") + 1).alias("h2p"),
+                ).alias("h2"),
+                (F.col("t.w") == F.col("h2w"))
+                & (F.col("t.pos") == F.col("h2p")),
+                "left",
+            )
+            .where(F.col("h2p").isNull())
+            .select(
+                F.col("t.w").alias("w"),
+                F.col("t.cnt").alias("cnt"),
+                F.col("t.pos").alias("pos"),
+                F.when(
+                    F.col("hp").isNotNull(),
+                    F.concat(F.col("t.sym"), F.col("t.nxt")),
+                )
+                .otherwise(F.col("t.sym"))
+                .alias("sym"),
+            )
+        )
+        symt = (
+            rewritten.select(
+                "w",
+                "cnt",
+                F.row_number().over(w_word).alias("pos"),
+                "sym",
+            )
+            .localCheckpoint(eager=True)
+        )
+        tokens_after = symt.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
+            .alias("tokens_after")
+        )
+        steps.append(
+            sel.crossJoin(F.broadcast(tokens_after)).select(
+                F.lit(k).cast("int").alias("step"),
+                F.col("a").alias("merge_left"),
+                F.col("b").alias("merge_right"),
+                F.col("pc").alias("pair_count"),
+                "tokens_after",
+            )
+        )
+    return reduce(lambda x, y: x.unionAll(y), steps)

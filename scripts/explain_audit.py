@@ -1928,6 +1928,19 @@ def main() -> int:
         and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_bpe_train_multistep", execute=True)
+    check(
+        "l_bpe_train_multistep",
+        "K-round BPE training state is the vocab-grain SYMBOL table, "
+        "localCheckpointed per round — the final plan is a Union over "
+        "checkpointed 1-row selections (Scan ExistingRDD), NOT K "
+        "stacked window/join rounds (bounded lineage); per-step stat "
+        "rides as 1-row broadcast; no cartesian, no Python",
+        "Union" in p and "Scan ExistingRDD" in p
+        and "Window" not in p  # rounds ran eagerly, not in this plan
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "l_shard_export_writer", execute=True)
     check(
         "l_shard_export_writer",

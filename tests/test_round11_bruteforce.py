@@ -253,3 +253,63 @@ def test_shard_export_token_budget_respected(spark):
     docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
     max_doc = max(len(t.split(" ")) for t in docs["text"])
     assert (manifest["n_tokens"] < _EXPORT_TOKEN_BUDGET + max_doc).all()
+
+
+def test_bpe_train_multistep_matches_textbook_trainer(spark):
+    """Textbook BPE trainer in plain Python (dict of word tuples,
+    explicit greedy left-to-right merge application, max() with
+    lexicographic tiebreak) — the classic Sennrich et al. reference
+    loop — must produce the same K merges, pair counts, and token
+    totals as the distributed island-parity implementation."""
+    _skip_if_empty("documents")
+    from dock_financial_data_pipelines_spark.operators.text import _BPE_K
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    vocab: dict[tuple, int] = {}
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if w:
+                key = tuple(w)
+                vocab[key] = vocab.get(key, 0) + 1
+    expected = []
+    for step in range(1, _BPE_K + 1):
+        counts: dict[tuple, int] = {}
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        # max count, then lexicographically smallest pair
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        new_vocab: dict[tuple, int] = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2  # left-greedy: consume both
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + cnt
+        vocab = new_vocab
+        tokens_after = sum(len(s) * c for s, c in vocab.items())
+        expected.append(
+            {
+                "step": step,
+                "merge_left": best[0],
+                "merge_right": best[1],
+                "pair_count": counts[best],
+                "tokens_after": tokens_after,
+            }
+        )
+    got = _run(spark, "l_bpe_train_multistep").sort_values("step")
+    assert len(got) == len(expected)
+    for row, exp in zip(got.to_dict("records"), expected):
+        for col, val in exp.items():
+            assert row[col] == val, (exp["step"], col, row, exp)
