@@ -92,6 +92,7 @@ _SWEEP_FIRST = [
     "l_model_quality_scorer",
     "l_shard_export_writer",
     "l_bpe_train_multistep",
+    "l_bpe_encode_stats",
     # re-verify: s5's staging path re-keyed by sf_tag this round
     "s5_partitioned_sink_roundtrip",
 ]

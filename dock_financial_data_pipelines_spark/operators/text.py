@@ -3453,7 +3453,9 @@ def _bpe_round_oracle(k: int) -> str:
     )"""
 
 
-_BPE_ORACLE = (
+# The K-round training chain (WITH body through symt{K+1}), shared by
+# the trainer's merges-table oracle and the encoder's stats oracle.
+_BPE_CHAIN = (
     """
     WITH symt1 AS MATERIALIZED (
         SELECT w, cnt, i + 1 AS pos, cs[i + 1] AS sym
@@ -3468,6 +3470,10 @@ _BPE_ORACLE = (
         )
     ),"""
     + ",".join(_bpe_round_oracle(k) for k in range(1, _BPE_K + 1))
+)
+
+_BPE_ORACLE = (
+    _BPE_CHAIN
     + "\n    "
     + "\n    UNION ALL ".join(
         f"""SELECT {k} AS step, a AS merge_left, b AS merge_right,
@@ -3480,10 +3486,10 @@ _BPE_ORACLE = (
 )
 
 
-@query("l_bpe_train_multistep", oracle=_BPE_ORACLE)
-def l_bpe_train_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
+def _bpe_train_rounds(spark: SparkSession, sf_dir: str):
+    """Run the K-round trainer; return (per-step 1-row DataFrames with
+    merge/pair_count/tokens_after, final symbol table). Both the
+    trainer's merges-table output and the encoder's stats reuse this."""
     from pyspark.sql import Window
 
     vocab = (
@@ -3586,4 +3592,83 @@ def l_bpe_train_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tokens_after",
             )
         )
+    return steps, symt
+
+
+@query("l_bpe_train_multistep", oracle=_BPE_ORACLE)
+def l_bpe_train_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    steps, _ = _bpe_train_rounds(spark, sf_dir)
     return reduce(lambda x, y: x.unionAll(y), steps)
+
+
+# ---------------------------------------------------------------------------
+# l_bpe_encode_stats — tokenizer INFERENCE: encode the corpus with the
+# K learned merges and report per-language tokenization statistics
+# (instances, distinct words, chars, BPE tokens, fertility = tokens per
+# word, chars per token). The trained symbol table IS the encoding —
+# training rewrote every vocab word with each merge as it was learned,
+# which is exactly how a learned BPE tokenizer segments those words —
+# so encoding is a vocab-grain count of surviving symbols per word
+# joined back to the per-language word-frequency table. Text never
+# re-tokenizes per document; at 100 TB the join is (lang, word)-grain
+# against a vocab-sized symbol-count dictionary.
+# ---------------------------------------------------------------------------
+@query(
+    "l_bpe_encode_stats",
+    oracle=_BPE_CHAIN
+    + f""",
+    syms AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS ntok
+        FROM symt{_BPE_K + 1} GROUP BY 1
+    ),
+    wl AS (
+        SELECT lang, w, count(*) AS cnt
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE len(w) > 0 GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT) AS n_word_instances,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(cnt * s.ntok) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(cnt * s.ntok) AS DOUBLE) / sum(cnt) AS fertility,
+           CAST(sum(cnt * length(w)) AS DOUBLE) / sum(cnt * s.ntok)
+               AS chars_per_token
+    FROM wl JOIN syms s USING (w) GROUP BY 1
+    """,
+)
+def l_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, symt = _bpe_train_rounds(spark, sf_dir)
+    syms = symt.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("ntok"))
+    wl = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        wl.join(syms, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_word_instances"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.sum(F.col("cnt") * F.length("w"))
+            .cast("long")
+            .alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("ntok"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            (
+                F.sum(F.col("cnt") * F.col("ntok")).cast("double")
+                / F.sum("cnt")
+            ).alias("fertility"),
+            (
+                F.sum(F.col("cnt") * F.length("w")).cast("double")
+                / F.sum(F.col("cnt") * F.col("ntok"))
+            ).alias("chars_per_token"),
+        )
+    )

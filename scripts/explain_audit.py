@@ -1941,6 +1941,18 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_bpe_encode_stats", execute=True)
+    check(
+        "l_bpe_encode_stats",
+        "tokenizer inference = vocab-grain dictionary join: per-word "
+        "symbol counts off the trained (checkpointed) table joined to "
+        "the (lang, word) frequency table — text never re-tokenizes "
+        "per document; no cartesian, no Python",
+        "Scan ExistingRDD" in p and "HashAggregate" in p
+        and "Join" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "l_shard_export_writer", execute=True)
     check(
         "l_shard_export_writer",

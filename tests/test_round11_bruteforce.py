@@ -313,3 +313,84 @@ def test_bpe_train_multistep_matches_textbook_trainer(spark):
     for row, exp in zip(got.to_dict("records"), expected):
         for col, val in exp.items():
             assert row[col] == val, (exp["step"], col, row, exp)
+
+
+def test_bpe_encode_stats_matches_textbook_encoder(spark):
+    """Train K merges with the textbook loop, ENCODE every word by
+    applying the merges in learned order (greedy left-to-right scans),
+    then recompute the per-language stats table in plain Python."""
+    _skip_if_empty("documents")
+    from dock_financial_data_pipelines_spark.operators.text import _BPE_K
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "text"])
+    vocab: dict[tuple, int] = {}
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if w:
+                key = tuple(w)
+                vocab[key] = vocab.get(key, 0) + 1
+    merges = []
+    cur = dict(vocab)
+    for _ in range(_BPE_K):
+        counts: dict[tuple, int] = {}
+        for syms, cnt in cur.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append(best)
+        nxt: dict[tuple, int] = {}
+        for syms, cnt in cur.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + cnt
+        cur = nxt
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    stats: dict[str, dict] = {}
+    seen_words: dict[str, set] = {}
+    for _, d in docs.iterrows():
+        lang = d["lang"]
+        s = stats.setdefault(
+            lang, {"inst": 0, "chars": 0, "tokens": 0}
+        )
+        sw = seen_words.setdefault(lang, set())
+        for w in d["text"].split(" "):
+            if not w:
+                continue
+            s["inst"] += 1
+            s["chars"] += len(w)
+            s["tokens"] += encode(w)
+            sw.add(w)
+    got = _run(spark, "l_bpe_encode_stats").set_index("lang")
+    assert sorted(got.index) == sorted(stats)
+    for lang, s in stats.items():
+        row = got.loc[lang]
+        assert row["n_word_instances"] == s["inst"]
+        assert row["n_distinct_words"] == len(seen_words[lang])
+        assert row["n_chars"] == s["chars"]
+        assert row["n_bpe_tokens"] == s["tokens"], lang
+        assert row["fertility"] == s["tokens"] / s["inst"]
+        assert row["chars_per_token"] == s["chars"] / s["tokens"]
