@@ -68,8 +68,9 @@ _STALE_BEFORE = {
     "l_dedup_stage_cost_model": 10,
     "a57_kendall_tau": 10,
     "pipeline_sharded_dedup": 10,
-    # s5's staging path re-keyed by sf_tag + pre-write rmtree in r11.
+    # staging paths re-keyed by sf_tag + pre-write rmtree in r11.
     "s5_partitioned_sink_roundtrip": 10,
+    "pipeline_daily_publish": 10,
 }
 
 # Round-11 sweep plan (scripts/sweep_rotate.py at round-11 start):
@@ -93,8 +94,10 @@ _SWEEP_FIRST = [
     "l_shard_export_writer",
     "l_bpe_train_multistep",
     "l_bpe_encode_stats",
-    # re-verify: s5's staging path re-keyed by sf_tag this round
+    "pipeline_training_data_release",
+    # re-verify: staging paths re-keyed by sf_tag this round
     "s5_partitioned_sink_roundtrip",
+    "pipeline_daily_publish",
 ]
 
 _SWEEP_LAST = [

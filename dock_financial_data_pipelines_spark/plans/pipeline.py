@@ -156,11 +156,16 @@ def run_daily_pipeline(spark: SparkSession, sf_dir: str, as_of: str, out: str) -
     """,
 )
 def pipeline_daily_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sf_tag-keyed + cleared BEFORE the first run (not between the two —
+    # the second run exists to prove dynamic-overwrite idempotence): an
+    # empty customer base writes no partitions, so a prior non-empty run
+    # at a colliding path would otherwise leak into the read-back.
     out = os.path.join(
         tempfile.gettempdir(),
         "dock_fdp_spark",
-        f"publish_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"publish_{sf_tag(sf_dir)}",
     )
+    shutil.rmtree(out, ignore_errors=True)
     # Run twice for the same date: second run must overwrite, not append
     # (the reference's replace=True idempotence, REPORT:172).
     run_daily_pipeline(spark, sf_dir, "1998-12-31", out)
@@ -310,4 +315,184 @@ def pipeline_sharded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - F.col("final_rows")).alias("removed_total"),
             "keep_mismatches",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_training_data_release — the END-TO-END release pipeline a
+# training-data team actually ships: raw corpus -> model-quality gate
+# (the r11 quantized logistic scorer's decision) -> exact dedup
+# (keep-first by content digest) -> token-bounded greedy pack -> REAL
+# partitioned shard write -> read-back. Output is the release funnel:
+# one row per stage with docs/tokens surviving, plus the shard count
+# from the READ-BACK (not the plan) — so the oracle's stage-3 row,
+# recomputed from the source table, certifies the written artifact.
+#
+# Every stage reuses an operator already oracled on its own
+# (l_model_quality_scorer's logit, l3 keep-first, l_shard_export_writer's
+# cumsum pack); this query certifies their COMPOSITION — the funnel
+# numbers only match if each handoff preserves exactly the surviving
+# set. At 100 TB: gate and digest are map+hash-agg; the pack cumsum is
+# (doc_id, tokens)-grain; text moves once into its shard file.
+# ---------------------------------------------------------------------------
+def _release_oracle() -> str:
+    from dock_financial_data_pipelines_spark.operators.training import (
+        _MODEL_B,
+        _MODEL_STOPS,
+        _MODEL_W,
+    )
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        _EXPORT_TOKEN_BUDGET,
+    )
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS tokens,
+               {_MODEL_W['n_tokens']} * len(string_split(text, ' '))
+               + {_MODEL_W['n_chars']} * length(text)
+               + {_MODEL_W['n_digits']} * (length(text)
+                   - length(regexp_replace(text, '[0-9]', '', 'g')))
+               + {_MODEL_W['n_punct']} * (length(text)
+                   - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               + {_MODEL_W['n_stop']} * len(list_filter(
+                     string_split(text, ' '), x -> x IN {_MODEL_STOPS}))
+               + {_MODEL_B} AS logit
+        FROM documents
+    ),
+    gate AS (SELECT * FROM t WHERE logit >= 0),
+    dedup AS (
+        SELECT doc_id, tokens FROM (
+            SELECT doc_id, tokens,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM gate
+        ) WHERE rn = 1
+    ),
+    packed AS (
+        SELECT doc_id, tokens,
+               (sum(tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens)
+                   // {_EXPORT_TOKEN_BUDGET} AS shard
+        FROM dedup
+    )
+    SELECT 0 AS stage_ord, 'raw' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(tokens), 0) AS BIGINT) AS n_tokens,
+           CAST(0 AS BIGINT) AS n_shards
+    FROM t
+    UNION ALL
+    SELECT 1, 'model_gate', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT), CAST(0 AS BIGINT)
+    FROM gate
+    UNION ALL
+    SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT), CAST(0 AS BIGINT)
+    FROM dedup
+    UNION ALL
+    SELECT 3, 'packed_export', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT)
+    FROM packed
+    """
+
+
+@query("pipeline_training_data_release", oracle=_release_oracle())
+def pipeline_training_data_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from dock_financial_data_pipelines_spark.operators.training import (
+        _MODEL_B,
+        _MODEL_STOPS,
+        _MODEL_W,
+    )
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        _EXPORT_TOKEN_BUDGET,
+    )
+
+    stop_list = ", ".join(f"'{s}'" for s in _MODEL_STOPS)
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        (
+            F.lit(_MODEL_W["n_tokens"]) * F.size(F.split("text", " "))
+            + F.lit(_MODEL_W["n_chars"]) * F.length("text")
+            + F.lit(_MODEL_W["n_digits"])
+            * (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[0-9]", ""))
+            )
+            + F.lit(_MODEL_W["n_punct"])
+            * (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+            )
+            + F.lit(_MODEL_W["n_stop"])
+            * F.expr(
+                f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
+            )
+            + F.lit(_MODEL_B)
+        ).cast("long").alias("logit"),
+    )
+    gate = t.where(F.col("logit") >= 0)
+    dedup = (
+        gate.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text", "tokens")
+    )
+    cum = F.sum("tokens").over(
+        Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    packed = dedup.withColumn("cum", cum).withColumn(
+        "shard",
+        F.expr(f"(cum - tokens) div {_EXPORT_TOKEN_BUDGET}").cast("long"),
+    ).drop("cum")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "dock_fdp_spark",
+        f"release_{sf_tag(sf_dir)}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_partitioned(
+        packed.repartition("shard").drop("text"), out, "shard"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("tokens", LongType()),
+            StructField("shard", LongType()),
+        ]
+    )
+    back = read_parquet_or_empty(spark, out, schema)
+
+    def stat(df, ord_, name, with_shards=False):
+        return df.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            (
+                F.countDistinct("shard")
+                if with_shards
+                else F.lit(0)
+            ).cast("long").alias("n_shards"),
+        ).select("stage_ord", "stage", "n_docs", "n_tokens", "n_shards")
+
+    return (
+        stat(t, 0, "raw")
+        .unionAll(stat(gate, 1, "model_gate"))
+        .unionAll(stat(dedup, 2, "exact_dedup"))
+        .unionAll(stat(back, 3, "packed_export", with_shards=True))
     )

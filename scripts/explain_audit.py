@@ -1975,6 +1975,18 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_training_data_release", execute=True)
+    check(
+        "pipeline_training_data_release",
+        "E2E release funnel: gate and digest dedup are map+hash-agg/"
+        "window, pack is a metadata-grain cumsum, final stage reads the "
+        "REAL shard sink back; stage stats are 1-row aggregates "
+        "unioned; no cartesian, no Python",
+        "Union" in p and "HashAggregate" in p
+        and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "pipeline_sharded_dedup", execute=True)
     check(
         "pipeline_sharded_dedup",

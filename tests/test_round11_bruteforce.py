@@ -394,3 +394,80 @@ def test_bpe_encode_stats_matches_textbook_encoder(spark):
         assert row["n_bpe_tokens"] == s["tokens"], lang
         assert row["fertility"] == s["tokens"] / s["inst"]
         assert row["chars_per_token"] == s["chars"] / s["tokens"]
+
+
+def test_release_pipeline_funnel_matches_plain_python(spark):
+    """Replay the whole release funnel in plain Python: feature logit,
+    gate, first-seen dedup by exact text, greedy token pack — and
+    compare every stage row."""
+    _skip_if_empty("documents")
+    from dock_financial_data_pipelines_spark.operators.training import (
+        _MODEL_B,
+        _MODEL_STOPS,
+        _MODEL_W,
+    )
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        _EXPORT_TOKEN_BUDGET,
+    )
+
+    docs = (
+        pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def logit(text: str) -> int:
+        toks = text.split(" ")
+        feats = {
+            "n_tokens": len(toks),
+            "n_chars": len(text),
+            "n_digits": sum(c.isdigit() and c.isascii() for c in text),
+            "n_punct": sum(c in ".,!?;:" for c in text),
+            "n_stop": sum(w in _MODEL_STOPS for w in toks),
+        }
+        return sum(_MODEL_W[k] * v for k, v in feats.items()) + _MODEL_B
+
+    tok = {r["doc_id"]: len(r["text"].split(" "))
+           for _, r in docs.iterrows()}
+    raw = (len(docs), sum(tok.values()))
+    gated = [r for _, r in docs.iterrows() if logit(r["text"]) >= 0]
+    seen, deduped = set(), []
+    for r in gated:  # doc_id order: first occurrence survives
+        if r["text"] not in seen:
+            seen.add(r["text"])
+            deduped.append(r)
+    cum, shards = 0, set()
+    for r in deduped:
+        shards.add(cum // _EXPORT_TOKEN_BUDGET)
+        cum += tok[r["doc_id"]]
+    got = (
+        _run(spark, "pipeline_training_data_release")
+        .set_index("stage_ord")
+        .sort_index()
+    )
+    assert list(got["stage"]) == [
+        "raw", "model_gate", "exact_dedup", "packed_export",
+    ]
+    assert (got.loc[0, "n_docs"], got.loc[0, "n_tokens"]) == raw
+    assert got.loc[1, "n_docs"] == len(gated)
+    assert got.loc[1, "n_tokens"] == sum(tok[r["doc_id"]] for r in gated)
+    assert got.loc[2, "n_docs"] == len(deduped)
+    assert got.loc[3, "n_docs"] == len(deduped)  # pack drops nothing
+    assert got.loc[3, "n_tokens"] == got.loc[2, "n_tokens"]
+    assert got.loc[3, "n_shards"] == len(shards)
+    # monotone funnel
+    assert (
+        got.loc[0, "n_docs"] >= got.loc[1, "n_docs"] >= got.loc[2, "n_docs"]
+    )
+
+
+def test_release_gate_agrees_with_model_scorer(spark):
+    """Cross-operator consistency: the funnel's model_gate doc count
+    must equal the standalone scorer's sum(pred_keep) — two plans
+    measuring the same quantity must agree exactly."""
+    _skip_if_empty("documents")
+    funnel = _run(spark, "pipeline_training_data_release")
+    scorer = _run(spark, "l_model_quality_scorer")
+    gate = funnel.loc[funnel["stage"] == "model_gate", "n_docs"].iloc[0]
+    assert gate == scorer["pred_keep"].sum()
