@@ -1817,9 +1817,7 @@ _MODEL_B = -120000  # intercept, micro-units
 _MODEL_STOPS = ("the", "a", "of", "and", "to", "in")
 
 
-@query(
-    "l_model_quality_scorer",
-    oracle=f"""
+_MODEL_ORACLE = f"""
     WITH feats AS (
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
@@ -1849,17 +1847,24 @@ _MODEL_STOPS = ("the", "a", "of", "and", "to", "in")
                                    / 1000000.0))) AS score,
            CASE WHEN logit_micro >= 0 THEN 1 ELSE 0 END AS pred_keep
     FROM scored
-    """,
-)
-def l_model_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def model_score_frame(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Score any frame with a ``doc_id``/``text`` pair: JVM-side feature
+    extraction + the Arrow pandas-UDF model. Shared by the batch query
+    and the streaming micro-batch scorer (x20) so both run the EXACT
+    same inference path. ``carry`` names extra columns to pass
+    through."""
     from pyspark.sql.functions import pandas_udf
 
     stop_list = ", ".join(f"'{s}'" for s in _MODEL_STOPS)
     feats = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.length("text").alias("n_chars"),
+        docs
+        .select(*carry, "doc_id", F.length("text").alias("n_chars"),
                 F.split("text", " ").alias("ws"), "text")
         .select(
+            *carry,
             "doc_id",
             F.size("ws").cast("long").alias("n_tokens"),
             F.col("n_chars").cast("long"),
@@ -1901,13 +1906,20 @@ def l_model_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"logit_micro": logit, "score": score})
 
     out = feats.select(
+        *carry,
         "doc_id",
         infer("n_tokens", "n_chars", "n_digits", "n_punct", "n_stop")
         .alias("m"),
     )
     return out.select(
+        *carry,
         "doc_id",
         F.col("m.logit_micro").alias("logit_micro"),
         F.col("m.score").alias("score"),
         F.when(F.col("m.logit_micro") >= 0, 1).otherwise(0).alias("pred_keep"),
     )
+
+
+@query("l_model_quality_scorer", oracle=_MODEL_ORACLE)
+def l_model_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return model_score_frame(load(spark, sf_dir, "documents"))

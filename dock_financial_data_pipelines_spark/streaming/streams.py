@@ -1627,3 +1627,99 @@ def x19_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Materialize before the scratch dir is removed by later cleanup.
     return out.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# X20 — STREAMING MODEL INFERENCE: the round-11 quantized logistic
+# quality scorer applied inside Structured Streaming micro-batches —
+# the online half of the batch/stream scoring pair every production
+# data pipeline runs (batch backfill + streaming front door, SAME
+# model). The documents table is consumed as a file stream; each
+# micro-batch runs the identical model_score_frame path (JVM feature
+# extraction + ONE Arrow pandas UDF with closure-broadcast int-
+# quantized weights — ArrowEvalPython inside the streaming plan); the
+# per-doc scores drain append-mode to a memory sink and the summary
+# (per language: docs, keeps, exact logit sum) is computed post-drain.
+# Inference is row-local, so batching cannot change any score — which
+# is why this REAL streaming run carries a full SQL oracle rather than
+# a batch twin.
+# ---------------------------------------------------------------------------
+@query(
+    "x20_stream_model_scoring",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digits,
+               length(text)
+                   - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS n_punct,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','to','in'))) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang,
+               CAST(1800 * n_tokens - 35 * n_chars - 420 * n_digits
+                    - 260 * n_punct + 900 * n_stop - 120000 AS BIGINT)
+                   AS logit_micro
+        FROM feats
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN logit_micro >= 0 THEN 1 END) AS BIGINT)
+               AS n_keep,
+           CAST(coalesce(sum(logit_micro), 0) AS BIGINT) AS sum_logit_micro
+    FROM scored GROUP BY 1
+    """,
+)
+def x20_stream_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import load
+    from dock_financial_data_pipelines_spark.operators.training import (
+        model_score_frame,
+    )
+
+    # Documents as N time-ordered chunk files, maxFilesPerTrigger=1 ->
+    # N micro-batches, so the model actually runs across BATCHES (the
+    # _events_stream_multibatch idiom; deterministic doc_id split).
+    docs = load(spark, sf_dir, "documents")
+    chunk_dir = os.path.join(
+        tempfile.gettempdir(),
+        "dock_fdp_spark",
+        f"doc_chunks_{sf_tag(sf_dir)}",
+    )
+    marker = os.path.join(chunk_dir, "_built")
+    if not os.path.exists(marker):
+        from pyspark.sql import Window
+
+        ntile = F.ntile(4).over(Window.orderBy("doc_id"))
+        chunked = docs.withColumn("chunk", ntile)
+        for i in range(1, 5):
+            (
+                chunked.where(F.col("chunk") == i)
+                .drop("chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(chunk_dir, f"chunk_{i:02d}"))
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(chunk_dir, "chunk_*"))
+    )
+    scored = model_score_frame(stream, carry=("lang",))
+    drained = _run_to_memory(scored, "x20_scored", "append")
+    return drained.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("pred_keep") == 1, F.lit(1)))
+        .cast("long")
+        .alias("n_keep"),
+        F.coalesce(F.sum("logit_micro"), F.lit(0))
+        .cast("long")
+        .alias("sum_logit_micro"),
+    )

@@ -471,3 +471,27 @@ def test_release_gate_agrees_with_model_scorer(spark):
     scorer = _run(spark, "l_model_quality_scorer")
     gate = funnel.loc[funnel["stage"] == "model_gate", "n_docs"].iloc[0]
     assert gate == scorer["pred_keep"].sum()
+
+
+def test_stream_scoring_agrees_with_batch_scorer(spark):
+    """Batch/stream parity: the streaming micro-batch scorer (x20) and
+    the batch scorer must agree exactly per language — same model, same
+    weights, inference is row-local so batching cannot move a score."""
+    _skip_if_empty("documents")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    batch = _run(spark, "l_model_quality_scorer").merge(
+        docs, on="doc_id"
+    )
+    stream = _run(spark, "x20_stream_model_scoring").set_index("lang")
+    grouped = batch.groupby("lang").agg(
+        n_docs=("doc_id", "count"),
+        n_keep=("pred_keep", "sum"),
+        sum_logit_micro=("logit_micro", "sum"),
+    )
+    assert sorted(stream.index) == sorted(grouped.index)
+    for lang, row in grouped.iterrows():
+        srow = stream.loc[lang]
+        assert srow["n_docs"] == row["n_docs"]
+        assert srow["n_keep"] == row["n_keep"]
+        assert srow["sum_logit_micro"] == row["sum_logit_micro"]
