@@ -96,6 +96,7 @@ _SWEEP_FIRST = [
     "l_bpe_encode_stats",
     "pipeline_training_data_release",
     "x20_stream_model_scoring",
+    "pipeline_incremental_release",
     # re-verify: staging paths re-keyed by sf_tag this round
     "s5_partitioned_sink_roundtrip",
     "pipeline_daily_publish",

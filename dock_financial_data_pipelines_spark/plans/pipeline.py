@@ -496,3 +496,251 @@ def pipeline_training_data_release(
         .unionAll(stat(dedup, 2, "exact_dedup"))
         .unionAll(stat(back, 3, "packed_export", with_shards=True))
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_incremental_release — the DAILY production shape: an
+# existing published release (the even-doc_id half stands in for
+# yesterday's corpus) plus an incremental batch (the odd half): gate
+# the batch with the model scorer, dedup it AGAINST THE PUBLISHED
+# RELEASE by anti-joining the read-back digests (not a recomputation —
+# the artifact is the source of truth), keep-first within the batch,
+# pack into NEW shards numbered after the existing maximum, and append
+# via dynamic partition overwrite — which, because every incremental
+# shard id is new, cannot touch a base shard. The funnel's final row is
+# recomputed from the COMBINED read-back, so the oracle's source-
+# derived row certifies both halves: the append wrote exactly the
+# incremental survivors AND left the base bytes alone (any disturbance
+# changes combined docs/tokens and fails the hash).
+#
+# At 100 TB: digests of the published release are (shard, dg) metadata
+# — the anti-join never touches release text; the batch is gated and
+# deduped at batch grain; the only full-corpus artifact read is the
+# final manifest aggregate.
+# ---------------------------------------------------------------------------
+def _incr_release_oracle() -> str:
+    from dock_financial_data_pipelines_spark.operators.training import (
+        _MODEL_B,
+        _MODEL_STOPS,
+        _MODEL_W,
+    )
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        _EXPORT_TOKEN_BUDGET,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS tokens,
+               md5(text) AS dg
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    bpack AS (
+        SELECT doc_id, tokens, dg,
+               (sum(tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens)
+                   // {_EXPORT_TOKEN_BUDGET} AS shard
+        FROM base
+    ),
+    mx AS (SELECT coalesce(max(shard), -1) + 1 AS shard_off FROM bpack),
+    newb AS (
+        SELECT doc_id, text, len(string_split(text, ' ')) AS tokens,
+               md5(text) AS dg,
+               {_MODEL_W['n_tokens']} * len(string_split(text, ' '))
+               + {_MODEL_W['n_chars']} * length(text)
+               + {_MODEL_W['n_digits']} * (length(text)
+                   - length(regexp_replace(text, '[0-9]', '', 'g')))
+               + {_MODEL_W['n_punct']} * (length(text)
+                   - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               + {_MODEL_W['n_stop']} * len(list_filter(
+                     string_split(text, ' '), x -> x IN {_MODEL_STOPS}))
+               + {_MODEL_B} AS logit
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    gate AS (SELECT * FROM newb WHERE logit >= 0),
+    nodup AS (
+        SELECT g.* FROM gate g ANTI JOIN bpack b ON g.dg = b.dg
+    ),
+    bdedup AS (
+        SELECT doc_id, tokens FROM (
+            SELECT doc_id, tokens,
+                   row_number() OVER (PARTITION BY dg ORDER BY doc_id)
+                       AS rn
+            FROM nodup
+        ) WHERE rn = 1
+    ),
+    ipack AS (
+        SELECT doc_id, tokens,
+               (sum(tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens)
+                   // {_EXPORT_TOKEN_BUDGET}
+                   + (SELECT shard_off FROM mx) AS shard
+        FROM bdedup
+    ),
+    combined AS (
+        SELECT doc_id, tokens, shard FROM bpack
+        UNION ALL SELECT doc_id, tokens, shard FROM ipack
+    )
+    SELECT 0 AS stage_ord, 'base_release' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(tokens), 0) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+    FROM bpack
+    UNION ALL SELECT 1, 'new_batch_raw', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT), CAST(0 AS BIGINT)
+    FROM newb
+    UNION ALL SELECT 2, 'model_gate', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT), CAST(0 AS BIGINT)
+    FROM gate
+    UNION ALL SELECT 3, 'vs_release_dedup', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT), CAST(0 AS BIGINT)
+    FROM nodup
+    UNION ALL SELECT 4, 'batch_exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT), CAST(0 AS BIGINT)
+    FROM bdedup
+    UNION ALL SELECT 5, 'combined_release', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT)
+    FROM combined
+    """
+
+
+@query("pipeline_incremental_release", oracle=_incr_release_oracle())
+def pipeline_incremental_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from dock_financial_data_pipelines_spark.operators.training import (
+        _MODEL_B,
+        _MODEL_STOPS,
+        _MODEL_W,
+    )
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        _EXPORT_TOKEN_BUDGET,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "dock_fdp_spark",
+        f"incr_release_{sf_tag(sf_dir)}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+
+    cum = F.sum("tokens").over(
+        Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+
+    # --- publish the existing release (the even half) ---
+    base = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        F.md5("text").alias("dg"),
+    )
+    bpack = base.withColumn("cum", cum).withColumn(
+        "shard",
+        F.expr(f"(cum - tokens) div {_EXPORT_TOKEN_BUDGET}").cast("long"),
+    ).drop("cum")
+    write_partitioned(bpack.repartition("shard"), out, "shard")
+    rel_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("tokens", LongType()),
+            StructField("dg", StringType()),
+            StructField("shard", LongType()),
+        ]
+    )
+    # The published artifact is the dedup reference AND the shard-offset
+    # source — both come from the READ-BACK, not the plan that wrote it.
+    # Eagerly SNAPSHOT it (localCheckpoint): (a) semantically, the
+    # reference is yesterday's release as it stood before this append —
+    # a lazy scan re-listing after the incremental write would see the
+    # combined table; (b) physically, two lazy scans of the same path
+    # are canonically equal, and scan reuse would serve BOTH stage rows
+    # from whichever file listing materialized first.
+    published = read_parquet_or_empty(spark, out, rel_schema).localCheckpoint(
+        eager=True
+    )
+    offset = published.agg(
+        (F.coalesce(F.max("shard"), F.lit(-1)) + 1).alias("offset")
+    )
+
+    # --- the incremental batch (the odd half) ---
+    stop_list = ", ".join(f"'{s}'" for s in _MODEL_STOPS)
+    newb = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        F.md5("text").alias("dg"),
+        (
+            F.lit(_MODEL_W["n_tokens"]) * F.size(F.split("text", " "))
+            + F.lit(_MODEL_W["n_chars"]) * F.length("text")
+            + F.lit(_MODEL_W["n_digits"])
+            * (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[0-9]", ""))
+            )
+            + F.lit(_MODEL_W["n_punct"])
+            * (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+            )
+            + F.lit(_MODEL_W["n_stop"])
+            * F.expr(
+                f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
+            )
+            + F.lit(_MODEL_B)
+        ).cast("long").alias("logit"),
+    )
+    gate = newb.where(F.col("logit") >= 0)
+    nodup = gate.join(
+        published.select("dg"), "dg", "left_anti"
+    )
+    bdedup = (
+        nodup.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("dg").orderBy("doc_id")),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "tokens", "dg")
+    )
+    ipack = (
+        bdedup.withColumn("cum", cum)
+        .crossJoin(F.broadcast(offset))
+        .withColumn(
+            "shard",
+            (
+                F.expr(f"(cum - tokens) div {_EXPORT_TOKEN_BUDGET}")
+                + F.col("offset")
+            ).cast("long"),
+        )
+        .drop("cum", "offset")
+    )
+    # Append: every incremental shard id is >= offset, so dynamic
+    # overwrite cannot touch a base partition.
+    write_partitioned(ipack.repartition("shard"), out, "shard")
+    combined = read_parquet_or_empty(spark, out, rel_schema)
+
+    def stat(df, ord_, name, with_shards=False):
+        return df.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            (
+                F.countDistinct("shard") if with_shards else F.lit(0)
+            ).cast("long").alias("n_shards"),
+        ).select("stage_ord", "stage", "n_docs", "n_tokens", "n_shards")
+
+    return (
+        stat(published, 0, "base_release", with_shards=True)
+        .unionAll(stat(newb, 1, "new_batch_raw"))
+        .unionAll(stat(gate, 2, "model_gate"))
+        .unionAll(stat(nodup, 3, "vs_release_dedup"))
+        .unionAll(stat(bdedup, 4, "batch_exact_dedup"))
+        .unionAll(stat(combined, 5, "combined_release", with_shards=True))
+    )

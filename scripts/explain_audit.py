@@ -1987,6 +1987,18 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_incremental_release", execute=True)
+    check(
+        "pipeline_incremental_release",
+        "incremental publish: the published release is an eager "
+        "SNAPSHOT (Scan ExistingRDD — yesterday's artifact, not a live "
+        "re-listing); batch dedups against its digests via anti-join; "
+        "new shards append without touching base partitions; no "
+        "cartesian beyond 1-row scalar combines, no Python",
+        "Scan ExistingRDD" in p and "Union" in p
+        and "HashAggregate" in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "pipeline_sharded_dedup", execute=True)
     check(
         "pipeline_sharded_dedup",

@@ -495,3 +495,92 @@ def test_stream_scoring_agrees_with_batch_scorer(spark):
         assert srow["n_docs"] == row["n_docs"]
         assert srow["n_keep"] == row["n_keep"]
         assert srow["sum_logit_micro"] == row["sum_logit_micro"]
+
+
+def test_incremental_release_matches_plain_python(spark):
+    """Replay the incremental publish in plain Python: pack the even
+    half (the existing release), gate the odd half with the model,
+    drop batch docs whose digest already exists in the release,
+    keep-first within the batch, verify every funnel row AND that the
+    on-disk combined artifact is the disjoint union."""
+    _skip_if_empty("documents")
+    import glob
+
+    from dock_financial_data_pipelines_spark.catalog import sf_tag
+    from dock_financial_data_pipelines_spark.operators.training import (
+        _MODEL_B,
+        _MODEL_STOPS,
+        _MODEL_W,
+    )
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        _EXPORT_TOKEN_BUDGET,
+    )
+
+    docs = (
+        pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def logit(text: str) -> int:
+        toks = text.split(" ")
+        feats = {
+            "n_tokens": len(toks),
+            "n_chars": len(text),
+            "n_digits": sum(c.isdigit() and c.isascii() for c in text),
+            "n_punct": sum(c in ".,!?;:" for c in text),
+            "n_stop": sum(w in _MODEL_STOPS for w in toks),
+        }
+        return sum(_MODEL_W[k] * v for k, v in feats.items()) + _MODEL_B
+
+    tokens = {r["doc_id"]: len(r["text"].split(" "))
+              for _, r in docs.iterrows()}
+    base = docs[docs["doc_id"] % 2 == 0]
+    batch = docs[docs["doc_id"] % 2 == 1]
+    cum, base_shards = 0, set()
+    base_dgs = set()
+    for _, r in base.iterrows():
+        base_shards.add(cum // _EXPORT_TOKEN_BUDGET)
+        cum += tokens[r["doc_id"]]
+        base_dgs.add(hashlib.md5(r["text"].encode()).hexdigest())
+    gated = [r for _, r in batch.iterrows() if logit(r["text"]) >= 0]
+    nodup = [
+        r for r in gated
+        if hashlib.md5(r["text"].encode()).hexdigest() not in base_dgs
+    ]
+    seen, bdedup = set(), []
+    for r in nodup:
+        dg = hashlib.md5(r["text"].encode()).hexdigest()
+        if dg not in seen:
+            seen.add(dg)
+            bdedup.append(r)
+    cum2, incr_shards = 0, set()
+    for r in bdedup:
+        incr_shards.add(cum2 // _EXPORT_TOKEN_BUDGET)
+        cum2 += tokens[r["doc_id"]]
+
+    got = (
+        _run(spark, "pipeline_incremental_release")
+        .set_index("stage_ord")
+        .sort_index()
+    )
+    assert got.loc[0, "n_docs"] == len(base)
+    assert got.loc[0, "n_shards"] == len(base_shards)
+    assert got.loc[1, "n_docs"] == len(batch)
+    assert got.loc[2, "n_docs"] == len(gated)
+    assert got.loc[3, "n_docs"] == len(nodup)
+    assert got.loc[4, "n_docs"] == len(bdedup)
+    assert got.loc[5, "n_docs"] == len(base) + len(bdedup)
+    exp_shards = len(base_shards) + (len(incr_shards) if bdedup else 0)
+    assert got.loc[5, "n_shards"] == exp_shards
+    # on-disk artifact: doc sets are disjoint and complete
+    out = os.path.join(
+        "/tmp", "dock_fdp_spark", f"incr_release_{sf_tag(SF)}"
+    )
+    files = glob.glob(os.path.join(out, "shard=*", "*.parquet"))
+    if files:
+        disk = pd.concat(pd.read_parquet(f) for f in files)
+        assert sorted(disk["doc_id"]) == sorted(
+            list(base["doc_id"]) + [r["doc_id"] for r in bdedup]
+        )
