@@ -87,6 +87,15 @@ HEADLINE_ROUNDS: list[tuple[str, int]] = [
     ("pipeline_sharded_dedup", 10),
     ("l_shard_count_advisor", 10),
     ("j17_join_skew_advisor", 10),
+    # round-11 additions: the plan-shape bearers — E2E release funnel
+    # (real shard sink round-trip), iterative BPE training
+    # (checkpointed vocab-grain rounds), Arrow-UDF model inference,
+    # and the sampled layout advisor (the production probe whose cost
+    # must track the sample, not the table).
+    ("pipeline_training_data_release", 11),
+    ("l_bpe_train_multistep", 11),
+    ("l_model_quality_scorer", 11),
+    ("s20_sort_layout_advisor_sampled", 11),
 ]
 HEADLINE = [n for n, _ in HEADLINE_ROUNDS]
 # The no-broadcast skew probes re-run round-1/2 queries; tag them with
