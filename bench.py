@@ -187,6 +187,12 @@ def _anchor_comparison(per_query: dict, calib_py: float, calib_jvm: float,
         "anchor_shared_n": len(common),
         "vs_anchor": round(cur / ref, 4) if ref else None,
     }
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    if anchor.get("n_runs") not in (None, n_runs):
+        # A 1-run smoke vs a 5-pass-median anchor compares cold first
+        # touches (memoized index builds) against warm medians — flag
+        # it so the ratio is not misread as a regression.
+        out["anchor_n_runs_mismatch"] = True
     a_jvm = anchor.get("calib_jvm_sec")
     if a_jvm and calib_jvm and ref:
         out["vs_anchor_calib_adjusted"] = round(
