@@ -584,3 +584,42 @@ def test_incremental_release_matches_plain_python(spark):
         assert sorted(disk["doc_id"]) == sorted(
             list(base["doc_id"]) + [r["doc_id"] for r in bdedup]
         )
+
+
+def test_bpe_trainer_and_encoder_agree_on_corpus_tokens(spark):
+    """Cross-operator consistency (two plans, one quantity): the
+    trainer's tokens_after at the LAST executed merge must equal the
+    encoder's corpus-wide n_bpe_tokens sum — the former comes from the
+    round-K symbol-table aggregate, the latter from the per-word
+    dictionary join back to (lang, word) frequencies."""
+    _skip_if_empty("documents")
+    steps = _run(spark, "l_bpe_train_multistep")
+    enc = _run(spark, "l_bpe_encode_stats")
+    if steps.empty:
+        # no pair ever existed (e.g. all 1-char words): encoder must
+        # still report the trivial 1-symbol-per-char tokenization
+        docs = pd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["text"])
+        n_chars = sum(
+            len(w) for t in docs["text"] for w in t.split(" ") if w
+        )
+        assert enc["n_bpe_tokens"].sum() == n_chars
+        return
+    last = steps.sort_values("step").iloc[-1]
+    assert enc["n_bpe_tokens"].sum() == last["tokens_after"]
+
+
+def test_incremental_release_conserves_tokens(spark):
+    """Conservation: combined-release tokens == base tokens + the
+    incremental survivors' tokens (stage 0 + stage 4) — the append can
+    neither lose nor duplicate a token."""
+    _skip_if_empty("documents")
+    got = (
+        _run(spark, "pipeline_incremental_release")
+        .set_index("stage_ord")
+    )
+    assert (
+        got.loc[5, "n_tokens"]
+        == got.loc[0, "n_tokens"] + got.loc[4, "n_tokens"]
+    )
+    assert got.loc[5, "n_docs"] == got.loc[0, "n_docs"] + got.loc[4, "n_docs"]
