@@ -97,6 +97,7 @@ _SWEEP_FIRST = [
     "pipeline_training_data_release",
     "x20_stream_model_scoring",
     "pipeline_incremental_release",
+    "x21_stream_gated_ingest",
     # re-verify: staging paths re-keyed by sf_tag this round
     "s5_partitioned_sink_roundtrip",
     "pipeline_daily_publish",

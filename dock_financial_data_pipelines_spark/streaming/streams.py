@@ -1644,6 +1644,43 @@ def x19_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is why this REAL streaming run carries a full SQL oracle rather than
 # a batch twin.
 # ---------------------------------------------------------------------------
+def _docs_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents as 4 time-ordered chunk files, maxFilesPerTrigger=1 ->
+    4 micro-batches, so per-doc operators actually run across BATCHES
+    (the _events_stream_multibatch idiom; deterministic doc_id split).
+    Shared by x20 (in-stream scoring) and x21 (gated ingest)."""
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    chunk_dir = os.path.join(
+        tempfile.gettempdir(),
+        "dock_fdp_spark",
+        f"doc_chunks_{sf_tag(sf_dir)}",
+    )
+    marker = os.path.join(chunk_dir, "_built")
+    if not os.path.exists(marker):
+        from pyspark.sql import Window
+
+        ntile = F.ntile(4).over(Window.orderBy("doc_id"))
+        chunked = docs.withColumn("chunk", ntile)
+        for i in range(1, 5):
+            (
+                chunked.where(F.col("chunk") == i)
+                .drop("chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(chunk_dir, f"chunk_{i:02d}"))
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(chunk_dir, "chunk_*"))
+    )
+
+
 @query(
     "x20_stream_model_scoring",
     oracle=f"""
@@ -1676,42 +1713,11 @@ def x19_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x20_stream_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dock_financial_data_pipelines_spark.catalog import load
     from dock_financial_data_pipelines_spark.operators.training import (
         model_score_frame,
     )
 
-    # Documents as N time-ordered chunk files, maxFilesPerTrigger=1 ->
-    # N micro-batches, so the model actually runs across BATCHES (the
-    # _events_stream_multibatch idiom; deterministic doc_id split).
-    docs = load(spark, sf_dir, "documents")
-    chunk_dir = os.path.join(
-        tempfile.gettempdir(),
-        "dock_fdp_spark",
-        f"doc_chunks_{sf_tag(sf_dir)}",
-    )
-    marker = os.path.join(chunk_dir, "_built")
-    if not os.path.exists(marker):
-        from pyspark.sql import Window
-
-        ntile = F.ntile(4).over(Window.orderBy("doc_id"))
-        chunked = docs.withColumn("chunk", ntile)
-        for i in range(1, 5):
-            (
-                chunked.where(F.col("chunk") == i)
-                .drop("chunk")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(chunk_dir, f"chunk_{i:02d}"))
-            )
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(os.path.join(chunk_dir, "chunk_*"))
-    )
+    stream = _docs_stream_multibatch(spark, sf_dir)
     scored = model_score_frame(stream, carry=("lang",))
     drained = _run_to_memory(scored, "x20_scored", "append")
     return drained.groupBy("lang").agg(
@@ -1723,3 +1729,118 @@ def x20_stream_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_logit_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X21 — STREAMING GATED INGEST with a quality dead-letter: the
+# front-door a streaming training-data pipeline actually runs. Each
+# micro-batch of arriving documents is scored with the quantized model
+# (the same model_score_frame as the batch backfill and x20), then
+# SPLIT inside foreachBatch: keeps land in the accepted parquet sink
+# (the corpus staging table), rejects land in a quarantine sink with
+# their scores for review — the x12 dead-letter idiom applied to
+# QUALITY rather than parse validity. The gate is row-local, so
+# batching cannot move a doc across sinks; the read-back summary of
+# both sinks carries a full SQL oracle. At 100 TB: per-batch map +
+# two partitioned appends; no state, no shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "x21_stream_gated_ingest",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS tokens,
+               CAST(1800 * len(string_split(text, ' '))
+                    - 35 * length(text)
+                    - 420 * (length(text)
+                        - length(regexp_replace(text, '[0-9]', '', 'g')))
+                    - 260 * (length(text)
+                        - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                    + 900 * len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','a','of','and','to','in')))
+                    - 120000 AS BIGINT) AS logit_micro
+        FROM documents
+    )
+    SELECT CASE WHEN logit_micro >= 0 THEN 'keep' ELSE 'reject' END
+               AS side,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(tokens), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(logit_micro), 0) AS BIGINT)
+               AS sum_logit_micro
+    FROM feats GROUP BY 1
+    """,
+)
+def x21_stream_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import (
+        read_parquet_or_empty,
+    )
+    from dock_financial_data_pipelines_spark.operators.training import (
+        model_score_frame,
+    )
+
+    scratch = _scratch()
+    keep_sink = os.path.join(scratch, "keep")
+    dead_sink = os.path.join(scratch, "dead")
+    os.makedirs(keep_sink, exist_ok=True)
+    os.makedirs(dead_sink, exist_ok=True)
+
+    def split(batch_df: DataFrame, batch_id: int) -> None:
+        scored = model_score_frame(batch_df, carry=("text",)).select(
+            "doc_id",
+            "logit_micro",
+            "pred_keep",
+            F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        )
+        (
+            scored.where(F.col("pred_keep") == 1)
+            .drop("pred_keep")
+            .write.mode("overwrite")
+            .parquet(os.path.join(keep_sink, f"batch_id={batch_id}"))
+        )
+        (
+            scored.where(F.col("pred_keep") == 0)
+            .drop("pred_keep")
+            .write.mode("overwrite")
+            .parquet(os.path.join(dead_sink, f"batch_id={batch_id}"))
+        )
+
+    stream = _docs_stream_multibatch(spark, sf_dir)
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(split)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    side_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("logit_micro", LongType()),
+            StructField("tokens", LongType()),
+        ]
+    )
+
+    def side(sink: str, label: str) -> DataFrame:
+        return (
+            read_parquet_or_empty(
+                spark, os.path.join(sink, "batch_id=*"), side_schema
+            )
+            .agg(
+                F.lit(label).alias("side"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum("tokens"), F.lit(0))
+                .cast("long")
+                .alias("n_tokens"),
+                F.coalesce(F.sum("logit_micro"), F.lit(0))
+                .cast("long")
+                .alias("sum_logit_micro"),
+            )
+            .select("side", "n_docs", "n_tokens", "sum_logit_micro")
+        )
+
+    out = side(keep_sink, "keep").unionAll(side(dead_sink, "reject"))
+    # Aggregates-on-empty emit a zero row per side; the oracle emits no
+    # row for an absent side — drop zero rows to match (count==0 has no
+    # docs on that side by construction).
+    return out.where(F.col("n_docs") > 0).localCheckpoint(eager=True)

@@ -623,3 +623,46 @@ def test_incremental_release_conserves_tokens(spark):
         == got.loc[0, "n_tokens"] + got.loc[4, "n_tokens"]
     )
     assert got.loc[5, "n_docs"] == got.loc[0, "n_docs"] + got.loc[4, "n_docs"]
+
+
+def test_sampled_layout_advisor_picks_same_winner_as_exact(spark):
+    """The production claim behind the sampled advisor: the DECISION
+    (which write-time sort layout to pay for) transfers from the 1%
+    sample to the full table. Compare the per-layout ranking by pruning
+    effectiveness between the exact and sampled probes — the argmax
+    must match whenever the sampled probe has enough groups to rank
+    (the layouts differ coarsely: date-sorted prunes most of a
+    one-year predicate, insertion order prunes ~nothing)."""
+    _skip_if_empty("orders")
+    exact = _run(spark, "s20_sort_layout_advisor")
+    sampled = _run(spark, "s20_sort_layout_advisor_sampled")
+    if sampled.empty or exact.empty:
+        return
+    if (sampled["n_rowgroups_sampled"] < 5).any():
+        return  # too few synthetic groups to rank meaningfully
+    exact = exact.set_index("layout")
+    exact_rate = exact["groups_pruned"] / exact["n_rowgroups"]
+    samp_rate = sampled.set_index("layout")["pruned_ratio"]
+    assert exact_rate.idxmax() == samp_rate.idxmax()
+
+
+def test_stream_gated_ingest_agrees_with_release_funnel(spark):
+    """Cross-operator consistency: the streaming gate (x21) must route
+    exactly the docs the batch release funnel keeps — keep-side docs ==
+    funnel model_gate stage; keep+reject == raw corpus."""
+    _skip_if_empty("documents")
+    gated = _run(spark, "x21_stream_gated_ingest").set_index("side")
+    funnel = (
+        _run(spark, "pipeline_training_data_release")
+        .set_index("stage")
+    )
+    keep_docs = gated.loc["keep", "n_docs"] if "keep" in gated.index else 0
+    rej_docs = (
+        gated.loc["reject", "n_docs"] if "reject" in gated.index else 0
+    )
+    assert keep_docs == funnel.loc["model_gate", "n_docs"]
+    assert keep_docs + rej_docs == funnel.loc["raw", "n_docs"]
+    if "keep" in gated.index:
+        assert gated.loc["keep", "n_tokens"] == funnel.loc[
+            "model_gate", "n_tokens"
+        ]
