@@ -98,6 +98,7 @@ _SWEEP_FIRST = [
     "x20_stream_model_scoring",
     "pipeline_incremental_release",
     "x21_stream_gated_ingest",
+    "l_scorer_agreement_audit",
     # re-verify: staging paths re-keyed by sf_tag this round
     "s5_partitioned_sink_roundtrip",
     "pipeline_daily_publish",

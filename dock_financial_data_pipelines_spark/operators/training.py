@@ -1923,3 +1923,113 @@ def model_score_frame(docs: DataFrame, carry: tuple = ()) -> DataFrame:
 @query("l_model_quality_scorer", oracle=_MODEL_ORACLE)
 def l_model_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model_score_frame(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# l_scorer_agreement_audit — the QA gate you run BEFORE swapping the
+# corpus filter from the heuristic rule to the trained model: one scan
+# computes both verdicts per doc (the model's quantized logit and the
+# heuristic quality composite) and reports the 2x2 agreement matrix
+# with doc and token mass per cell. The interesting cells are the
+# disagreements — model-keeps-heuristic-drops is the new data the model
+# admits; heuristic-keeps-model-drops is what switching would discard.
+# Single hash-aggregate over a map-side projection; no join, no UDF.
+# Cross-engine exactness: the logit is int64; the heuristic composite
+# is IEEE basic ops evaluated in the same literal order on both
+# engines, so the 0.5 threshold compares identical bits.
+# ---------------------------------------------------------------------------
+_HEUR_KEEP_THRESHOLD = 0.5
+
+
+@query(
+    "l_scorer_agreement_audit",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN {_MODEL_STOPS})) AS n_stop,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digits,
+               length(text)
+                   - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS n_punct
+        FROM documents
+    ),
+    verdicts AS (
+        SELECT n_tokens,
+               CASE WHEN {_MODEL_W['n_tokens']} * n_tokens
+                    + {_MODEL_W['n_chars']} * n_chars
+                    + {_MODEL_W['n_digits']} * n_digits
+                    + {_MODEL_W['n_punct']} * n_punct
+                    + {_MODEL_W['n_stop']} * n_stop
+                    + {_MODEL_B} >= 0 THEN 1 ELSE 0 END AS model_keep,
+               CASE WHEN 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+                    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                    >= {_HEUR_KEEP_THRESHOLD} THEN 1 ELSE 0 END
+                   AS heuristic_keep
+        FROM feats
+    )
+    SELECT model_keep, heuristic_keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+    FROM verdicts GROUP BY 1, 2
+    """,
+)
+def l_scorer_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop_list = ", ".join(f"'{s}'" for s in _MODEL_STOPS)
+    feats = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.length("text").alias("n_chars"),
+            F.split("text", " ").alias("ws"),
+            "text",
+        )
+        .select(
+            F.size("ws").alias("n_tokens"),
+            F.size(F.array_distinct("ws")).alias("n_distinct"),
+            F.expr(f"size(filter(ws, x -> x IN ({stop_list})))").alias(
+                "n_stop"
+            ),
+            "n_chars",
+            (
+                F.col("n_chars")
+                - F.length(F.regexp_replace("text", "[0-9]", ""))
+            ).alias("n_digits"),
+            (
+                F.col("n_chars")
+                - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+            ).alias("n_punct"),
+        )
+    )
+    logit = (
+        F.lit(_MODEL_W["n_tokens"]) * F.col("n_tokens")
+        + F.lit(_MODEL_W["n_chars"]) * F.col("n_chars")
+        + F.lit(_MODEL_W["n_digits"]) * F.col("n_digits")
+        + F.lit(_MODEL_W["n_punct"]) * F.col("n_punct")
+        + F.lit(_MODEL_W["n_stop"]) * F.col("n_stop")
+        + F.lit(_MODEL_B)
+    )
+    quality = (
+        F.lit(0.4) * (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.col("n_stop").cast("double") / F.col("n_tokens"))
+        + F.lit(0.3)
+        * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+    )
+    verdicts = feats.select(
+        "n_tokens",
+        F.when(logit >= 0, 1).otherwise(0).alias("model_keep"),
+        F.when(quality >= _HEUR_KEEP_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("heuristic_keep"),
+    )
+    return verdicts.groupBy("model_keep", "heuristic_keep").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )

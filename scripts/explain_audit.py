@@ -1941,6 +1941,16 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "l_scorer_agreement_audit", execute=True)
+    check(
+        "l_scorer_agreement_audit",
+        "model-vs-heuristic 2x2 agreement: one map-side projection "
+        "computes both verdicts, one hash aggregate groups the cells — "
+        "no join, no Python, at most 4 output rows at any corpus size",
+        "HashAggregate" in p and "Join" not in p
+        and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "l_bpe_encode_stats", execute=True)
     check(
         "l_bpe_encode_stats",

@@ -666,3 +666,57 @@ def test_stream_gated_ingest_agrees_with_release_funnel(spark):
         assert gated.loc["keep", "n_tokens"] == funnel.loc[
             "model_gate", "n_tokens"
         ]
+
+
+def test_scorer_agreement_audit_cells_partition_the_corpus(spark):
+    """The 2x2 agreement matrix must partition the corpus exactly, its
+    model-side margins must match the standalone scorer, and a plain
+    Python replay of both verdicts must reproduce every cell."""
+    _skip_if_empty("documents")
+    from dock_financial_data_pipelines_spark.operators.training import (
+        _HEUR_KEEP_THRESHOLD,
+        _MODEL_B,
+        _MODEL_STOPS,
+        _MODEL_W,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = _run(spark, "l_scorer_agreement_audit")
+    assert got["n_docs"].sum() == len(docs)
+    scorer = _run(spark, "l_model_quality_scorer")
+    assert (
+        got.loc[got["model_keep"] == 1, "n_docs"].sum()
+        == scorer["pred_keep"].sum()
+    )
+    cells: dict[tuple, list] = {}
+    for _, d in docs.iterrows():
+        text = d["text"]
+        toks = text.split(" ")
+        nt = len(toks)
+        feats = {
+            "n_tokens": nt,
+            "n_chars": len(text),
+            "n_digits": sum(c.isdigit() and c.isascii() for c in text),
+            "n_punct": sum(c in ".,!?;:" for c in text),
+            "n_stop": sum(w in _MODEL_STOPS for w in toks),
+        }
+        logit = sum(_MODEL_W[k] * v for k, v in feats.items()) + _MODEL_B
+        nd = len(set(toks))
+        q = (
+            0.4 * (nd / nt)
+            + 0.3 * (1.0 - feats["n_stop"] / nt)
+            + 0.3 * min(nt / 100.0, 1.0)
+        )
+        key = (
+            1 if logit >= 0 else 0,
+            1 if q >= _HEUR_KEEP_THRESHOLD else 0,
+        )
+        cells.setdefault(key, [0, 0])
+        cells[key][0] += 1
+        cells[key][1] += nt
+    assert len(got) == len(cells)
+    for _, row in got.iterrows():
+        exp = cells[(row["model_keep"], row["heuristic_keep"])]
+        assert row["n_docs"] == exp[0]
+        assert row["n_tokens"] == exp[1]
