@@ -193,10 +193,15 @@ def _anchor_comparison(per_query: dict, calib_py: float, calib_jvm: float,
         # touches (memoized index builds) against warm medians — flag
         # it so the ratio is not misread as a regression.
         out["anchor_n_runs_mismatch"] = True
-    a_jvm = anchor.get("calib_jvm_sec")
-    if a_jvm and calib_jvm and ref:
+    # Adjust with the CPython md5 probe, not the JVM one: measured
+    # across r11 runs, calib_py held within ~3% while calib_jvm swung
+    # 0.19-0.31 s (JIT/warmup-state volatile) against a ~7% query
+    # move — adjusting by the volatile probe over-corrects. calib_jvm
+    # still rides along as telemetry.
+    a_py = anchor.get("calib_py_sec")
+    if a_py and calib_py and ref:
         out["vs_anchor_calib_adjusted"] = round(
-            (cur / ref) / (calib_jvm / a_jvm), 4
+            (cur / ref) / (calib_py / a_py), 4
         )
     worst = None
     for n in common:
