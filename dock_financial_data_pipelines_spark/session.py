@@ -41,6 +41,26 @@ _RUNTIME_CONF = {
 }
 
 
+def release_local_checkpoint(df) -> None:
+    """Free the executor-storage blocks behind a ``localCheckpoint``-ed
+    DataFrame that has no remaining consumers.
+
+    ``DataFrame.unpersist()`` is a no-op here: localCheckpoint persists
+    the *internal* RDD behind a ``LogicalRDD`` node without registering
+    anything in the cache manager, so the blocks survive until session
+    end (or driver GC, nondeterministically). Iterative trainers that
+    checkpoint each round (BPE, k-means) must release superseded rounds
+    explicitly or storage memory grows linearly with rounds × reruns.
+    Safe ONLY when ``df`` is never evaluated again — the lineage is
+    truncated, so the data cannot be recomputed."""
+    try:
+        plan = df._jdf.queryExecution().logical()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - best-effort release
+        pass
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent)."""
     for k, v in _RUNTIME_CONF.items():

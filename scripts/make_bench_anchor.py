@@ -4,8 +4,11 @@ Reads the freshest BENCH_DETAIL.json (a full sf0.1 run that recorded
 calib_py_sec/calib_jvm_sec) and writes BENCH_ANCHOR.json at the repo
 root: per-query medians + the calibration probes + an era label.
 bench.py then publishes vs_anchor (raw shared-subset ratio) and
-vs_anchor_calib_adjusted (divided by the JVM single-core probe ratio)
-every run, so the "within 2x" gate reads against this FIXED anchor
+vs_anchor_calib_adjusted (divided by the CPython single-core probe
+ratio, calib_py — calib_jvm rides along as telemetry only; it was
+rejected as the adjuster because JVM startup/JIT noise makes it too
+volatile run-to-run) every run, so the "within 2x" gate reads against
+this FIXED anchor
 instead of compounding round-over-round container drift (which had
 consumed 1.38x of the budget by round 10 with zero code regressions).
 
