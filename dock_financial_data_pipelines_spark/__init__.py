@@ -71,6 +71,15 @@ _STALE_BEFORE = {
     # staging paths re-keyed by sf_tag + pre-write rmtree in r11.
     "s5_partitioned_sink_roundtrip": 10,
     "pipeline_daily_publish": 10,
+    # Round-12 rewrites: the BPE trainer's round body was restated
+    # join-free (window islands + scalar argmax; superseded checkpoints
+    # released) and model_score_frame now aliases its internal text
+    # reference — pre-r12 hash-greens certify the old code paths.
+    "l_bpe_train_multistep": 11,
+    "l_bpe_encode_stats": 11,
+    "l_model_quality_scorer": 11,
+    "x20_stream_model_scoring": 11,
+    "x21_stream_gated_ingest": 11,
 }
 
 # Round-11 sweep plan (scripts/sweep_rotate.py at round-11 start):
@@ -81,7 +90,25 @@ _STALE_BEFORE = {
 # they land); previously verified entries rotate through the remaining
 # slots via _SWEEP_LAST order — zero-never-sampled invariant holds.
 _SWEEP_FIRST = [
-    # stale re-verifies (slots 1-6): Spark-side code changed in r11
+    # round-12 additions (SQL-oracled, never driver-checked)
+    "l_bpe_train_converged",
+    "l7_png_decode_audit",
+    "l7_phash_decoded_neardup",
+    "x22_stream_stream_full_outer",
+    "l_scorer_drift_monitor",
+    "l_mixture_epoch_schedule",
+    "pipeline_atomic_publish",
+    "pipeline_release_diff",
+    "pipeline_release_rollback",
+    # stale re-verifies: Spark-side code rewritten in r12 (BPE trainer
+    # round body; model_score_frame internal text alias)
+    "l_bpe_train_multistep",
+    "l_bpe_encode_stats",
+    "l_model_quality_scorer",
+    "x20_stream_model_scoring",
+    "x21_stream_gated_ingest",
+    # r11 plan below (already all green in CORRECTNESS_r11; harmless
+    # as within-class tiebreaker for the rotation)
     "l4_band_occupancy_audit",
     "l_cross_shard_neardup_rate",
     "l_hot_bucket_skew_advisor",

@@ -2042,3 +2042,288 @@ def l_scorer_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l_scorer_drift_monitor — model-score DISTRIBUTION drift between the
+# anchor corpus and the incoming batch (doc_id parity stands in for
+# "scores at release time" vs "scores today"): the QA monitor a
+# production filter runs continuously so a shifted input distribution
+# (new crawl, new source mix) is caught before it silently changes the
+# keep rate. Both halves run the EXACT inference path
+# (model_score_frame — the same Arrow pandas-UDF model x20/x21 serve),
+# scores bucket into 10 fixed decile-width bins (floor(score*10) —
+# the rational fast-sigmoid is bit-exact IEEE arithmetic on both
+# engines, so bucketing never straddles an ulp), and per-bin
+# Laplace-smoothed PSI terms are cast to DECIMAL(27,9) before the
+# cross-bin sum (the l_vocab_drift_psi idiom) so libm ulp noise can
+# never flip the hash. Output: one row per bin with both counts, both
+# smoothed shares, the PSI term, the PSI total, and the verdict
+# classification. Two hash aggregates over one scored scan; the bin
+# spine is 10 rows — driver-safe at any corpus size.
+# ---------------------------------------------------------------------------
+_DRIFT_ORACLE = ""  # assigned below (shares the scorer's weight table)
+
+
+def _drift_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in _MODEL_STOPS)
+    return f"""
+    WITH feats AS (
+        SELECT doc_id % 2 AS half,
+               {_MODEL_W['n_tokens']} * len(string_split(text, ' '))
+               + {_MODEL_W['n_chars']} * length(text)
+               + {_MODEL_W['n_digits']} * (length(text)
+                   - length(regexp_replace(text, '[0-9]', '', 'g')))
+               + {_MODEL_W['n_punct']} * (length(text)
+                   - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               + {_MODEL_W['n_stop']} * len(list_filter(
+                     string_split(text, ' '), x -> x IN ({stops})))
+               + {_MODEL_B} AS logit_micro
+        FROM documents
+    ),
+    scored AS (
+        SELECT half,
+               0.5 + (CAST(logit_micro AS DOUBLE) / 1000000.0)
+                   / (2.0 * (1.0 + abs(CAST(logit_micro AS DOUBLE)
+                                       / 1000000.0))) AS score
+        FROM feats
+    ),
+    bucketed AS (
+        SELECT CAST(floor(score * 10) AS BIGINT) AS bucket, half
+        FROM scored
+    ),
+    spine AS (SELECT unnest(range(10)) AS bucket),
+    counts AS (
+        SELECT s.bucket,
+               CAST(coalesce(sum(CASE WHEN half = 0 THEN 1 END), 0)
+                   AS BIGINT) AS n_ref,
+               CAST(coalesce(sum(CASE WHEN half = 1 THEN 1 END), 0)
+                   AS BIGINT) AS n_cur
+        FROM spine s LEFT JOIN bucketed b ON s.bucket = b.bucket
+        GROUP BY 1
+    ),
+    tots AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts),
+    terms AS (
+        SELECT c.bucket, c.n_ref, c.n_cur,
+               (c.n_ref + 1.0) / (t.t_ref + 10) AS sr,
+               (c.n_cur + 1.0) / (t.t_cur + 10) AS sc
+        FROM counts c, tots t
+    ),
+    psi AS (
+        SELECT bucket, n_ref, n_cur,
+               floor(sr * 1e6 + 0.5) / 1e6 AS share_ref,
+               floor(sc * 1e6 + 0.5) / 1e6 AS share_cur,
+               CAST(CAST((sr - sc) * ln(sr / sc) AS DECIMAL(27,9))
+                   AS DOUBLE) AS psi_term,
+               CAST(sum(CAST((sr - sc) * ln(sr / sc) AS DECIMAL(27,9)))
+                    OVER () AS DOUBLE) AS psi_total
+        FROM terms
+    )
+    SELECT bucket, n_ref, n_cur, share_ref, share_cur, psi_term,
+           psi_total,
+           CASE WHEN psi_total < 0.1 THEN 'stable'
+                WHEN psi_total < 0.25 THEN 'moderate'
+                ELSE 'drift' END AS verdict
+    FROM psi ORDER BY bucket
+    """
+
+
+@query("l_scorer_drift_monitor", oracle=_drift_oracle())
+def l_scorer_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = model_score_frame(load(spark, sf_dir, "documents")).select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.floor(F.col("score") * 10).cast("long").alias("bucket"),
+    )
+    counts = (
+        spark.range(10)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(scored, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 0, 1)), F.lit(0)
+            ).cast("long").alias("n_ref"),
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 1, 1)), F.lit(0)
+            ).cast("long").alias("n_cur"),
+        )
+    )
+    tots = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    terms = counts.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 1.0) / (F.col("t_ref") + 10)).alias("sr"),
+        ((F.col("n_cur") + 1.0) / (F.col("t_cur") + 10)).alias("sc"),
+    )
+    psi_dec = ((F.col("sr") - F.col("sc")) * F.log(F.col("sr") / F.col("sc"))).cast(
+        "decimal(27,9)"
+    )
+    psi = terms.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        (F.floor(F.col("sr") * 1e6 + 0.5) / 1e6).alias("share_ref"),
+        (F.floor(F.col("sc") * 1e6 + 0.5) / 1e6).alias("share_cur"),
+        psi_dec.cast("double").alias("psi_term"),
+        F.sum(psi_dec)
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("psi_total"),
+    )
+    return psi.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        "share_ref",
+        "share_cur",
+        "psi_term",
+        "psi_total",
+        F.when(F.col("psi_total") < 0.1, "stable")
+        .when(F.col("psi_total") < 0.25, "moderate")
+        .otherwise("drift")
+        .alias("verdict"),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# l_mixture_epoch_schedule — multi-epoch mixture WATERFILLING: given
+# per-source available tokens A_s and a per-epoch token budget B
+# (half the corpus here), find the unique level L with
+# sum_s min(A_s, L) <= B maximal — small sources contribute everything
+# they have each epoch, large sources are capped at L. This is the
+# standard "uniform cap" mixture rule (don't let one giant crawl drown
+# the mix) and the integer closed form is EXACT: sort sources
+# ascending, and for rank r the candidate level (B - prefix_{r-1})
+# div (n - r + 1) is valid iff it sits in [A_{r-1}, A_r); if no rank
+# validates the budget covers everything and L = max(A). All
+# arithmetic is non-negative int64 (div == DuckDB // on
+# non-negatives). Output per source: available tokens, the per-epoch
+# allocation, the cap flag, ppm coverage, and the epoch count to see
+# every token of that source once (ceil(A/alloc)). One groupBy scan +
+# an n-source sort; n is source-count-sized, never corpus-sized.
+# ---------------------------------------------------------------------------
+_MIX_ORACLE = """
+    WITH avail AS (
+        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS avail_tokens
+        FROM documents GROUP BY 1
+    ),
+    ranked AS (
+        SELECT source, avail_tokens,
+               row_number() OVER (ORDER BY avail_tokens, source) AS r,
+               sum(avail_tokens) OVER (ORDER BY avail_tokens, source
+                                       ROWS UNBOUNDED PRECEDING)
+                   AS prefix,
+               count(*) OVER () AS n,
+               sum(avail_tokens) OVER () AS total
+        FROM avail
+    ),
+    budget AS (SELECT total // 2 AS b FROM (SELECT DISTINCT total
+                                            FROM ranked)),
+    cands AS (
+        SELECT r,
+               (b - (prefix - avail_tokens)) // (n - r + 1) AS lvl,
+               coalesce(lag(avail_tokens) OVER (ORDER BY r), 0) AS prev_a,
+               avail_tokens AS a
+        FROM ranked, budget
+    ),
+    lvl AS (
+        SELECT lvl FROM cands
+        WHERE lvl >= prev_a AND lvl < a
+        ORDER BY r LIMIT 1
+    ),
+    final_lvl AS (
+        SELECT coalesce((SELECT lvl FROM lvl),
+                        (SELECT max(avail_tokens) FROM avail)) AS lvl
+    )
+    SELECT source, avail_tokens,
+           CAST(least(avail_tokens, lvl) AS BIGINT) AS per_epoch_alloc,
+           avail_tokens > lvl AS is_capped,
+           CAST(CASE WHEN avail_tokens = 0 THEN 0
+                ELSE least(avail_tokens, lvl) * 1000000 // avail_tokens
+                END AS BIGINT) AS coverage_ppm,
+           CAST(CASE WHEN least(avail_tokens, lvl) = 0 THEN 0
+                ELSE (avail_tokens + least(avail_tokens, lvl) - 1)
+                     // least(avail_tokens, lvl)
+                END AS BIGINT) AS epochs_to_cover
+    FROM avail, final_lvl
+    ORDER BY source
+    """
+
+
+@query("l_mixture_epoch_schedule", oracle=_MIX_ORACLE)
+def l_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    avail = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("avail_tokens")
+        )
+    )
+    w_rank = Window.orderBy("avail_tokens", "source")
+    ranked = avail.select(
+        "source",
+        "avail_tokens",
+        F.row_number().over(w_rank).alias("r"),
+        F.sum("avail_tokens")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("avail_tokens").over(Window.partitionBy()).alias("total"),
+    )
+    cands = ranked.select(
+        "r",
+        F.expr("(total div 2 - (prefix - avail_tokens)) div (n - r + 1)")
+        .alias("lvl"),
+        F.coalesce(
+            F.lag("avail_tokens").over(Window.orderBy("r")), F.lit(0)
+        ).alias("prev_a"),
+        F.col("avail_tokens").alias("a"),
+    )
+    valid = (
+        cands.where((F.col("lvl") >= F.col("prev_a")) & (F.col("lvl") < F.col("a")))
+        .orderBy("r")
+        .limit(1)
+        .select("lvl")
+    )
+    fallback = avail.agg(F.max("avail_tokens").alias("lvl"))
+    # Exactly one of the two is used: `valid` wins when it has a row
+    # (budget < total); otherwise the fallback covers everything.
+    final_lvl = (
+        valid.select(F.lit(0).alias("pri"), "lvl")
+        .unionAll(fallback.select(F.lit(1).alias("pri"), "lvl"))
+        .orderBy("pri")
+        .limit(1)
+        .select("lvl")
+    )
+    alloc = F.least(F.col("avail_tokens"), F.col("lvl"))
+    return (
+        avail.crossJoin(F.broadcast(final_lvl))
+        .select(
+            "source",
+            "avail_tokens",
+            alloc.cast("long").alias("per_epoch_alloc"),
+            (F.col("avail_tokens") > F.col("lvl")).alias("is_capped"),
+            F.when(F.col("avail_tokens") == 0, F.lit(0))
+            .otherwise(F.expr(
+                "least(avail_tokens, lvl) * 1000000 div avail_tokens"
+            ))
+            .cast("long")
+            .alias("coverage_ppm"),
+            F.when(alloc == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "(avail_tokens + least(avail_tokens, lvl) - 1) "
+                    "div least(avail_tokens, lvl)"
+                )
+            )
+            .cast("long")
+            .alias("epochs_to_cover"),
+        )
+        .orderBy("source")
+    )

@@ -744,3 +744,497 @@ def pipeline_incremental_release(
         .unionAll(stat(bdedup, 4, "batch_exact_dedup"))
         .unionAll(stat(combined, 5, "combined_release", with_shards=True))
     )
+
+
+# ---------------------------------------------------------------------------
+# Atomic publish protocol (transactional-table-lite): a release is
+# visible ONLY through a committed manifest. Data shards for version N
+# land under <root>/data/v=N/, the manifest (per-shard row counts,
+# token sums and bit_xor content digests, built from the READ-BACK of
+# the staged files, never from the writing plan) lands under
+# <root>/manifest/v=N/, and the commit is a single atomic os.replace
+# of the CURRENT pointer file. A writer killed after staging shards
+# but before the pointer swap leaves orphan files that NO reader ever
+# sees — the crash-consistency guarantee the reference approximates
+# with per-file `confirm=True` transfer verification (REPORT:173),
+# lifted to table grain. Rollback is the same primitive run backwards:
+# re-point CURRENT at the previous manifest — O(1), no data movement.
+#
+# At 100 TB this is exactly the Iceberg/Delta commit shape: data files
+# are immutable and versioned, the manifest is the unit of atomicity,
+# and readers resolve pointer → manifest → files with no LIST races.
+# ---------------------------------------------------------------------------
+_DIG60 = (
+    "CAST(conv(substring(md5(concat(cast(doc_id AS string), ':', "
+    "cast(tokens AS string))), 1, 15), 16, 10) AS BIGINT)"
+)
+_DIG60_DUCK = (
+    "CAST(concat('0x', substring(md5(doc_id::VARCHAR || ':' || "
+    "tokens::VARCHAR), 1, 15)) AS BIGINT)"
+)
+
+
+def _release_root(sf_dir: str, name: str) -> str:
+    root = os.path.join(
+        tempfile.gettempdir(), "dock_fdp_spark", f"{name}_{sf_tag(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def _pack_half(docs: DataFrame, parity: int, offset=None) -> DataFrame:
+    """(doc_id, tokens, dg, shard): token-budget packing of one doc_id
+    parity class — the same packing rule as the release pipelines."""
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        _EXPORT_TOKEN_BUDGET,
+    )
+
+    half = docs.where(F.col("doc_id") % 2 == parity).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        F.md5("text").alias("dg"),
+    )
+    cum = F.sum("tokens").over(
+        Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    packed = half.withColumn("cum", cum).withColumn(
+        "shard",
+        F.expr(f"(cum - tokens) div {_EXPORT_TOKEN_BUDGET}").cast("long"),
+    ).drop("cum")
+    if offset is not None:
+        packed = packed.crossJoin(F.broadcast(offset)).withColumn(
+            "shard", (F.col("shard") + F.col("offset")).cast("long")
+        ).drop("offset")
+    return packed
+
+
+_REL_SCHEMA_DDL = "doc_id long, tokens long, dg string, shard long"
+_MANIFEST_DDL = "shard long, n_docs long, n_tokens long, digest long"
+
+
+def _rel_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("tokens", LongType()),
+            StructField("dg", StringType()),
+            StructField("shard", LongType()),
+        ]
+    )
+
+
+def _manifest_schema():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("n_docs", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("digest", LongType()),
+        ]
+    )
+
+
+def _shard_manifest(data: DataFrame) -> DataFrame:
+    return data.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.expr(f"bit_xor({_DIG60})"), F.lit(0))
+        .cast("long")
+        .alias("digest"),
+    )
+
+
+def _publish_version(
+    spark: SparkSession, df: DataFrame, root: str, version: int
+) -> DataFrame:
+    """Stage data + manifest for `version`, then atomically commit by
+    swapping the CURRENT pointer. Returns the manifest READ-BACK."""
+    data_dir = os.path.join(root, "data", f"v={version}")
+    man_dir = os.path.join(root, "manifest", f"v={version}")
+    write_partitioned(df.repartition("shard"), data_dir, "shard")
+    staged = read_parquet_or_empty(spark, data_dir, _rel_schema())
+    write_partitioned(
+        _shard_manifest(staged).withColumn(
+            "part", (F.col("shard") % 4).cast("long")
+        ),
+        man_dir,
+        "part",
+    )
+    _commit_pointer(root, version)
+    return read_parquet_or_empty(
+        spark, man_dir, _manifest_schema()
+    ).drop("part")
+
+
+def _commit_pointer(root: str, version: int) -> None:
+    """The atomic commit: POSIX rename of a fully-written temp file.
+    Readers see either the old pointer or the new one, never a torn
+    write; a writer that dies before this line published NOTHING."""
+    tmp = os.path.join(root, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(root, "CURRENT"))
+
+
+def _resolve_current(root: str):
+    try:
+        with open(os.path.join(root, "CURRENT")) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _read_visible(spark: SparkSession, root: str) -> DataFrame:
+    """Protocol reader: pointer → committed version → data files.
+    Staged-but-uncommitted versions are invisible by construction."""
+    version = _resolve_current(root)
+    if version is None:
+        return spark.createDataFrame([], _REL_SCHEMA_DDL)
+    return read_parquet_or_empty(
+        spark, os.path.join(root, "data", f"v={version}"), _rel_schema()
+    )
+
+
+def _atomic_oracle() -> str:
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        _EXPORT_TOKEN_BUDGET,
+    )
+
+    return f"""
+    WITH v1 AS (
+        SELECT doc_id, tokens,
+               (sum(tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens)
+                   // {_EXPORT_TOKEN_BUDGET} AS shard
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS tokens
+              FROM documents WHERE doc_id % 2 = 0)
+    ),
+    off AS (SELECT coalesce(max(shard), -1) + 1 AS o FROM v1),
+    v2 AS (
+        SELECT doc_id, tokens,
+               (sum(tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens)
+                   // {_EXPORT_TOKEN_BUDGET}
+                   + (SELECT o FROM off) AS shard
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS tokens
+              FROM documents WHERE doc_id % 2 = 1)
+    ),
+    v2first AS (SELECT * FROM v2 WHERE shard = (SELECT o FROM off))
+    SELECT 0 AS stage_ord, 'v1_manifest' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(tokens), 0) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+    FROM v1
+    UNION ALL SELECT 1, 'v2_staged_partial', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT)
+    FROM v2first
+    UNION ALL SELECT 2, 'visible_after_crash', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT)
+    FROM v1
+    UNION ALL SELECT 3, 'manifest_audit', CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(count(DISTINCT shard) AS BIGINT)
+    FROM v1
+    """
+
+
+@query("pipeline_atomic_publish", oracle=_atomic_oracle())
+def pipeline_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish v1 through the full protocol, then SIMULATE A KILLED
+    WRITER on v2: stage only its first shard and 'crash' before the
+    manifest + pointer swap. The protocol reader must still see v1
+    exactly (the oracle pins visible_after_crash to v1's numbers), and
+    the v1 manifest must reconcile per-shard with a recount of the
+    visible data (manifest_audit mismatches == 0)."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "atomic_publish")
+
+    v1 = _pack_half(docs, 0)
+    manifest = _publish_version(spark, v1, root, 1)
+
+    # v2 attempt: pack the odd half above v1's shard range, stage ONLY
+    # the first shard, then crash before commit (no manifest, no swap).
+    v1_data = read_parquet_or_empty(
+        spark, os.path.join(root, "data", "v=1"), _rel_schema()
+    )
+    offset = v1_data.agg(
+        (F.coalesce(F.max("shard"), F.lit(-1)) + 1).alias("offset")
+    )
+    v2 = _pack_half(docs, 1, offset=offset)
+    v2_first = v2.join(F.broadcast(offset), v2["shard"] == F.col("offset"))
+    write_partitioned(
+        v2_first.drop("offset").repartition("shard"),
+        os.path.join(root, "data", "v=2"),
+        "shard",
+    )
+    # -- crash here: no manifest/v=2, CURRENT still points at 1 --
+
+    staged_v2 = read_parquet_or_empty(
+        spark, os.path.join(root, "data", "v=2"), _rel_schema()
+    )
+    visible = _read_visible(spark, root)
+    recount = _shard_manifest(visible)
+    audit = manifest.alias("m").join(
+        recount.alias("d"), "shard", "full_outer"
+    )
+    mismatch = (
+        F.col("m.n_docs").isNull()
+        | F.col("d.n_docs").isNull()
+        | (F.col("m.n_docs") != F.col("d.n_docs"))
+        | (F.col("m.n_tokens") != F.col("d.n_tokens"))
+        | (F.col("m.digest") != F.col("d.digest"))
+    )
+
+    def stat(df, ord_, name):
+        return df.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.countDistinct("shard").cast("long").alias("n_shards"),
+        ).select("stage_ord", "stage", "n_docs", "n_tokens", "n_shards")
+
+    audit_row = audit.agg(
+        F.lit(3).cast("int").alias("stage_ord"),
+        F.lit("manifest_audit").alias("stage"),
+        F.coalesce(F.sum(mismatch.cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_docs"),
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.countDistinct("shard").cast("long").alias("n_shards"),
+    ).select("stage_ord", "stage", "n_docs", "n_tokens", "n_shards")
+
+    # Manifest rows are shard-grain: stage 0 sums the manifest's own
+    # columns (the numbers a reader would trust WITHOUT scanning data).
+    manifest_row = manifest.agg(
+        F.lit(0).cast("int").alias("stage_ord"),
+        F.lit("v1_manifest").alias("stage"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.countDistinct("shard").cast("long").alias("n_shards"),
+    ).select("stage_ord", "stage", "n_docs", "n_tokens", "n_shards")
+
+    return (
+        manifest_row
+        .unionAll(stat(staged_v2, 1, "v2_staged_partial"))
+        .unionAll(stat(visible, 2, "visible_after_crash"))
+        .unionAll(audit_row)
+    )
+
+
+def _diff_oracle() -> str:
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        _EXPORT_TOKEN_BUDGET,
+    )
+
+    return f"""
+    WITH v1 AS (
+        SELECT doc_id, tokens,
+               (sum(tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens)
+                   // {_EXPORT_TOKEN_BUDGET} AS shard,
+               {_DIG60_DUCK} AS dig
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS tokens
+              FROM documents WHERE doc_id % 2 = 0)
+    ),
+    v2 AS (
+        SELECT doc_id, tokens,
+               (sum(tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens)
+                   // {_EXPORT_TOKEN_BUDGET} AS shard,
+               {_DIG60_DUCK} AS dig
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS tokens
+              FROM documents WHERE doc_id % 2 = 1)
+    ),
+    m1 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(tokens) AS BIGINT) AS n_tokens,
+                  CAST(bit_xor(dig) AS BIGINT) AS digest
+           FROM v1 GROUP BY 1),
+    m2 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(tokens) AS BIGINT) AS n_tokens,
+                  CAST(bit_xor(dig) AS BIGINT) AS digest
+           FROM v2 GROUP BY 1),
+    diff AS (
+        SELECT coalesce(m1.shard, m2.shard) AS shard,
+               CASE WHEN m1.shard IS NULL THEN 'added'
+                    WHEN m2.shard IS NULL THEN 'removed'
+                    WHEN m1.n_docs = m2.n_docs
+                     AND m1.n_tokens = m2.n_tokens
+                     AND m1.digest = m2.digest THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               coalesce(m1.n_docs, 0) AS docs_v1,
+               coalesce(m2.n_docs, 0) AS docs_v2,
+               coalesce(m1.n_tokens, 0) AS tokens_v1,
+               coalesce(m2.n_tokens, 0) AS tokens_v2
+        FROM m1 FULL OUTER JOIN m2 ON m1.shard = m2.shard
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(sum(docs_v1) AS BIGINT) AS docs_v1,
+           CAST(sum(docs_v2) AS BIGINT) AS docs_v2,
+           CAST(sum(tokens_v2) - sum(tokens_v1) AS BIGINT)
+               AS tokens_delta
+    FROM diff GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("pipeline_release_diff", oracle=_diff_oracle())
+def pipeline_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-grain diff between two COMMITTED releases: publish v1
+    (even half) and v2 (odd half — a full regeneration, so shards
+    overlap by id but differ by content), then compare the two
+    manifest READ-BACKS per shard: added / removed / changed /
+    unchanged, with doc and token deltas per class. This is the
+    release audit a data-lake operator runs before promoting a
+    regenerated corpus — manifest-grain, so the diff itself never
+    scans data files (at 100 TB the manifests are MBs while the data
+    is the lake)."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "release_diff")
+    m1 = _publish_version(spark, _pack_half(docs, 0), root, 1)
+    m2 = _publish_version(spark, _pack_half(docs, 1), root, 2)
+    j = m1.alias("m1").join(m2.alias("m2"), "shard", "full_outer")
+    status = (
+        F.when(F.col("m1.n_docs").isNull(), "added")
+        .when(F.col("m2.n_docs").isNull(), "removed")
+        .when(
+            (F.col("m1.n_docs") == F.col("m2.n_docs"))
+            & (F.col("m1.n_tokens") == F.col("m2.n_tokens"))
+            & (F.col("m1.digest") == F.col("m2.digest")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(F.col("m1.n_docs"), F.lit(0)).alias("d1"),
+            F.coalesce(F.col("m2.n_docs"), F.lit(0)).alias("d2"),
+            F.coalesce(F.col("m1.n_tokens"), F.lit(0)).alias("t1"),
+            F.coalesce(F.col("m2.n_tokens"), F.lit(0)).alias("t2"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+            F.sum("d1").cast("long").alias("docs_v1"),
+            F.sum("d2").cast("long").alias("docs_v2"),
+            (F.sum("t2") - F.sum("t1")).cast("long").alias("tokens_delta"),
+        )
+        .orderBy("status")
+    )
+
+
+def _rollback_oracle() -> str:
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        _EXPORT_TOKEN_BUDGET,
+    )
+
+    return f"""
+    WITH v1 AS (
+        SELECT doc_id, tokens,
+               (sum(tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens)
+                   // {_EXPORT_TOKEN_BUDGET} AS shard
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS tokens
+              FROM documents WHERE doc_id % 2 = 0)
+    ),
+    v2 AS (
+        SELECT doc_id, tokens,
+               (sum(tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens)
+                   // {_EXPORT_TOKEN_BUDGET} AS shard
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS tokens
+              FROM documents WHERE doc_id % 2 = 1)
+    )
+    SELECT 0 AS stage_ord, 'v1_published' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(tokens), 0) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+    FROM v1
+    UNION ALL SELECT 1, 'v2_published', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT)
+    FROM v2
+    UNION ALL SELECT 2, 'visible_before_rollback', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT)
+    FROM v2
+    UNION ALL SELECT 3, 'visible_after_rollback', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT)
+    FROM v1
+    UNION ALL SELECT 4, 'retained_versions', CAST(2 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """
+
+
+@query("pipeline_release_rollback", oracle=_rollback_oracle())
+def pipeline_release_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish v1, publish v2 (CURRENT → 2), then ROLL BACK by
+    re-pointing CURRENT at v1 — the manifest-swap primitive makes
+    rollback a single atomic rename with zero data movement, and v2's
+    files stay on disk for forensics (retained_versions counts the
+    committed manifests still resolvable). The oracle pins the reader's
+    view before and after: visible_before == v2 exactly, visible_after
+    == v1 exactly — a reader can never observe a blend."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "release_rollback")
+    _publish_version(spark, _pack_half(docs, 0), root, 1)
+    _publish_version(spark, _pack_half(docs, 1), root, 2)
+
+    before = _read_visible(spark, root)  # resolves v2 at plan-build time
+
+    # -- the rollback: one atomic pointer swap, no data moved --
+    _commit_pointer(root, 1)
+    after = _read_visible(spark, root)  # resolves v1
+
+    retained = sum(
+        1
+        for v in (1, 2)
+        if os.path.isdir(os.path.join(root, "manifest", f"v={v}"))
+    )
+
+    def stat(df, ord_, name):
+        return df.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.countDistinct("shard").cast("long").alias("n_shards"),
+        ).select("stage_ord", "stage", "n_docs", "n_tokens", "n_shards")
+
+    v1_data = read_parquet_or_empty(
+        spark, os.path.join(root, "data", "v=1"), _rel_schema()
+    )
+    v2_data = read_parquet_or_empty(
+        spark, os.path.join(root, "data", "v=2"), _rel_schema()
+    )
+    retained_row = spark.createDataFrame(
+        [(4, "retained_versions", retained, 0, 0)],
+        "stage_ord int, stage string, n_docs long, n_tokens long, "
+        "n_shards long",
+    )
+    return (
+        stat(v1_data, 0, "v1_published")
+        .unionAll(stat(v2_data, 1, "v2_published"))
+        .unionAll(stat(before, 2, "visible_before_rollback"))
+        .unionAll(stat(after, 3, "visible_after_rollback"))
+        .unionAll(retained_row)
+    )

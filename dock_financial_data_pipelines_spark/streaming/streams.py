@@ -1844,3 +1844,108 @@ def x21_stream_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row for an absent side — drop zero rows to match (count==0 has no
     # docs on that side by construction).
     return out.where(F.col("n_docs") > 0).localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# X22 — stream-stream FULL OUTER join, completing x14's left-outer
+# contract: every purchase with its prior-30-minute clicks, PLUS
+# purchases that saw no click (null click side, x14's orphan
+# conversions), PLUS clicks that led to no purchase within 30 minutes
+# (null purchase side — the "abandoned intent" rows a funnel report
+# needs and a left join cannot produce). Inner matches emit eagerly;
+# each null row emits only once the watermark proves the other side
+# can no longer match, so BOTH state stores finalize. The same
+# sentinel watermark-barrier chunk as x14 (user -1, 2 h past the real
+# max ts, filtered post-drain) pushes both input watermarks past every
+# real event and the availableNow final no-data batch flushes both
+# orphan regions — the oracle is the complete FULL OUTER result, not a
+# conservative finalized prefix. Reference semantics: the engine's
+# attribution surface over the reference's event ledger; cites
+# REPORT:25-269's daily close-the-books barrier pattern.
+# ---------------------------------------------------------------------------
+@query(
+    "x22_stream_stream_full_outer",
+    oracle="""
+    WITH matched AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+    ),
+    orphan_purchases AS (
+        SELECT p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id,
+               p.user_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+               CAST(NULL AS BIGINT) AS click_epoch
+        FROM events p
+        WHERE p.event_type = 'purchase'
+          AND NOT EXISTS (SELECT 1 FROM events c
+                          WHERE c.user_id = p.user_id
+                            AND c.event_type = 'click'
+                            AND c.ts >= p.ts - INTERVAL 30 MINUTE
+                            AND c.ts <= p.ts)
+    ),
+    orphan_clicks AS (
+        SELECT CAST(NULL AS BIGINT) AS purchase_id,
+               c.event_id AS click_id, c.user_id,
+               CAST(NULL AS BIGINT) AS purchase_epoch,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+        FROM events c
+        WHERE c.event_type = 'click'
+          AND NOT EXISTS (SELECT 1 FROM events p
+                          WHERE p.user_id = c.user_id
+                            AND p.event_type = 'purchase'
+                            AND p.ts >= c.ts
+                            AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM orphan_purchases
+    UNION ALL SELECT * FROM orphan_clicks
+    """,
+)
+def x22_stream_stream_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events_stream_with_sentinel(spark, sf_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        F.unix_timestamp("p_ts").cast("bigint").alias("purchase_epoch"),
+        F.unix_timestamp("c_ts").cast("bigint").alias("click_epoch"),
+    )
+    drained = _run_to_memory(joined, "x22_full_joined", "append")
+    # Drop the watermark-barrier sentinel pair; every REAL row —
+    # matched, orphan purchase, orphan click — survives the filter and
+    # is oracle-checked.
+    return drained.where(F.col("user_id") != _SENTINEL_USER)
