@@ -1931,14 +1931,26 @@ def main() -> int:
     p = plan_of(spark, "l_bpe_train_multistep", execute=True)
     check(
         "l_bpe_train_multistep",
-        "K-round BPE training state is the vocab-grain SYMBOL table, "
-        "localCheckpointed per round — the final plan is a Union over "
-        "checkpointed 1-row selections (Scan ExistingRDD), NOT K "
-        "stacked window/join rounds (bounded lineage); per-step stat "
-        "rides as 1-row broadcast; no cartesian, no Python",
+        "K-round BPE training ran eagerly at vocab grain; the final "
+        "plan is a Union of LITERAL per-step rows (Scan ExistingRDD — "
+        "each round's argmax + token count collected as model-sized "
+        "scalars, so no step frame pins a superseded round table), "
+        "NOT K stacked window/join rounds; no join, no Python",
         "Union" in p and "Scan ExistingRDD" in p
         and "Window" not in p  # rounds ran eagerly, not in this plan
+        and "Join" not in p
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_bpe_train_converged", execute=True)
+    check(
+        "l_bpe_train_converged",
+        "K=16 convergence trainer: same literal-steps shape as the "
+        "K=8 trainer (the join-free window round body keeps planning "
+        "cost LINEAR in K — the joined form grew a 3^K-bit stats "
+        "product); no join, no Python",
+        "Union" in p and "Scan ExistingRDD" in p and "Window" not in p
+        and "Join" not in p and "BatchEvalPython" not in p,
     )
 
     p = plan_of(spark, "l_scorer_agreement_audit", execute=True)
@@ -2170,6 +2182,73 @@ def main() -> int:
         "20-row blocklist joins back as broadcast (never gram x "
         "gram); DF counts hash-aggregate; no cartesian",
         "BroadcastHashJoin" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l7_png_decode_audit", execute=True)
+    check(
+        "l7_png_decode_audit",
+        "PNG encode and decode both run as Arrow-batched mapInPandas "
+        "(MapInPandas x2, map-only over the payload); the md5 audit "
+        "joins asset-id-grain fingerprints, never PNG bytes; no "
+        "cartesian, no row-at-a-time Python",
+        p.count("MapInPandas") >= 2 and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l7_phash_decoded_neardup", execute=True)
+    check(
+        "l7_phash_decoded_neardup",
+        "decoded-pixel fingerprints leave mapInPandas as (asset_id, "
+        "h) only — the banded candidate join is an equi-join on "
+        "(band, key), never all-pairs, and PNG bytes never shuffle",
+        "MapInPandas" in p
+        and ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+             or "BroadcastHashJoin" in p)
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_scorer_drift_monitor", execute=True)
+    check(
+        "l_scorer_drift_monitor",
+        "both halves scored by the SAME Arrow pandas-UDF inference "
+        "path, bucketed into a 10-row spine; totals ride as a 1-row "
+        "broadcast; no cartesian beyond that, no row Python",
+        "ArrowEvalPython" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "l_mixture_epoch_schedule", execute=True)
+    check(
+        "l_mixture_epoch_schedule",
+        "waterfilling level is picked RELATIONALLY over the "
+        "source-grain table (windows + limit 1), joined back as a "
+        "1-row broadcast — nothing corpus-sized leaves the first "
+        "aggregate; no Python at all",
+        "HashAggregate" in p and "Window" in p
+        and "BroadcastNestedLoopJoin" in p
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_atomic_publish", execute=True)
+    check(
+        "pipeline_atomic_publish",
+        "protocol reader resolves pointer->manifest->files: stage "
+        "rows read the REAL staged parquet back (Scan parquet); the "
+        "manifest audit full-outer-joins shard-grain rows (manifest-"
+        "sized, never doc-sized); no cartesian, no Python",
+        "Union" in p and "Scan parquet" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_release_diff", execute=True)
+    check(
+        "pipeline_release_diff",
+        "diff is MANIFEST-grain: both sides are the read-back "
+        "manifest parquet, the comparison is a shard-keyed full outer "
+        "join — data files never rescanned for the diff; no Python",
+        "Scan parquet" in p and "HashAggregate" in p
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
