@@ -96,6 +96,9 @@ HEADLINE_ROUNDS: list[tuple[str, int]] = [
     ("l_bpe_train_multistep", 11),
     ("l_model_quality_scorer", 11),
     ("s20_sort_layout_advisor_sampled", 11),
+    ("l7_png_decode_audit", 12),
+    ("pipeline_atomic_publish", 12),
+    ("l_scorer_drift_monitor", 12),
 ]
 HEADLINE = [n for n, _ in HEADLINE_ROUNDS]
 # The no-broadcast skew probes re-run round-1/2 queries; tag them with
@@ -218,8 +221,30 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    src_dir = sf_dir
+    if sf_dir.startswith("/root/testdata/") and os.environ.get(
+        "SPARK_GRAFT_BENCH_RAW_FIXTURE", ""
+    ) != "1":
+        # The driver-shipped parquet is ONE file + ONE row group per
+        # table, which caps every scan stage at a single task (Spark
+        # splits parquet by file byte ranges vs maxPartitionBytes) —
+        # bench numbers then measure single-core container speed, not
+        # the engine. Mirror into an 8-part-file fixture (rows byte-
+        # identical, built/cached idempotently) so scans parallelize
+        # the way any Spark-written table would. Opt out with
+        # SPARK_GRAFT_BENCH_RAW_FIXTURE=1 to reproduce pre-r12 numbers.
+        from scripts.make_bench_fixture import ensure_bench_fixture
+
+        sf_dir = ensure_bench_fixture(
+            sf_dir,
+            f"/tmp/dock_bench_{os.path.basename(sf_dir.rstrip('/'))}_8f",
+        )
     spark = get_spark("dock-fdp-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Scan-parallelism telemetry: partitions of a bare lineitem scan.
+    scan_tasks = spark.read.parquet(
+        os.path.join(sf_dir, "lineitem.parquet")
+    ).rdd.getNumPartitions()
 
     # Warm the JVM/codegen paths once so per-query numbers measure the
     # plan, not first-run JIT + session setup. The warmup run is timed
@@ -304,6 +329,12 @@ def main() -> None:
         **shared,
         **_anchor_comparison(per_query, calib_py, calib_jvm, sf),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Fixture attribution: the mirrored multi-file fixture (and the
+        # scan parallelism it actually achieved) — r12 retired the
+        # single-row-group scans that capped every stage at 1 task.
+        "bench_fixture": sf_dir,
+        "fixture_src": src_dir,
+        "scan_tasks": scan_tasks,
         # environment attribution for round-over-round reads:
         # a rebuilt container (new Spark/JVM/testdata files)
         # shifts every query by a fixed offset.
@@ -321,10 +352,12 @@ def main() -> None:
         # overhead, both of which move with each round's container
         # rebuild. Environmental, not code; compare shared subtotals
         # run-over-run, not across containers.
-        "drift_note": "r3-suite drift is container-environmental: "
-                      "isolated probe == full-bench medians; scan "
-                      "parallelism capped at 1 by single-row-group "
-                      "fixture parquet (see bench.py comment)",
+        "drift_note": "r3-suite drift was container-environmental "
+                      "(isolated probe == full-bench medians); the "
+                      "single-row-group scan cap it documented is "
+                      "RETIRED as of r12 — bench now runs on the "
+                      "8-part-file mirror (see scripts/"
+                      "make_bench_fixture.py and scan_tasks above)",
     }
     # Full detail (per-query medians + raw samples) goes to a file: the
     # round driver captures only the last 2000 chars of stdout, and the
