@@ -80,6 +80,10 @@ _STALE_BEFORE = {
     "l_model_quality_scorer": 11,
     "x20_stream_model_scoring": 11,
     "x21_stream_gated_ingest": 11,
+    # r12 sf0.1 full drain caught a double->DECIMAL midpoint divergence
+    # (103.515 rounds differently across engines); restated in integer
+    # cents — every pre-r12 hash-green certified the old formulation.
+    "q_three_way_match": 11,
 }
 
 # Round-11 sweep plan (scripts/sweep_rotate.py at round-11 start):
@@ -107,6 +111,7 @@ _SWEEP_FIRST = [
     "l_model_quality_scorer",
     "x20_stream_model_scoring",
     "x21_stream_gated_ingest",
+    "q_three_way_match",
     # r11 plan below (already all green in CORRECTNESS_r11; harmless
     # as within-class tiebreaker for the rotation)
     "l4_band_occupancy_audit",

@@ -2348,64 +2348,75 @@ def q_bilateral_netting(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact on quantity. One scan builds all three legs (no join needed for
 # the simulation; in production this is a 3-way equi-join on the PO
 # line key, which the classification logic here is agnostic to).
-# Amounts are DECIMAL-exact; the tolerance comparison multiplies both
-# sides (|inv−po|·100 ≤ po) so no division enters the predicate.
+# Amounts are INTEGER CENTS end to end: the uplifted invoice quantizes
+# with floor(x*100+0.5) on the IEEE double (bit-identical across
+# engines), NOT a double→DECIMAL(18,2) cast — 100.50·1.03 = 103.515 is
+# a 2-dp midpoint, and Spark rounds the double's shortest decimal
+# representation (103.52) while DuckDB rounds the exact binary value
+# (103.51), a divergence that first surfaced at sf0.1 aggregate
+# magnitude (round-12 full drain). The tolerance comparison multiplies
+# both sides (|inv−po|·100 ≤ po) so no division enters the predicate,
+# and cent sums stay int64-exact (< 2^53) before one final /100.
 # ---------------------------------------------------------------------------
 @query(
     "q_three_way_match",
     oracle="""
     WITH legs AS (
-        SELECT l_orderkey, l_linenumber,
-               CAST(l_quantity AS DECIMAL(18,2)) AS po_qty,
-               CAST(l_extendedprice AS DECIMAL(18,2)) AS po_amt,
-               CASE WHEN l_partkey % 13 = 0
-                    THEN CAST(l_quantity - 1 AS DECIMAL(18,2))
-                    ELSE CAST(l_quantity AS DECIMAL(18,2)) END AS rcpt_qty,
+        SELECT l_quantity AS po_qty,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS po_cents,
+               CASE WHEN l_partkey % 13 = 0 THEN l_quantity - 1
+                    ELSE l_quantity END AS rcpt_qty,
                CASE WHEN l_partkey % 11 = 0
-                    THEN CAST(l_extendedprice * 1.03 AS DECIMAL(18,2))
-                    ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END AS inv_amt
+                    THEN CAST(floor(l_extendedprice * 1.03 * 100 + 0.5)
+                              AS BIGINT)
+                    ELSE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    END AS inv_cents
         FROM lineitem
     ),
     classed AS (
         SELECT *,
                CASE WHEN rcpt_qty <> po_qty AND
-                         abs(inv_amt - po_amt) * 100 > po_amt
+                         abs(inv_cents - po_cents) * 100 > po_cents
                         THEN 'qty_and_price'
                     WHEN rcpt_qty <> po_qty THEN 'qty_mismatch'
-                    WHEN abs(inv_amt - po_amt) * 100 > po_amt
+                    WHEN abs(inv_cents - po_cents) * 100 > po_cents
                         THEN 'price_mismatch'
                     ELSE 'clean' END AS verdict
         FROM legs
     )
     SELECT verdict,
            CAST(count(*) AS BIGINT) AS n_lines,
-           floor(CAST(sum(inv_amt) AS DOUBLE) * 1e2 + 0.5) / 1e2
-               AS invoiced_amount,
-           floor(CAST(sum(inv_amt - po_amt) AS DOUBLE) * 1e2 + 0.5) / 1e2
+           CAST(sum(inv_cents) AS DOUBLE) / 1e2 AS invoiced_amount,
+           CAST(sum(inv_cents - po_cents) AS DOUBLE) / 1e2
                AS amount_at_risk
     FROM classed GROUP BY verdict ORDER BY verdict
     """,
 )
 def q_three_way_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    po_cents = F.floor(
+        F.col("l_extendedprice") * 100 + F.lit(0.5)
+    ).cast("long")
+    inv_cents = F.when(
+        F.col("l_partkey") % 11 == 0,
+        F.floor(F.col("l_extendedprice") * 1.03 * 100 + F.lit(0.5)).cast(
+            "long"
+        ),
+    ).otherwise(po_cents)
     legs = li.select(
-        F.col("l_quantity").cast("decimal(18,2)").alias("po_qty"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("po_amt"),
+        F.col("l_quantity").alias("po_qty"),
+        po_cents.alias("po_cents"),
         F.when(
-            F.col("l_partkey") % 13 == 0,
-            (F.col("l_quantity") - 1).cast("decimal(18,2)"),
+            F.col("l_partkey") % 13 == 0, F.col("l_quantity") - 1
         )
-        .otherwise(F.col("l_quantity").cast("decimal(18,2)"))
+        .otherwise(F.col("l_quantity"))
         .alias("rcpt_qty"),
-        F.when(
-            F.col("l_partkey") % 11 == 0,
-            (F.col("l_extendedprice") * 1.03).cast("decimal(18,2)"),
-        )
-        .otherwise(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .alias("inv_amt"),
+        inv_cents.alias("inv_cents"),
     )
     price_bad = (
-        F.abs(F.col("inv_amt") - F.col("po_amt")) * 100 > F.col("po_amt")
+        F.abs(F.col("inv_cents") - F.col("po_cents")) * 100
+        > F.col("po_cents")
     )
     qty_bad = F.col("rcpt_qty") != F.col("po_qty")
     classed = legs.withColumn(
@@ -2415,15 +2426,17 @@ def q_three_way_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(price_bad, "price_mismatch")
         .otherwise("clean"),
     )
-    f2 = lambda c: F.floor(c.cast("double") * 1e2 + F.lit(0.5)) / 1e2
     return (
         classed.groupBy("verdict")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
-            f2(F.sum("inv_amt")).alias("invoiced_amount"),
-            f2(F.sum(F.col("inv_amt") - F.col("po_amt"))).alias(
-                "amount_at_risk"
+            (F.sum("inv_cents").cast("double") / 1e2).alias(
+                "invoiced_amount"
             ),
+            (
+                F.sum(F.col("inv_cents") - F.col("po_cents")).cast("double")
+                / 1e2
+            ).alias("amount_at_risk"),
         )
         .orderBy("verdict")
     )
