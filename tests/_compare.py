@@ -15,7 +15,15 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+        if os.path.isdir(path):
+            # Spark-written table (a directory of part files), e.g. the
+            # /tmp/dock_sf1 rehearsal fixture: glob the parts.
+            con.execute(
+                f"CREATE VIEW {name} AS "
+                f"SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+        else:
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     return con
 
 

@@ -1,0 +1,179 @@
+"""Protocol-level tests for the snapshot log / CAS / time-travel /
+compaction layer (plans/pipeline.py round-12 section): drive the
+primitives directly against a temp root — crash windows, refusal
+semantics, log shape — plus a plain-Python packing reference so a
+defect shared by the Spark query and its DuckDB oracle twin would
+still surface."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+import dock_financial_data_pipelines_spark as engine
+from dock_financial_data_pipelines_spark.plans.pipeline import (
+    _COMPACT_SMALL_BUDGET,
+    _commit_cas,
+    _committed_versions,
+    _pack_where,
+    _read_version,
+    _read_visible,
+    _repack,
+    _resolve_current,
+    _stage_version,
+)
+
+SF = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# CAS semantics (pure protocol, no data)
+# ---------------------------------------------------------------------------
+def test_cas_refuses_stale_base_and_logs_append_only(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    assert _commit_cas(root, None, 1) is True
+    assert _commit_cas(root, 1, 2) is True
+    # a writer still holding base=1 must be refused…
+    assert _commit_cas(root, 1, 3) is False
+    # …and a refused CAS must leave NO trace: no log entry, no swing
+    assert _committed_versions(root) == [1, 2]
+    assert _resolve_current(root) == 2
+    # retry with the fresh base lands
+    assert _commit_cas(root, 2, 3) is True
+    assert _committed_versions(root) == [1, 2, 3]
+    assert _resolve_current(root) == 3
+
+
+def test_cas_refuses_commit_onto_empty_table_with_wrong_base(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    # nothing committed yet: only base=None may land
+    assert _commit_cas(root, 1, 2) is False
+    assert _committed_versions(root) == []
+    assert _resolve_current(root) is None
+
+
+def test_log_entries_record_parent_chain(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _commit_cas(root, None, 1)
+    _commit_cas(root, 1, 2)
+    parents = {}
+    for n in os.listdir(os.path.join(root, "log")):
+        v, p = open(os.path.join(root, "log", n)).read().split(",")
+        parents[int(v)] = int(p)
+    assert parents == {1: -1, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# Staging + crash windows (Spark)
+# ---------------------------------------------------------------------------
+def test_staged_but_uncommitted_version_is_invisible(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    df = spark.createDataFrame(
+        [(1, 10, "a", 0), (2, 20, "b", 0)],
+        "doc_id long, tokens long, dg string, shard long",
+    )
+    _stage_version(spark, df, root, 1)
+    # crash before _commit_cas: the reader sees an EMPTY table
+    assert _read_visible(spark, root).count() == 0
+    assert _committed_versions(root) == []
+    # the recovery commit makes the staged bytes visible unchanged
+    assert _commit_cas(root, None, 1)
+    assert _read_visible(spark, root).count() == 2
+
+
+def test_restage_replaces_leftover_shards(spark, tmp_path):
+    """A failed attempt staged MORE shards than the retry produces; the
+    restage must not blend them (the dynamic-overwrite hazard)."""
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    wide = spark.createDataFrame(
+        [(i, 10, "x", i) for i in range(5)],
+        "doc_id long, tokens long, dg string, shard long",
+    )
+    _stage_version(spark, wide, root, 1)  # shards 0..4, never committed
+    narrow = spark.createDataFrame(
+        [(1, 10, "x", 0)],
+        "doc_id long, tokens long, dg string, shard long",
+    )
+    _stage_version(spark, narrow, root, 1)  # retry: one shard
+    assert _commit_cas(root, None, 1)
+    got = _read_visible(spark, root).toPandas()
+    assert len(got) == 1 and set(got["shard"]) == {0}
+
+
+def test_time_travel_reads_survive_later_commits(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    a = spark.createDataFrame(
+        [(1, 5, "a", 0)], "doc_id long, tokens long, dg string, shard long"
+    )
+    b = spark.createDataFrame(
+        [(2, 7, "b", 0), (3, 9, "c", 1)],
+        "doc_id long, tokens long, dg string, shard long",
+    )
+    _stage_version(spark, a, root, 1)
+    assert _commit_cas(root, None, 1)
+    _stage_version(spark, b, root, 2)
+    assert _commit_cas(root, 1, 2)
+    v1 = _read_version(spark, root, 1).toPandas()
+    assert list(v1["doc_id"]) == [1]
+    cur = _read_visible(spark, root).toPandas()
+    assert sorted(cur["doc_id"]) == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Packing reference (plain Python, textbook loop)
+# ---------------------------------------------------------------------------
+def _pack_reference(rows, budget):
+    """Sequential first-fit packing: shard = floor(cum_before/budget)."""
+    out, cum = {}, 0
+    for doc_id, tokens in sorted(rows):
+        out[doc_id] = (cum) // budget
+        cum += tokens
+    return out
+
+
+@pytest.mark.parametrize("budget", [_COMPACT_SMALL_BUDGET, 4000])
+def test_repack_matches_plain_python_reference(spark, budget):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    packed = _pack_where(docs, "doc_id % 2 = 0", budget).toPandas()
+    if packed.empty:
+        pytest.skip("empty fixture")
+    ref = _pack_reference(
+        list(zip(packed["doc_id"], packed["tokens"])), budget
+    )
+    got = dict(zip(packed["doc_id"], packed["shard"]))
+    assert got == ref
+
+
+def test_compaction_preserves_logical_content(spark):
+    """Doc-grain content identity between the small-budget and the
+    compacted packing, checked row-for-row (stronger than the xor
+    digest the query publishes)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    small = _pack_where(docs, "doc_id % 2 = 0", _COMPACT_SMALL_BUDGET)
+    big = _repack(small, 4000).toPandas()
+    small_pd = small.toPandas()
+    if small_pd.empty:
+        pytest.skip("empty fixture")
+    left = small_pd[["doc_id", "tokens", "dg"]].sort_values("doc_id")
+    right = big[["doc_id", "tokens", "dg"]].sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        left.reset_index(drop=True), right.reset_index(drop=True)
+    )
+    assert big["shard"].nunique() <= small_pd["shard"].nunique()
+
+
+def test_concurrent_query_registered_with_oracle():
+    for n in (
+        "pipeline_snapshot_timetravel",
+        "pipeline_concurrent_commit_cas",
+        "pipeline_compact_snapshot",
+    ):
+        assert n in engine.QUERIES and n in engine.ORACLES
