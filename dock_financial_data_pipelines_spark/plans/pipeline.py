@@ -1652,3 +1652,110 @@ def pipeline_compact_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stat(_read_version(spark, root, 1), 2, "timetravel_v1"))
         .unionAll(stat(_read_visible(spark, root), 3, "current"))
     )
+
+
+def _expire_snapshot(root: str, version: int) -> bool:
+    """Retention: physically drop an old snapshot's data + manifest
+    while KEEPING its log entry (history stays auditable; the bytes
+    go). Refuses to expire CURRENT — the one snapshot readers resolve
+    by default must always have data behind it. Expiry is marked by an
+    atomic tombstone so a crashed vacuum is re-runnable: marker first,
+    then the (idempotent) directory removes."""
+    if _resolve_current(root) == version:
+        return False
+    if version not in _committed_versions(root):
+        return False
+    tomb = os.path.join(_log_dir(root), f"v{version}.expire")
+    with open(tomb + ".tmp", "w") as fh:
+        fh.write(str(version))
+    os.replace(tomb + ".tmp", tomb)
+    shutil.rmtree(os.path.join(root, "data", f"v={version}"),
+                  ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "manifest", f"v={version}"),
+                  ignore_errors=True)
+    return True
+
+
+def _live_versions(root: str) -> list:
+    try:
+        names = set(os.listdir(_log_dir(root)))
+    except FileNotFoundError:
+        return []
+    return [
+        v for v in _committed_versions(root)
+        if f"v{v}.expire" not in names
+    ]
+
+
+def _expire_oracle() -> str:
+    return f"""
+    WITH v1 AS ({_snap_pack_sql('doc_id % 2 = 0')}),
+    v2 AS ({_snap_pack_sql('doc_id % 2 = 1')}),
+    v3 AS ({_snap_pack_sql('doc_id % 3 = 0')})
+    SELECT 0 AS stage_ord, 'live_before' AS stage,
+           CAST(3 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_tokens,
+           CAST(3 AS BIGINT) AS n_shards
+    UNION ALL {_snap_stat_sql(1, 'expired_v1', 'v1')}
+    UNION ALL {_snap_stat_sql(2, 'current_after', 'v3')}
+    UNION ALL {_snap_stat_sql(3, 'timetravel_v2_after', 'v2')}
+    UNION ALL SELECT 4, 'expired_read', CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 5, 'live_after', CAST(2 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(3 AS BIGINT)
+    """
+
+
+@query("pipeline_snapshot_expire", oracle=_expire_oracle())
+def pipeline_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention closes the time-travel loop: three commits, then a
+    keep-last-2 vacuum expires v1 — its stats are captured eagerly
+    BEFORE the bytes go (the audit a production vacuum logs), its data
+    and manifest directories are removed, its log entry stays (history
+    is metadata, bytes are cost). The oracle pins: the current and the
+    still-retained v2 reads are untouched by the vacuum, a read of the
+    expired version resolves to an EMPTY relation rather than an
+    error (the graceful-degradation contract), and the live-version
+    census drops 3 → 2 while the log still shows all three commits.
+    At 100 TB retention is what makes time travel affordable — old
+    snapshots cost only their delta files until the vacuum horizon."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "snapshot_expire")
+    for base, ver, cond in (
+        (None, 1, "doc_id % 2 = 0"),
+        (1, 2, "doc_id % 2 = 1"),
+        (2, 3, "doc_id % 3 = 0"),
+    ):
+        _stage_version(spark, _pack_where(docs, cond), root, ver)
+        assert _commit_cas(root, base, ver)
+
+    live_before = _snap_const_row(
+        spark, 0, "live_before", len(_live_versions(root)),
+        _resolve_current(root),
+    )
+    # capture the victim's stats EAGERLY: after the rmtree a lazy plan
+    # over data/v=1 would read nothing
+    v1_stats = _snap_stat(_read_version(spark, root, 1), 1, "expired_v1")
+    v1_row = spark.createDataFrame(
+        v1_stats.collect(), v1_stats.schema
+    )
+
+    assert _expire_snapshot(root, 3) is False  # CURRENT is protected
+    assert _expire_snapshot(root, 1) is True
+
+    live_after = _snap_const_row(
+        spark, 5, "live_after", len(_live_versions(root)),
+        _resolve_current(root),
+    )
+    return (
+        live_before
+        .unionAll(v1_row)
+        .unionAll(_snap_stat(_read_visible(spark, root), 2, "current_after"))
+        .unionAll(
+            _snap_stat(_read_version(spark, root, 2), 3,
+                       "timetravel_v2_after")
+        )
+        .unionAll(
+            _snap_stat(_read_version(spark, root, 1), 4, "expired_read")
+        )
+        .unionAll(live_after)
+    )

@@ -1949,3 +1949,155 @@ def x22_stream_stream_full_outer(
     # matched, orphan purchase, orphan click — survives the filter and
     # is oracle-checked.
     return drained.where(F.col("user_id") != _SENTINEL_USER)
+
+
+# ---------------------------------------------------------------------------
+# X23 — streaming snapshot publisher: every micro-batch lands as a NEW
+# CAS-committed version of a per-user running-total table through the
+# round-12 snapshot protocol (plans/pipeline.py). This is the streaming
+# half of the table-format story: the batch compactor/publisher and the
+# streaming writer share ONE commit primitive, so readers get the same
+# atomic visibility regardless of who wrote last. Versions are keyed by
+# micro-batch id (version = batch_id + 1): a checkpoint-recovery REPLAY
+# of an already-committed batch is detected in the log and skipped —
+# the Delta txnAppId/txnVersion idempotence contract — so exactly-once
+# table state survives writer crashes without exactly-once transport.
+# ---------------------------------------------------------------------------
+def _x23_publish_batch(
+    spark: SparkSession, root: str, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """Merge one micro-batch into the published per-user cents table
+    and commit it as version batch_id+1. Returns False on a detected
+    replay (already committed), True after a successful commit."""
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_cas,
+        _committed_versions,
+        _read_visible,
+        _stage_version,
+    )
+
+    ver = batch_id + 1
+    if ver in _committed_versions(root):
+        return False  # checkpoint replay: this batch already landed
+    delta = (
+        batch_df.select(
+            F.col("user_id").cast("long").alias("doc_id"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("cents").cast("long").alias("delta"))
+    )
+    old = _read_visible(spark, root).select("doc_id", "tokens")
+    merged = old.join(delta, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.col("tokens"), F.lit(0))
+            + F.coalesce(F.col("delta"), F.lit(0))
+        )
+        .cast("long")
+        .alias("tokens"),
+    )
+    state = merged.select(
+        "doc_id",
+        "tokens",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("tokens"))).alias(
+            "dg"
+        ),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+    )
+    _stage_version(spark, state, root, ver)
+    committed = _commit_cas(root, None if ver == 1 else ver - 1, ver)
+    assert committed, f"single-writer CAS cannot lose (version {ver})"
+    return True
+
+
+_X23_ORACLE = """
+WITH ev AS (
+    SELECT user_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           ntile(4) OVER (ORDER BY ts, event_id) AS chunk
+    FROM events
+),
+ks AS (SELECT * FROM (VALUES (1), (2), (3), (4)) t(k)),
+cum AS (
+    SELECT k,
+           CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(ev.cents), 0) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT ev.user_id % 8) AS BIGINT) AS n_shards
+    FROM ks LEFT JOIN ev ON ev.chunk <= ks.k
+    GROUP BY k
+)
+SELECT CAST(k AS INT) AS stage_ord,
+       'asof_v' || CAST(k AS VARCHAR) AS stage,
+       n_docs, n_tokens, n_shards
+FROM cum
+UNION ALL
+SELECT 5, 'final_visible', n_docs, n_tokens, n_shards
+FROM cum WHERE k = 4
+UNION ALL
+SELECT 6, 'snapshot_log', CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(4 AS BIGINT)
+"""
+
+
+@query("x23_stream_snapshot_publish", oracle=_X23_ORACLE)
+def x23_stream_snapshot_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the 4-chunk event stream through a foreachBatch writer that
+    publishes each micro-batch as CAS-committed snapshot version
+    batch_id+1 of a per-user running value-cents table (cents as
+    int64: floor(value*100+0.5) per EVENT, so accumulation is exact
+    and order-free). After the drain, TIME-TRAVEL over the log
+    reconstructs the table as-of every batch — the oracle recomputes
+    each prefix independently from raw events (chunk = the same
+    ntile(4) the stream was cut with), pins the final visible state to
+    the full-corpus totals, and the log to exactly 4 commits. The
+    mid-stream versions double as the consistent-snapshot guarantee: a
+    reader at any point saw SOME complete batch prefix, never a torn
+    merge."""
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _release_root,
+    )
+
+    root = _release_root(sf_dir, "x23_stream_publish")
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        _x23_publish_batch(spark, root, batch_df, batch_id)
+
+    stream = _events_stream_multibatch(spark, sf_dir)
+    scratch = _scratch()
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(publish)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _committed_versions,
+        _read_version,
+        _read_visible,
+        _resolve_current,
+        _snap_const_row,
+        _snap_stat,
+    )
+
+    out = None
+    for v in _committed_versions(root):
+        row = _snap_stat(_read_version(spark, root, v), v, f"asof_v{v}")
+        out = row if out is None else out.unionAll(row)
+    out = out.unionAll(
+        _snap_stat(_read_visible(spark, root), 5, "final_visible")
+    )
+    return out.unionAll(
+        _snap_const_row(
+            spark,
+            6,
+            "snapshot_log",
+            len(_committed_versions(root)),
+            _resolve_current(root),
+        )
+    )

@@ -177,3 +177,77 @@ def test_concurrent_query_registered_with_oracle():
         "pipeline_compact_snapshot",
     ):
         assert n in engine.QUERIES and n in engine.ORACLES
+
+
+# ---------------------------------------------------------------------------
+# Retention / vacuum
+# ---------------------------------------------------------------------------
+def test_expire_refuses_current_and_unknown_versions(tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _expire_snapshot,
+        _live_versions,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _commit_cas(root, None, 1)
+    _commit_cas(root, 1, 2)
+    assert _expire_snapshot(root, 2) is False  # CURRENT protected
+    assert _expire_snapshot(root, 9) is False  # never committed
+    assert _expire_snapshot(root, 1) is True
+    assert _expire_snapshot(root, 1) is True  # idempotent re-run
+    assert _live_versions(root) == [2]
+    assert _committed_versions(root) == [1, 2]  # history retained
+
+
+def test_expired_version_reads_empty_current_unaffected(spark, tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _expire_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    a = spark.createDataFrame(
+        [(1, 5, "a", 0)], "doc_id long, tokens long, dg string, shard long"
+    )
+    b = spark.createDataFrame(
+        [(2, 7, "b", 0)], "doc_id long, tokens long, dg string, shard long"
+    )
+    _stage_version(spark, a, root, 1)
+    assert _commit_cas(root, None, 1)
+    _stage_version(spark, b, root, 2)
+    assert _commit_cas(root, 1, 2)
+    assert _expire_snapshot(root, 1)
+    assert _read_version(spark, root, 1).count() == 0
+    assert list(_read_visible(spark, root).toPandas()["doc_id"]) == [2]
+
+
+# ---------------------------------------------------------------------------
+# Streaming publisher replay idempotence (the Delta txn contract)
+# ---------------------------------------------------------------------------
+def test_x23_batch_replay_is_skipped(spark, tmp_path):
+    from dock_financial_data_pipelines_spark.streaming.streams import (
+        _x23_publish_batch,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    batch = spark.createDataFrame(
+        [(1, 10.0), (1, 2.505), (2, 7.0)], "user_id long, value double"
+    )
+    assert _x23_publish_batch(spark, root, batch, 0) is True
+    got = _read_visible(spark, root).toPandas().set_index("doc_id")
+    # floor(10.0*100+0.5)=1000, floor(2.505*100+0.5)=251 -> 1251
+    assert int(got.loc[1, "tokens"]) == 1251
+    assert int(got.loc[2, "tokens"]) == 700
+    # checkpoint-recovery replay of batch 0: must NOT double-apply
+    assert _x23_publish_batch(spark, root, batch, 0) is False
+    again = _read_visible(spark, root).toPandas().set_index("doc_id")
+    assert int(again.loc[1, "tokens"]) == 1251
+    assert _committed_versions(root) == [1]
+    # the next batch merges on top
+    batch2 = spark.createDataFrame([(2, 1.0)], "user_id long, value double")
+    assert _x23_publish_batch(spark, root, batch2, 1) is True
+    final = _read_visible(spark, root).toPandas().set_index("doc_id")
+    assert int(final.loc[2, "tokens"]) == 800
+    assert _committed_versions(root) == [1, 2]
