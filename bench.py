@@ -99,6 +99,11 @@ HEADLINE_ROUNDS: list[tuple[str, int]] = [
     ("l7_png_decode_audit", 12),
     ("pipeline_atomic_publish", 12),
     ("l_scorer_drift_monitor", 12),
+    # snapshot-protocol bearers: compaction is the one full data pass
+    # in the table-format layer; x23 prices the per-micro-batch
+    # stage+manifest+CAS commit loop end-to-end.
+    ("pipeline_compact_snapshot", 12),
+    ("x23_stream_snapshot_publish", 12),
 ]
 HEADLINE = [n for n, _ in HEADLINE_ROUNDS]
 # The no-broadcast skew probes re-run round-1/2 queries; tag them with

@@ -95,6 +95,11 @@ _STALE_BEFORE = {
 # slots via _SWEEP_LAST order — zero-never-sampled invariant holds.
 _SWEEP_FIRST = [
     # round-12 additions (SQL-oracled, never driver-checked)
+    "pipeline_snapshot_timetravel",
+    "pipeline_concurrent_commit_cas",
+    "pipeline_compact_snapshot",
+    "pipeline_snapshot_expire",
+    "x23_stream_snapshot_publish",
     "l_bpe_train_converged",
     "l7_png_decode_audit",
     "l7_phash_decoded_neardup",

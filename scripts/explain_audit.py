@@ -2252,6 +2252,60 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_snapshot_timetravel", execute=True)
+    check(
+        "pipeline_snapshot_timetravel",
+        "each as-of read is a plain parquet scan of its immutable "
+        "v=N dir (no merge-on-read, no data copy to 'keep' a "
+        "snapshot); stats union at shard grain; no cartesian, no "
+        "Python",
+        "Union" in p and "Scan parquet" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_concurrent_commit_cas", execute=True)
+    check(
+        "pipeline_concurrent_commit_cas",
+        "conflict detection is pointer-grain (no data read to refuse "
+        "a stale CAS); the rebase recomputes ONLY the loser's "
+        "transform over the new current's parquet; no cartesian, no "
+        "Python",
+        "Scan parquet" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_compact_snapshot", execute=True)
+    check(
+        "pipeline_compact_snapshot",
+        "compaction identity is proven by xor-digest hash-aggregates "
+        "over the two version scans — shard-grain output, no "
+        "all-pairs compare; no cartesian, no Python",
+        "Scan parquet" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_snapshot_expire", execute=True)
+    check(
+        "pipeline_snapshot_expire",
+        "vacuum is metadata-only in the plan: the victim's stats were "
+        "captured eagerly pre-delete (1-row literal), the expired "
+        "read degrades to an empty relation, retained reads stay "
+        "plain parquet scans; no cartesian, no Python",
+        "Union" in p and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "x23_stream_snapshot_publish", execute=True)
+    check(
+        "x23_stream_snapshot_publish",
+        "post-drain time travel over the streamed commits is a union "
+        "of per-version parquet scans + shard-grain aggregates — the "
+        "stream's state lives in the table, not the driver; no "
+        "cartesian, no Python",
+        "Union" in p and "Scan parquet" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
