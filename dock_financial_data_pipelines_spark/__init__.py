@@ -100,6 +100,8 @@ _SWEEP_FIRST = [
     "pipeline_compact_snapshot",
     "pipeline_snapshot_expire",
     "x23_stream_snapshot_publish",
+    "pipeline_snapshot_changes",
+    "pipeline_write_audit_publish",
     "l_bpe_train_converged",
     "l7_png_decode_audit",
     "l7_phash_decoded_neardup",

@@ -877,28 +877,33 @@ def _publish_version(
     ).drop("part")
 
 
-def _commit_pointer(root: str, version: int) -> None:
+def _commit_pointer(root: str, version: int, ref: str = "CURRENT") -> None:
     """The atomic commit: POSIX rename of a fully-written temp file.
     Readers see either the old pointer or the new one, never a torn
-    write; a writer that dies before this line published NOTHING."""
-    tmp = os.path.join(root, "CURRENT.tmp")
+    write; a writer that dies before this line published NOTHING.
+    ``ref`` names the pointer file — "CURRENT" is the main table head;
+    other names are branch heads (Iceberg-style refs), same
+    atomicity."""
+    tmp = os.path.join(root, f"{ref}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(version))
-    os.replace(tmp, os.path.join(root, "CURRENT"))
+    os.replace(tmp, os.path.join(root, ref))
 
 
-def _resolve_current(root: str):
+def _resolve_current(root: str, ref: str = "CURRENT"):
     try:
-        with open(os.path.join(root, "CURRENT")) as fh:
+        with open(os.path.join(root, ref)) as fh:
             return int(fh.read().strip())
     except FileNotFoundError:
         return None
 
 
-def _read_visible(spark: SparkSession, root: str) -> DataFrame:
+def _read_visible(
+    spark: SparkSession, root: str, ref: str = "CURRENT"
+) -> DataFrame:
     """Protocol reader: pointer → committed version → data files.
     Staged-but-uncommitted versions are invisible by construction."""
-    version = _resolve_current(root)
+    version = _resolve_current(root, ref)
     if version is None:
         return spark.createDataFrame([], _REL_SCHEMA_DDL)
     return read_parquet_or_empty(
@@ -1337,17 +1342,19 @@ def _committed_versions(root: str) -> list:
     )
 
 
-def _commit_cas(root: str, expected_base, version: int) -> bool:
-    """Compare-and-swap commit: swing CURRENT expected_base → version
-    only if CURRENT still equals expected_base. Log-then-swing order:
+def _commit_cas(
+    root: str, expected_base, version: int, ref: str = "CURRENT"
+) -> bool:
+    """Compare-and-swap commit: swing ``ref`` expected_base → version
+    only if ``ref`` still equals expected_base. Log-then-swing order:
     a crash between the two leaves a committed-but-not-current version
     (exactly the rollback state), never a current-but-unlogged one."""
-    if _resolve_current(root) != expected_base:
+    if _resolve_current(root, ref) != expected_base:
         return False
     _append_commit_log(
         root, version, -1 if expected_base is None else expected_base
     )
-    _commit_pointer(root, version)
+    _commit_pointer(root, version, ref)
     return True
 
 
@@ -1758,4 +1765,221 @@ def pipeline_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             _snap_stat(_read_version(spark, root, 1), 4, "expired_read")
         )
         .unionAll(live_after)
+    )
+
+
+def _cdf_oracle() -> str:
+    return """
+    WITH v1 AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS tokens,
+               md5(text) AS dg
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    v2 AS (
+        SELECT doc_id,
+               len(string_split(CASE WHEN doc_id % 3 = 0
+                                     THEN text || ' cdc' ELSE text END,
+                                ' ')) AS tokens,
+               md5(CASE WHEN doc_id % 3 = 0
+                        THEN text || ' cdc' ELSE text END) AS dg
+        FROM documents WHERE doc_id % 4 IN (0, 3)
+    ),
+    j AS (
+        SELECT CASE WHEN v1.doc_id IS NULL THEN 'insert'
+                    WHEN v2.doc_id IS NULL THEN 'delete'
+                    WHEN v1.dg = v2.dg THEN 'unchanged'
+                    ELSE 'update' END AS change_type,
+               coalesce(v1.tokens, 0) AS t1,
+               coalesce(v2.tokens, 0) AS t2
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(t1) AS BIGINT) AS tokens_before,
+           CAST(sum(t2) AS BIGINT) AS tokens_after,
+           CAST(sum(t2) - sum(t1) AS BIGINT) AS tokens_delta
+    FROM j GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("pipeline_snapshot_changes", oracle=_cdf_oracle())
+def pipeline_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-grain change data feed between two committed snapshots (the
+    Delta CDF / Iceberg changelog contract, one level finer than
+    pipeline_release_diff's manifest-grain view): publish v1 (even
+    half) and v2 (a regeneration that DROPS doc_id≡2 (mod 4), ADDS
+    doc_id≡3 (mod 4), and EDITS every third doc by appending a token),
+    then classify every doc_id by a full-outer join of the two
+    READ-BACK snapshots on the primary key — insert / delete / update
+    (content digest moved) / unchanged — with token deltas per class.
+    The diff shuffles once on doc_id and never compares texts (the dg
+    digest carried in the snapshot rows is the comparator), so at
+    100 TB the change feed costs two snapshot scans + one equi-join,
+    not a recompute of either pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "snapshot_changes")
+    _stage_version(spark, _pack_where(docs, "doc_id % 2 = 0"), root, 1)
+    assert _commit_cas(root, None, 1)
+    docs2 = docs.where("doc_id % 4 IN (0, 3)").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" cdc"))
+        ).otherwise(F.col("text")),
+    )
+    _stage_version(spark, _pack_where(docs2, "true"), root, 2)
+    assert _commit_cas(root, 1, 2)
+
+    a = _read_version(spark, root, 1).alias("a")
+    b = _read_version(spark, root, 2).alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    change = (
+        F.when(F.col("a.doc_id").isNull(), "insert")
+        .when(F.col("b.doc_id").isNull(), "delete")
+        .when(F.col("a.dg") == F.col("b.dg"), "unchanged")
+        .otherwise("update")
+    )
+    return (
+        j.select(
+            change.alias("change_type"),
+            F.coalesce(F.col("a.tokens"), F.lit(0)).alias("t1"),
+            F.coalesce(F.col("b.tokens"), F.lit(0)).alias("t2"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("t1").cast("long").alias("tokens_before"),
+            F.sum("t2").cast("long").alias("tokens_after"),
+            (F.sum("t2") - F.sum("t1")).cast("long").alias("tokens_delta"),
+        )
+        .orderBy("change_type")
+    )
+
+
+def _fast_forward(root: str, version: int, ref: str = "CURRENT") -> bool:
+    """Move a ref to an ALREADY-COMMITTED version (no new log entry —
+    the version's commit is history; the ref move is publication).
+    Refuses versions not in the log: a ref may only ever point at
+    committed, immutable state."""
+    if version not in _committed_versions(root):
+        return False
+    _commit_pointer(root, version, ref)
+    return True
+
+
+def _wap_oracle() -> str:
+    return f"""
+    WITH v1 AS ({_snap_pack_sql('doc_id % 2 = 0')}),
+    v3 AS ({_snap_pack_sql('doc_id % 2 = 1')}),
+    c AS (SELECT (SELECT count(*) FROM v1) AS n1,
+                 (SELECT count(*) FROM v3) AS n3),
+    f AS (SELECT n1, n3,
+                 CASE WHEN n1 > 0 THEN 1 ELSE 0 END AS fail1,
+                 CASE WHEN n3 >= 1 THEN 1
+                      WHEN n1 = 0 THEN 1 ELSE 0 END AS pass2
+          FROM c)
+    {_snap_stat_sql(0, 'main_before', 'v1')}
+    UNION ALL SELECT 1, 'candidate_rejected', CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 2, 'audit_reject_flag',
+           CAST((SELECT fail1 FROM f) AS BIGINT), CAST(0 AS BIGINT),
+           CAST((SELECT CASE WHEN fail1 = 1 THEN 1 ELSE 2 END FROM f)
+                AS BIGINT)
+    UNION ALL {_snap_stat_sql(3, 'candidate_committed_branch', 'v3')}
+    UNION ALL SELECT 4, 'audit_pass_flag',
+           CAST((SELECT pass2 FROM f) AS BIGINT), CAST(0 AS BIGINT),
+           CAST((SELECT CASE WHEN pass2 = 1 THEN 3
+                             WHEN fail1 = 1 THEN 1 ELSE 2 END FROM f)
+                AS BIGINT)
+    UNION ALL
+    SELECT 5 AS stage_ord, 'main_after' AS stage,
+           CAST(CASE WHEN (SELECT pass2 FROM f) = 1
+                     THEN (SELECT count(*) FROM v3)
+                     WHEN (SELECT fail1 FROM f) = 1
+                     THEN (SELECT count(*) FROM v1) ELSE 0 END AS BIGINT),
+           CAST(CASE WHEN (SELECT pass2 FROM f) = 1
+                     THEN (SELECT coalesce(sum(tokens), 0) FROM v3)
+                     WHEN (SELECT fail1 FROM f) = 1
+                     THEN (SELECT coalesce(sum(tokens), 0) FROM v1)
+                     ELSE 0 END AS BIGINT),
+           CAST(CASE WHEN (SELECT pass2 FROM f) = 1
+                     THEN (SELECT count(DISTINCT shard) FROM v3)
+                     WHEN (SELECT fail1 FROM f) = 1
+                     THEN (SELECT count(DISTINCT shard) FROM v1)
+                     ELSE 0 END AS BIGINT)
+    UNION ALL SELECT 6, 'refs', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+           CAST((SELECT CASE WHEN pass2 = 1 THEN 3
+                             WHEN fail1 = 1 THEN 1 ELSE 2 END FROM f)
+                AS BIGINT)
+    """
+
+
+@query("pipeline_write_audit_publish", oracle=_wap_oracle())
+def pipeline_write_audit_publish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Write-Audit-Publish pattern on branch refs: candidates
+    commit to an AUDIT branch (a second pointer file with the same
+    rename atomicity), a quality gate runs against the branch read,
+    and only a passing candidate is published by FAST-FORWARDING main
+    to the already-committed version — a ref move, zero data movement,
+    and main never serves an unaudited byte. Candidate 1 is an empty
+    regeneration (broken upstream): the gate ('a regeneration must
+    keep ≥1 doc unless the table was already empty') rejects it and
+    main provably never moves. Candidate 2 (the odd half) passes and
+    main fast-forwards to it. The oracle replays the gate's decision
+    logic from raw counts, so a gate that silently inverted would
+    hash-mismatch. The branch head and main are separate single-byte
+    files: at 100 TB the whole audit workflow costs the candidate's
+    own write + the gate query."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "write_audit_publish")
+
+    _stage_version(spark, _pack_where(docs, "doc_id % 2 = 0"), root, 1)
+    assert _commit_cas(root, None, 1)
+
+    def gate(candidate_version: int) -> bool:
+        cand_n = _read_version(spark, root, candidate_version).count()
+        main_n = _read_visible(spark, root).count()
+        return cand_n >= 1 or main_n == 0
+
+    # candidate 1: an EMPTY regeneration lands on the audit branch
+    _stage_version(spark, _pack_where(docs, "false"), root, 2)
+    assert _commit_cas(root, None, 2, ref="BRANCH_audit")
+    pass1 = gate(2)
+    if pass1:
+        assert _fast_forward(root, 2)
+    reject_row = _snap_const_row(
+        spark, 2, "audit_reject_flag", int(not pass1),
+        _resolve_current(root),
+    )
+
+    # candidate 2: the real regeneration, committed on the same branch
+    _stage_version(spark, _pack_where(docs, "doc_id % 2 = 1"), root, 3)
+    assert _commit_cas(root, 2, 3, ref="BRANCH_audit")
+    pass2 = gate(3)
+    if pass2:
+        assert _fast_forward(root, 3)
+    pass_row = _snap_const_row(
+        spark, 4, "audit_pass_flag", int(pass2), _resolve_current(root)
+    )
+    refs_row = _snap_const_row(
+        spark,
+        6,
+        "refs",
+        _resolve_current(root, "BRANCH_audit"),
+        _resolve_current(root),
+    )
+    return (
+        _snap_stat(_read_version(spark, root, 1), 0, "main_before")
+        .unionAll(
+            _snap_stat(_read_version(spark, root, 2), 1,
+                       "candidate_rejected")
+        )
+        .unionAll(reject_row)
+        .unionAll(
+            _snap_stat(_read_version(spark, root, 3), 3,
+                       "candidate_committed_branch")
+        )
+        .unionAll(pass_row)
+        .unionAll(_snap_stat(_read_visible(spark, root), 5, "main_after"))
+        .unionAll(refs_row)
     )

@@ -2306,6 +2306,28 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_snapshot_changes", execute=True)
+    check(
+        "pipeline_snapshot_changes",
+        "row-grain CDF is ONE doc_id-keyed join of the two snapshot "
+        "scans comparing carried digests (SortMergeJoin FullOuter) — "
+        "texts are never re-read or re-hashed for the diff; no "
+        "cartesian, no Python",
+        "FullOuter" in p and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_write_audit_publish", execute=True)
+    check(
+        "pipeline_write_audit_publish",
+        "the audit gate reads the BRANCH head (pointer-resolved "
+        "parquet scan) and publication is a ref fast-forward — "
+        "main_after is a plain scan of the already-committed version, "
+        "no copy; no cartesian, no Python",
+        "Union" in p and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0

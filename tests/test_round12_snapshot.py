@@ -251,3 +251,89 @@ def test_x23_batch_replay_is_skipped(spark, tmp_path):
     final = _read_visible(spark, root).toPandas().set_index("doc_id")
     assert int(final.loc[2, "tokens"]) == 800
     assert _committed_versions(root) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Branch refs / fast-forward (Write-Audit-Publish plumbing)
+# ---------------------------------------------------------------------------
+def test_fast_forward_only_to_committed_versions(tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _fast_forward,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _commit_cas(root, None, 1)
+    assert _fast_forward(root, 7) is False  # never committed
+    assert _resolve_current(root) == 1
+    _commit_cas(root, None, 2, ref="BRANCH_audit")  # branch-only commit
+    # main hasn't moved, but v2 IS committed (in the log) → ff allowed
+    assert _resolve_current(root) == 1
+    assert _fast_forward(root, 2) is True
+    assert _resolve_current(root) == 2
+    # the branch head and main are independent pointers
+    assert _resolve_current(root, "BRANCH_audit") == 2
+
+
+def test_branch_commits_are_invisible_to_main_readers(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    a = spark.createDataFrame(
+        [(1, 5, "a", 0)], "doc_id long, tokens long, dg string, shard long"
+    )
+    b = spark.createDataFrame(
+        [(2, 7, "b", 0)], "doc_id long, tokens long, dg string, shard long"
+    )
+    _stage_version(spark, a, root, 1)
+    assert _commit_cas(root, None, 1)
+    _stage_version(spark, b, root, 2)
+    assert _commit_cas(root, None, 2, ref="BRANCH_audit")
+    # main readers still see v1; branch readers see v2
+    assert list(_read_visible(spark, root).toPandas()["doc_id"]) == [1]
+    assert list(
+        _read_visible(spark, root, "BRANCH_audit").toPandas()["doc_id"]
+    ) == [2]
+
+
+# ---------------------------------------------------------------------------
+# Change data feed classification (plain-Python reference)
+# ---------------------------------------------------------------------------
+def test_cdf_classes_match_plain_python(spark):
+    import duckdb
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    if docs.empty:
+        pytest.skip("empty fixture")
+    import hashlib
+
+    v1 = {
+        int(r.doc_id): hashlib.md5(r.text.encode()).hexdigest()
+        for r in docs.itertuples()
+        if r.doc_id % 2 == 0
+    }
+    v2 = {}
+    for r in docs.itertuples():
+        if r.doc_id % 4 in (0, 3):
+            t = r.text + " cdc" if r.doc_id % 3 == 0 else r.text
+            v2[int(r.doc_id)] = hashlib.md5(t.encode()).hexdigest()
+    from collections import Counter
+
+    ref = Counter()
+    for d in set(v1) | set(v2):
+        if d not in v1:
+            ref["insert"] += 1
+        elif d not in v2:
+            ref["delete"] += 1
+        elif v1[d] == v2[d]:
+            ref["unchanged"] += 1
+        else:
+            ref["update"] += 1
+    got = (
+        engine.QUERIES["pipeline_snapshot_changes"](spark, SF)
+        .toPandas()
+        .set_index("change_type")["n_rows"]
+        .to_dict()
+    )
+    assert {k: v for k, v in got.items() if v} == {
+        k: v for k, v in ref.items() if v
+    }
