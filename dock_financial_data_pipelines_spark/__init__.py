@@ -102,6 +102,8 @@ _SWEEP_FIRST = [
     "x23_stream_snapshot_publish",
     "pipeline_snapshot_changes",
     "pipeline_write_audit_publish",
+    "pipeline_manifest_pruned_read",
+    "pipeline_snapshot_schema_evolution",
     "l_bpe_train_converged",
     "l7_png_decode_audit",
     "l7_phash_decoded_neardup",

@@ -1983,3 +1983,190 @@ def pipeline_write_audit_publish(
         .unionAll(_snap_stat(_read_visible(spark, root), 5, "main_after"))
         .unionAll(refs_row)
     )
+
+
+def _shard_manifest_stats(data: DataFrame) -> DataFrame:
+    """Manifest rows enriched with per-shard key bounds (min/max
+    doc_id) — the Iceberg column-stats idea at shard grain. Written
+    beside the data like the plain manifest; bytes-sized, never
+    data-sized."""
+    return data.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+_PRUNE_LO, _PRUNE_HI = 100, 260
+
+
+def _prune_oracle() -> str:
+    return f"""
+    WITH v1 AS ({_snap_pack_sql('doc_id % 2 = 0', _COMPACT_SMALL_BUDGET)}),
+    m AS (SELECT shard, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          FROM v1 GROUP BY 1),
+    hit AS (SELECT shard FROM m
+            WHERE max_doc >= {_PRUNE_LO} AND min_doc <= {_PRUNE_HI})
+    SELECT 0 AS stage_ord, 'manifest_census' AS stage,
+           CAST((SELECT count(*) FROM m) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_tokens,
+           CAST(0 AS BIGINT) AS n_shards
+    UNION ALL
+    SELECT 1, 'pruned_read',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT)
+    FROM v1 WHERE doc_id BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+    UNION ALL
+    SELECT 2, 'full_scan_twin',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT)
+    FROM v1 WHERE doc_id BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+    """
+
+
+@query("pipeline_manifest_pruned_read", oracle=_prune_oracle())
+def pipeline_manifest_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Manifest-based SHARD SKIPPING: publish v1 at the small budget
+    (many shards) with a stats-enriched manifest (per-shard min/max
+    doc_id), then answer a key-range query by (1) consulting ONLY the
+    manifest to find overlapping shards, and (2) scanning just those
+    shard directories. The manifest census row records how many of the
+    shards survived pruning (n_tokens=surviving of n_docs=total); the
+    pruned read must return byte-identical results to the full-scan
+    twin (the oracle pins both to the same recomputation). At 100 TB
+    this is the difference between opening every file and opening the
+    manifest: the planning read is KBs, the data read is proportional
+    to selectivity — and because packing orders by doc_id, the bounds
+    are tight (clustered layout), which is exactly what
+    s20_sort_layout_advisor measures for."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "manifest_pruned")
+    packed = _pack_where(docs, "doc_id % 2 = 0", _COMPACT_SMALL_BUDGET)
+    data_dir = os.path.join(root, "data", "v=1")
+    man_dir = os.path.join(root, "manifest", "v=1")
+    write_partitioned(packed.repartition("shard"), data_dir, "shard")
+    staged = read_parquet_or_empty(spark, data_dir, _rel_schema())
+    _shard_manifest_stats(staged).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(man_dir)
+    assert _commit_cas(root, None, 1)
+
+    man = spark.read.parquet(man_dir)
+    total = man.count()
+    # planning: manifest-only (bytes); the collect is manifest-sized
+    hit = [
+        r.shard
+        for r in man.where(
+            (F.col("max_doc") >= _PRUNE_LO) & (F.col("min_doc") <= _PRUNE_HI)
+        ).collect()
+    ]
+    census = _snap_const_row(
+        spark, 0, "manifest_census", total, 0
+    ).withColumn("n_tokens", F.lit(len(hit)).cast("long"))
+
+    if hit:
+        pruned = spark.read.schema(_rel_schema()).option(
+            "basePath", data_dir
+        ).parquet(
+            *[os.path.join(data_dir, f"shard={s}") for s in sorted(hit)]
+        )
+    else:
+        pruned = spark.createDataFrame([], _REL_SCHEMA_DDL)
+    pruned = pruned.where(
+        F.col("doc_id").between(_PRUNE_LO, _PRUNE_HI)
+    )
+    full = staged.where(F.col("doc_id").between(_PRUNE_LO, _PRUNE_HI))
+    return (
+        census.select("stage_ord", "stage", "n_docs", "n_tokens", "n_shards")
+        .unionAll(_snap_stat(pruned, 1, "pruned_read"))
+        .unionAll(_snap_stat(full, 2, "full_scan_twin"))
+    )
+
+
+def _schema_evo_oracle() -> str:
+    return f"""
+    WITH v1 AS ({_snap_pack_sql('doc_id % 2 = 0')}),
+    v2 AS (
+        SELECT p.doc_id, p.tokens, p.shard, d.lang
+        FROM ({_snap_pack_sql('doc_id % 2 = 1')}) p
+        JOIN documents d ON d.doc_id = p.doc_id
+    )
+    SELECT 0 AS stage_ord, 'asof_v1_original' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(4 AS BIGINT) AS n_cols,
+           CAST(0 AS BIGINT) AS n_lang
+    FROM v1
+    UNION ALL SELECT 1, 'asof_v1_evolved_reader',
+           CAST(count(*) AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT)
+    FROM v1
+    UNION ALL SELECT 2, 'current_v2', CAST(count(*) AS BIGINT),
+           CAST(5 AS BIGINT), CAST(count(lang) AS BIGINT)
+    FROM v2
+    UNION ALL SELECT 3, 'union_all_versions',
+           CAST((SELECT count(*) FROM v1) + (SELECT count(*) FROM v2)
+                AS BIGINT),
+           CAST(5 AS BIGINT),
+           CAST((SELECT count(lang) FROM v2) AS BIGINT)
+    """
+
+
+@query("pipeline_snapshot_schema_evolution", oracle=_schema_evo_oracle())
+def pipeline_snapshot_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA EVOLUTION across snapshot versions: v2 adds a ``lang``
+    column the v1 files do not have. The contract (Iceberg/Delta
+    add-column semantics, restated over plain parquet + the snapshot
+    protocol): old files are NEVER rewritten for a metadata-only
+    change; a time-travel read of v1 through its ORIGINAL schema is
+    bit-identical to what was committed; a reader holding the EVOLVED
+    schema sees v1 rows with lang=NULL (count(lang)=0 proves no
+    phantom backfill); and a cross-version UNION under the evolved
+    schema is well-typed. n_cols pins the projected width of each
+    read. At 100 TB an add-column is a manifest edit, not a 100 TB
+    rewrite — this query is the proof the reader merges schemas
+    rather than requiring one."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "schema_evolution")
+    _stage_version(spark, _pack_where(docs, "doc_id % 2 = 0"), root, 1)
+    assert _commit_cas(root, None, 1)
+
+    # v2: the packing PLUS a lang column (schema widens by one)
+    v2 = _pack_where(docs, "doc_id % 2 = 1").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    data_dir = os.path.join(root, "data", "v=2")
+    write_partitioned(v2.repartition("shard"), data_dir, "shard")
+    assert _commit_cas(root, 1, 2)
+
+    evolved = _rel_schema().add("lang", "string")
+    v1_orig = _read_version(spark, root, 1)
+    v1_evo = read_parquet_or_empty(
+        spark, os.path.join(root, "data", "v=1"), evolved
+    )
+    v2_evo = read_parquet_or_empty(spark, data_dir, evolved)
+
+    def stat(df, ord_, name):
+        return df.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.lit(len(df.columns)).cast("long").alias("n_cols"),
+            (
+                F.coalesce(F.count("lang"), F.lit(0)).cast("long")
+                if "lang" in df.columns
+                else F.lit(0).cast("long")
+            ).alias("n_lang"),
+        ).select("stage_ord", "stage", "n_docs", "n_cols", "n_lang")
+
+    return (
+        stat(v1_orig, 0, "asof_v1_original")
+        .unionAll(stat(v1_evo, 1, "asof_v1_evolved_reader"))
+        .unionAll(stat(v2_evo, 2, "current_v2"))
+        .unionAll(stat(v1_evo.unionAll(v2_evo), 3, "union_all_versions"))
+    )

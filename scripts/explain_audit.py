@@ -2328,6 +2328,29 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_manifest_pruned_read", execute=True)
+    check(
+        "pipeline_manifest_pruned_read",
+        "planning is manifest-only (the collect is shard-count-sized); "
+        "the data read lists ONLY surviving shard dirs and still "
+        "pushes the doc_id range into the scan; no cartesian, no "
+        "Python",
+        "Scan parquet" in p and "PushedFilters" in p
+        and "doc_id" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_snapshot_schema_evolution", execute=True)
+    check(
+        "pipeline_snapshot_schema_evolution",
+        "add-column is metadata-only: v1 files are scanned in place "
+        "under BOTH schemas (no rewrite job in the plan), the evolved "
+        "reader fills lang as null at scan time, cross-version union "
+        "is well-typed; no cartesian, no Python",
+        "Union" in p and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
