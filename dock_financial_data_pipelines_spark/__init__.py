@@ -84,6 +84,20 @@ _STALE_BEFORE = {
     # (103.515 rounds differently across engines); restated in integer
     # cents — every pre-r12 hash-green certified the old formulation.
     "q_three_way_match": 11,
+    # r12 sf1 full drain caught two ORACLE defect classes (Spark code
+    # untouched): (1) session-island oracles ordered ties by bare ts,
+    # so the flag window and the running-sum window could order
+    # duplicate timestamps differently (sf1 tiles events 10x with
+    # identical ts) — now ORDER BY ts, event_id in both windows;
+    # (2) DuckDB's decimal->double cast double-rounds and sits 1 ulp
+    # off Spark's correctly-rounded conversion once the scaled value
+    # exceeds 2^53 — now routed through VARCHAR (correctly rounded in
+    # both engines). Pre-r12 hash-greens certified the old oracles.
+    "x3_session_window": 11,
+    "x3_stream_session_window": 11,
+    "a58_levene_brown_forsythe": 11,
+    "q_npv_discounted_cashflow": 11,
+    "w19_bollinger_bands": 11,
 }
 
 # Round-11 sweep plan (scripts/sweep_rotate.py at round-11 start):
@@ -113,6 +127,13 @@ _SWEEP_FIRST = [
     "pipeline_atomic_publish",
     "pipeline_release_diff",
     "pipeline_release_rollback",
+    # stale re-verifies: oracles rewritten after the r12 sf1 drain
+    # (tie-deterministic session windows; VARCHAR-routed decimal→double)
+    "x3_session_window",
+    "x3_stream_session_window",
+    "a58_levene_brown_forsythe",
+    "q_npv_discounted_cashflow",
+    "w19_bollinger_bands",
     # stale re-verifies: Spark-side code rewritten in r12 (BPE trainer
     # round body; model_score_frame internal text alias)
     "l_bpe_train_multistep",

@@ -187,14 +187,26 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
-    # FileStreamSource wants a directory: stream the sf_dir with a glob
-    # pinned to the events table.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # Spark-written table (directory of part files): the directory
+        # itself is the stream source. pathGlobFilter would match leaf
+        # FILE names and see nothing called 'events.parquet' inside.
+        # No maxFilesPerTrigger: part files carry no time order, so
+        # per-file triggering would make the watermark from one part
+        # late-drop the others — one trigger = one batch preserves the
+        # single-file contract below. (Time-ordered MULTI-batch arrival
+        # is _events_stream_multibatch's job.)
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # single-file table: FileStreamSource wants a directory — stream
+        # the sf_dir with a glob pinned to the events file (one file →
+        # one micro-batch).
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return _normalize_nanos(stream.withColumn("ts", F.col("ts")))
 
 

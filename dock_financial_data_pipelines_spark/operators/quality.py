@@ -4393,7 +4393,10 @@ _NPV_FACTORS = [
     )
     SELECT r_name,
            CAST(count(*) AS BIGINT) AS n_years,
-           CAST(sum(dcf) AS DOUBLE) AS npv
+           -- via VARCHAR: correctly-rounded decimal→double (DuckDB's
+           -- direct cast double-rounds and can differ from Spark by
+           -- 1 ulp once sum(dcf)*10^6 exceeds 2^53 — seen at sf1)
+           CAST(CAST(sum(dcf) AS VARCHAR) AS DOUBLE) AS npv
     FROM disc GROUP BY 1
     """,
 )

@@ -3007,19 +3007,28 @@ def a57_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS k, sum(n) AS nn, sum(sz) AS sztot FROM g
     ),
     terms AS (
+        -- decimal → double via VARCHAR throughout: DuckDB's direct
+        -- cast double-rounds (hugeint→double, /10^scale) and can sit
+        -- 1 ulp off Spark's correctly-rounded conversion once the
+        -- scaled decimal exceeds 2^53 (szz ~ 1e16·10^6 at sf1); the
+        -- string round-trip is correctly rounded in both engines.
         SELECT g.grp, g.n, t.k, t.nn,
                CAST(g.n AS DOUBLE)
-                   * power(CAST(g.sz AS DOUBLE) / g.n
-                           - CAST(t.sztot AS DOUBLE) / t.nn, 2) AS bt,
-               CAST(g.szz AS DOUBLE)
-                   - CAST(g.sz AS DOUBLE) * CAST(g.sz AS DOUBLE) / g.n
+                   * power(CAST(CAST(g.sz AS VARCHAR) AS DOUBLE) / g.n
+                           - CAST(CAST(t.sztot AS VARCHAR) AS DOUBLE)
+                               / t.nn, 2) AS bt,
+               CAST(CAST(g.szz AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(g.sz AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(g.sz AS VARCHAR) AS DOUBLE) / g.n
                    AS wt
         FROM g CROSS JOIN tot t
     ),
     agg AS (
         SELECT max(k) AS k, max(nn) AS nn,
-               CAST(sum(CAST(bt AS DECIMAL(27,6))) AS DOUBLE) AS between_ss,
-               CAST(sum(CAST(wt AS DECIMAL(27,6))) AS DOUBLE) AS within_ss
+               CAST(CAST(sum(CAST(bt AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS between_ss,
+               CAST(CAST(sum(CAST(wt AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS within_ss
         FROM terms
     )
     SELECT CAST(k AS BIGINT) AS k_groups,

@@ -723,11 +723,18 @@ def w18_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
     ),
     win AS (
+        -- decimal → double via VARCHAR: DuckDB's direct decimal cast
+        -- double-rounds (hugeint→double, then /10^scale) and can land
+        -- 1 ulp off Spark's correctly-rounded BigDecimal.doubleValue
+        -- once the scaled value exceeds 2^53; the string round-trip is
+        -- correctly rounded in both engines (caught at sf1, where a
+        -- 1-ulp s2 skew flipped one band's .xx5 rounding boundary).
         SELECT day, CAST(rev AS DOUBLE) AS rev,
                count(*) OVER w AS n,
-               CAST(sum(CAST(rev AS DECIMAL(27,2))) OVER w AS DOUBLE) AS s1,
-               CAST(sum(CAST(rev * rev AS DECIMAL(38,4))) OVER w AS DOUBLE)
-                   AS s2
+               CAST(CAST(sum(CAST(rev AS DECIMAL(27,2))) OVER w AS VARCHAR)
+                    AS DOUBLE) AS s1,
+               CAST(CAST(sum(CAST(rev * rev AS DECIMAL(38,4))) OVER w
+                         AS VARCHAR) AS DOUBLE) AS s2
         FROM daily
         WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     ),

@@ -86,17 +86,17 @@ def x2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x3_session_window",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                     THEN 1 ELSE 0 END AS new_session
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
         SELECT user_id, ts, value,
                sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id
         FROM flagged

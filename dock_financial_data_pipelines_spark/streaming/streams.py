@@ -321,7 +321,7 @@ def x2_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min gap duration — session_window extends [ts, ts+gap)).
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -330,7 +330,7 @@ def x2_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions AS (
         SELECT user_id, ts,
                sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_no
         FROM flagged
