@@ -118,6 +118,7 @@ _SWEEP_FIRST = [
     "pipeline_write_audit_publish",
     "pipeline_manifest_pruned_read",
     "pipeline_snapshot_schema_evolution",
+    "pipeline_snapshot_merge_upsert",
     "l_bpe_train_converged",
     "l7_png_decode_audit",
     "l7_phash_decoded_neardup",

@@ -2170,3 +2170,168 @@ def pipeline_snapshot_schema_evolution(
         .unionAll(stat(v2_evo, 2, "current_v2"))
         .unionAll(stat(v1_evo.unionAll(v2_evo), 3, "union_all_versions"))
     )
+
+
+def _merge_oracle() -> str:
+    return """
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS tokens,
+               md5(text) AS dg
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    chg AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'delete' ELSE 'upsert' END
+                   AS op,
+               len(string_split(text || ' v2', ' ')) AS tokens,
+               md5(text || ' v2') AS dg
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    merged AS (
+        SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN c.op = 'upsert' THEN c.tokens
+                    ELSE b.tokens END AS tokens
+        FROM base b FULL OUTER JOIN chg c ON b.doc_id = c.doc_id
+        WHERE NOT coalesce(c.op = 'delete', FALSE)
+    ),
+    cls AS (
+        SELECT CASE WHEN c.doc_id IS NULL THEN 'untouched'
+                    WHEN b.doc_id IS NULL AND c.op = 'upsert' THEN 'insert'
+                    WHEN b.doc_id IS NULL THEN 'delete_noop'
+                    WHEN c.op = 'delete' THEN 'delete'
+                    ELSE 'update' END AS op
+        FROM base b FULL OUTER JOIN chg c ON b.doc_id = c.doc_id
+    )
+    SELECT 0 AS stage_ord, 'base_v1' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(tokens), 0) AS BIGINT) AS n_tokens
+    FROM base
+    UNION ALL SELECT 1, 'inserts',
+           CAST((SELECT count(*) FROM cls WHERE op = 'insert') AS BIGINT),
+           CAST(0 AS BIGINT)
+    UNION ALL SELECT 2, 'updates',
+           CAST((SELECT count(*) FROM cls WHERE op = 'update') AS BIGINT),
+           CAST(0 AS BIGINT)
+    UNION ALL SELECT 3, 'deletes',
+           CAST((SELECT count(*) FROM cls WHERE op = 'delete') AS BIGINT),
+           CAST(0 AS BIGINT)
+    UNION ALL SELECT 4, 'merged_v2',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT)
+    FROM merged
+    UNION ALL SELECT 5, 'deleted_still_present', CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT)
+    """
+
+
+@query("pipeline_snapshot_merge_upsert", oracle=_merge_oracle())
+def pipeline_snapshot_merge_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE INTO through the snapshot protocol: the table-format verb
+    (Delta MERGE / Iceberg upsert) restated as copy-on-write — read
+    the CURRENT snapshot, ONE full-outer join on the key applies the
+    changeset (matched+delete → drop, matched+upsert → replace,
+    unmatched upsert → insert, delete of a missing key → no-op), and
+    the result lands as version 2 via the ordinary CAS commit. The
+    changeset here touches every third doc ('… v2'-suffixed rewrite)
+    and deletes every tenth; the oracle classifies the changeset
+    independently and pins 'deleted keys still present' to ZERO — the
+    invariant a MERGE must hold. Copy-on-write is the honest 100 TB
+    default (merge-on-read needs a delete-file reader); cost is one
+    key-shuffled join + the rewrite of touched shards, and readers
+    stay on v1 until the single pointer swing."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "merge_upsert")
+
+    base = docs.where("doc_id % 2 = 0").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        F.md5("text").alias("dg"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+    )
+    _stage_version(spark, base, root, 1)
+    assert _commit_cas(root, None, 1)
+
+    chg = docs.where("doc_id % 3 = 0").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.size(F.split(F.concat("text", F.lit(" v2")), " "))
+        .cast("long")
+        .alias("tokens"),
+        F.md5(F.concat("text", F.lit(" v2"))).alias("dg"),
+    )
+
+    cur = _read_visible(spark, root).alias("b")
+    c = chg.alias("c")
+    j = cur.join(c, F.col("b.doc_id") == F.col("c.doc_id"), "full_outer")
+    merged = (
+        j.where(
+            ~F.coalesce(F.col("c.op") == "delete", F.lit(False))
+        )
+        .select(
+            F.coalesce(F.col("c.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.when(F.col("c.op") == "upsert", F.col("c.tokens"))
+            .otherwise(F.col("b.tokens"))
+            .alias("tokens"),
+            F.when(F.col("c.op") == "upsert", F.col("c.dg"))
+            .otherwise(F.col("b.dg"))
+            .alias("dg"),
+        )
+        .withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("long")
+        )
+    )
+    _stage_version(spark, merged, root, 2)
+    assert _commit_cas(root, 1, 2)
+
+    cls = j.select(
+        F.when(F.col("c.doc_id").isNull(), "untouched")
+        .when(
+            F.col("b.doc_id").isNull() & (F.col("c.op") == "upsert"),
+            "insert",
+        )
+        .when(F.col("b.doc_id").isNull(), "delete_noop")
+        .when(F.col("c.op") == "delete", "delete")
+        .otherwise("update")
+        .alias("op")
+    )
+
+    def n_of(op, ord_, name):
+        return cls.where(F.col("op") == op).agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_tokens"),
+        ).select("stage_ord", "stage", "n_docs", "n_tokens")
+
+    def tok_stat(df, ord_, name):
+        return df.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        ).select("stage_ord", "stage", "n_docs", "n_tokens")
+
+    v2 = _read_visible(spark, root)
+    deleted_ids = chg.where(F.col("op") == "delete").select("doc_id")
+    still = v2.join(deleted_ids, "doc_id", "left_semi")
+    return (
+        tok_stat(_read_version(spark, root, 1), 0, "base_v1")
+        .unionAll(n_of("insert", 1, "inserts"))
+        .unionAll(n_of("update", 2, "updates"))
+        .unionAll(n_of("delete", 3, "deletes"))
+        .unionAll(tok_stat(v2, 4, "merged_v2"))
+        .unionAll(
+            still.agg(
+                F.lit(5).cast("int").alias("stage_ord"),
+                F.lit("deleted_still_present").alias("stage"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.lit(0).cast("long").alias("n_tokens"),
+            ).select("stage_ord", "stage", "n_docs", "n_tokens")
+        )
+    )

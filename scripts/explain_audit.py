@@ -2351,6 +2351,18 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_snapshot_merge_upsert", execute=True)
+    check(
+        "pipeline_snapshot_merge_upsert",
+        "MERGE is ONE key-shuffled full-outer join (copy-on-write "
+        "apply) + a semi-join audit that deleted keys vanished — no "
+        "per-row Python, no cartesian, and the committed result is "
+        "read back as plain parquet",
+        "FullOuter" in p and "Scan parquet" in p
+        and ("LeftSemi" in p or "ExistenceJoin" in p)
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
