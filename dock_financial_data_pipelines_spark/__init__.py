@@ -119,6 +119,7 @@ _SWEEP_FIRST = [
     "pipeline_manifest_pruned_read",
     "pipeline_snapshot_schema_evolution",
     "pipeline_snapshot_merge_upsert",
+    "pipeline_log_tail_consume",
     "l_bpe_train_converged",
     "l7_png_decode_audit",
     "l7_phash_decoded_neardup",

@@ -2335,3 +2335,176 @@ def pipeline_snapshot_merge_upsert(
             ).select("stage_ord", "stage", "n_docs", "n_tokens")
         )
     )
+
+
+def _consumer_offset(root: str, name: str) -> int:
+    try:
+        with open(os.path.join(root, "consumers", f"{name}.offset")) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def _advance_consumer(root: str, name: str, version: int) -> None:
+    """Durable consumer offset, atomic-rename published like every
+    other pointer: a consumer that crashes mid-batch re-reads from its
+    last committed offset (at-least-once), and because version deltas
+    are deterministic, the re-run emits the same rows (effectively
+    exactly-once for idempotent downstream writes)."""
+    d = os.path.join(root, "consumers")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(d, f"{name}.offset"))
+
+
+def _version_delta(
+    spark: SparkSession, root: str, v_from, v_to: int
+) -> DataFrame:
+    """(n_ins, n_del, n_upd) between two committed versions — the same
+    digest-carrying full-outer join as pipeline_snapshot_changes, at
+    count grain. v_from=None means the empty pre-table."""
+    if v_from is None:
+        a = spark.createDataFrame([], _REL_SCHEMA_DDL).alias("a")
+    else:
+        a = _read_version(spark, root, v_from).alias("a")
+    b = _read_version(spark, root, v_to).alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    return j.agg(
+        F.coalesce(
+            F.sum(F.col("a.doc_id").isNull().cast("long")), F.lit(0)
+        ).cast("long").alias("n_ins"),
+        F.coalesce(
+            F.sum(F.col("b.doc_id").isNull().cast("long")), F.lit(0)
+        ).cast("long").alias("n_del"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("a.doc_id").isNotNull()
+                    & F.col("b.doc_id").isNotNull()
+                    & (F.col("a.dg") != F.col("b.dg"))
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_upd"),
+    )
+
+
+def _tail_oracle() -> str:
+    return """
+    WITH v1 AS (
+        SELECT doc_id, md5(text) AS dg
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 3 = 0 THEN text || ' cdc'
+                        ELSE text END) AS dg
+        FROM documents WHERE doc_id % 4 IN (0, 3)
+    ),
+    v3 AS (
+        SELECT doc_id, md5(text) AS dg
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    d12 AS (
+        SELECT CAST(coalesce(sum(CASE WHEN v1.doc_id IS NULL THEN 1 ELSE 0
+                    END), 0) AS BIGINT) AS n_ins,
+               CAST(coalesce(sum(CASE WHEN v2.doc_id IS NULL THEN 1 ELSE 0
+                    END), 0) AS BIGINT) AS n_del,
+               CAST(coalesce(sum(CASE WHEN v1.doc_id IS NOT NULL
+                              AND v2.doc_id IS NOT NULL
+                              AND v1.dg != v2.dg THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_upd
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    ),
+    d23 AS (
+        SELECT CAST(coalesce(sum(CASE WHEN v2.doc_id IS NULL THEN 1 ELSE 0
+                    END), 0) AS BIGINT) AS n_ins,
+               CAST(coalesce(sum(CASE WHEN v3.doc_id IS NULL THEN 1 ELSE 0
+                    END), 0) AS BIGINT) AS n_del,
+               CAST(coalesce(sum(CASE WHEN v2.doc_id IS NOT NULL
+                              AND v3.doc_id IS NOT NULL
+                              AND v2.dg != v3.dg THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_upd
+        FROM v2 FULL OUTER JOIN v3 ON v2.doc_id = v3.doc_id
+    )
+    SELECT 1 AS stage_ord, 'c1_v1' AS stage,
+           CAST((SELECT count(*) FROM v1) AS BIGINT) AS n_ins,
+           CAST(0 AS BIGINT) AS n_del, CAST(0 AS BIGINT) AS n_upd
+    UNION ALL SELECT 2, 'c1_v2', n_ins, n_del, n_upd FROM d12
+    UNION ALL SELECT 3, 'c2_v3', n_ins, n_del, n_upd FROM d23
+    UNION ALL SELECT 4, 'c3_nothing_new', CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 5, 'final_offset', CAST(3 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """
+
+
+@query("pipeline_log_tail_consume", oracle=_tail_oracle())
+def pipeline_log_tail_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DOWNSTREAM CONSUMPTION of the commit log: a consumer
+    with a durable offset tails the table like a changelog topic.
+    Three commits land (even half → the CDF regeneration → odd half);
+    consume() #1 runs after v2 and emits per-version deltas for v1 and
+    v2 (everything past offset 0), consume() #2 emits only v3, and
+    consume() #3 — with nothing new — emits zero versions (the
+    idempotence probe). Deltas are the digest full-outer join at count
+    grain; offsets advance by atomic rename only AFTER the batch is
+    produced, so a crashed consumer replays its last batch
+    deterministically. This is the piece that turns the snapshot store
+    into a change PROPAGATION system — at 100 TB a consumer reads two
+    snapshot scans per version, never the history."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "log_tail")
+
+    _stage_version(spark, _pack_where(docs, "doc_id % 2 = 0"), root, 1)
+    assert _commit_cas(root, None, 1)
+    docs2 = docs.where("doc_id % 4 IN (0, 3)").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" cdc"))
+        ).otherwise(F.col("text")),
+    )
+    _stage_version(spark, _pack_where(docs2, "true"), root, 2)
+    assert _commit_cas(root, 1, 2)
+
+    def consume(tag_start: int):
+        off = _consumer_offset(root, "A")
+        new = [v for v in _committed_versions(root) if v > off]
+        rows = []
+        prev = off if off > 0 else None
+        for i, v in enumerate(new):
+            d = _version_delta(spark, root, prev, v).select(
+                F.lit(tag_start + i).cast("int").alias("stage_ord"),
+                F.lit(f"c?_v{v}").alias("stage"),
+                "n_ins",
+                "n_del",
+                "n_upd",
+            )
+            rows.append((v, d))
+            prev = v
+        if new:
+            _advance_consumer(root, "A", new[-1])
+        return rows
+
+    batch1 = consume(1)  # v1, v2
+    _stage_version(spark, _pack_where(docs, "doc_id % 2 = 1"), root, 3)
+    assert _commit_cas(root, 2, 3)
+    batch2 = consume(3)  # v3 only
+    batch3 = consume(99)  # nothing new
+
+    out = None
+    for call, rows in (("c1", batch1), ("c2", batch2)):
+        for v, d in rows:
+            d = d.withColumn("stage", F.lit(f"{call}_v{v}"))
+            out = d if out is None else out.unionAll(d)
+    empty_row = spark.createDataFrame(
+        [(4, "c3_nothing_new", len(batch3), 0, 0)],
+        "stage_ord int, stage string, n_ins long, n_del long, n_upd long",
+    )
+    offset_row = spark.createDataFrame(
+        [(5, "final_offset", _consumer_offset(root, "A"), 0, 0)],
+        "stage_ord int, stage string, n_ins long, n_del long, n_upd long",
+    )
+    return out.unionAll(empty_row).unionAll(offset_row)

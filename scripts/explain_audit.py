@@ -2363,6 +2363,17 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_log_tail_consume", execute=True)
+    check(
+        "pipeline_log_tail_consume",
+        "each consumed version costs exactly two snapshot scans + one "
+        "key full-outer at count grain — the consumer never scans "
+        "history, and offset bookkeeping is file-grain; no cartesian, "
+        "no Python",
+        "FullOuter" in p and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0

@@ -368,3 +368,40 @@ def test_manifest_bounds_are_sound_for_pruning(spark):
     kept = man[~man["shard"].isin(pruned_out)]
     for r in kept.itertuples():
         assert r.max_doc >= _PRUNE_LO and r.min_doc <= _PRUNE_HI
+
+
+# ---------------------------------------------------------------------------
+# Log-tail consumer offsets
+# ---------------------------------------------------------------------------
+def test_consumer_offset_replay_is_deterministic(spark, tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _advance_consumer,
+        _consumer_offset,
+        _version_delta,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    a = spark.createDataFrame(
+        [(1, 5, "a", 0), (2, 6, "b", 0)],
+        "doc_id long, tokens long, dg string, shard long",
+    )
+    b = spark.createDataFrame(
+        [(1, 5, "a", 0), (2, 9, "B", 0), (3, 1, "c", 0)],
+        "doc_id long, tokens long, dg string, shard long",
+    )
+    _stage_version(spark, a, root, 1)
+    assert _commit_cas(root, None, 1)
+    _stage_version(spark, b, root, 2)
+    assert _commit_cas(root, 1, 2)
+
+    assert _consumer_offset(root, "A") == 0
+    d = _version_delta(spark, root, 1, 2).collect()[0]
+    assert (d.n_ins, d.n_del, d.n_upd) == (1, 0, 1)
+    # crash BEFORE advancing: offset still 0, replay gives same delta
+    d2 = _version_delta(spark, root, 1, 2).collect()[0]
+    assert (d2.n_ins, d2.n_del, d2.n_upd) == (1, 0, 1)
+    _advance_consumer(root, "A", 2)
+    assert _consumer_offset(root, "A") == 2
+    # independent consumers do not share offsets
+    assert _consumer_offset(root, "B") == 0
