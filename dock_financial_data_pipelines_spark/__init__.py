@@ -100,13 +100,14 @@ _STALE_BEFORE = {
     "w19_bollinger_bands": 11,
 }
 
-# Round-11 sweep plan (scripts/sweep_rotate.py at round-11 start):
-# all 451 pre-r11 entries carry a driver hash-green, so slots 1-6 go to
-# the _STALE_BEFORE re-verifies (ADVICE-fix-touched code paths:
-# C(n,2) shiftright arithmetic, sf_tag-keyed staging). Round-11
-# registrations queue next (class 3 in import order, or planned here as
-# they land); previously verified entries rotate through the remaining
-# slots via _SWEEP_LAST order — zero-never-sampled invariant holds.
+# Round-12 sweep plan (same scheme as prior rounds): round-12
+# registrations (the snapshot-protocol family + the earlier r12 batch)
+# take the head slots, then the _STALE_BEFORE re-verifies — Spark-side
+# rewrites (BPE round body, model_score_frame alias, three-way-match
+# integer cents) and the oracle rewrites the sf1 full drain forced
+# (tie-deterministic session windows; VARCHAR-routed decimal→double).
+# Previously verified entries rotate through the remaining slots via
+# _SWEEP_LAST order — the zero-never-sampled invariant holds.
 _SWEEP_FIRST = [
     # round-12 additions (SQL-oracled, never driver-checked)
     "pipeline_snapshot_timetravel",
