@@ -121,6 +121,7 @@ _SWEEP_FIRST = [
     "pipeline_snapshot_schema_evolution",
     "pipeline_snapshot_merge_upsert",
     "pipeline_log_tail_consume",
+    "pipeline_orphan_gc",
     "l_bpe_train_converged",
     "l7_png_decode_audit",
     "l7_phash_decoded_neardup",

@@ -2508,3 +2508,101 @@ def pipeline_log_tail_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage_ord int, stage string, n_ins long, n_del long, n_upd long",
     )
     return out.unionAll(empty_row).unionAll(offset_row)
+
+
+def _gc_orphans(root: str) -> list:
+    """Remove STAGED-BUT-NEVER-COMMITTED version directories (crashed
+    writers' leftovers): any data/ or manifest/ v=N dir whose N has no
+    commit-log entry. Committed versions — current, historical, even
+    expired ones (whose dirs are already gone) — are never touched, so
+    GC is safe to run concurrently with readers at any time. Returns
+    the orphaned version numbers removed."""
+    committed = set(_committed_versions(root))
+    removed = set()
+    for sub in ("data", "manifest"):
+        base = os.path.join(root, sub)
+        try:
+            names = os.listdir(base)
+        except FileNotFoundError:
+            continue
+        for n in names:
+            if not n.startswith("v="):
+                continue
+            try:
+                v = int(n[2:])
+            except ValueError:
+                continue
+            if v not in committed:
+                shutil.rmtree(os.path.join(base, n), ignore_errors=True)
+                removed.add(v)
+    return sorted(removed)
+
+
+def _orphan_gc_oracle() -> str:
+    return f"""
+    WITH v1 AS ({_snap_pack_sql('doc_id % 2 = 0')}),
+    v3 AS ({_snap_pack_sql('doc_id % 2 = 1')})
+    {_snap_stat_sql(0, 'committed_v1', 'v1')}
+    UNION ALL SELECT 1, 'orphans_found', CAST(2 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL {_snap_stat_sql(2, 'visible_after_gc', 'v1')}
+    UNION ALL SELECT 3, 'orphan_read_after_gc', CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL {_snap_stat_sql(4, 'recommitted_v4', 'v3')}
+    UNION ALL SELECT 5, 'final_current', CAST(4 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(2 AS BIGINT)
+    """
+
+
+@query("pipeline_orphan_gc", oracle=_orphan_gc_oracle())
+def pipeline_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORPHAN GC, the maintenance action completing retention: two
+    crashed writers leave staged-but-uncommitted v=2 and v=3 dirs
+    (data + manifest, no log entry); the GC enumerates version dirs
+    against the commit log and removes exactly the orphans — the
+    committed v1 and the pointer are untouched, by construction
+    rather than by timestamp heuristics (the log IS the ground
+    truth, so GC needs no grace window to be safe). After GC a fresh
+    writer stages and commits v4 normally, proving the table is fully
+    functional post-cleanup. The oracle pins the orphan census (2),
+    the reader's view across the whole sequence, and the final
+    current version. At 100 TB this is the job that keeps object-
+    store costs from silently ratcheting after every writer crash —
+    and it is metadata-driven: LIST versions + log lookup, no data
+    read."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "orphan_gc")
+
+    _stage_version(spark, _pack_where(docs, "doc_id % 2 = 0"), root, 1)
+    assert _commit_cas(root, None, 1)
+
+    # two crashed writers: staged, never committed
+    _stage_version(spark, _pack_where(docs, "doc_id % 2 = 1"), root, 2)
+    _stage_version(spark, _pack_where(docs, "doc_id % 3 = 0"), root, 3)
+
+    orphans = _gc_orphans(root)
+    orphan_row = _snap_const_row(
+        spark, 1, "orphans_found", len(orphans), 0
+    )
+    after_gc = _snap_stat(_read_visible(spark, root), 2, "visible_after_gc")
+    orphan_read = _snap_stat(
+        _read_version(spark, root, 2), 3, "orphan_read_after_gc"
+    )
+
+    # the table keeps working: a fresh writer lands v4
+    _stage_version(spark, _pack_where(docs, "doc_id % 2 = 1"), root, 4)
+    assert _commit_cas(root, 1, 4)
+    final_row = _snap_const_row(
+        spark, 5, "final_current", _resolve_current(root),
+        len(_committed_versions(root)),
+    )
+    return (
+        _snap_stat(_read_version(spark, root, 1), 0, "committed_v1")
+        .unionAll(orphan_row)
+        .unionAll(after_gc)
+        .unionAll(orphan_read)
+        .unionAll(
+            _snap_stat(_read_version(spark, root, 4), 4, "recommitted_v4")
+        )
+        .unionAll(final_row)
+    )

@@ -2374,6 +2374,16 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_orphan_gc", execute=True)
+    check(
+        "pipeline_orphan_gc",
+        "GC is metadata-driven (LIST + log lookup, no data read in "
+        "the cleanup itself); the plan only scans committed versions' "
+        "parquet for the before/after stats; no cartesian, no Python",
+        "Union" in p and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0

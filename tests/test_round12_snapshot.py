@@ -405,3 +405,32 @@ def test_consumer_offset_replay_is_deterministic(spark, tmp_path):
     assert _consumer_offset(root, "A") == 2
     # independent consumers do not share offsets
     assert _consumer_offset(root, "B") == 0
+
+
+# ---------------------------------------------------------------------------
+# Orphan GC
+# ---------------------------------------------------------------------------
+def test_orphan_gc_removes_only_uncommitted(spark, tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _gc_orphans,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    a = spark.createDataFrame(
+        [(1, 5, "a", 0)], "doc_id long, tokens long, dg string, shard long"
+    )
+    _stage_version(spark, a, root, 1)
+    assert _commit_cas(root, None, 1)
+    _stage_version(spark, a, root, 2)  # crashed writer: never committed
+    assert _gc_orphans(root) == [2]
+    # both the data and the manifest dirs of the orphan are gone
+    assert not os.path.exists(os.path.join(root, "data", "v=2"))
+    assert not os.path.exists(os.path.join(root, "manifest", "v=2"))
+    # committed version untouched; GC idempotent
+    assert _read_visible(spark, root).count() == 1
+    assert _gc_orphans(root) == []
+    # a fresh stage+commit of the SAME number works after GC
+    _stage_version(spark, a, root, 2)
+    assert _commit_cas(root, 1, 2)
+    assert _read_visible(spark, root).count() == 1
