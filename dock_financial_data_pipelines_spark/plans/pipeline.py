@@ -784,25 +784,9 @@ def _release_root(sf_dir: str, name: str) -> str:
 
 def _pack_half(docs: DataFrame, parity: int, offset=None) -> DataFrame:
     """(doc_id, tokens, dg, shard): token-budget packing of one doc_id
-    parity class — the same packing rule as the release pipelines."""
-    from dock_financial_data_pipelines_spark.sources.sinks import (
-        _EXPORT_TOKEN_BUDGET,
-    )
-
-    half = docs.where(F.col("doc_id") % 2 == parity).select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("tokens"),
-        F.md5("text").alias("dg"),
-    )
-    cum = F.sum("tokens").over(
-        Window.orderBy("doc_id").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-    )
-    packed = half.withColumn("cum", cum).withColumn(
-        "shard",
-        F.expr(f"(cum - tokens) div {_EXPORT_TOKEN_BUDGET}").cast("long"),
-    ).drop("cum")
+    parity class — delegates to _pack_where so the packing rule (the
+    thing every oracle pins) lives in exactly one place."""
+    packed = _pack_where(docs, f"doc_id % 2 = {parity}")
     if offset is not None:
         packed = packed.crossJoin(F.broadcast(offset)).withColumn(
             "shard", (F.col("shard") + F.col("offset")).cast("long")
@@ -858,22 +842,15 @@ def _shard_manifest(data: DataFrame) -> DataFrame:
 def _publish_version(
     spark: SparkSession, df: DataFrame, root: str, version: int
 ) -> DataFrame:
-    """Stage data + manifest for `version`, then atomically commit by
-    swapping the CURRENT pointer. Returns the manifest READ-BACK."""
-    data_dir = os.path.join(root, "data", f"v={version}")
-    man_dir = os.path.join(root, "manifest", f"v={version}")
-    write_partitioned(df.repartition("shard"), data_dir, "shard")
-    staged = read_parquet_or_empty(spark, data_dir, _rel_schema())
-    write_partitioned(
-        _shard_manifest(staged).withColumn(
-            "part", (F.col("shard") % 4).cast("long")
-        ),
-        man_dir,
-        "part",
-    )
+    """Stage data + manifest for `version` (one staging implementation
+    — _stage_version — shared with the CAS protocol), then atomically
+    commit by swapping the CURRENT pointer. Returns the manifest
+    READ-BACK."""
+    _stage_version(spark, df, root, version)
     _commit_pointer(root, version)
     return read_parquet_or_empty(
-        spark, man_dir, _manifest_schema()
+        spark, os.path.join(root, "manifest", f"v={version}"),
+        _manifest_schema(),
     ).drop("part")
 
 
@@ -1320,16 +1297,25 @@ def _log_dir(root: str) -> str:
     return os.path.join(root, "log")
 
 
-def _append_commit_log(root: str, version: int, parent: int) -> None:
-    """One immutable log entry per commit, published by atomic rename
-    (same discipline as the pointer). The log is append-only: entries
-    are never rewritten, so a reader enumerating it sees a prefix of
-    the true history, never a torn entry."""
+def _append_commit_log(root: str, version: int, parent: int) -> bool:
+    """One immutable log entry per commit, created EXCLUSIVELY
+    (O_EXCL): a version number can be committed exactly once, ever —
+    across all refs, since versions are table-global like Iceberg
+    snapshot ids. Returns False (writes nothing) if the entry already
+    exists, so append-only is enforced by the filesystem, not by
+    caller discipline. The content is still published whole: O_EXCL
+    create + single write of a short string is torn-read-safe here
+    because readers only enumerate NAMES (the content is the parent
+    pointer, read only by forensics)."""
     os.makedirs(_log_dir(root), exist_ok=True)
-    tmp = os.path.join(_log_dir(root), f".v{version}.tmp")
-    with open(tmp, "w") as fh:
+    path = os.path.join(_log_dir(root), f"v{version}.commit")
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
         fh.write(f"{version},{parent}")
-    os.replace(tmp, os.path.join(_log_dir(root), f"v{version}.commit"))
+    return True
 
 
 def _committed_versions(root: str) -> list:
@@ -1346,14 +1332,19 @@ def _commit_cas(
     root: str, expected_base, version: int, ref: str = "CURRENT"
 ) -> bool:
     """Compare-and-swap commit: swing ``ref`` expected_base → version
-    only if ``ref`` still equals expected_base. Log-then-swing order:
-    a crash between the two leaves a committed-but-not-current version
-    (exactly the rollback state), never a current-but-unlogged one."""
+    only if ``ref`` still equals expected_base AND ``version`` has
+    never been committed before (the O_EXCL log create is the second
+    guard — two writers who raced to the same version number cannot
+    both land even if they interleave past the pointer check).
+    Log-then-swing order: a crash between the two leaves a
+    committed-but-not-current version (exactly the rollback state,
+    repaired by _fast_forward), never a current-but-unlogged one."""
     if _resolve_current(root, ref) != expected_base:
         return False
-    _append_commit_log(
+    if not _append_commit_log(
         root, version, -1 if expected_base is None else expected_base
-    )
+    ):
+        return False
     _commit_pointer(root, version, ref)
     return True
 
@@ -1364,7 +1355,17 @@ def _stage_version(
     """Stage data + manifest for ``version`` (writer-private until the
     CAS). A retry restages from scratch — the rmtree guards against a
     dynamic-overwrite blend of a failed attempt's leftover shards with
-    the retry's (the retry may produce FEWER shards)."""
+    the retry's (the retry may produce FEWER shards). REFUSES a
+    version already in the commit log: committed versions are
+    immutable, and a concurrent writer that lost the version-number
+    race must re-read CURRENT and allocate a fresh number rather than
+    clobber the winner's files (on an object store the same guard is
+    writer-unique staging paths + the O_EXCL log create)."""
+    if version in _committed_versions(root):
+        raise ValueError(
+            f"version {version} is committed and immutable; "
+            "re-read the current version and stage a fresh number"
+        )
     data_dir = os.path.join(root, "data", f"v={version}")
     man_dir = os.path.join(root, "manifest", f"v={version}")
     shutil.rmtree(data_dir, ignore_errors=True)
@@ -1427,14 +1428,25 @@ def _timetravel_oracle() -> str:
     """
 
 
-def _snap_stat(df: DataFrame, ord_: int, name: str) -> DataFrame:
-    return df.agg(
+def _snap_stat(
+    df: DataFrame, ord_: int, name: str, digest: bool = False
+) -> DataFrame:
+    cols = [
         F.lit(ord_).cast("int").alias("stage_ord"),
         F.lit(name).alias("stage"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         F.countDistinct("shard").cast("long").alias("n_shards"),
-    ).select("stage_ord", "stage", "n_docs", "n_tokens", "n_shards")
+    ]
+    names = ["stage_ord", "stage", "n_docs", "n_tokens", "n_shards"]
+    if digest:
+        cols.append(
+            F.coalesce(F.expr(f"bit_xor({_DIG60})"), F.lit(0))
+            .cast("long")
+            .alias("digest")
+        )
+        names.append("digest")
+    return df.agg(*cols).select(*names)
 
 
 def _snap_const_row(
@@ -1638,20 +1650,7 @@ def pipeline_compact_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert _commit_cas(root, 1, 2)
 
     def stat(df, ord_, name):
-        return df.agg(
-            F.lit(ord_).cast("int").alias("stage_ord"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("tokens"), F.lit(0))
-            .cast("long")
-            .alias("n_tokens"),
-            F.countDistinct("shard").cast("long").alias("n_shards"),
-            F.coalesce(F.expr(f"bit_xor({_DIG60})"), F.lit(0))
-            .cast("long")
-            .alias("digest"),
-        ).select(
-            "stage_ord", "stage", "n_docs", "n_tokens", "n_shards", "digest"
-        )
+        return _snap_stat(df, ord_, name, digest=True)
 
     return (
         stat(_read_version(spark, root, 1), 0, "v1_small_shards")
@@ -1855,11 +1854,13 @@ def pipeline_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fast_forward(root: str, version: int, ref: str = "CURRENT") -> bool:
-    """Move a ref to an ALREADY-COMMITTED version (no new log entry —
-    the version's commit is history; the ref move is publication).
-    Refuses versions not in the log: a ref may only ever point at
-    committed, immutable state."""
-    if version not in _committed_versions(root):
+    """Move a ref to an ALREADY-COMMITTED, STILL-LIVE version (no new
+    log entry — the version's commit is history; the ref move is
+    publication). Refuses versions not in the log AND versions the
+    vacuum has expired: a ref may only ever point at state that has
+    data behind it (otherwise readers would silently resolve an empty
+    table through a healthy-looking pointer)."""
+    if version not in _live_versions(root):
         return False
     _commit_pointer(root, version, ref)
     return True

@@ -1972,13 +1972,25 @@ def _x23_publish_batch(
     from dock_financial_data_pipelines_spark.plans.pipeline import (
         _commit_cas,
         _committed_versions,
+        _fast_forward,
         _read_visible,
+        _resolve_current,
         _stage_version,
     )
 
     ver = batch_id + 1
     if ver in _committed_versions(root):
-        return False  # checkpoint replay: this batch already landed
+        # Checkpoint replay of an already-committed batch. If the
+        # previous writer crashed in _commit_cas's log-to-pointer
+        # window, the version is logged but CURRENT still trails —
+        # ROLL FORWARD (finish the interrupted swing) so the batch's
+        # data becomes visible and the next batch's CAS base holds;
+        # without this the stream would wedge in a skip-then-
+        # CAS-mismatch loop forever.
+        cur = _resolve_current(root)
+        if cur is None or cur < ver:
+            _fast_forward(root, ver)
+        return False
     delta = (
         batch_df.select(
             F.col("user_id").cast("long").alias("doc_id"),

@@ -434,3 +434,84 @@ def test_orphan_gc_removes_only_uncommitted(spark, tmp_path):
     _stage_version(spark, a, root, 2)
     assert _commit_cas(root, 1, 2)
     assert _read_visible(spark, root).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Protocol-invariant guards (round-12 review fixes)
+# ---------------------------------------------------------------------------
+def test_stage_refuses_committed_version(spark, tmp_path):
+    """Two optimistic writers racing to the same version number: the
+    loser must NOT be able to clobber the winner's committed files."""
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    a = spark.createDataFrame(
+        [(1, 5, "a", 0)], "doc_id long, tokens long, dg string, shard long"
+    )
+    _stage_version(spark, a, root, 1)
+    assert _commit_cas(root, None, 1)
+    # loser (also derived version=1 from the same base) tries to stage
+    with pytest.raises(ValueError):
+        _stage_version(spark, a, root, 1)
+    # winner's committed bytes untouched
+    assert _read_visible(spark, root).count() == 1
+
+
+def test_commit_cas_refuses_already_committed_version(tmp_path):
+    """O_EXCL log create: a version number can be committed once, ever
+    — even via a different ref."""
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    assert _commit_cas(root, None, 1)
+    assert _commit_cas(root, None, 1, ref="BRANCH_x") is False
+    assert _committed_versions(root) == [1]
+
+
+def test_fast_forward_refuses_expired_version(tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _expire_snapshot,
+        _fast_forward,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _commit_cas(root, None, 1)
+    _commit_cas(root, 1, 2)
+    assert _expire_snapshot(root, 1)
+    # v1 is committed history but vacuumed: a ref may not resolve it
+    assert _fast_forward(root, 1) is False
+    assert _resolve_current(root) == 2
+
+
+def test_x23_rolls_forward_interrupted_commit(spark, tmp_path):
+    """Crash in _commit_cas's log-to-pointer window: the replay must
+    finish the swing, not skip-and-wedge."""
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _append_commit_log,
+    )
+    from dock_financial_data_pipelines_spark.streaming.streams import (
+        _x23_publish_batch,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    batch = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    assert _x23_publish_batch(spark, root, batch, 0) is True
+    # simulate batch 1 crashing between log append and pointer swing
+    b2 = spark.createDataFrame([(2, 2.0)], "user_id long, value double")
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _stage_version as _sv,
+    )
+    delta = b2.selectExpr(
+        "user_id AS doc_id", "CAST(200 AS LONG) AS tokens",
+        "'x' AS dg", "CAST(2 AS LONG) AS shard",
+    )
+    _sv(spark, delta, root, 2)
+    assert _append_commit_log(root, 2, 1)  # logged...
+    assert _resolve_current(root) == 1  # ...but pointer never swung
+    # replay of batch 1: must roll the pointer forward and skip
+    assert _x23_publish_batch(spark, root, b2, 1) is False
+    assert _resolve_current(root) == 2
+    # and the NEXT batch lands normally on the repaired base
+    b3 = spark.createDataFrame([(3, 3.0)], "user_id long, value double")
+    assert _x23_publish_batch(spark, root, b3, 2) is True
+    assert _resolve_current(root) == 3
