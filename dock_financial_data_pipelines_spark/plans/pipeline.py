@@ -2512,15 +2512,16 @@ def pipeline_log_tail_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gc_orphans(root: str) -> list:
-    """Remove STAGED-BUT-NEVER-COMMITTED version directories (crashed
-    writers' leftovers): any data/ or manifest/ v=N dir whose N has no
-    commit-log entry. Committed versions — current, historical, even
-    expired ones (whose dirs are already gone) — are never touched, so
-    GC is safe to run concurrently with readers at any time. Returns
-    the orphaned version numbers removed."""
+    """Remove STAGED-BUT-NEVER-COMMITTED version artifacts (crashed or
+    CAS-refused writers' leftovers): any data/, manifest/ or dv/ v=N
+    dir — and any layout/vN.layout record — whose N has no commit-log
+    entry. Committed versions — current, historical, even expired ones
+    (whose dirs are already gone) — are never touched, so GC is safe
+    to run concurrently with readers at any time. Returns the orphaned
+    version numbers removed."""
     committed = set(_committed_versions(root))
     removed = set()
-    for sub in ("data", "manifest"):
+    for sub in ("data", "manifest", "dv"):
         base = os.path.join(root, sub)
         try:
             names = os.listdir(base)
@@ -2536,6 +2537,20 @@ def _gc_orphans(root: str) -> list:
             if v not in committed:
                 shutil.rmtree(os.path.join(base, n), ignore_errors=True)
                 removed.add(v)
+    try:
+        layouts = os.listdir(os.path.join(root, "layout"))
+    except FileNotFoundError:
+        layouts = []
+    for n in layouts:
+        if not (n.startswith("v") and n.endswith(".layout")):
+            continue
+        try:
+            v = int(n[1:-len(".layout")])
+        except ValueError:
+            continue
+        if v not in committed:
+            os.remove(os.path.join(root, "layout", n))
+            removed.add(v)
     return sorted(removed)
 
 
@@ -2606,4 +2621,279 @@ def pipeline_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
             _snap_stat(_read_version(spark, root, 4), 4, "recommitted_v4")
         )
         .unionAll(final_row)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors (round 12 continuation).
+#
+# pipeline_snapshot_merge_upsert is honest copy-on-write: a delete
+# rewrites every touched shard. At 100 TB a delete of 0.1% of rows must
+# NOT rewrite the other 99.9% — every production table format grew a
+# merge-on-read answer for exactly this (Iceberg v2 equality/position
+# delete files, Delta deletion vectors). This section adds that answer
+# to the same commit protocol:
+#
+#   - a DELETE commit stages only a DV FILE (the deleted keys) plus a
+#     LAYOUT record saying "this version = data of version D minus the
+#     DV chain [..]" and lands through the ordinary CAS. Zero data
+#     shards are written — the commit is delete-set-sized;
+#   - the MoR READER resolves layout -> base data files -> anti-join
+#     the unioned DV keys. The DV side of that join is deletes-sized,
+#     so AQE broadcasts it in the common case;
+#   - COMPACTION pays the debt back on schedule: materialize the MoR
+#     view as a fresh copy-on-write version (empty DV chain) with
+#     bit-identical logical content, committed snapshot-preservingly
+#     like pipeline_compact_snapshot.
+#
+# Versions with no layout record read their own data dir with no DVs,
+# so every pre-DV snapshot keeps its meaning unchanged. Reference
+# parity: the reference's replace=True idempotent re-publish
+# (REPORT:172) stays the write-side contract; DV commits extend it with
+# the delete verb the reference never needed (its tables were
+# append-only dumps) but any 100 TB lake does.
+# ---------------------------------------------------------------------------
+
+_DV_DDL = "doc_id long"
+
+
+def _layout_path(root: str, version: int) -> str:
+    return os.path.join(root, "layout", f"v{version}.layout")
+
+
+def _write_layout(
+    root: str, version: int, data_version: int, dv_versions: list
+) -> bool:
+    """O_EXCL layout record (same append-only discipline as the commit
+    log): a version's layout is immutable once written. Returns False
+    if the record already exists."""
+    os.makedirs(os.path.join(root, "layout"), exist_ok=True)
+    try:
+        fd = os.open(
+            _layout_path(root, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL
+        )
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
+        fh.write(
+            "data=%d;dv=%s"
+            % (data_version, ",".join(str(v) for v in dv_versions))
+        )
+    return True
+
+
+def _read_layout(root: str, version: int):
+    """Resolve a version's (data_version, [dv_versions]). A version
+    with no layout record is a plain copy-on-write snapshot: it reads
+    its own data dir with an empty DV chain — which is what keeps
+    every pre-DV commit readable unchanged."""
+    try:
+        with open(_layout_path(root, version)) as fh:
+            txt = fh.read().strip()
+    except FileNotFoundError:
+        return version, []
+    data_part, dv_part = txt.split(";")
+    data_version = int(data_part.split("=", 1)[1])
+    dv_txt = dv_part.split("=", 1)[1]
+    return data_version, [int(x) for x in dv_txt.split(",") if x]
+
+
+def _stage_dv(
+    spark: SparkSession, deletes: DataFrame, root: str, version: int
+) -> None:
+    """Stage the equality-delete key file for ``version``. Same
+    immutability guard as _stage_version: a committed version's files
+    are frozen, so a lost CAS race must re-read and take a fresh
+    number rather than clobber."""
+    if version in _committed_versions(root):
+        raise ValueError(
+            f"version {version} is committed and immutable; "
+            "re-read the current version and stage a fresh number"
+        )
+    dv_dir = os.path.join(root, "dv", f"v={version}")
+    shutil.rmtree(dv_dir, ignore_errors=True)
+    deletes.select(F.col("doc_id").cast("long")).write.mode(
+        "overwrite"
+    ).parquet(dv_dir)
+
+
+def _commit_mor_delete(
+    spark: SparkSession,
+    deletes: DataFrame,
+    root: str,
+    version: int,
+    base: int,
+) -> bool:
+    """Merge-on-read DELETE commit: stage a DV key file + a layout
+    record extending the base's DV chain, then the ordinary CAS. The
+    data dirs are untouched — the whole commit is delete-set-sized.
+    A refused CAS leaves only invisible staged files (swept by
+    _gc_orphans, which also walks dv/ and layout/)."""
+    data_v, dvs = _read_layout(root, base)
+    _stage_dv(spark, deletes, root, version)
+    if not _write_layout(root, version, data_v, dvs + [version]):
+        return False
+    return _commit_cas(root, base, version)
+
+
+def _read_mor(
+    spark: SparkSession, root: str, version: int = None, ref: str = "CURRENT"
+) -> DataFrame:
+    """Layout-resolving reader: base data files ANTI-JOIN the unioned
+    DV key sets. The DV side is deletes-sized (tiny relative to the
+    table, by construction of merge-on-read), so AQE broadcasts it;
+    the data side is never rewritten or shuffled — the read plan is
+    scan + broadcast-anti-join, which is exactly the cost model that
+    makes MoR deletes viable at 100 TB."""
+    if version is None:
+        version = _resolve_current(root, ref)
+    if version is None:
+        return spark.createDataFrame([], _REL_SCHEMA_DDL)
+    data_v, dvs = _read_layout(root, version)
+    df = _read_version(spark, root, data_v)
+    if not dvs:
+        return df
+    keys = None
+    for v in dvs:
+        k = read_parquet_or_empty(
+            spark, os.path.join(root, "dv", f"v={v}"), _DV_DDL
+        )
+        keys = k if keys is None else keys.unionAll(k)
+    return df.join(keys.distinct(), "doc_id", "left_anti")
+
+
+def _dv_oracle() -> str:
+    dig = f"CAST(coalesce(bit_xor({_DIG60_DUCK}), 0) AS BIGINT)"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS tokens,
+               doc_id % 8 AS shard
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    dv1 AS (SELECT doc_id FROM base WHERE doc_id % 10 = 0),
+    v2 AS (SELECT * FROM base
+           WHERE doc_id NOT IN (SELECT doc_id FROM dv1)),
+    dv2 AS (SELECT doc_id FROM v2 WHERE doc_id % 7 = 3),
+    v3 AS (SELECT * FROM base
+           WHERE doc_id NOT IN (SELECT doc_id FROM dv1
+                                UNION SELECT doc_id FROM dv2))
+    SELECT 0 AS stage_ord, 'base_v1' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(tokens), 0) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
+           {dig} AS digest
+    FROM base
+    UNION ALL SELECT 1, 'dv_v2_keys', CAST(count(*) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM dv1
+    UNION ALL SELECT 2, 'mor_read_v2', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT), {dig}
+    FROM v2
+    UNION ALL SELECT 3, 'dv_v3_keys', CAST(count(*) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM dv2
+    UNION ALL SELECT 4, 'mor_read_v3', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT), {dig}
+    FROM v3
+    UNION ALL SELECT 5, 'data_versions_before_rewrite',
+           CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT)
+    UNION ALL SELECT 6, 'compacted_v4', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT), {dig}
+    FROM v3
+    UNION ALL SELECT 7, 'deleted_still_visible', CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """
+
+
+@query("pipeline_snapshot_delete_vectors", oracle=_dv_oracle())
+def pipeline_snapshot_delete_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETION VECTORS (merge-on-read deletes) through the snapshot
+    protocol: v1 publishes the even-doc_id half as a keyed table; v2
+    deletes every 10th doc and v3 every (mod 7 == 3) doc as PURE
+    METADATA commits — each stages only a DV key file plus a layout
+    record, rewriting ZERO data shards (row 5 pins exactly one data
+    version on disk before compaction); v4 is the scheduled compaction
+    that folds the DV chain back into copy-on-write. The oracle pins
+    every MoR read's (count, tokens, shards, bit_xor digest) to an
+    independent NOT-IN recomputation, pins compacted_v4's digest equal
+    to mor_read_v3's (bit-identical logical content across the
+    physical rewrite), and pins 'deleted keys still visible after
+    compaction' to ZERO. Cost model at 100 TB: DELETE is
+    delete-set-sized, READ adds one broadcast anti-join, and the full
+    rewrite happens once, on the compactor's schedule — not on every
+    delete. Reference parity: extends the reference's idempotent
+    replace=True publish (REPORT:172) with the row-delete verb its
+    append-only tables never needed."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "delete_vectors")
+
+    base = docs.where("doc_id % 2 = 0").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        F.md5("text").alias("dg"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+    )
+    _stage_version(spark, base, root, 1)
+    assert _commit_cas(root, None, 1)
+
+    dv1 = _read_visible(spark, root).where("doc_id % 10 = 0").select("doc_id")
+    assert _commit_mor_delete(spark, dv1, root, 2, 1)
+
+    dv2 = _read_mor(spark, root).where("doc_id % 7 = 3").select("doc_id")
+    assert _commit_mor_delete(spark, dv2, root, 3, 2)
+
+    mor2 = _read_mor(spark, root, version=2)
+    mor3 = _read_mor(spark, root, version=3)
+
+    data_dirs = [
+        n
+        for n in os.listdir(os.path.join(root, "data"))
+        if n.startswith("v=")
+    ]
+    fs_row = spark.createDataFrame(
+        [(5, "data_versions_before_rewrite", len(data_dirs), 0, 0, 0)],
+        "stage_ord int, stage string, n_docs long, n_tokens long, "
+        "n_shards long, digest long",
+    )
+
+    compacted = mor3.select("doc_id", "tokens", "dg", "shard")
+    _stage_version(spark, compacted, root, 4)
+    assert _write_layout(root, 4, 4, [])
+    assert _commit_cas(root, 3, 4)
+    v4 = _read_mor(spark, root)
+
+    def keys_stat(df, ord_, name):
+        return df.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_shards"),
+            F.lit(0).cast("long").alias("digest"),
+        ).select(
+            "stage_ord", "stage", "n_docs", "n_tokens", "n_shards", "digest"
+        )
+
+    all_deleted = dv1.unionAll(dv2).distinct()
+    return (
+        _snap_stat(_read_version(spark, root, 1), 0, "base_v1", digest=True)
+        .unionAll(keys_stat(dv1, 1, "dv_v2_keys"))
+        .unionAll(_snap_stat(mor2, 2, "mor_read_v2", digest=True))
+        .unionAll(keys_stat(dv2, 3, "dv_v3_keys"))
+        .unionAll(_snap_stat(mor3, 4, "mor_read_v3", digest=True))
+        .unionAll(fs_row)
+        .unionAll(_snap_stat(v4, 6, "compacted_v4", digest=True))
+        .unionAll(
+            keys_stat(
+                v4.join(all_deleted, "doc_id", "left_semi"),
+                7,
+                "deleted_still_visible",
+            )
+        )
     )

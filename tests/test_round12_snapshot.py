@@ -515,3 +515,125 @@ def test_x23_rolls_forward_interrupted_commit(spark, tmp_path):
     b3 = spark.createDataFrame([(3, 3.0)], "user_id long, value double")
     assert _x23_publish_batch(spark, root, b3, 2) is True
     assert _resolve_current(root) == 3
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors (round-12 continuation)
+# ---------------------------------------------------------------------------
+def _dv_fixture(spark, tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _stage_version as sv,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    df = spark.createDataFrame(
+        [(i, 10 * (i + 1), f"d{i}", i % 2) for i in range(6)],
+        "doc_id long, tokens long, dg string, shard long",
+    )
+    sv(spark, df, root, 1)
+    assert _commit_cas(root, None, 1)
+    return root
+
+
+def test_mor_delete_rewrites_no_data(spark, tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_mor_delete,
+        _read_mor,
+    )
+
+    root = _dv_fixture(spark, tmp_path)
+    dels = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    assert _commit_mor_delete(spark, dels, root, 2, 1)
+    # the commit wrote ZERO data shards: data/ still holds only v=1
+    assert sorted(os.listdir(os.path.join(root, "data"))) == ["v=1"]
+    got = _read_mor(spark, root).toPandas()
+    assert sorted(got["doc_id"]) == [0, 2, 3, 5]
+    # time travel to v1 is unaffected by the delete
+    v1 = _read_version(spark, root, 1).toPandas()
+    assert sorted(v1["doc_id"]) == [0, 1, 2, 3, 4, 5]
+
+
+def test_layout_defaults_for_plain_versions(spark, tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _read_layout,
+        _read_mor,
+    )
+
+    root = _dv_fixture(spark, tmp_path)
+    # a pre-DV version has no layout record: reads itself, no DV chain
+    assert _read_layout(root, 1) == (1, [])
+    assert _read_mor(spark, root, version=1).count() == 6
+
+
+def test_dv_chain_stacks_and_compaction_is_bit_identical(spark, tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_mor_delete,
+        _read_layout,
+        _read_mor,
+        _stage_version as sv,
+        _write_layout,
+    )
+
+    root = _dv_fixture(spark, tmp_path)
+    assert _commit_mor_delete(
+        spark, spark.createDataFrame([(0,)], "doc_id long"), root, 2, 1
+    )
+    assert _commit_mor_delete(
+        spark, spark.createDataFrame([(5,)], "doc_id long"), root, 3, 2
+    )
+    # both layouts point at v1's data; the DV chain stacks
+    assert _read_layout(root, 2) == (1, [2])
+    assert _read_layout(root, 3) == (1, [2, 3])
+    mor3 = _read_mor(spark, root, version=3)
+    assert sorted(mor3.toPandas()["doc_id"]) == [1, 2, 3, 4]
+    # compaction folds the chain back to copy-on-write, bit-identically
+    sv(spark, mor3, root, 4)
+    assert _write_layout(root, 4, 4, [])
+    assert _commit_cas(root, 3, 4)
+    a = mor3.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        _read_mor(spark, root)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a[["doc_id", "tokens", "dg", "shard"]],
+        b[["doc_id", "tokens", "dg", "shard"]],
+    )
+
+
+def test_refused_mor_cas_is_invisible_and_gc_sweeps_it(spark, tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_mor_delete,
+        _gc_orphans,
+        _read_mor,
+    )
+
+    root = _dv_fixture(spark, tmp_path)
+    dels = spark.createDataFrame([(2,)], "doc_id long")
+    assert _commit_mor_delete(spark, dels, root, 2, 1)
+    # a writer still holding base=1 loses the race: nothing lands
+    stale = spark.createDataFrame([(3,)], "doc_id long")
+    assert _commit_mor_delete(spark, stale, root, 3, 1) is False
+    assert sorted(_read_mor(spark, root).toPandas()["doc_id"]) == [
+        0, 1, 3, 4, 5,
+    ]
+    # …and GC sweeps the loser's staged dv file + layout record
+    assert _gc_orphans(root) == [3]
+    assert not os.path.exists(os.path.join(root, "dv", "v=3"))
+    assert not os.path.exists(os.path.join(root, "layout", "v3.layout"))
+    # the winner's DV artifacts are committed and untouched
+    assert os.path.exists(os.path.join(root, "dv", "v=2"))
+    assert os.path.exists(os.path.join(root, "layout", "v2.layout"))
+
+
+def test_stage_dv_refuses_committed_version(spark, tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import _stage_dv
+
+    root = _dv_fixture(spark, tmp_path)
+    with pytest.raises(ValueError):
+        _stage_dv(
+            spark, spark.createDataFrame([(1,)], "doc_id long"), root, 1
+        )
