@@ -2897,3 +2897,147 @@ def pipeline_snapshot_delete_vectors(
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (round 12 continuation).
+#
+# The warehouse feature that turns a nightly full recompute into a
+# delta-sized job: keep an aggregate MV (additive measures only —
+# count + exact decimal sum) current by merging SIGNED delta
+# aggregates from each CDC batch, never re-scanning the fact table.
+# Cost model at 100 TB: each maintenance step aggregates ONE batch
+# (batch-sized shuffle) and full-outer-merges at MV grain (the MV is
+# orders of magnitude smaller than the fact — here ≤ priorities ×
+# months rows); the base fact is read once, at MV creation. The final
+# MV is pinned against a DuckDB FULL RECOMPUTE over base + all deltas
+# — if any merge step's algebra were wrong, the value hash would
+# diverge. last_touched_batch pins the maintenance BOOKKEEPING too: a
+# group's high-water batch id must match the recompute's max
+# contributing batch (deletes touch their group even when the net
+# count is unchanged).
+# ---------------------------------------------------------------------------
+
+_MV_KEYS = ["o_orderpriority", "ym"]
+
+
+def _mv_agg(rows: DataFrame) -> DataFrame:
+    """Aggregate signed fact rows (sgn ∈ {+1,-1}) to MV grain. Decimal
+    accumulation keeps the measure exact and order-independent, so
+    incremental merges commute with the full recompute."""
+    return rows.groupBy(*_MV_KEYS).agg(
+        F.sum("sgn").cast("long").alias("n_orders"),
+        F.sum(
+            F.col("sgn") * F.col("o_totalprice").cast("decimal(27,2)")
+        )
+        .cast("decimal(27,2)")
+        .alias("revenue"),
+    )
+
+
+def _mv_merge(mv: DataFrame, delta: DataFrame, batch: int) -> DataFrame:
+    """One maintenance step: full-outer merge of a delta aggregate into
+    the MV at MV grain. Untouched groups pass through byte-identical;
+    touched groups add counts/sums and take the batch id as their new
+    high-water mark; groups whose count reaches zero drop out."""
+    m, d = mv.alias("m"), delta.alias("d")
+    merged = m.join(d, _MV_KEYS, "full_outer").select(
+        *_MV_KEYS,
+        (
+            F.coalesce(F.col("m.n_orders"), F.lit(0).cast("long"))
+            + F.coalesce(F.col("d.n_orders"), F.lit(0).cast("long"))
+        ).alias("n_orders"),
+        (
+            F.coalesce(
+                F.col("m.revenue"), F.lit(0).cast("decimal(27,2)")
+            )
+            + F.coalesce(
+                F.col("d.revenue"), F.lit(0).cast("decimal(27,2)")
+            )
+        )
+        .cast("decimal(27,2)")
+        .alias("revenue"),
+        F.when(F.col("d.n_orders").isNotNull(), F.lit(batch))
+        .otherwise(F.col("m.last_touched_batch"))
+        .cast("int")
+        .alias("last_touched_batch"),
+    )
+    return merged.where(F.col("n_orders") > 0)
+
+
+def _matview_oracle() -> str:
+    return """
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 4 < 2),
+    b1 AS (SELECT * FROM orders WHERE o_orderkey % 4 = 2),
+    b2i AS (SELECT * FROM orders WHERE o_orderkey % 4 = 3),
+    b2d AS (SELECT * FROM base WHERE o_orderkey % 8 = 0),
+    net AS (
+        SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS ym,
+               0 AS batch, 1 AS sgn, o_totalprice
+        FROM base
+        UNION ALL
+        SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m'),
+               1, 1, o_totalprice
+        FROM b1
+        UNION ALL
+        SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m'),
+               2, 1, o_totalprice
+        FROM b2i
+        UNION ALL
+        SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m'),
+               2, -1, o_totalprice
+        FROM b2d
+    )
+    SELECT o_orderpriority, ym,
+           CAST(sum(sgn) AS BIGINT) AS n_orders,
+           CAST(sum(sgn * CAST(o_totalprice AS DECIMAL(27,2)))
+                AS DOUBLE) AS revenue,
+           CAST(max(batch) AS INT) AS last_touched_batch
+    FROM net
+    GROUP BY o_orderpriority, ym
+    HAVING sum(sgn) > 0
+    """
+
+
+@query("pipeline_incremental_matview", oracle=_matview_oracle())
+def pipeline_incremental_matview(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE: revenue-by-
+    (priority, month) MV created from the base fact half, then kept
+    current through two CDC batches — batch 1 pure inserts, batch 2
+    inserts PLUS deletes (retractions of every 8th base order) — by
+    merging signed delta aggregates at MV grain. The fact table is
+    scanned once per batch at batch size; no maintenance step rescans
+    history (the splits below are fixture construction standing in
+    for an arriving CDC feed). The oracle is a full recompute over
+    base ∪ deltas with signs: count, exact-decimal revenue, and the
+    per-group last_touched_batch high-water mark must all match —
+    HAVING net > 0 mirrors the MV dropping emptied groups."""
+    orders = load(spark, sf_dir, "orders")
+    ym = F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+
+    def signed(df, sgn):
+        return df.select(
+            "o_orderpriority", ym, F.lit(sgn).alias("sgn"), "o_totalprice"
+        )
+
+    base = orders.where("o_orderkey % 4 < 2")
+    b1 = orders.where("o_orderkey % 4 = 2")
+    b2i = orders.where("o_orderkey % 4 = 3")
+    b2d = base.where("o_orderkey % 8 = 0")
+
+    mv0 = _mv_agg(signed(base, 1)).withColumn(
+        "last_touched_batch", F.lit(0).cast("int")
+    )
+    mv1 = _mv_merge(mv0, _mv_agg(signed(b1, 1)), 1)
+    delta2 = _mv_agg(signed(b2i, 1).unionAll(signed(b2d, -1)))
+    mv2 = _mv_merge(mv1, delta2, 2)
+
+    return mv2.select(
+        "o_orderpriority",
+        "ym",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+        "last_touched_batch",
+    )

@@ -637,3 +637,84 @@ def test_stage_dv_refuses_committed_version(spark, tmp_path):
         _stage_dv(
             spark, spark.createDataFrame([(1,)], "doc_id long"), root, 1
         )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MV maintenance: edge cases the fixture may not exercise
+# ---------------------------------------------------------------------------
+def test_mv_merge_cancel_out_still_touches_and_empty_drops(spark):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _mv_agg,
+        _mv_merge,
+    )
+    from pyspark.sql import functions as F
+
+    def rows(data, sgn_col=True):
+        return spark.createDataFrame(
+            data,
+            "o_orderpriority string, ym string, sgn int, "
+            "o_totalprice double",
+        )
+
+    mv0 = _mv_agg(
+        rows(
+            [
+                ("HI", "2024-01", 1, 10.0),
+                ("HI", "2024-01", 1, 20.0),
+                ("LO", "2024-02", 1, 5.0),
+            ]
+        )
+    ).withColumn("last_touched_batch", F.lit(0).cast("int"))
+
+    # batch 1: insert+delete that cancel in group HI (net 0 rows), and
+    # a delete that EMPTIES group LO entirely
+    delta1 = _mv_agg(
+        rows(
+            [
+                ("HI", "2024-01", 1, 7.0),
+                ("HI", "2024-01", -1, 10.0),
+                ("LO", "2024-02", -1, 5.0),
+            ]
+        )
+    )
+    got = (
+        _mv_merge(mv0, delta1, 1)
+        .toPandas()
+        .sort_values(["o_orderpriority", "ym"])
+        .reset_index(drop=True)
+    )
+    # LO emptied -> dropped; HI count unchanged but revenue moved and
+    # the high-water mark advanced (a cancelling batch still touched it)
+    assert list(got["o_orderpriority"]) == ["HI"]
+    assert int(got["n_orders"][0]) == 2
+    assert float(got["revenue"][0]) == 27.0
+    assert int(got["last_touched_batch"][0]) == 1
+
+
+def test_mv_merge_untouched_groups_pass_through(spark):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _mv_agg,
+        _mv_merge,
+    )
+    from pyspark.sql import functions as F
+
+    mk = lambda data: spark.createDataFrame(
+        data,
+        "o_orderpriority string, ym string, sgn int, o_totalprice double",
+    )
+    mv0 = _mv_agg(mk([("A", "m1", 1, 1.5), ("B", "m2", 1, 2.5)])).withColumn(
+        "last_touched_batch", F.lit(0).cast("int")
+    )
+    # delta touches only A and creates C
+    delta = _mv_agg(mk([("A", "m1", 1, 1.0), ("C", "m3", 1, 9.0)]))
+    got = (
+        _mv_merge(mv0, delta, 3)
+        .toPandas()
+        .set_index("o_orderpriority")
+        .to_dict("index")
+    )
+    assert got["B"]["last_touched_batch"] == 0  # untouched passes through
+    assert got["A"]["last_touched_batch"] == 3
+    assert got["C"]["last_touched_batch"] == 3  # new group born at batch 3
+    assert float(got["A"]["revenue"]) == 2.5
+    assert int(got["C"]["n_orders"]) == 1
