@@ -1728,3 +1728,50 @@ def u19_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("covered_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface — recursive CTE (round 12 continuation). Spark 4 ships
+# ANSI WITH RECURSIVE (SPARK-24497); this registers the surface with a
+# hierarchy shape the iterative-join BOM query (q_bom_explosion) can't
+# show: unbounded-depth traversal declared in ONE statement, the engine
+# iterating to fixpoint. The forest is synthesized over part —
+# parent(k) = k div 7, roots 1..6 (key 0 is excluded: it would be its
+# own parent and recurse forever — the guard every hierarchy walk
+# needs). A multiplicative per-level quantity rides the recursion so a
+# single wrong edge anywhere would change the level rollup: qty(child)
+# = qty(parent) * (1 + child % 3), the BOM extended-quantity idiom.
+# Each recursion level is one distributed join of the (level)-frontier
+# against the child table — at 100 TB the frontier is what shuffles,
+# not the accumulated result, and the depth is log_7(n) (6-7 levels at
+# 200k parts), so the plan stays shallow even at full scale.
+# ---------------------------------------------------------------------------
+_RECURSIVE_BOM_SPARK = """
+WITH RECURSIVE tree(p_partkey, depth, qty) AS (
+  SELECT p_partkey, 0, CAST(1 AS BIGINT)
+  FROM part WHERE p_partkey BETWEEN 1 AND 6
+  UNION ALL
+  SELECT c.p_partkey, t.depth + 1, t.qty * (1 + c.p_partkey % 3)
+  FROM part c JOIN tree t ON c.p_partkey div 7 = t.p_partkey
+  WHERE c.p_partkey >= 7
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(qty) AS BIGINT) AS extended_qty,
+       CAST(min(p_partkey) AS BIGINT) AS min_key,
+       CAST(max(p_partkey) AS BIGINT) AS max_key
+FROM tree
+GROUP BY depth
+"""
+
+_RECURSIVE_BOM_DUCK = _RECURSIVE_BOM_SPARK.replace(
+    "c.p_partkey div 7", "c.p_partkey // 7"
+)
+
+
+@query("sql_recursive_bom_rollup", oracle=_RECURSIVE_BOM_DUCK)
+def sql_recursive_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dock_financial_data_pipelines_spark.catalog import load as _load
+
+    _load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_RECURSIVE_BOM_SPARK)
