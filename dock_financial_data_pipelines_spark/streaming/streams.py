@@ -2113,3 +2113,133 @@ def x23_stream_snapshot_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             _resolve_current(root),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x24 — streaming CDC deletes applied as merge-on-read DV commits
+# ---------------------------------------------------------------------------
+_X24_ORACLE = """
+WITH d AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS tokens,
+           ntile(4) OVER (ORDER BY doc_id) AS chunk
+    FROM documents
+),
+ks AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4)) t(k)),
+prefix AS (
+    SELECT k,
+           CAST(count(d.doc_id) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(d.tokens), 0) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT d.doc_id % 8) AS BIGINT) AS n_shards
+    FROM ks LEFT JOIN d
+      ON NOT (d.doc_id % 5 = 0 AND d.chunk <= k)
+    GROUP BY k
+)
+SELECT CAST(k AS INT) AS stage_ord,
+       CASE WHEN k = 0 THEN 'base_v1'
+            ELSE 'asof_v' || CAST(k + 1 AS VARCHAR) END AS stage,
+       n_docs, n_tokens, n_shards
+FROM prefix
+UNION ALL
+SELECT 5, 'final_visible', n_docs, n_tokens, n_shards
+FROM prefix WHERE k = 4
+UNION ALL
+SELECT 6, 'data_versions', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT)
+UNION ALL
+SELECT 7, 'snapshot_log', CAST(5 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(5 AS BIGINT)
+"""
+
+
+@query("x24_stream_mor_delete_feed", oracle=_X24_ORACLE)
+def x24_stream_mor_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC DELETES at METADATA GRAIN: v1 batch-publishes the
+    full documents table, then the 4-chunk document stream drives a
+    foreachBatch writer that turns each micro-batch's delete keys
+    (doc_id % 5 = 0) into one MERGE-ON-READ DV commit — versions 2-5
+    stage only a delete-key file + layout record through the ordinary
+    CAS, rewriting ZERO data shards across the whole drain (row 6 pins
+    exactly one data version on disk at the end). Checkpoint replays
+    are absorbed exactly like x23: an already-committed version is
+    skipped, and an interrupted log-to-pointer window is rolled
+    forward. The oracle reconstructs every as-of view independently
+    (chunk = the same ntile(4) the stream was cut with) and pins the
+    commit log to exactly 5 entries. This is the streaming shape of a
+    GDPR/erasure feed at 100 TB: each micro-batch of tombstones costs
+    its own size, and the data rewrite happens once, on the
+    compactor's schedule — not per batch."""
+    from dock_financial_data_pipelines_spark.catalog import load
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_cas,
+        _commit_mor_delete,
+        _committed_versions,
+        _fast_forward,
+        _read_mor,
+        _read_version,
+        _release_root,
+        _resolve_current,
+        _snap_const_row,
+        _snap_stat,
+        _stage_version,
+    )
+
+    root = _release_root(sf_dir, "x24_stream_mor")
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        F.md5("text").alias("dg"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+    )
+    _stage_version(spark, base, root, 1)
+    assert _commit_cas(root, None, 1)
+
+    def apply_deletes(batch_df: DataFrame, batch_id: int) -> None:
+        ver = batch_id + 2
+        if ver in _committed_versions(root):
+            cur = _resolve_current(root)
+            if cur is None or cur < ver:
+                _fast_forward(root, ver)
+            return
+        dels = batch_df.where("doc_id % 5 = 0").select("doc_id")
+        committed = _commit_mor_delete(spark, dels, root, ver, ver - 1)
+        assert committed, f"single-writer CAS cannot lose (version {ver})"
+
+    scratch = _scratch()
+    with _stream_partitions(spark):
+        q = (
+            _docs_stream_multibatch(spark, sf_dir)
+            .writeStream.foreachBatch(apply_deletes)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out = _snap_stat(_read_version(spark, root, 1), 0, "base_v1")
+    for v in _committed_versions(root):
+        if v == 1:
+            continue
+        out = out.unionAll(
+            _snap_stat(_read_mor(spark, root, version=v), v - 1, f"asof_v{v}")
+        )
+    out = out.unionAll(
+        _snap_stat(_read_mor(spark, root), 5, "final_visible")
+    )
+    n_data = len(
+        [
+            n
+            for n in os.listdir(os.path.join(root, "data"))
+            if n.startswith("v=")
+        ]
+    )
+    out = out.unionAll(_snap_const_row(spark, 6, "data_versions", n_data, 0))
+    return out.unionAll(
+        _snap_const_row(
+            spark,
+            7,
+            "snapshot_log",
+            len(_committed_versions(root)),
+            _resolve_current(root),
+        )
+    )
