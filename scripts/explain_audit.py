@@ -2384,6 +2384,50 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_snapshot_delete_vectors", execute=True)
+    check(
+        "pipeline_snapshot_delete_vectors",
+        "merge-on-read reads are scan + BROADCAST anti-join of the "
+        "delete-key files (DV side is deletes-sized by construction); "
+        "the deleted-still-visible audit is a semi-join; no data "
+        "rewrite appears outside the one compaction; no cartesian, "
+        "no Python",
+        "BroadcastHashJoin" in p and "LeftAnti" in p
+        and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_incremental_matview", execute=True)
+    check(
+        "pipeline_incremental_matview",
+        "each maintenance step is a batch-sized aggregate + an "
+        "MV-grain full-outer merge — counts and decimal sums stay "
+        "JVM-side; no cartesian, no Python",
+        "FullOuter" in p and "HashAggregate" in p
+        and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "sql_recursive_bom_rollup", execute=True)
+    check(
+        "sql_recursive_bom_rollup",
+        "WITH RECURSIVE compiles to UnionLoop: each level joins only "
+        "the frontier (UnionLoopRef) against the pruned child table "
+        "(no accumulated-result rejoin, no cartesian, no Python)",
+        "UnionLoop" in p and "UnionLoopRef" in p and "parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "x24_stream_mor_delete_feed", execute=True)
+    check(
+        "x24_stream_mor_delete_feed",
+        "post-drain as-of reads are a union of scan + broadcast "
+        "anti-join plans — the streamed tombstones live in DV files, "
+        "not driver state; no cartesian, no Python",
+        "Union" in p and "LeftAnti" in p and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
