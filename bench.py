@@ -104,6 +104,13 @@ HEADLINE_ROUNDS: list[tuple[str, int]] = [
     # stage+manifest+CAS commit loop end-to-end.
     ("pipeline_compact_snapshot", 12),
     ("x23_stream_snapshot_publish", 12),
+    # round-12 continuation bearers: merge-on-read deletes (broadcast
+    # anti-join read + one scheduled compaction), incremental MV
+    # maintenance (delta-sized aggregates + MV-grain merges), and the
+    # recursive-CTE UnionLoop plan shape.
+    ("pipeline_snapshot_delete_vectors", 12),
+    ("pipeline_incremental_matview", 12),
+    ("sql_recursive_bom_rollup", 12),
 ]
 HEADLINE = [n for n, _ in HEADLINE_ROUNDS]
 # The no-broadcast skew probes re-run round-1/2 queries; tag them with
