@@ -1340,3 +1340,116 @@ def s20_sort_layout_advisor_sampled(
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# S21 — Z-ORDER (space-filling-curve) layout probe (round 12
+# continuation). s20 prices single-axis sort layouts; real 100 TB
+# tables get probed on MORE THAN ONE dimension, and a linear sort can
+# only serve one of them. The multi-dimensional answer every lake
+# engine ships (Delta OPTIMIZE ZORDER BY, Iceberg sort-order with
+# z-curves) is to sort by the MORTON INTERLEAVE of the dimensions'
+# rank-space buckets: nearby (custkey, date) pairs land in the same
+# row groups, so min/max stats prune a 2-D box probe on BOTH axes.
+#
+# Rank-space bucketing (ntile over a total ordering) rather than raw
+# bit-slicing keeps the curve resolution scale-free — 256 buckets per
+# dimension at every SF, no data-dependent min/max constants — and is
+# exactly expressible in both engines, so the oracle runs the
+# identical statement. The probe box is a 25% x 25% quantile box:
+# per-(layout, rowgroup) min/max of the two bucket axes decide
+# pruning, matching how parquet row-group stats behave. Expected and
+# measured: each linear layout prunes ~one axis' worth (~75%), the
+# z-order layout prunes on both (>90%) with strictly fewer scanned
+# rows — the advisor's output is the evidence a table owner needs to
+# justify the (one-off) clustering rewrite.
+# ---------------------------------------------------------------------------
+_S21_BITS = 8  # 256 rank buckets per dimension
+_S21_RG_ROWS = 1000
+
+
+def _s21_interleave_sql(cb: str, db: str) -> str:
+    """Morton interleave of two _S21_BITS-wide non-negative ints as
+    pure div/mod arithmetic (identical semantics in Spark and DuckDB
+    modulo the integer-division spelling, handled by the caller)."""
+    terms = []
+    for j in range(_S21_BITS):
+        terms.append(f"((({cb}) IDIV {1 << j}) % 2) * {1 << (2 * j + 1)}")
+        terms.append(f"((({db}) IDIV {1 << j}) % 2) * {1 << (2 * j)}")
+    return " + ".join(terms)
+
+
+_S21_STMT = f"""
+WITH ranked AS (
+    SELECT o_orderkey,
+           ntile({1 << _S21_BITS}) OVER (ORDER BY o_custkey, o_orderkey)
+               - 1 AS cb,
+           ntile({1 << _S21_BITS}) OVER (ORDER BY o_orderdate, o_orderkey)
+               - 1 AS db
+    FROM orders
+),
+zed AS (
+    SELECT o_orderkey, cb, db,
+           {_s21_interleave_sql('cb', 'db')} AS z,
+           CASE WHEN cb < {1 << (_S21_BITS - 2)}
+                 AND db >= {3 * (1 << (_S21_BITS - 2))}
+                THEN 1 ELSE 0 END AS hit
+    FROM ranked
+),
+laid AS (
+    SELECT 'a_lin_cust' AS layout,
+           (row_number() OVER (ORDER BY cb, o_orderkey) - 1)
+               IDIV {_S21_RG_ROWS} AS rg,
+           cb, db, hit
+    FROM zed
+    UNION ALL
+    SELECT 'b_lin_date',
+           (row_number() OVER (ORDER BY db, o_orderkey) - 1)
+               IDIV {_S21_RG_ROWS},
+           cb, db, hit
+    FROM zed
+    UNION ALL
+    SELECT 'c_zorder',
+           (row_number() OVER (ORDER BY z, o_orderkey) - 1)
+               IDIV {_S21_RG_ROWS},
+           cb, db, hit
+    FROM zed
+),
+stats AS (
+    SELECT layout, rg,
+           min(cb) AS cmn, max(cb) AS cmx,
+           min(db) AS dmn, max(db) AS dmx,
+           CAST(sum(hit) AS BIGINT) AS matching_rows,
+           CAST(count(*) AS BIGINT) AS rows_
+    FROM laid GROUP BY 1, 2
+),
+classed AS (
+    SELECT layout, rows_, matching_rows,
+           CASE WHEN cmn >= {1 << (_S21_BITS - 2)}
+                  OR dmx < {3 * (1 << (_S21_BITS - 2))}
+                THEN 'pruned'
+                WHEN matching_rows > 0 THEN 'scan_hit'
+                ELSE 'scan_false_positive' END AS outcome
+    FROM stats
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_rowgroups,
+       CAST(count(CASE WHEN outcome = 'pruned' THEN 1 END) AS BIGINT)
+           AS groups_pruned,
+       CAST(count(CASE WHEN outcome = 'scan_false_positive' THEN 1 END)
+            AS BIGINT) AS groups_false_positive,
+       CAST(coalesce(sum(CASE WHEN outcome <> 'pruned'
+                              THEN rows_ ELSE 0 END), 0) AS BIGINT)
+           AS rows_scanned,
+       CAST(coalesce(sum(matching_rows), 0) AS BIGINT) AS rows_matching
+FROM classed GROUP BY 1
+"""
+
+
+@query(
+    "s21_zorder_layout_probe",
+    oracle=_S21_STMT.replace(" IDIV ", " // "),
+)
+def s21_zorder_layout_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_S21_STMT.replace(" IDIV ", " div "))
