@@ -3041,3 +3041,255 @@ def pipeline_incremental_matview(
         F.col("revenue").cast("double").alias("revenue"),
         "last_touched_batch",
     )
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER as a committed snapshot (round 12 continuation).
+#
+# s21_zorder_layout_probe is the ADVISOR: it prices what a z-order
+# layout would save. This query is the ACTION the advisor justifies —
+# the Delta `OPTIMIZE ... ZORDER BY` / Iceberg rewrite-with-sort-order
+# verb, run through the same commit protocol as every other rewrite:
+#
+#   - v1 publishes the table clustered by insertion key (doc_id):
+#     per-shard bounds are tight on doc_id's rank axis, useless on the
+#     token-length axis;
+#   - v2 is the CLUSTERING REWRITE: the same rows re-sharded along the
+#     Morton interleave of the two rank axes, landed as an ordinary
+#     CAS commit with BIT-IDENTICAL logical content (readers never
+#     block; v1 stays readable in the log);
+#   - both versions carry a stats manifest (per-shard min/max of both
+#     cluster axes — the Iceberg transform-stats idea: the table
+#     stores its cluster-key columns, the manifest their bounds), and
+#     a 2-D box probe is planned manifest-only against each.
+#
+# The cluster-key columns (cb/tb: 256-bucket rank positions) are
+# computed once at publish with global rank windows — fixture-exact
+# here; a 100 TB build derives the same buckets from approx quantiles,
+# which changes none of the protocol. The oracle recomputes both
+# layouts, both manifests, both prune decisions, both pruned reads and
+# the content digests independently.
+# ---------------------------------------------------------------------------
+
+_ZC_RG = 200          # rows per shard
+_ZC_BOX_CB = 64       # probe box: cb < 64  (lowest 25% of axis 1)
+_ZC_BOX_TB = 192      # probe box: tb >= 192 (highest 25% of axis 2)
+_ZC_DDL = (
+    "doc_id long, tokens long, dg string, cb int, tb int, shard long"
+)
+
+
+def _zc_oracle() -> str:
+    from dock_financial_data_pipelines_spark.sources.readers import (
+        _S21_BITS,
+        _s21_interleave_sql,
+    )
+
+    dig = f"CAST(coalesce(bit_xor({_DIG60_DUCK}), 0) AS BIGINT)"
+    z = _s21_interleave_sql("cb", "tb").replace(" IDIV ", " // ")
+    n = 1 << _S21_BITS
+
+    def census(src, ord_, name):
+        return f"""
+    SELECT {ord_} AS stage_ord, '{name}' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN cmn < {_ZC_BOX_CB}
+                            AND tmx >= {_ZC_BOX_TB} THEN 1 END)
+                AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN cmn < {_ZC_BOX_CB}
+                            AND tmx >= {_ZC_BOX_TB}
+                            AND mh = 0 THEN 1 END) AS BIGINT) AS n_shards,
+           CAST(0 AS BIGINT) AS digest
+    FROM (SELECT shard, min(cb) AS cmn, max(tb) AS tmx,
+                 sum(hit) AS mh
+          FROM {src} GROUP BY 1)"""
+
+    def pruned(src, ord_, name):
+        return f"""
+    SELECT {ord_}, '{name}', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT), {dig}
+    FROM {src} WHERE cb < {_ZC_BOX_CB} AND tb >= {_ZC_BOX_TB}"""
+
+    return f"""
+    WITH ranked AS (
+        SELECT doc_id, tokens,
+               ntile({n}) OVER (ORDER BY doc_id) - 1 AS cb,
+               ntile({n}) OVER (ORDER BY tokens, doc_id) - 1 AS tb
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS tokens
+              FROM documents)
+    ),
+    zed AS (
+        SELECT doc_id, tokens, cb, tb, {z} AS z,
+               CASE WHEN cb < {_ZC_BOX_CB} AND tb >= {_ZC_BOX_TB}
+                    THEN 1 ELSE 0 END AS hit
+        FROM ranked
+    ),
+    v1 AS (SELECT *, (row_number() OVER (ORDER BY doc_id) - 1)
+                        // {_ZC_RG} AS shard
+           FROM zed),
+    v2 AS (SELECT *, (row_number() OVER (ORDER BY z, doc_id) - 1)
+                        // {_ZC_RG} AS shard
+           FROM zed)
+    {census('v1', 0, 'v1_census')}
+    UNION ALL {pruned('v1', 1, 'v1_pruned_read')}
+    UNION ALL {census('v2', 2, 'v2_census')}
+    UNION ALL {pruned('v2', 3, 'v2_pruned_read')}
+    UNION ALL SELECT 4, 'rewrite_content_identity',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT), {dig}
+    FROM v2
+    """
+
+
+def _zc_census_row(spark, man, ord_, name):
+    return man.agg(
+        F.lit(ord_).cast("int").alias("stage_ord"),
+        F.lit(name).alias("stage"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(
+            F.when(
+                (F.col("cmn") < _ZC_BOX_CB) & (F.col("tmx") >= _ZC_BOX_TB),
+                F.lit(1),
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.count(
+            F.when(
+                (F.col("cmn") < _ZC_BOX_CB)
+                & (F.col("tmx") >= _ZC_BOX_TB)
+                & (F.col("mh") == 0),
+                F.lit(1),
+            )
+        )
+        .cast("long")
+        .alias("n_shards"),
+        F.lit(0).cast("long").alias("digest"),
+    ).select(
+        "stage_ord", "stage", "n_docs", "n_tokens", "n_shards", "digest"
+    )
+
+
+@query("pipeline_zorder_cluster_rewrite", oracle=_zc_oracle())
+def pipeline_zorder_cluster_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE ZORDER through the snapshot protocol: v1 publishes the
+    documents table clustered by insertion key with a stats manifest
+    (per-shard min/max of both 256-bucket cluster axes); v2 is the
+    clustering rewrite along the Morton curve, committed via CAS with
+    bit-identical content (row 4's digest pins it). A 2-D box probe
+    (lowest 25% of the key axis x highest 25% of the length axis) is
+    then planned MANIFEST-ONLY against both layouts: the census rows
+    record total shards / shards surviving pruning / false-positive
+    shards, and each pruned read — only surviving shard dirs opened,
+    residual box filter applied — must hash-match the other and the
+    oracle's recomputation. At 100 TB the rewrite is the one full
+    data pass (the advisor s21 prices when it pays for itself); every
+    probe after it reads manifest bytes plus the overlapping shards
+    only."""
+    from dock_financial_data_pipelines_spark.sources.readers import (
+        _S21_BITS,
+        _s21_interleave_sql,
+    )
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "zorder_rewrite")
+    n = 1 << _S21_BITS
+
+    ranked = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        F.md5("text").alias("dg"),
+    ).select(
+        "doc_id",
+        "tokens",
+        "dg",
+        (F.ntile(n).over(Window.orderBy("doc_id")) - 1)
+        .cast("int")
+        .alias("cb"),
+        (F.ntile(n).over(Window.orderBy("tokens", "doc_id")) - 1)
+        .cast("int")
+        .alias("tb"),
+    )
+    z_expr = F.expr(
+        _s21_interleave_sql("cb", "tb").replace(" IDIV ", " div ")
+    )
+
+    def publish(rows, order_cols, version, base):
+        sharded = rows.withColumn(
+            "shard",
+            F.expr(
+                f"CAST((row_number() OVER (ORDER BY {order_cols}) - 1) "
+                f"div {_ZC_RG} AS LONG)"
+            ),
+        ).select("doc_id", "tokens", "dg", "cb", "tb", "shard")
+        data_dir = os.path.join(root, "data", f"v={version}")
+        man_dir = os.path.join(root, "manifest", f"v={version}")
+        shutil.rmtree(data_dir, ignore_errors=True)
+        shutil.rmtree(man_dir, ignore_errors=True)
+        write_partitioned(sharded.repartition("shard"), data_dir, "shard")
+        staged = read_parquet_or_empty(spark, data_dir, _ZC_DDL)
+        hit = F.when(
+            (F.col("cb") < _ZC_BOX_CB) & (F.col("tb") >= _ZC_BOX_TB), 1
+        ).otherwise(0)
+        man = staged.groupBy("shard").agg(
+            F.min("cb").alias("cmn"),
+            F.max("tb").alias("tmx"),
+            F.sum(hit).alias("mh"),
+        )
+        man.coalesce(1).write.mode("overwrite").parquet(man_dir)
+        assert _commit_cas(root, base, version)
+        return staged
+
+    v1 = publish(ranked, "doc_id", 1, None)
+    # the clustering rewrite reads BACK the committed v1 (cluster keys
+    # are stored columns, so no global re-ranking is needed) and
+    # re-shards along the Morton curve
+    v1_back = read_parquet_or_empty(
+        spark, os.path.join(root, "data", "v=1"), _ZC_DDL
+    ).withColumn("z", z_expr)
+    v2 = publish(v1_back, "z, doc_id", 2, 1).drop("z")
+
+    def pruned_read(version, ord_, name):
+        man_dir = os.path.join(root, "manifest", f"v={version}")
+        data_dir = os.path.join(root, "data", f"v={version}")
+        man = read_parquet_or_empty(
+            spark, man_dir, "shard long, cmn int, tmx int, mh long"
+        )
+        # planning is manifest-only; the collect is shard-count-sized
+        hit_shards = [
+            r.shard
+            for r in man.where(
+                (F.col("cmn") < _ZC_BOX_CB) & (F.col("tmx") >= _ZC_BOX_TB)
+            ).collect()
+        ]
+        if hit_shards:
+            scanned = spark.read.schema(_ZC_DDL).option(
+                "basePath", data_dir
+            ).parquet(
+                *[
+                    os.path.join(data_dir, f"shard={s}")
+                    for s in sorted(hit_shards)
+                ]
+            )
+        else:
+            scanned = spark.createDataFrame([], _ZC_DDL)
+        matches = scanned.where(
+            (F.col("cb") < _ZC_BOX_CB) & (F.col("tb") >= _ZC_BOX_TB)
+        )
+        return _snap_stat(matches, ord_, name, digest=True), man
+
+    p1, man1 = pruned_read(1, 1, "v1_pruned_read")
+    p2, man2 = pruned_read(2, 3, "v2_pruned_read")
+
+    return (
+        _zc_census_row(spark, man1, 0, "v1_census")
+        .unionAll(p1)
+        .unionAll(_zc_census_row(spark, man2, 2, "v2_census"))
+        .unionAll(p2)
+        .unionAll(_snap_stat(v2, 4, "rewrite_content_identity", digest=True))
+    )

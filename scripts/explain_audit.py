@@ -2418,6 +2418,17 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_zorder_cluster_rewrite", execute=True)
+    check(
+        "pipeline_zorder_cluster_rewrite",
+        "probe planning is manifest-only (collects are shard-count-"
+        "sized); pruned reads list only surviving shard dirs and apply "
+        "the residual box filter at the scan; the rewrite's content "
+        "identity is a shard-grain aggregate; no cartesian, no Python",
+        "Union" in p and "Scan parquet" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "x24_stream_mor_delete_feed", execute=True)
     check(
         "x24_stream_mor_delete_feed",
