@@ -2429,6 +2429,17 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_manifest_bloom_skipping", execute=True)
+    check(
+        "pipeline_manifest_bloom_skipping",
+        "bloom probe joins the key positions against the BROADCAST "
+        "manifest (metadata-sized build side); candidate math is "
+        "bit_or/bitwise-AND JVM expressions; the lookup scans only "
+        "candidate shard dirs; no cartesian, no Python",
+        "BroadcastHashJoin" in p and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "x24_stream_mor_delete_feed", execute=True)
     check(
         "x24_stream_mor_delete_feed",
