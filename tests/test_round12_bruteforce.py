@@ -492,3 +492,149 @@ def test_x22_full_outer_matches_bruteforce(spark):
         for r in got.itertuples()
     }
     assert got_set == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-12 continuation: plain-Python references for the algorithm-twin
+# oracles added this session (bloom bit matrix, Morton interleave) —
+# these are exactly the cases where a defect shared by the Spark query
+# and its DuckDB twin would otherwise hide.
+# ---------------------------------------------------------------------------
+def _py_hexdec(h: str) -> int:
+    return int(h, 16)
+
+
+def _py_bloom_pos(j: int, doc_id: int, bits: int) -> int:
+    return (
+        _py_hexdec(hashlib.md5(f"{j}:{doc_id}".encode()).hexdigest()[:15])
+        % bits
+    )
+
+
+def test_bloom_bit_matrix_matches_plain_python(spark):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _BLM_BITS,
+        _BLM_K,
+        _BLM_SHARDS,
+        _BLM_WORD,
+    )
+    from pyspark.sql import functions as F
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _blm_pos,
+        _blm_shard,
+        _HEX_SPARK,
+    )
+
+    doc_ids = [0, 1, 7, 42, 101, 500, 9999, 123456]
+    df = spark.createDataFrame([(d,) for d in doc_ids], "doc_id long")
+
+    # shard assignment twin
+    got_shard = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id",
+            F.expr(_blm_shard("STRING", _HEX_SPARK)).alias("s"),
+        ).collect()
+    }
+    for d in doc_ids:
+        exp = (
+            _py_hexdec(hashlib.md5(f"s:{d}".encode()).hexdigest()[:8])
+            % _BLM_SHARDS
+        )
+        assert got_shard[d] == exp, d
+
+    # bloom word/bit twin: build the full bit matrix both ways
+    posed = df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_blm_pos(j, "STRING", _HEX_SPARK)).cast("long")
+                    for j in range(_BLM_K)
+                ]
+            )
+        ).alias("pos"),
+    )
+    got = (
+        posed.select(
+            F.expr(f"pos div {_BLM_WORD}").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod(pos, {_BLM_WORD}) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .toPandas()
+        .set_index("word")["bits"]
+        .to_dict()
+    )
+    exp_words: dict = {}
+    for d in doc_ids:
+        for j in range(_BLM_K):
+            pos = _py_bloom_pos(j, d, _BLM_BITS)
+            exp_words[pos // _BLM_WORD] = exp_words.get(
+                pos // _BLM_WORD, 0
+            ) | (1 << (pos % _BLM_WORD))
+    assert got == exp_words
+
+
+def test_morton_interleave_matches_plain_python():
+    import duckdb
+
+    from dock_financial_data_pipelines_spark.sources.readers import (
+        _S21_BITS,
+        _s21_interleave_sql,
+    )
+
+    def py_morton(cb: int, db: int) -> int:
+        z = 0
+        for j in range(_S21_BITS):
+            z |= ((cb >> j) & 1) << (2 * j + 1)
+            z |= ((db >> j) & 1) << (2 * j)
+        return z
+
+    con = duckdb.connect()
+    expr = _s21_interleave_sql("cb", "db").replace(" IDIV ", " // ")
+    cases = [(0, 0), (1, 0), (0, 1), (255, 255), (170, 85), (3, 200)]
+    for cb, db in cases:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT {cb} AS cb, {db} AS db)"
+        ).fetchone()[0]
+        assert got == py_morton(cb, db), (cb, db)
+    # locality sanity: adjacent cells in either axis stay within the
+    # 4-cell Morton block (the property pruning relies on)
+    assert py_morton(2, 2) // 4 == py_morton(3, 3) // 4
+
+
+def test_zorder_pruning_is_sound_bruteforce(spark):
+    """Min/max pruning soundness: every shard that CONTAINS a matching
+    row must survive the census' hit predicate, for BOTH layouts, on a
+    small synthetic frame (the invariant the query's census rows rely
+    on; checked here without either engine's SQL)."""
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _ZC_BOX_CB,
+        _ZC_BOX_TB,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(256), rng.randrange(256)) for i in range(400)
+    ]
+    for order_key in (
+        lambda r: r[1],
+        lambda r: r[2],
+    ):
+        laid = sorted(rows, key=lambda r: (order_key(r), r[0]))
+        shards = [laid[i : i + 50] for i in range(0, len(laid), 50)]
+        for shard in shards:
+            has_match = any(
+                cb < _ZC_BOX_CB and tb >= _ZC_BOX_TB for _, cb, tb in shard
+            )
+            survives = min(cb for _, cb, _t in shard) < _ZC_BOX_CB and max(
+                tb for _, _c, tb in shard
+            ) >= _ZC_BOX_TB
+            if has_match:
+                assert survives
