@@ -1453,3 +1453,104 @@ FROM classed GROUP BY 1
 def s21_zorder_layout_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_S21_STMT.replace(" IDIV ", " div "))
+
+
+# ---------------------------------------------------------------------------
+# S21s — sampled z-order advisor (production form). Like s20s: run the
+# advisor on a deterministic 1% md5-bucket sample with proportionally
+# shrunk row groups and report RATIOS — rank buckets (ntile) and prune
+# ratios are quantile-stable under uniform sampling, so the sampled
+# read is the estimate a 100 TB table owner actually pays for. The
+# global rank windows in the exact form (s21) serialize into
+# single-task sorts by design; here they sort 1% of the table.
+# ---------------------------------------------------------------------------
+_S21S_MOD = 100  # keep 1 of every 100 keys, by md5 bucket
+_S21S_RG = 10    # 1000-row groups x 1% sample
+
+
+def _s21s_stmt() -> str:
+    n = 1 << _S21_BITS
+    sample = (
+        "SELECT * FROM orders WHERE "
+        "HEXCAST(substring(md5(CAST(o_orderkey AS CASTT)), 1, 15)) "
+        f"% {_S21S_MOD} = 0"
+    )
+    return f"""
+WITH ranked AS (
+    SELECT o_orderkey,
+           ntile({n}) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS cb,
+           ntile({n}) OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS db
+    FROM ({sample})
+),
+zed AS (
+    SELECT o_orderkey, cb, db,
+           {_s21_interleave_sql('cb', 'db')} AS z,
+           CASE WHEN cb < {1 << (_S21_BITS - 2)}
+                 AND db >= {3 * (1 << (_S21_BITS - 2))}
+                THEN 1 ELSE 0 END AS hit
+    FROM ranked
+),
+laid AS (
+    SELECT 'a_lin_cust' AS layout,
+           (row_number() OVER (ORDER BY cb, o_orderkey) - 1)
+               IDIV {_S21S_RG} AS rg, cb, db, hit
+    FROM zed
+    UNION ALL
+    SELECT 'b_lin_date',
+           (row_number() OVER (ORDER BY db, o_orderkey) - 1)
+               IDIV {_S21S_RG}, cb, db, hit
+    FROM zed
+    UNION ALL
+    SELECT 'c_zorder',
+           (row_number() OVER (ORDER BY z, o_orderkey) - 1)
+               IDIV {_S21S_RG}, cb, db, hit
+    FROM zed
+),
+stats AS (
+    SELECT layout, rg,
+           min(cb) AS cmn, max(db) AS dmx,
+           CAST(sum(hit) AS BIGINT) AS matching_rows,
+           CAST(count(*) AS BIGINT) AS rows_
+    FROM laid GROUP BY 1, 2
+),
+classed AS (
+    SELECT layout, rows_, matching_rows,
+           CASE WHEN cmn >= {1 << (_S21_BITS - 2)}
+                  OR dmx < {3 * (1 << (_S21_BITS - 2))}
+                THEN 'pruned'
+                WHEN matching_rows > 0 THEN 'scan_hit'
+                ELSE 'scan_false_positive' END AS outcome
+    FROM stats
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_rowgroups_sampled,
+       CAST(sum(rows_) AS BIGINT) AS rows_sampled,
+       count(CASE WHEN outcome = 'pruned' THEN 1 END)
+           / CAST(count(*) AS DOUBLE) AS pruned_ratio,
+       coalesce(sum(CASE WHEN outcome <> 'pruned'
+                         THEN rows_ ELSE 0 END), 0)
+           / CAST(sum(rows_) AS DOUBLE) AS scan_ratio
+FROM classed GROUP BY 1
+"""
+
+
+@query(
+    "s21_zorder_layout_probe_sampled",
+    oracle=_s21s_stmt()
+    .replace(" IDIV ", " // ")
+    .replace("HEXCAST(", "CAST(concat('0x', ")
+    .replace(") % ", ") AS BIGINT) % ", 1)
+    .replace("CASTT", "VARCHAR"),
+)
+def s21_zorder_layout_probe_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    stmt = (
+        _s21s_stmt()
+        .replace(" IDIV ", " div ")
+        .replace("HEXCAST(", "CAST(conv(")
+        .replace(") % ", ", 16, 10) AS BIGINT) % ", 1)
+        .replace("CASTT", "STRING")
+    )
+    return spark.sql(stmt)
