@@ -2674,28 +2674,39 @@ def _write_layout(
         )
     except FileExistsError:
         return False
+    if isinstance(data_version, int):
+        data_version = [data_version]
     with os.fdopen(fd, "w") as fh:
         fh.write(
-            "data=%d;dv=%s"
-            % (data_version, ",".join(str(v) for v in dv_versions))
+            "data=%s;dv=%s"
+            % (
+                ",".join(str(v) for v in data_version),
+                ",".join(str(v) for v in dv_versions),
+            )
         )
     return True
 
 
 def _read_layout(root: str, version: int):
-    """Resolve a version's (data_version, [dv_versions]). A version
+    """Resolve a version's ([data_versions], [dv_versions]). A version
     with no layout record is a plain copy-on-write snapshot: it reads
     its own data dir with an empty DV chain — which is what keeps
-    every pre-DV commit readable unchanged."""
+    every pre-DV commit readable unchanged. A MoR MERGE appends a new
+    data version to the list; the SEQUENCE rule (a DV applies only to
+    data versions OLDER than the DV's own version number — the Iceberg
+    sequence-number idea) is enforced by the reader."""
     try:
         with open(_layout_path(root, version)) as fh:
             txt = fh.read().strip()
     except FileNotFoundError:
-        return version, []
+        return [version], []
     data_part, dv_part = txt.split(";")
-    data_version = int(data_part.split("=", 1)[1])
+    data_txt = data_part.split("=", 1)[1]
     dv_txt = dv_part.split("=", 1)[1]
-    return data_version, [int(x) for x in dv_txt.split(",") if x]
+    return (
+        [int(x) for x in data_txt.split(",") if x],
+        [int(x) for x in dv_txt.split(",") if x],
+    )
 
 
 def _stage_dv(
@@ -2749,17 +2760,29 @@ def _read_mor(
         version = _resolve_current(root, ref)
     if version is None:
         return spark.createDataFrame([], _REL_SCHEMA_DDL)
-    data_v, dvs = _read_layout(root, version)
-    df = _read_version(spark, root, data_v)
-    if not dvs:
-        return df
-    keys = None
-    for v in dvs:
-        k = read_parquet_or_empty(
-            spark, os.path.join(root, "dv", f"v={v}"), _DV_DDL
-        )
-        keys = k if keys is None else keys.unionAll(k)
-    return df.join(keys.distinct(), "doc_id", "left_anti")
+    data_vs, dvs = _read_layout(root, version)
+
+    def dv_keys(versions):
+        keys = None
+        for v in versions:
+            k = read_parquet_or_empty(
+                spark, os.path.join(root, "dv", f"v={v}"), _DV_DDL
+            )
+            keys = k if keys is None else keys.unionAll(k)
+        return keys.distinct() if keys is not None else None
+
+    out = None
+    for d in data_vs:
+        df = _read_version(spark, root, d)
+        # SEQUENCE rule: only DVs committed AFTER data version d can
+        # delete its rows — an upsert's replacement row (appended in
+        # the same commit as the DV that tombstones the old copy) must
+        # not be deleted by that DV.
+        keys = dv_keys([v for v in dvs if v > d])
+        if keys is not None:
+            df = df.join(keys, "doc_id", "left_anti")
+        out = df if out is None else out.unionAll(df)
+    return out
 
 
 def _dv_oracle() -> str:
@@ -3576,4 +3599,201 @@ def pipeline_manifest_bloom_skipping(
         .unionAll(pair_stat(cand, 2, "bloom_candidates"))
         .unionAll(pair_stat(fneg, 3, "bloom_false_negatives", False))
         .unionAll(_snap_stat(looked, 4, "lookup_result", digest=True))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read MERGE (round 12 continuation): the Iceberg-v2 MoR
+# write path. pipeline_snapshot_merge_upsert is copy-on-write (the
+# whole touched region rewrites); here the SAME changeset lands as
+#   one DV file   — tombstones for matched keys (deletes AND the old
+#                   copies of updated rows), and
+#   one APPEND    — a fresh data version holding only the new/updated
+#                   rows,
+# committed together through the ordinary CAS. Cost is changeset-sized
+# on both sides; the base data files are untouched. Correctness hinges
+# on the SEQUENCE rule _read_mor enforces: the DV (version N) deletes
+# only from data versions < N, so the replacement rows appended AS
+# version N survive their own commit's tombstones.
+# ---------------------------------------------------------------------------
+def _commit_mor_merge(
+    spark: SparkSession,
+    dv_keys: DataFrame,
+    appends: DataFrame,
+    root: str,
+    version: int,
+    base: int,
+) -> bool:
+    """MoR MERGE commit: stage the tombstone DV + the append-only data
+    version, extend the base layout's data list and DV chain, CAS."""
+    data_vs, dvs = _read_layout(root, base)
+    _stage_dv(spark, dv_keys, root, version)
+    _stage_version(spark, appends, root, version)
+    if not _write_layout(
+        root, version, data_vs + [version], dvs + [version]
+    ):
+        return False
+    return _commit_cas(root, base, version)
+
+
+def _mor_merge_oracle() -> str:
+    dig = f"CAST(coalesce(bit_xor({_DIG60_DUCK}), 0) AS BIGINT)"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS tokens,
+               doc_id % 8 AS shard
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    chg AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'delete' ELSE 'upsert' END
+                   AS op,
+               len(string_split(text || ' v2', ' ')) AS tokens
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    dv1 AS (SELECT c.doc_id FROM chg c
+            JOIN base b ON b.doc_id = c.doc_id),
+    app AS (SELECT doc_id, tokens, doc_id % 8 AS shard
+            FROM chg WHERE op = 'upsert'),
+    v2 AS (
+        SELECT * FROM base
+        WHERE doc_id NOT IN (SELECT doc_id FROM dv1)
+        UNION ALL SELECT * FROM app
+    ),
+    dv2 AS (SELECT doc_id FROM v2 WHERE doc_id % 9 = 6),
+    v3 AS (SELECT * FROM v2
+           WHERE doc_id NOT IN (SELECT doc_id FROM dv2))
+    SELECT 0 AS stage_ord, 'base_v1' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(tokens), 0) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
+           {dig} AS digest
+    FROM base
+    UNION ALL SELECT 1, 'dv_v2_tombstones', CAST(count(*) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM dv1
+    UNION ALL SELECT 2, 'append_v2_rows', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT), CAST(0 AS BIGINT)
+    FROM app
+    UNION ALL SELECT 3, 'mor_read_v2', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT), {dig}
+    FROM v2
+    UNION ALL SELECT 4, 'dv_v3_keys', CAST(count(*) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM dv2
+    UNION ALL SELECT 5, 'mor_read_v3', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT), {dig}
+    FROM v3
+    UNION ALL SELECT 6, 'base_files_rewritten', CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 7, 'compacted_v4', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT), {dig}
+    FROM v3
+    UNION ALL SELECT 8, 'deleted_still_visible', CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """
+
+
+@query("pipeline_mor_merge_upsert", oracle=_mor_merge_oracle())
+def pipeline_mor_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ MERGE: the same upsert+delete changeset as the
+    copy-on-write MERGE query, landed the Iceberg-v2 way — one DV file
+    tombstones every MATCHED key (deletes and the old copies of
+    updates), one APPEND data version carries the new/updated rows,
+    both in a single CAS commit. Row 6 pins that the base data files
+    were not rewritten (v1's data dir is byte-untouched: its mtime-
+    stable parquet set is re-listed and compared). The sequence rule
+    is exercised twice: the v2 DV must not delete v2's own appends,
+    and the v3 DV (a later plain MoR delete) must reach BOTH data
+    versions. v4 compacts the whole layout back to copy-on-write with
+    a digest-pinned identical result. Cost model: MERGE is
+    changeset-sized (the one key join to classify matches + two
+    changeset-sized writes); the rewrite happens once, at compaction."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "mor_merge")
+
+    base = docs.where("doc_id % 2 = 0").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        F.md5("text").alias("dg"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+    )
+    _stage_version(spark, base, root, 1)
+    assert _commit_cas(root, None, 1)
+    before = sorted(os.listdir(os.path.join(root, "data", "v=1")))
+
+    chg = docs.where("doc_id % 3 = 0").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.size(F.split(F.concat("text", F.lit(" v2")), " "))
+        .cast("long")
+        .alias("tokens"),
+        F.md5(F.concat("text", F.lit(" v2"))).alias("dg"),
+    )
+    cur = _read_mor(spark, root)
+    dv1 = chg.join(cur.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id"
+    )
+    app = chg.where("op = 'upsert'").select(
+        "doc_id",
+        "tokens",
+        "dg",
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+    )
+    assert _commit_mor_merge(spark, dv1, app, root, 2, 1)
+
+    dv2 = _read_mor(spark, root).where("doc_id % 9 = 6").select("doc_id")
+    assert _commit_mor_delete(spark, dv2, root, 3, 2)
+
+    mor2 = _read_mor(spark, root, version=2)
+    mor3 = _read_mor(spark, root, version=3)
+
+    # row 6: the base data files were never rewritten by the MERGE
+    after = sorted(os.listdir(os.path.join(root, "data", "v=1")))
+    rewritten = 0 if before == after else 1
+    fs_row = spark.createDataFrame(
+        [(6, "base_files_rewritten", rewritten, 0, 0, 0)],
+        "stage_ord int, stage string, n_docs long, n_tokens long, "
+        "n_shards long, digest long",
+    )
+
+    compacted = mor3.select("doc_id", "tokens", "dg", "shard")
+    _stage_version(spark, compacted, root, 4)
+    assert _write_layout(root, 4, 4, [])
+    assert _commit_cas(root, 3, 4)
+    v4 = _read_mor(spark, root)
+
+    def keys_stat(df, ord_, name):
+        return df.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_shards"),
+            F.lit(0).cast("long").alias("digest"),
+        ).select(
+            "stage_ord", "stage", "n_docs", "n_tokens", "n_shards", "digest"
+        )
+
+    all_deleted = dv1.unionAll(dv2).distinct()
+    survivors = v4.join(
+        all_deleted.join(app, "doc_id", "left_anti"), "doc_id", "left_semi"
+    )
+    return (
+        _snap_stat(_read_version(spark, root, 1), 0, "base_v1", digest=True)
+        .unionAll(keys_stat(dv1, 1, "dv_v2_tombstones"))
+        .unionAll(_snap_stat(app, 2, "append_v2_rows", digest=False)
+                  .withColumn("digest", F.lit(0).cast("long")))
+        .unionAll(_snap_stat(mor2, 3, "mor_read_v2", digest=True))
+        .unionAll(keys_stat(dv2, 4, "dv_v3_keys"))
+        .unionAll(_snap_stat(mor3, 5, "mor_read_v3", digest=True))
+        .unionAll(fs_row)
+        .unionAll(_snap_stat(v4, 7, "compacted_v4", digest=True))
+        .unionAll(keys_stat(survivors, 8, "deleted_still_visible"))
     )

@@ -2440,6 +2440,18 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_mor_merge_upsert", execute=True)
+    check(
+        "pipeline_mor_merge_upsert",
+        "MoR MERGE reads are unions of per-data-version scans, each "
+        "anti-joined (broadcast) against only the DVs sequenced after "
+        "it; the base data files are never rewritten in the plan; no "
+        "cartesian, no Python",
+        "Union" in p and "LeftAnti" in p and "BroadcastHashJoin" in p
+        and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "x24_stream_mor_delete_feed", execute=True)
     check(
         "x24_stream_mor_delete_feed",

@@ -562,7 +562,7 @@ def test_layout_defaults_for_plain_versions(spark, tmp_path):
 
     root = _dv_fixture(spark, tmp_path)
     # a pre-DV version has no layout record: reads itself, no DV chain
-    assert _read_layout(root, 1) == (1, [])
+    assert _read_layout(root, 1) == ([1], [])
     assert _read_mor(spark, root, version=1).count() == 6
 
 
@@ -583,8 +583,8 @@ def test_dv_chain_stacks_and_compaction_is_bit_identical(spark, tmp_path):
         spark, spark.createDataFrame([(5,)], "doc_id long"), root, 3, 2
     )
     # both layouts point at v1's data; the DV chain stacks
-    assert _read_layout(root, 2) == (1, [2])
-    assert _read_layout(root, 3) == (1, [2, 3])
+    assert _read_layout(root, 2) == ([1], [2])
+    assert _read_layout(root, 3) == ([1], [2, 3])
     mor3 = _read_mor(spark, root, version=3)
     assert sorted(mor3.toPandas()["doc_id"]) == [1, 2, 3, 4]
     # compaction folds the chain back to copy-on-write, bit-identically
@@ -718,3 +718,40 @@ def test_mv_merge_untouched_groups_pass_through(spark):
     assert got["C"]["last_touched_batch"] == 3  # new group born at batch 3
     assert float(got["A"]["revenue"]) == 2.5
     assert int(got["C"]["n_orders"]) == 1
+
+
+def test_mor_merge_sequence_rule(spark, tmp_path):
+    """The DV committed WITH an append (same version) must not delete
+    the append's replacement rows, and a LATER DV must reach both data
+    versions — the Iceberg sequence-number semantics _read_mor
+    enforces."""
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_mor_delete,
+        _commit_mor_merge,
+        _read_layout,
+        _read_mor,
+    )
+
+    root = _dv_fixture(spark, tmp_path)  # docs 0..5, tokens 10*(i+1)
+    # merge: update doc 2 (tombstone old copy + append new), insert 9
+    dv = spark.createDataFrame([(2,)], "doc_id long")
+    app = spark.createDataFrame(
+        [(2, 999, "new2", 0), (9, 90, "d9", 1)],
+        "doc_id long, tokens long, dg string, shard long",
+    )
+    assert _commit_mor_merge(spark, dv, app, root, 2, 1)
+    assert _read_layout(root, 2) == ([1, 2], [2])
+    got = (
+        _read_mor(spark, root)
+        .toPandas()
+        .set_index("doc_id")["tokens"]
+        .to_dict()
+    )
+    # doc 2 survives its own commit's tombstone with the NEW value
+    assert got[2] == 999 and got[9] == 90 and len(got) == 7
+    # a later DV reaches both data versions: delete 2 (in the append
+    # file) and 3 (in the base file) in one commit
+    later = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    assert _commit_mor_delete(spark, later, root, 3, 2)
+    got3 = sorted(_read_mor(spark, root).toPandas()["doc_id"])
+    assert got3 == [0, 1, 4, 5, 9]
