@@ -3625,8 +3625,9 @@ def _commit_mor_merge(
     base: int,
 ) -> bool:
     """MoR MERGE commit: stage the tombstone DV + the append-only data
-    version, extend the base layout's data list and DV chain, CAS."""
-    data_vs, dvs = _read_layout(root, base)
+    version, extend the base layout's data list and DV chain, CAS.
+    base=None bootstraps an empty table (the first streamed batch)."""
+    data_vs, dvs = ([], []) if base is None else _read_layout(root, base)
     _stage_dv(spark, dv_keys, root, version)
     _stage_version(spark, appends, root, version)
     if not _write_layout(

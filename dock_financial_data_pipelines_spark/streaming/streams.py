@@ -2243,3 +2243,163 @@ def x24_stream_mor_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             _resolve_current(root),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x25 — streaming CDC UPSERTS applied as merge-on-read MERGE commits
+# ---------------------------------------------------------------------------
+_X25_ORACLE = """
+WITH ev AS (
+    SELECT user_id, ts, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           ntile(4) OVER (ORDER BY ts, event_id) AS chunk
+    FROM events
+),
+ks AS (SELECT * FROM (VALUES (1), (2), (3), (4)) t(k)),
+latest AS (
+    SELECT k, user_id, cents
+    FROM (
+        SELECT ks.k, ev.user_id, ev.cents,
+               row_number() OVER (
+                   PARTITION BY ks.k, ev.user_id
+                   ORDER BY ev.ts DESC, ev.event_id DESC
+               ) AS rn
+        FROM ks JOIN ev ON ev.chunk <= ks.k
+    ) WHERE rn = 1
+),
+prefix AS (
+    SELECT ks.k,
+           CAST(count(l.user_id) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(l.cents), 0) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT l.user_id % 8) AS BIGINT) AS n_shards
+    FROM ks LEFT JOIN latest l ON l.k = ks.k GROUP BY ks.k
+)
+SELECT CAST(k AS INT) AS stage_ord,
+       'asof_v' || CAST(k AS VARCHAR) AS stage,
+       n_docs, n_tokens, n_shards
+FROM prefix
+UNION ALL
+SELECT 5, 'final_visible', n_docs, n_tokens, n_shards
+FROM prefix WHERE k = 4
+UNION ALL
+SELECT 6, 'layout_census', CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+       CAST(4 AS BIGINT)
+UNION ALL
+SELECT 7, 'snapshot_log', CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(4 AS BIGINT)
+"""
+
+
+@query("x25_stream_mor_upsert_feed", oracle=_X25_ORACLE)
+def x25_stream_mor_upsert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC UPSERTS at CHANGESET GRAIN: each micro-batch of
+    the 4-chunk event stream maintains a last-write-wins per-user
+    value table through ONE merge-on-read MERGE commit — the batch's
+    per-user latest rows land as an append data version, and a DV
+    tombstones the superseded copies of users already visible. No
+    batch rewrites any earlier batch's files (row 6 pins the layout:
+    4 data versions, 4 DVs, 4 commits); the sequence rule keeps each
+    batch's own appends alive through its own tombstones. Replays are
+    absorbed exactly like x23/x24. The oracle reconstructs every
+    as-of view as the per-user latest event over the same ntile(4)
+    chunk prefix — if any tombstone missed a superseded copy, the
+    prefix counts would double-count and the hash would diverge. This
+    is the lakehouse streaming-upsert ingest path (Delta/Iceberg CDC
+    apply) priced per batch: changeset-sized writes, zero rewrite."""
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_mor_merge,
+        _committed_versions,
+        _fast_forward,
+        _read_layout,
+        _read_mor,
+        _release_root,
+        _resolve_current,
+        _snap_const_row,
+        _snap_stat,
+    )
+    from pyspark.sql import Window
+
+    root = _release_root(sf_dir, "x25_stream_mor_upsert")
+
+    def apply_upserts(batch_df: DataFrame, batch_id: int) -> None:
+        ver = batch_id + 1
+        if ver in _committed_versions(root):
+            cur = _resolve_current(root)
+            if cur is None or cur < ver:
+                _fast_forward(root, ver)
+            return
+        rn = F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        latest = (
+            batch_df.withColumn("rn", rn)
+            .where("rn = 1")
+            .select(
+                F.col("user_id").cast("long").alias("doc_id"),
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias(
+                    "tokens"
+                ),
+            )
+            .select(
+                "doc_id",
+                "tokens",
+                F.md5(F.concat_ws(":", "doc_id", "tokens")).alias("dg"),
+                F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias(
+                    "shard"
+                ),
+            )
+        )
+        visible = _read_mor(spark, root).select("doc_id")
+        dv = latest.select("doc_id").join(visible, "doc_id", "left_semi")
+        committed = _commit_mor_merge(
+            spark, dv, latest, root, ver, None if ver == 1 else ver - 1
+        )
+        assert committed, f"single-writer CAS cannot lose (version {ver})"
+
+    scratch = _scratch()
+    with _stream_partitions(spark):
+        q = (
+            _events_stream_multibatch(spark, sf_dir)
+            .writeStream.foreachBatch(apply_upserts)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out = None
+    for v in _committed_versions(root):
+        row = _snap_stat(_read_mor(spark, root, version=v), v, f"asof_v{v}")
+        out = row if out is None else out.unionAll(row)
+    out = out.unionAll(
+        _snap_stat(_read_mor(spark, root), 5, "final_visible")
+    )
+    cur = _resolve_current(root)
+    data_vs, dvs = (
+        _read_layout(root, cur) if cur is not None else ([], [])
+    )
+    n_data_dirs = len(
+        [
+            n
+            for n in os.listdir(os.path.join(root, "data"))
+            if n.startswith("v=")
+        ]
+    )
+    out = out.unionAll(
+        spark.createDataFrame(
+            [(6, "layout_census", len(data_vs), len(dvs), n_data_dirs)],
+            "stage_ord int, stage string, n_docs long, n_tokens long, "
+            "n_shards long",
+        )
+    )
+    return out.unionAll(
+        _snap_const_row(
+            spark,
+            7,
+            "snapshot_log",
+            len(_committed_versions(root)),
+            cur,
+        )
+    )

@@ -2462,6 +2462,17 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "x25_stream_mor_upsert_feed", execute=True)
+    check(
+        "x25_stream_mor_upsert_feed",
+        "post-drain as-of reads union per-batch append scans, each "
+        "anti-joined (broadcast) against only later-sequenced DVs — "
+        "streamed upserts never rewrite earlier batches' files; no "
+        "cartesian, no Python",
+        "Union" in p and "LeftAnti" in p and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
