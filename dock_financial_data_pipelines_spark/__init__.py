@@ -109,7 +109,7 @@ _STALE_BEFORE = {
 # Previously verified entries rotate through the remaining slots via
 # _SWEEP_LAST order — the zero-never-sampled invariant holds.
 _SWEEP_FIRST = [
-    # round-12 additions (SQL-oracled, never driver-checked)
+    # SQL-oracled, never driver-checked (slots 1-43)
     "pipeline_snapshot_timetravel",
     "pipeline_concurrent_commit_cas",
     "pipeline_compact_snapshot",
@@ -131,46 +131,42 @@ _SWEEP_FIRST = [
     "pipeline_atomic_publish",
     "pipeline_release_diff",
     "pipeline_release_rollback",
-    # stale re-verifies: oracles rewritten after the r12 sf1 drain
-    # (tie-deterministic session windows; VARCHAR-routed decimal→double)
-    "x3_session_window",
-    "x3_stream_session_window",
-    "a58_levene_brown_forsythe",
-    "q_npv_discounted_cashflow",
-    "w19_bollinger_bands",
-    # stale re-verifies: Spark-side code rewritten in r12 (BPE trainer
-    # round body; model_score_frame internal text alias)
+    "l_model_quality_scorer",
     "l_bpe_train_multistep",
     "l_bpe_encode_stats",
-    "l_model_quality_scorer",
     "x20_stream_model_scoring",
     "x21_stream_gated_ingest",
+    "x3_stream_session_window",
+    "x3_session_window",
     "q_three_way_match",
-    # r11 plan below (already all green in CORRECTNESS_r11; harmless
-    # as within-class tiebreaker for the rotation)
+    "w19_bollinger_bands",
+    "q_npv_discounted_cashflow",
+    "a58_levene_brown_forsythe",
+    "sql_recursive_bom_rollup",
+    "pipeline_snapshot_delete_vectors",
+    "pipeline_incremental_matview",
+    "s21_zorder_layout_probe",
+    "s21_zorder_layout_probe_sampled",
+    "pipeline_zorder_cluster_rewrite",
+    "pipeline_manifest_bloom_skipping",
+    "pipeline_mor_merge_upsert",
+    "pipeline_snapshot_history",
+    "x24_stream_mor_delete_feed",
+    "x25_stream_mor_upsert_feed",
+    # rows-only (no SQL oracle; driver records spark_rows)
+]
+_SWEEP_LAST = [
     "l4_band_occupancy_audit",
     "l_cross_shard_neardup_rate",
     "l_hot_bucket_skew_advisor",
     "l_dedup_stage_cost_model",
     "a57_kendall_tau",
     "pipeline_sharded_dedup",
-    # round-11 additions (SQL-oracled, never driver-checked)
     "s20_sort_layout_advisor_sampled",
-    "l_model_quality_scorer",
     "l_shard_export_writer",
-    "l_bpe_train_multistep",
-    "l_bpe_encode_stats",
     "pipeline_training_data_release",
-    "x20_stream_model_scoring",
     "pipeline_incremental_release",
-    "x21_stream_gated_ingest",
     "l_scorer_agreement_audit",
-    # re-verify: staging paths re-keyed by sf_tag this round
-    "s5_partitioned_sink_roundtrip",
-    "pipeline_daily_publish",
-]
-
-_SWEEP_LAST = [
     "l_shard_count_advisor",
     "l_sharded_dedup_rehearsal",
     "s19_partition_size_advisor",
@@ -284,7 +280,6 @@ _SWEEP_LAST = [
     "x6_stream_static_join",
     "x5_stream_dedup_watermark",
     "x2_stream_sliding_window",
-    "x3_stream_session_window",
     "x4_stream_tumbling_watermark",
     "x7_stateful_running_balance",
     "x11_stream_stream_join",
@@ -343,7 +338,6 @@ _SWEEP_LAST = [
     "d7_map_in_arrow",
     "x1_tumbling_window",
     "x2_sliding_window",
-    "x3_session_window",
     "x6_stream_static_join_twin",
     "x7_stateful_final_state_twin",
     "x11_stream_stream_join_twin",
@@ -494,7 +488,6 @@ _SWEEP_LAST = [
     "q_abc_xyz_matrix",
     "q_fraud_velocity",
     "q_bilateral_netting",
-    "q_three_way_match",
     "q_duplicate_payments_fuzzy",
     "l_ivf_recall_audit",
     "l_ann_lsh_recall_audit",
@@ -542,7 +535,6 @@ _SWEEP_LAST = [
     "l_kneser_ney_bigram",
     "l_mixture_alpha_sampling",
     "w18_max_drawdown",
-    "w19_bollinger_bands",
     "w20_rolling_corr",
     "w21_anchored_vwap",
     "w22_ytd_report",
@@ -562,11 +554,9 @@ _SWEEP_LAST = [
     "q_revenue_recognition_daily",
     "q_reorder_point_policy",
     "q_target_encoding",
-    "q_npv_discounted_cashflow",
     "u18_weighted_sample",
     "u19_interval_merge",
     "a56_poisson_dispersion",
-    "a58_levene_brown_forsythe",
     "a59_effect_sizes",
     "a60_jarque_bera",
     "a61_page_hinkley",
