@@ -109,7 +109,7 @@ _STALE_BEFORE = {
 # Previously verified entries rotate through the remaining slots via
 # _SWEEP_LAST order — the zero-never-sampled invariant holds.
 _SWEEP_FIRST = [
-    # SQL-oracled, never driver-checked (slots 1-43)
+    # SQL-oracled, never driver-checked (slots 1-44)
     "pipeline_snapshot_timetravel",
     "pipeline_concurrent_commit_cas",
     "pipeline_compact_snapshot",
@@ -153,6 +153,7 @@ _SWEEP_FIRST = [
     "pipeline_snapshot_history",
     "x24_stream_mor_delete_feed",
     "x25_stream_mor_upsert_feed",
+    "pipeline_snapshot_asof_timestamp",
     # rows-only (no SQL oracle; driver records spark_rows)
 ]
 _SWEEP_LAST = [

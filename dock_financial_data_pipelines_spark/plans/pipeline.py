@@ -1305,17 +1305,53 @@ def _append_commit_log(root: str, version: int, parent: int) -> bool:
     exists, so append-only is enforced by the filesystem, not by
     caller discipline. The content is still published whole: O_EXCL
     create + single write of a short string is torn-read-safe here
-    because readers only enumerate NAMES (the content is the parent
-    pointer, read only by forensics)."""
+    because readers only enumerate NAMES (the content — parent pointer
+    and commit timestamp — is read only by forensics and AS-OF-ts
+    resolution). The third field is the commit's wall-clock
+    microseconds, forced STRICTLY MONOTONE across the table's commits
+    (max(now, last+1)) so AS OF <timestamp> resolution is total even
+    when two commits land inside one clock tick."""
+    import time as _time
+
     os.makedirs(_log_dir(root), exist_ok=True)
+    last_ts = max(
+        (_commit_ts(root, v) for v in _committed_versions(root)),
+        default=0,
+    )
+    ts = max(_time.time_ns() // 1000, last_ts + 1)
     path = os.path.join(_log_dir(root), f"v{version}.commit")
     try:
         fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
     except FileExistsError:
         return False
     with os.fdopen(fd, "w") as fh:
-        fh.write(f"{version},{parent}")
+        fh.write(f"{version},{parent},{ts}")
     return True
+
+
+def _commit_ts(root: str, version: int) -> int:
+    """Commit timestamp (µs) from the log entry. Legacy two-field
+    entries (pre-AS-OF rounds) fall back to the version number as a
+    logical clock — still strictly monotone within a table."""
+    try:
+        with open(
+            os.path.join(_log_dir(root), f"v{version}.commit")
+        ) as fh:
+            parts = fh.read().strip().split(",")
+    except FileNotFoundError:
+        return -1
+    return int(parts[2]) if len(parts) > 2 else version
+
+
+def _resolve_asof_ts(root: str, ts: int):
+    """AS OF <timestamp> resolution: the LATEST committed version whose
+    commit timestamp is <= ts (Iceberg/Delta semantics), or None when
+    ts predates the table. Metadata-only: reads the log dir."""
+    best = None
+    for v in _committed_versions(root):
+        if _commit_ts(root, v) <= ts and (best is None or v > best):
+            best = v
+    return best
 
 
 def _committed_versions(root: str) -> list:
@@ -3931,5 +3967,89 @@ def pipeline_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
         row = head.crossJoin(F.broadcast(stats))
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _asof_ts_oracle() -> str:
+    return f"""
+    WITH v1 AS ({_snap_pack_sql('doc_id % 2 = 0')}),
+    v2 AS ({_snap_pack_sql('doc_id % 2 = 1')}),
+    v3 AS ({_snap_pack_sql('doc_id % 3 = 0')})
+    SELECT 0 AS stage_ord, 'before_table' AS stage,
+           CAST(-1 AS INT) AS resolved,
+           CAST(0 AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_tokens,
+           CAST(0 AS BIGINT) AS n_shards
+    UNION ALL SELECT 1, 'mid_v1_v2', 1, CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT)
+    FROM v1
+    UNION ALL SELECT 2, 'exactly_v2', 2, CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT)
+    FROM v2
+    UNION ALL SELECT 3, 'after_v3', 3, CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(tokens), 0) AS BIGINT),
+           CAST(count(DISTINCT shard) AS BIGINT)
+    FROM v3
+    """
+
+
+@query("pipeline_snapshot_asof_timestamp", oracle=_asof_ts_oracle())
+def pipeline_snapshot_asof_timestamp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME TRAVEL BY TIMESTAMP (the Delta/Iceberg `AS OF <ts>` verb):
+    the commit log's third field is a strictly-monotone commit
+    timestamp (max(now, last+1) in µs — total even when commits land
+    inside one clock tick), so any wall-clock probe resolves to the
+    LATEST version committed at-or-before it, metadata-only. Three
+    commits land; probes at (before the table | between v1 and v2 |
+    exactly v2's timestamp | after v3) must resolve to (none, v1, v2,
+    v3) — the resolved version is read back and its stats pinned to
+    the oracle's independent recomputation of that version's packing.
+    The probe timestamps are read FROM the log (never generated), so
+    the output is deterministic at any scale or clock speed."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "asof_ts")
+
+    for version, cond in (
+        (1, "doc_id % 2 = 0"),
+        (2, "doc_id % 2 = 1"),
+        (3, "doc_id % 3 = 0"),
+    ):
+        _stage_version(spark, _pack_where(docs, cond), root, version)
+        assert _commit_cas(root, None if version == 1 else version - 1,
+                           version)
+
+    t1, t2, t3 = (_commit_ts(root, v) for v in (1, 2, 3))
+    probes = [
+        (0, "before_table", t1 - 1),
+        (1, "mid_v1_v2", (t1 + t2) // 2),
+        (2, "exactly_v2", t2),
+        (3, "after_v3", t3 + 1_000_000),
+    ]
+    out = None
+    for ord_, name, ts in probes:
+        v = _resolve_asof_ts(root, ts)
+        read = (
+            _read_version(spark, root, v)
+            if v is not None
+            else spark.createDataFrame([], _REL_SCHEMA_DDL)
+        )
+        row = read.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.lit(-1 if v is None else v).cast("int").alias("resolved"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.countDistinct("shard").cast("long").alias("n_shards"),
+        ).select(
+            "stage_ord", "stage", "resolved", "n_docs", "n_tokens",
+            "n_shards",
+        )
         out = row if out is None else out.unionAll(row)
     return out

@@ -2473,6 +2473,16 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_snapshot_asof_timestamp", execute=True)
+    check(
+        "pipeline_snapshot_asof_timestamp",
+        "AS-OF-timestamp resolution is metadata-only (log-dir reads); "
+        "the plan unions per-probe scans of the resolved immutable "
+        "versions; no cartesian, no Python",
+        "Union" in p and "Scan parquet" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0

@@ -63,7 +63,7 @@ def test_log_entries_record_parent_chain(tmp_path):
     _commit_cas(root, 1, 2)
     parents = {}
     for n in os.listdir(os.path.join(root, "log")):
-        v, p = open(os.path.join(root, "log", n)).read().split(",")
+        v, p = open(os.path.join(root, "log", n)).read().split(",")[:2]
         parents[int(v)] = int(p)
     assert parents == {1: -1, 2: 1}
 
@@ -755,3 +755,30 @@ def test_mor_merge_sequence_rule(spark, tmp_path):
     assert _commit_mor_delete(spark, later, root, 3, 2)
     got3 = sorted(_read_mor(spark, root).toPandas()["doc_id"])
     assert got3 == [0, 1, 4, 5, 9]
+
+
+def test_commit_timestamps_strictly_monotone_and_asof_resolves(tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_ts,
+        _resolve_asof_ts,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    # commits landing inside one clock tick must still get distinct,
+    # increasing timestamps (the max(now, last+1) rule)
+    assert _commit_cas(root, None, 1)
+    assert _commit_cas(root, 1, 2)
+    assert _commit_cas(root, 2, 3)
+    t1, t2, t3 = (_commit_ts(root, v) for v in (1, 2, 3))
+    assert t1 < t2 < t3
+    # AS OF semantics: latest version with ts <= probe
+    assert _resolve_asof_ts(root, t1 - 1) is None
+    assert _resolve_asof_ts(root, t1) == 1
+    assert _resolve_asof_ts(root, (t1 + t2) // 2) == 1
+    assert _resolve_asof_ts(root, t2) == 2
+    assert _resolve_asof_ts(root, t3 + 1_000_000) == 3
+    # legacy two-field entries fall back to the version number
+    with open(os.path.join(root, "log", "v9.commit"), "w") as fh:
+        fh.write("9,3")
+    assert _commit_ts(root, 9) == 9
