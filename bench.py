@@ -16,10 +16,13 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-scope: pandas_udf type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import dock_financial_data_pipelines_spark as engine
 from dock_financial_data_pipelines_spark.session import get_spark
+from pyspark.sql import functions as F
 
 engine.load_all()
 
@@ -175,6 +178,30 @@ def _calibrate_jvm(spark) -> float:
     return round(_median(ts), 4)
 
 
+def _calibrate_arrow(spark) -> float:
+    """Fixed Arrow python-worker probe: one tiny ArrowEvalPython
+    round-trip (1M rows, identity pandas UDF, 1 partition). Median of
+    3, run AFTER the Arrow pre-warm so it measures steady-state worker
+    throughput, not spawn cost. Telemetry only — r12 attributed the
+    l_model_quality_scorer 2.4x spread to python-worker spawn variance
+    (0.37-3.7 s for identical work); this probe is the channel that
+    confirms or acquits worker-side drift in future runs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _ident(s: pd.Series) -> pd.Series:
+        return s
+
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 1_000_000, 1, 1).select(
+            F.sum(_ident("id")).alias("s")
+        ).collect()
+        ts.append(time.time() - t0)
+    return round(_median(ts), 4)
+
+
 def _anchor_comparison(per_query: dict, calib_py: float, calib_jvm: float,
                        sf: str) -> dict:
     """Compare this run against the pinned absolute anchor
@@ -266,10 +293,20 @@ def main() -> None:
     engine.QUERIES["a1_pricing_summary"](spark, sf_dir).collect()
     warmup_sec = round(time.time() - t0, 3)
 
+    # Arrow pre-warm: spawn the python worker pool BEFORE any timed
+    # sample so ArrowEvalPython queries (the r12 2.4x-variance shape)
+    # measure steady-state reused workers, not first-spawn cost. One
+    # pass of the scorer touches every partition's worker slot. Timed
+    # separately, like warmup_sec, for round-record attribution.
+    t0 = time.time()
+    engine.QUERIES["l_model_quality_scorer"](spark, sf_dir).collect()
+    warmup_arrow_sec = round(time.time() - t0, 3)
+
     # Container-speed calibration (run AFTER warmup so JIT is settled,
     # BEFORE the suite so it reflects the same container state).
     calib_py = _calibrate_py()
     calib_jvm = _calibrate_jvm(spark)
+    calib_arrow = _calibrate_arrow(spark)
 
     # n_runs passes over the whole suite (pass-major order, so run k of
     # query A is separated from run k+1 by the full suite — adjacent
@@ -338,6 +375,8 @@ def main() -> None:
         "warmup_sec": warmup_sec,
         "calib_py_sec": calib_py,
         "calib_jvm_sec": calib_jvm,
+        "calib_arrow_sec": calib_arrow,
+        "warmup_arrow_sec": warmup_arrow_sec,
         **shared,
         **_anchor_comparison(per_query, calib_py, calib_jvm, sf),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -15,6 +15,7 @@ STMTS:240-245) → the per-account statement with running balance.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -1310,14 +1311,19 @@ def _append_commit_log(root: str, version: int, parent: int) -> bool:
     resolution). The third field is the commit's wall-clock
     microseconds, forced STRICTLY MONOTONE across the table's commits
     (max(now, last+1)) so AS OF <timestamp> resolution is total even
-    when two commits land inside one clock tick."""
+    when two commits land inside one clock tick. last_ts is read from
+    only the MAX committed version's entry — versions are monotone and
+    each commit's ts >= its predecessor's, so the max version carries
+    the max timestamp; opening every prior entry would make commit
+    cost O(versions) and table lifetime O(n^2) file reads. Two racing
+    writers can still land ts slightly out of version order (both read
+    the same predecessor); _resolve_asof_ts absorbs that by returning
+    max(version) among entries with ts <= probe."""
     import time as _time
 
     os.makedirs(_log_dir(root), exist_ok=True)
-    last_ts = max(
-        (_commit_ts(root, v) for v in _committed_versions(root)),
-        default=0,
-    )
+    committed = _committed_versions(root)
+    last_ts = _commit_ts(root, committed[-1]) if committed else 0
     ts = max(_time.time_ns() // 1000, last_ts + 1)
     path = os.path.join(_log_dir(root), f"v{version}.commit")
     try:
@@ -1702,11 +1708,27 @@ def _expire_snapshot(root: str, version: int) -> bool:
     go). Refuses to expire CURRENT — the one snapshot readers resolve
     by default must always have data behind it. Expiry is marked by an
     atomic tombstone so a crashed vacuum is re-runnable: marker first,
-    then the (idempotent) directory removes."""
+    then the (idempotent) directory removes.
+
+    Layout-aware: with merge-on-read, a LATER live version's layout
+    record can still reference THIS version's data or DV files (e.g.
+    CURRENT=v2 is a DV-only commit whose layout reads data=[1]).
+    Expiring v1 would then rmtree bytes a healthy pointer still
+    resolves, and _read_mor would silently return partial rows —
+    exactly the silent-empty-table failure the reader contract
+    forbids. So expiry refuses any version referenced by a live
+    version's layout, and only reclaims a DV dir once nothing live
+    references it."""
     if _resolve_current(root) == version:
         return False
     if version not in _committed_versions(root):
         return False
+    for live in _live_versions(root):
+        if live == version:
+            continue
+        live_data, live_dvs = _read_layout(root, live)
+        if version in live_data or version in live_dvs:
+            return False
     tomb = os.path.join(_log_dir(root), f"v{version}.expire")
     with open(tomb + ".tmp", "w") as fh:
         fh.write(str(version))
@@ -1714,6 +1736,10 @@ def _expire_snapshot(root: str, version: int) -> bool:
     shutil.rmtree(os.path.join(root, "data", f"v={version}"),
                   ignore_errors=True)
     shutil.rmtree(os.path.join(root, "manifest", f"v={version}"),
+                  ignore_errors=True)
+    # The guard above proved no live layout references this version's
+    # DV either, so its delete-vector bytes are reclaimable too.
+    shutil.rmtree(os.path.join(root, "dv", f"v={version}"),
                   ignore_errors=True)
     return True
 
@@ -2585,7 +2611,10 @@ def _gc_orphans(root: str) -> list:
         except ValueError:
             continue
         if v not in committed:
-            os.remove(os.path.join(root, "layout", n))
+            # idempotent like the rmtree sweeps: a concurrent GC racing
+            # on the same orphan must not raise FileNotFoundError
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(root, "layout", n))
             removed.add(v)
     return sorted(removed)
 
@@ -3377,7 +3406,7 @@ def pipeline_zorder_cluster_rewrite(
 # ---------------------------------------------------------------------------
 
 _BLM_BITS = 65536
-_BLM_WORD = 32        # 32-bit words -> 32 words per filter
+_BLM_WORD = 32        # 32-bit words -> 2048 words per 65536-bit filter
 _BLM_K = 3
 _BLM_SHARDS = 20
 _BLM_MOD, _BLM_RES = 101, 17   # probe keys: doc_id % 101 = 17
@@ -3761,7 +3790,17 @@ def pipeline_mor_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _stage_version(spark, base, root, 1)
     assert _commit_cas(root, None, 1)
-    before = sorted(os.listdir(os.path.join(root, "data", "v=1")))
+
+    def _stat_set(d):
+        # (name, size, mtime_ns) so an in-place rewrite that preserves
+        # file names still trips the audit
+        return sorted(
+            (n, st.st_size, st.st_mtime_ns)
+            for n in os.listdir(d)
+            for st in (os.stat(os.path.join(d, n)),)
+        )
+
+    before = _stat_set(os.path.join(root, "data", "v=1"))
 
     chg = docs.where("doc_id % 3 = 0").select(
         "doc_id",
@@ -3792,7 +3831,7 @@ def pipeline_mor_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     mor3 = _read_mor(spark, root, version=3)
 
     # row 6: the base data files were never rewritten by the MERGE
-    after = sorted(os.listdir(os.path.join(root, "data", "v=1")))
+    after = _stat_set(os.path.join(root, "data", "v=1"))
     rewritten = 0 if before == after else 1
     fs_row = spark.createDataFrame(
         [(6, "base_files_rewritten", rewritten, 0, 0, 0)],

@@ -782,3 +782,109 @@ def test_commit_timestamps_strictly_monotone_and_asof_resolves(tmp_path):
     with open(os.path.join(root, "log", "v9.commit"), "w") as fh:
         fh.write("9,3")
     assert _commit_ts(root, 9) == 9
+
+
+def test_expire_refuses_versions_referenced_by_live_mor_layouts(
+    spark, tmp_path
+):
+    """ADVICE r12 (medium): with merge-on-read, CURRENT can be a
+    DV-only commit whose layout still reads an OLDER data version.
+    Expiring that older version must be refused while any live layout
+    references it — otherwise the pointer stays healthy but _read_mor
+    silently loses rows. Once a copy-on-write compaction supersedes
+    the MoR chain, both old versions become expirable and the DV
+    bytes are reclaimed."""
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_mor_delete,
+        _expire_snapshot,
+        _read_mor,
+    )
+
+    root = _dv_fixture(spark, tmp_path)
+    dels = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    assert _commit_mor_delete(spark, dels, root, 2, 1)
+
+    # v2 (CURRENT) is layout data=[1], dv=[2]: v1's bytes are live
+    assert _expire_snapshot(root, 1) is False
+    assert os.path.isdir(os.path.join(root, "data", "v=1"))
+    assert sorted(_read_mor(spark, root).toPandas()["doc_id"]) == [
+        0, 2, 3, 5,
+    ]
+
+    # compact back to copy-on-write: v3 is a plain staged version
+    cur = _read_mor(spark, root)
+    _stage_version(spark, cur, root, 3)
+    assert _commit_cas(root, 2, 3)
+
+    # v2 is no longer referenced by any live layout → expirable,
+    # and its DV dir goes with it
+    assert os.path.isdir(os.path.join(root, "dv", "v=2"))
+    assert _expire_snapshot(root, 2) is True
+    assert not os.path.isdir(os.path.join(root, "dv", "v=2"))
+
+    # with v2 expired nothing live references v1 anymore
+    assert _expire_snapshot(root, 1) is True
+    assert not os.path.isdir(os.path.join(root, "data", "v=1"))
+    # the compacted CURRENT is untouched
+    assert sorted(_read_mor(spark, root).toPandas()["doc_id"]) == [
+        0, 2, 3, 5,
+    ]
+
+
+def test_expire_refuses_data_version_shared_by_mor_merge(spark, tmp_path):
+    """A MoR MERGE's layout lists MULTIPLE data versions; every one of
+    them is protected while that version is live."""
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_mor_merge,
+        _expire_snapshot,
+        _read_mor,
+    )
+
+    root = _dv_fixture(spark, tmp_path)
+    dv = spark.createDataFrame([(0,), (2,)], "doc_id long")
+    app = spark.createDataFrame(
+        [(0, 999, "d0v2", 0)], "doc_id long, tokens long, dg string, "
+        "shard long",
+    )
+    assert _commit_mor_merge(spark, dv, app, root, 2, 1)
+    # layout of CURRENT=v2 is data=[1, 2], dv=[2]: both protected
+    assert _expire_snapshot(root, 1) is False
+    assert _expire_snapshot(root, 2) is False  # CURRENT anyway
+    got = sorted(_read_mor(spark, root).toPandas()["doc_id"])
+    assert got == [0, 1, 3, 4, 5]
+
+
+def test_gc_orphans_is_idempotent_under_concurrency(spark, tmp_path):
+    """ADVICE r12 (low): two GCs racing on the same orphan layout
+    record must both complete without FileNotFoundError."""
+    import threading
+
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _gc_orphans,
+        _write_layout,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    assert _commit_cas(root, None, 1)
+    for v in range(10, 60):  # 50 orphaned layout records, no log entry
+        assert _write_layout(root, v, v, [])
+    errs = []
+
+    def run():
+        try:
+            _gc_orphans(root)
+        except Exception as e:  # pragma: no cover - the failure mode
+            errs.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    left = [
+        n for n in os.listdir(os.path.join(root, "layout"))
+        if n.endswith(".layout")
+    ]
+    assert left == []
