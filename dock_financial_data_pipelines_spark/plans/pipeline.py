@@ -1370,6 +1370,38 @@ def _committed_versions(root: str) -> list:
     )
 
 
+@contextlib.contextmanager
+def _cas_lock(root: str):
+    """Exclusive lock over a table's commit critical section.
+
+    flock, not a lockfile: the OS releases it when the holder dies, so
+    there is no stale-lock state to time out (a crashed committer
+    inside the section leaves at worst committed-but-not-current,
+    repaired by _fast_forward — same as before). This is the
+    single-filesystem protocol twin of what a real deployment gets
+    from its catalog (Hive/Glue/Nessie conditional update, or an
+    object store's if-match PUT): check-pointer → append-log →
+    swing-pointer must be one atomic step, or two writers that both
+    pass the pointer check with DISTINCT version numbers fork the
+    lineage (both land a log entry, last swing wins the pointer)."""
+    os.makedirs(_log_dir(root), exist_ok=True)
+    fd = os.open(
+        os.path.join(_log_dir(root), ".cas.lock"),
+        os.O_WRONLY | os.O_CREAT,
+    )
+    try:
+        try:
+            import fcntl
+
+            fcntl.flock(fd, fcntl.LOCK_EX)
+        except ImportError:  # pragma: no cover - non-POSIX fallback
+            pass
+        yield
+    finally:
+        # closing the fd drops the flock atomically
+        os.close(fd)
+
+
 def _commit_cas(
     root: str, expected_base, version: int, ref: str = "CURRENT"
 ) -> bool:
@@ -1380,15 +1412,28 @@ def _commit_cas(
     both land even if they interleave past the pointer check).
     Log-then-swing order: a crash between the two leaves a
     committed-but-not-current version (exactly the rollback state,
-    repaired by _fast_forward), never a current-but-unlogged one."""
-    if _resolve_current(root, ref) != expected_base:
-        return False
-    if not _append_commit_log(
-        root, version, -1 if expected_base is None else expected_base
-    ):
-        return False
-    _commit_pointer(root, version, ref)
-    return True
+    repaired by _fast_forward), never a current-but-unlogged one.
+    The whole check→log→swing sequence runs under the table's
+    _cas_lock so concurrent committers with distinct version numbers
+    serialize into one linear lineage instead of forking it."""
+    with _cas_lock(root):
+        if _resolve_current(root, ref) != expected_base:
+            return False
+        committed = _committed_versions(root)
+        if committed and version <= committed[-1]:
+            # Version numbers are allocated ABOVE every committed one
+            # (Iceberg sequence-number discipline). This is what makes
+            # version order == commit order == timestamp order, so
+            # _append_commit_log can read last_ts from just the max
+            # version and AS-OF resolution stays total. A writer that
+            # lost a number race re-reads and allocates fresh.
+            return False
+        if not _append_commit_log(
+            root, version, -1 if expected_base is None else expected_base
+        ):
+            return False
+        _commit_pointer(root, version, ref)
+        return True
 
 
 def _stage_version(
@@ -4092,3 +4137,193 @@ def pipeline_snapshot_asof_timestamp(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Commit storm: N concurrent committers racing the CAS. The production
+# failure mode the single-conflict rebase query (pipeline_concurrent_
+# commit_cas) doesn't cover — many writers, repeated retries, version-
+# number races — made deterministic in OUTPUT (who lands when is
+# schedule-dependent; WHAT lands is not: every writer retries until all
+# its K increments are in, each commit appends exactly one row, so the
+# final census is a constant). Threads stage with pyarrow directly (no
+# Spark in the hot loop — writer-private staging is pure file I/O, the
+# same shape as object-store uploads); Spark reads the final state.
+# ---------------------------------------------------------------------------
+_STORM_WRITERS = 4
+_STORM_COMMITS = 3
+
+
+def _storm_stage_raw(root: str, version: int, rows: list) -> None:
+    """Writer-private staging without a Spark session: the storm's
+    committers are plain threads (a Spark action per attempt would
+    serialize the race away). Schema matches _REL_SCHEMA_DDL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, "data", f"v={version}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "tokens": pa.array([r[1] for r in rows], pa.int64()),
+                "dg": pa.array([r[2] for r in rows], pa.string()),
+                "shard": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(d, "part-00000.parquet"),
+    )
+
+
+def _storm_read_raw(root: str, version) -> list:
+    """Read a committed version's rows driver-side (tiny by
+    construction: the storm table holds one row per landed commit)."""
+    import pyarrow.parquet as pq
+
+    if version is None:
+        return []
+    d = os.path.join(root, "data", f"v={version}")
+    out = []
+    for n in sorted(os.listdir(d)):
+        if n.endswith(".parquet"):
+            t = pq.read_table(os.path.join(d, n))
+            out.extend(
+                (r["doc_id"], r["tokens"], r["dg"], r["shard"])
+                for r in t.to_pylist()
+            )
+    return out
+
+
+def run_commit_storm(
+    root: str, writers: int = _STORM_WRITERS, commits: int = _STORM_COMMITS
+) -> dict:
+    """Drive the storm; return forensic counters. Each writer must land
+    ``commits`` increments; a refused CAS (stale base, lost version
+    race) re-reads CURRENT, re-stages from the NEW base, and retries
+    with a freshly allocated number — the lost-update anomaly is
+    structurally impossible, so the final table is exactly the union
+    of every writer's increments regardless of schedule."""
+    import itertools
+    import threading
+
+    alloc = itertools.count(1)
+    refused = itertools.count()  # forensic only (schedule-dependent)
+    errs = []
+
+    def writer(w: int) -> None:
+        try:
+            for seq in range(commits):
+                while True:
+                    base = _resolve_current(root)
+                    rows = _storm_read_raw(root, base) + [
+                        (w * 100 + seq, 1, f"w{w}s{seq}", w)
+                    ]
+                    v = next(alloc)
+                    _storm_stage_raw(root, v, rows)
+                    if _commit_cas(root, base, v):
+                        break
+                    next(refused)
+        except Exception as e:  # pragma: no cover - surfaced in caller
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in range(writers)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if errs:
+        raise errs[0]
+
+    # lineage walk: head → parent → ... must be linear and complete
+    committed = _committed_versions(root)
+    parents = {}
+    for v in committed:
+        with open(os.path.join(_log_dir(root), f"v{v}.commit")) as fh:
+            parts = fh.read().strip().split(",")
+        parents[v] = int(parts[1])
+    chain = []
+    cur = _resolve_current(root)
+    while cur is not None and cur != -1:
+        chain.append(cur)
+        cur = parents.get(cur, -1)
+        if cur == -1:
+            cur = None
+    forks = sum(
+        1
+        for p in set(parents.values())
+        if p != -1 and list(parents.values()).count(p) > 1
+    )
+    orphans_swept = _gc_orphans(root)
+    leftover = [
+        n
+        for n in os.listdir(os.path.join(root, "data"))
+        if n.startswith("v=") and int(n[2:]) not in set(committed)
+    ]
+    return {
+        "commits": len(committed),
+        "chain_len": len(chain),
+        "forks": forks,
+        "orphans_swept": len(orphans_swept),
+        "orphan_dirs_left": len(leftover),
+        "refused": next(refused),
+    }
+
+
+def _storm_oracle() -> str:
+    n = _STORM_WRITERS * _STORM_COMMITS
+    return f"""
+    SELECT 0 AS stage_ord, 'commits_landed' AS stage,
+           CAST({n} AS BIGINT) AS value
+    UNION ALL SELECT 1, 'lineage_length', CAST({n} AS BIGINT)
+    UNION ALL SELECT 2, 'lineage_forks', CAST(0 AS BIGINT)
+    UNION ALL SELECT 3, 'rows_visible', CAST({n} AS BIGINT)
+    UNION ALL SELECT 4, 'writers_distinct', CAST({_STORM_WRITERS} AS BIGINT)
+    UNION ALL SELECT 5, 'writers_fully_landed',
+           CAST({_STORM_WRITERS} AS BIGINT)
+    UNION ALL SELECT 6, 'orphan_dirs_after_gc', CAST(0 AS BIGINT)
+    """
+
+
+@query("pipeline_commit_storm", oracle=_storm_oracle())
+def pipeline_commit_storm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAS STORM: {W} concurrent committers race {K} append-commits
+    each through the same pointer. Asserted invariants (all constants,
+    independent of thread schedule): every commit landed (no lost
+    updates), the log's parent chain from HEAD is one linear lineage
+    of exactly W*K links with zero forks (two writers passing the
+    pointer check and BOTH landing would fork it — _cas_lock makes
+    that impossible), the visible table holds exactly one row per
+    commit with every writer fully represented, and orphan GC leaves
+    zero non-committed data dirs (losers' staged attempts are swept).
+    The retry census (refused CAS count) is schedule-dependent, so it
+    is logged to the driver only, never returned. At 100 TB this is
+    the multi-job concurrent-publish path: staging is writer-private
+    I/O, the serialized section is three metadata file ops."""
+    root = _release_root(sf_dir, "commit_storm")
+    stats = run_commit_storm(root)
+
+    vis = _read_visible(spark, root)
+    per_writer = vis.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    fully = per_writer.where(
+        (F.col("n") == _STORM_COMMITS) & (F.col("n_docs") == _STORM_COMMITS)
+    ).count()
+
+    rows = [
+        (0, "commits_landed", stats["commits"]),
+        (1, "lineage_length", stats["chain_len"]),
+        (2, "lineage_forks", stats["forks"]),
+        (3, "rows_visible", vis.count()),
+        (4, "writers_distinct",
+         vis.select("shard").distinct().count()),
+        (5, "writers_fully_landed", fully),
+        (6, "orphan_dirs_after_gc", stats["orphan_dirs_left"]),
+    ]
+    return spark.createDataFrame(
+        [(a, b, int(c)) for a, b, c in rows],
+        "stage_ord int, stage string, value long",
+    )

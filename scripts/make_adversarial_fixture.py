@@ -254,6 +254,20 @@ def documents() -> None:
     # One LONG document (2k tokens): shingle/token paths must stay O(n)
     # per doc and agree on the tail.
     texts += [" ".join(f"tok{i % 97}x{i}" for i in range(2000))]
+    # pHash near-collision plants (r12 verdict: l7_phash_decoded_neardup
+    # was a vacuous 0-rows-vs-0-rows green). The l7 fingerprint is the
+    # first 60 bits of md5(text); these suffix pairs were found by an
+    # offline 12M-candidate birthday search over "phash probe <i>" and
+    # sit at Hamming 2 and 3 — at or under _PHASH_HAMMING=3, so the
+    # 4x15-bit banded join MUST surface both pairs (md5 is stable, the
+    # plant is deterministic). Texts are <64 bytes, so the prefix-64
+    # variant (l7_phash_neardup) sees the same hashes.
+    texts += [
+        "phash probe 4858339",    # 346f47c0e737698
+        "phash probe 6262094",    # 346f47c0e717498 (Hamming 2)
+        "phash probe 617385",     # 7c5df76a18bec75
+        "phash probe 10941074",   # 7c5df76a08b6d75 (Hamming 3)
+    ]
     # ordinary filler to keep aggregates non-trivial
     texts += [
         " ".join(f"w{(i * 7 + j) % 23}" for j in range(10 + i % 13)) for i in range(40)

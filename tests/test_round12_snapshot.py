@@ -63,6 +63,8 @@ def test_log_entries_record_parent_chain(tmp_path):
     _commit_cas(root, 1, 2)
     parents = {}
     for n in os.listdir(os.path.join(root, "log")):
+        if not n.endswith(".commit"):
+            continue  # e.g. the .cas.lock serialization file
         v, p = open(os.path.join(root, "log", n)).read().split(",")[:2]
         parents[int(v)] = int(p)
     assert parents == {1: -1, 2: 1}
@@ -888,3 +890,35 @@ def test_gc_orphans_is_idempotent_under_concurrency(spark, tmp_path):
         if n.endswith(".layout")
     ]
     assert left == []
+
+
+def test_commit_storm_linear_lineage_no_lost_commits(tmp_path):
+    """8 writers x 5 commits racing the CAS from plain threads: every
+    commit lands, the lineage is one linear chain (no forks), losers'
+    staged dirs are swept, and commit timestamps are strictly monotone
+    along version order (the AS-OF invariant) despite the races."""
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_ts,
+        run_commit_storm,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    stats = run_commit_storm(root, writers=8, commits=5)
+    assert stats["commits"] == 40
+    assert stats["chain_len"] == 40
+    assert stats["forks"] == 0
+    assert stats["orphan_dirs_left"] == 0
+    ts = [_commit_ts(root, v) for v in _committed_versions(root)]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+
+
+def test_commit_cas_refuses_version_below_committed_max(tmp_path):
+    """Version numbers are allocated above every committed one — the
+    discipline that keeps version order == commit order == ts order."""
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    assert _commit_cas(root, None, 5)
+    assert _commit_cas(root, 5, 3) is False  # below max → refused
+    assert _committed_versions(root) == [5]
+    assert _commit_cas(root, 5, 6) is True
