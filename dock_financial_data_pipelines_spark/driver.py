@@ -154,10 +154,45 @@ def run_job(
     raise last  # type: ignore[misc]
 
 
+def backfill(
+    spark: SparkSession,
+    job_name: str,
+    sf_dir: str,
+    days: list[str],
+    out_dir: str,
+    catchup: bool = True,
+    **run_kw,
+) -> list[RunResult]:
+    """Replay a date range as ordinary per-day runs — the reference's
+    Airflow ``catchup`` policy (REPORT:229, ``catchup=False``) restated
+    at driver granularity.
+
+    ``catchup=True`` runs EVERY day in the range (a backfill);
+    ``catchup=False`` runs only the LATEST day (the reference's
+    setting: a paused-then-resumed schedule does not replay history).
+    Either way each day is one ``run_job``: the ``_SUCCESS_DAY``
+    marker makes re-entry a skip, and dynamic partition overwrite
+    makes forced re-execution replace exactly that day's partition —
+    together they give ``backfill ∘ backfill == backfill`` (the
+    idempotence a multi-day recovery actually needs; at 100 TB the
+    days fan out as independent scheduler tasks, same semantics)."""
+    todo = sorted(days) if catchup else sorted(days)[-1:]
+    return [
+        run_job(spark, job_name, sf_dir, d, out_dir, **run_kw)
+        for d in todo
+    ]
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="dock-fdp-spark job driver")
     p.add_argument("--job", choices=sorted(JOBS), required=True)
     p.add_argument("--day", default=None, help="ISO date; default: yesterday")
+    p.add_argument("--backfill-start", default=None,
+                   help="ISO date: replay [start, end] instead of one day")
+    p.add_argument("--backfill-end", default=None)
+    p.add_argument("--no-catchup", action="store_true",
+                   help="with --backfill-*: run only the latest day "
+                        "(the reference's catchup=False)")
     p.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     p.add_argument("--out", required=True, help="partitioned parquet target")
@@ -172,6 +207,23 @@ def main(argv: list[str] | None = None) -> int:
     from dock_financial_data_pipelines_spark.session import get_spark
 
     spark = get_spark(f"dock-fdp-{args.job}")
+    if args.backfill_start:
+        end = args.backfill_end or day
+        d0 = date.fromisoformat(args.backfill_start)
+        d1 = date.fromisoformat(end)
+        days = [
+            (d0 + timedelta(days=i)).isoformat()
+            for i in range((d1 - d0).days + 1)
+        ]
+        results = backfill(
+            spark, args.job, args.sf_dir, days, args.out,
+            catchup=not args.no_catchup,
+            retries=args.retries, retry_delay_s=args.retry_delay,
+            force=args.force,
+        )
+        for r in results:
+            print(json.dumps(r.__dict__))
+        return 0
     res = run_job(
         spark, args.job, args.sf_dir, day, args.out,
         retries=args.retries, retry_delay_s=args.retry_delay, force=args.force,

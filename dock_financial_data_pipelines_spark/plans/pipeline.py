@@ -4327,3 +4327,208 @@ def pipeline_commit_storm(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(a, b, int(c)) for a, b, c in rows],
         "stage_ord int, stage string, value long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Backfill / catchup policy (closes SURVEY §2-A O3/O5 soft gap): the
+# reference schedules daily with catchup=False (REPORT:229) — a paused
+# schedule does NOT replay history; an operator backfills explicitly.
+# driver.backfill restates both policies over run_job's skip-if-done
+# marker + dynamic-partition-overwrite publish; this query proves the
+# algebra the policies rely on: backfill ∘ backfill == backfill, and a
+# FORCED re-run replaces a day byte-equivalently instead of appending.
+# ---------------------------------------------------------------------------
+def _backfill_oracle() -> str:
+    return """
+    WITH days AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 3
+    )
+    SELECT 0 AS stage_ord, 'published' AS stage,
+           strftime(d, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS value
+    FROM days
+    UNION ALL SELECT 1, 'first_replay_skipped', '',
+           CAST(0 AS BIGINT)
+    UNION ALL SELECT 2, 'second_replay_skipped', '',
+           CAST((SELECT count(*) FROM days) AS BIGINT)
+    UNION ALL SELECT 3, 'double_replay_equal', '', CAST(1 AS BIGINT)
+    UNION ALL SELECT 4, 'force_rerun_equal', '', CAST(1 AS BIGINT)
+    UNION ALL SELECT 5, 'catchup_false_published_days', '',
+           CAST(CASE WHEN (SELECT count(*) FROM days) > 0
+                THEN 1 ELSE 0 END AS BIGINT)
+    ORDER BY stage_ord, day
+    """
+
+
+@query("pipeline_backfill_catchup", oracle=_backfill_oracle())
+def pipeline_backfill_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-day BACKFILL vs NO-CATCHUP, end to end through the job
+    driver: (1) backfill the first three event days — each lands as a
+    dynamic-overwrite partition with a success marker; (2) replay the
+    same backfill — every day must SKIP on its marker and the
+    published partitions must be row-identical (double-replay ≡
+    single-replay); (3) force-re-run the middle day — the overwrite
+    must REPLACE the partition, not append (row counts unchanged);
+    (4) the same range under catchup=False publishes only the LATEST
+    day into a fresh target (the reference's paused-schedule policy).
+    Oracle pins per-day published rows against the raw events table
+    plus the constant skip/equality census."""
+    from dock_financial_data_pipelines_spark.driver import backfill
+
+    ev_days = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .groupBy("d")
+        .count()
+        .orderBy("d")
+        .limit(3)
+        .collect()
+    )
+    days = [r["d"].isoformat() for r in ev_days]
+    want = {r["d"].isoformat(): int(r["count"]) for r in ev_days}
+
+    out = os.path.join(_release_root(sf_dir, "backfill_catchup"), "daily")
+    out2 = out + "_nocatchup"
+
+    first = backfill(spark, "daily_events", sf_dir, days, out)
+    second = backfill(spark, "daily_events", sf_dir, days, out)
+
+    def read_counts():
+        if not days:
+            return {}
+        got = (
+            spark.read.parquet(out)
+            .groupBy("report_date")
+            .count()
+            .collect()
+        )
+        # partition-column type inference reads '2024-01-01' back as a
+        # DATE; str() restores the ISO day key either way
+        return {str(r["report_date"]): int(r["count"]) for r in got}
+
+    after_second = read_counts()
+    double_equal = int(
+        after_second == want
+        and all(r.skipped for r in second)
+        and not any(r.skipped for r in first)
+    )
+
+    force_equal = 1
+    if days:
+        mid = days[len(days) // 2]
+        backfill(spark, "daily_events", sf_dir, [mid], out, force=True)
+        force_equal = int(read_counts() == want)
+
+    nocatch = backfill(
+        spark, "daily_events", sf_dir, days, out2, catchup=False
+    )
+    published_nocatch = sum(1 for r in nocatch if not r.skipped)
+
+    rows = [
+        (0, "published", d, want[d]) for d in days
+    ] + [
+        (1, "first_replay_skipped", "",
+         sum(1 for r in first if r.skipped)),
+        (2, "second_replay_skipped", "",
+         sum(1 for r in second if r.skipped)),
+        (3, "double_replay_equal", "", double_equal),
+        (4, "force_rerun_equal", "", force_equal),
+        (5, "catchup_false_published_days", "", published_nocatch),
+    ]
+    return spark.createDataFrame(
+        [(a, b, c, int(v)) for a, b, c, v in rows],
+        "stage_ord int, stage string, day string, value long",
+    ).orderBy("stage_ord", "day")
+
+
+# ---------------------------------------------------------------------------
+# Layout-aware retention (r12 ADVICE, medium): expiry must refuse any
+# version whose data or DV files are still referenced by a LIVE
+# version's merge-on-read layout — CURRENT can be a DV-only commit
+# whose layout reads an older data version, and expiring that version
+# would silently lose rows through a healthy pointer. Registered (not
+# just protocol-tested) so the guard is driver-oracle-visible.
+# ---------------------------------------------------------------------------
+def _mor_expire_oracle() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS tokens,
+               doc_id % 8 AS shard
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    kept AS (SELECT * FROM base WHERE doc_id % 5 != 0)
+    SELECT 0 AS stage_ord, 'expire_v1_refused_while_mor_live' AS stage,
+           CAST(1 AS BIGINT) AS value
+    UNION ALL
+    SELECT 1, 'mor_rows_after_refusal',
+           CAST((SELECT count(*) FROM kept) AS BIGINT)
+    UNION ALL SELECT 2, 'expire_v2_after_compaction', CAST(1 AS BIGINT)
+    UNION ALL SELECT 3, 'dv_dir_reclaimed', CAST(1 AS BIGINT)
+    UNION ALL SELECT 4, 'expire_v1_after_chain_dead', CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 5, 'current_rows_after_expiry',
+           CAST((SELECT count(*) FROM kept) AS BIGINT)
+    UNION ALL
+    SELECT 6, 'current_tokens_after_expiry',
+           CAST((SELECT coalesce(sum(tokens), 0) FROM kept) AS BIGINT)
+    """
+
+
+@query("pipeline_mor_expire_guard", oracle=_mor_expire_oracle())
+def pipeline_mor_expire_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION × MERGE-ON-READ composition: v1 holds the even docs;
+    v2 is a DV-only delete of the doc_id%5 multiples (layout data=[1],
+    dv=[2]); expiring v1 while v2 is CURRENT must be REFUSED — its
+    bytes are the table. A copy-on-write compaction (v3) then retires
+    the MoR chain: v2 becomes expirable (and its DV bytes are
+    reclaimed with it), after which v1's data is referenced by nothing
+    live and expires too. The oracle pins every refusal/success flag
+    plus the visible rows and token sum across the whole sequence —
+    if the guard under- or over-protects, a count moves. At 100 TB
+    this is what makes vacuum safe to automate next to MoR deletes."""
+    docs = load(spark, sf_dir, "documents")
+    root = _release_root(sf_dir, "mor_expire_guard")
+
+    base = docs.where("doc_id % 2 = 0").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        F.md5("text").alias("dg"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+    )
+    _stage_version(spark, base, root, 1)
+    assert _commit_cas(root, None, 1)
+
+    dels = _read_mor(spark, root).where("doc_id % 5 = 0").select("doc_id")
+    assert _commit_mor_delete(spark, dels, root, 2, 1)
+
+    refused_v1 = int(not _expire_snapshot(root, 1))
+    mor_rows = _read_mor(spark, root).count()
+
+    # compaction retires the MoR chain
+    _stage_version(spark, _read_mor(spark, root), root, 3)
+    assert _commit_cas(root, 2, 3)
+
+    dv_dir = os.path.join(root, "dv", "v=2")
+    expired_v2 = int(_expire_snapshot(root, 2))
+    dv_gone = int(not os.path.isdir(dv_dir))
+    expired_v1 = int(_expire_snapshot(root, 1))
+
+    cur = _read_visible(spark, root)
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("t"),
+    ).first()
+
+    rows = [
+        (0, "expire_v1_refused_while_mor_live", refused_v1),
+        (1, "mor_rows_after_refusal", mor_rows),
+        (2, "expire_v2_after_compaction", expired_v2),
+        (3, "dv_dir_reclaimed", dv_gone),
+        (4, "expire_v1_after_chain_dead", expired_v1),
+        (5, "current_rows_after_expiry", int(agg["n"])),
+        (6, "current_tokens_after_expiry", int(agg["t"])),
+    ]
+    return spark.createDataFrame(
+        [(a, b, int(v)) for a, b, v in rows],
+        "stage_ord int, stage string, value long",
+    )

@@ -2384,6 +2384,38 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_commit_storm", execute=True)
+    check(
+        "pipeline_commit_storm",
+        "the storm's racing is pure metadata (flock-serialized "
+        "check→log→swing; pyarrow writer-private staging); the "
+        "returned census is a driver-literal table — Spark touched "
+        "data only for the bounded final-state read; no cartesian, "
+        "no Python in the plan",
+        ("LocalTableScan" in p or "ExistingRDD" in p)
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_backfill_catchup", execute=True)
+    check(
+        "pipeline_backfill_catchup",
+        "each day publishes via dynamic partition overwrite and reads "
+        "back grouped by the partition column; the returned census is "
+        "a driver-literal table; no cartesian, no Python",
+        ("LocalTableScan" in p or "ExistingRDD" in p)
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_mor_expire_guard", execute=True)
+    check(
+        "pipeline_mor_expire_guard",
+        "retention × merge-on-read: refusal/reclaim decisions are "
+        "metadata-only (layout-record reads); the census is a "
+        "driver-literal table; no cartesian, no Python",
+        ("LocalTableScan" in p or "ExistingRDD" in p)
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "pipeline_snapshot_delete_vectors", execute=True)
     check(
         "pipeline_snapshot_delete_vectors",

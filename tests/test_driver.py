@@ -169,3 +169,62 @@ def test_sweep_head_is_fully_oracled():
     head = list(engine.QUERIES)[:50]
     missing = [n for n in head if n not in engine.ORACLES]
     assert missing == [], f"sweep head entries without oracles: {missing}"
+
+
+def test_backfill_catchup_true_replays_every_day(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "bf_out")
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    first = driver.backfill(spark, "daily_events", sf_dir, days, out)
+    assert [r.day for r in first] == days
+    assert not any(r.skipped for r in first)
+    # double-replay == single-replay: every day skips on its marker,
+    # published partitions untouched
+    counts1 = {
+        str(r["report_date"]): r["count"]
+        for r in spark.read.parquet(out).groupBy("report_date")
+        .count().collect()
+    }
+    second = driver.backfill(spark, "daily_events", sf_dir, days, out)
+    assert all(r.skipped for r in second)
+    counts2 = {
+        str(r["report_date"]): r["count"]
+        for r in spark.read.parquet(out).groupBy("report_date")
+        .count().collect()
+    }
+    assert counts1 == counts2 and set(counts1) == set(days)
+
+
+def test_backfill_no_catchup_runs_only_latest(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "bf_out")
+    days = ["2024-01-02", "2024-01-01", "2024-01-03"]  # unsorted input
+    res = driver.backfill(
+        spark, "daily_events", sf_dir, days, out, catchup=False
+    )
+    assert [r.day for r in res] == ["2024-01-03"]
+    got = sorted(
+        str(r["report_date"])
+        for r in spark.read.parquet(out).select("report_date")
+        .distinct().collect()
+    )
+    assert got == ["2024-01-03"]
+
+
+def test_backfill_cli_mode(sf_dir, tmp_path):
+    """--backfill-start/--backfill-end drive the same path through
+    main(); one JSON line per day."""
+    import io
+    from contextlib import redirect_stdout
+
+    out = str(tmp_path / "bf_cli")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = driver.main([
+            "--job", "daily_events", "--sf-dir", sf_dir, "--out", out,
+            "--backfill-start", "2024-01-01",
+            "--backfill-end", "2024-01-02",
+            "--retries", "0", "--retry-delay", "0",
+        ])
+    assert rc == 0
+    lines = [json.loads(x) for x in buf.getvalue().strip().splitlines()]
+    assert [x["day"] for x in lines] == ["2024-01-01", "2024-01-02"]
+    assert all(not x["skipped"] for x in lines)
