@@ -203,7 +203,7 @@ def _calibrate_arrow(spark) -> float:
 
 
 def _anchor_comparison(per_query: dict, calib_py: float, calib_jvm: float,
-                       sf: str) -> dict:
+                       sf: str, calib_arrow: float = None) -> dict:
     """Compare this run against the pinned absolute anchor
     (BENCH_ANCHOR.json, written once per container era by
     scripts/make_bench_anchor.py). Returns {} when no anchor exists or
@@ -245,6 +245,12 @@ def _anchor_comparison(per_query: dict, calib_py: float, calib_jvm: float,
         out["vs_anchor_calib_adjusted"] = round(
             (cur / ref) / (calib_py / a_py), 4
         )
+    # Arrow worker drift channel (r13+): telemetry only, never an
+    # adjuster — a big ratio here attributes slow ArrowEvalPython
+    # queries to worker-side container state, not code.
+    a_arrow = anchor.get("calib_arrow_sec")
+    if a_arrow and calib_arrow:
+        out["arrow_drift_vs_anchor"] = round(calib_arrow / a_arrow, 4)
     worst = None
     for n in common:
         if anchor["queries"][n] > 0.05:  # sub-50ms anchors are noise
@@ -378,7 +384,8 @@ def main() -> None:
         "calib_arrow_sec": calib_arrow,
         "warmup_arrow_sec": warmup_arrow_sec,
         **shared,
-        **_anchor_comparison(per_query, calib_py, calib_jvm, sf),
+        **_anchor_comparison(per_query, calib_py, calib_jvm, sf,
+                             calib_arrow),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Fixture attribution: the mirrored multi-file fixture (and the
         # scan parallelism it actually achieved) — r12 retired the

@@ -125,8 +125,16 @@ def get_spark(app_name: str = "dock-fdp-spark") -> SparkSession:
         # cannot be tune()d later): ArrowEvalPython stages must hit a
         # warm python-worker pool, not per-stage spawns. r12 measured
         # 0.37-3.7 s spread on identical Arrow-UDF work when spawn cost
-        # leaked into samples.
+        # leaked into samples. A cold worker costs ~6.9 s on this
+        # container (process + pandas/pyarrow imports); steady-state
+        # identity round-trips are ~0.6 s — so any idle reaping between
+        # queries re-inflicts the 10x cliff. Spark 4.1 can reap idle
+        # workers (idleTimeoutSeconds / killOnIdleTimeout); pin both
+        # off so the pool survives the ~90 s between Arrow queries in
+        # a bench pass.
         .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
+        .config("spark.python.worker.killOnIdleTimeout", "false")
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)

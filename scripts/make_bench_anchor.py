@@ -45,6 +45,10 @@ def main() -> int:
         "spark": detail.get("spark"),
         "calib_py_sec": detail["calib_py_sec"],
         "calib_jvm_sec": detail["calib_jvm_sec"],
+        # r13+: steady-state Arrow python-worker probe rides along as a
+        # third telemetry channel (never an adjuster) so worker-side
+        # drift is attributable separately from CPython/JVM drift.
+        "calib_arrow_sec": detail.get("calib_arrow_sec"),
         "queries": detail["queries"],
     }
     out = os.path.join(ROOT, "BENCH_ANCHOR.json")
