@@ -100,16 +100,25 @@ _STALE_BEFORE = {
     "w19_bollinger_bands": 11,
 }
 
-# Round-12 sweep plan (same scheme as prior rounds): round-12
-# registrations (the snapshot-protocol family + the earlier r12 batch)
-# take the head slots, then the _STALE_BEFORE re-verifies — Spark-side
-# rewrites (BPE round body, model_score_frame alias, three-way-match
-# integer cents) and the oracle rewrites the sf1 full drain forced
-# (tie-deterministic session windows; VARCHAR-routed decimal→double).
-# Previously verified entries rotate through the remaining slots via
-# _SWEEP_LAST order — the zero-never-sampled invariant holds.
+# Round-13 sweep plan (same scheme as prior rounds): the three round-13
+# registrations (commit storm, backfill/catchup policy, layout-aware
+# MoR-expire guard) take the head slots — after r12 every other
+# registered query has a green latest driver verdict, so the remaining
+# 47 head slots rotate the least-recently-verified entries via
+# _SWEEP_LAST order (r12's snapshot-protocol family first — they were
+# verified in r12 but their commit-path internals were rewritten by the
+# r13 flock-serialized CAS section, so re-sampling them earliest is the
+# conservative order). The zero-never-sampled invariant holds.
 _SWEEP_FIRST = [
-    # SQL-oracled, never driver-checked (slots 1-44)
+    # SQL-oracled, never driver-checked (slots 1-5)
+    "pipeline_commit_storm",
+    "pipeline_backfill_catchup",
+    "pipeline_mor_expire_guard",
+    "pipeline_partition_evolution",
+    "s22_file_metadata_lineage",
+    # rows-only (no SQL oracle; driver records spark_rows)
+]
+_SWEEP_LAST = [
     "pipeline_snapshot_timetravel",
     "pipeline_concurrent_commit_cas",
     "pipeline_compact_snapshot",
@@ -154,9 +163,6 @@ _SWEEP_FIRST = [
     "x24_stream_mor_delete_feed",
     "x25_stream_mor_upsert_feed",
     "pipeline_snapshot_asof_timestamp",
-    # rows-only (no SQL oracle; driver records spark_rows)
-]
-_SWEEP_LAST = [
     "l4_band_occupancy_audit",
     "l_cross_shard_neardup_rate",
     "l_hot_bucket_skew_advisor",

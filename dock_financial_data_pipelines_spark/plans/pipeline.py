@@ -4532,3 +4532,238 @@ def pipeline_mor_expire_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(a, b, int(v)) for a, b, v in rows],
         "stage_ord int, stage string, value long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec EVOLUTION (Iceberg §partition-evolution parity): a
+# table re-partitions WITHOUT rewriting history. Old snapshots keep
+# their layout; new commits write the new spec; one scan merges both,
+# pruning each file set with ITS OWN spec. The reference's landing
+# tree is day-keyed S3 prefixes (REPORT:166-178) — this is what lets
+# that layout coarsen (day -> month) after years of accumulation
+# without a petabyte rewrite. Data files always carry the SOURCE
+# column (day); the partition value is a derived transform of it, so
+# a residual filter can re-tighten whatever the coarser spec lost.
+# ---------------------------------------------------------------------------
+_PE_DDL = "event_id long, user_id long, day string, p string"
+_PE_DOM_SPLIT = 15  # day-of-month <= 15 -> fine-spec era, else coarse
+
+
+def _pe_write_spec(root: str, version: int, spec_id: int, transform: str):
+    """Spec record rides the commit like Iceberg's partition-spec list
+    in table metadata: bytes-sized JSON, one per version, immutable."""
+    import json
+
+    d = os.path.join(root, "spec")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"v={version}.json"), "w") as fh:
+        json.dump(
+            {"spec_id": spec_id, "transform": transform, "source": "day"},
+            fh,
+        )
+
+
+def _pe_read_spec(root: str, version: int) -> dict:
+    import json
+
+    with open(os.path.join(root, "spec", f"v={version}.json")) as fh:
+        return json.load(fh)
+
+
+def _pe_dirs(root: str, version: int) -> list:
+    """Partition values of one version's layout — a pure LISTing, the
+    metadata read a real format gets from its manifest."""
+    d = os.path.join(root, "data", f"v={version}")
+    try:
+        return sorted(
+            n.split("=", 1)[1] for n in os.listdir(d) if n.startswith("p=")
+        )
+    except FileNotFoundError:
+        return []
+
+
+def _pe_prune(dirs: list, spec: dict, probe_day: str) -> list:
+    """Spec-aware pruning: identity matches the day exactly; the month
+    transform matches the day's month — coarser, so the caller must
+    re-apply the day predicate as a residual filter on the rows."""
+    if spec["transform"] == "identity":
+        return [p for p in dirs if p == probe_day]
+    return [p for p in dirs if p == probe_day[:7]]
+
+
+def _pe_read(spark: SparkSession, root: str, version: int, parts=None):
+    data_dir = os.path.join(root, "data", f"v={version}")
+    if parts is None:
+        return read_parquet_or_empty(spark, data_dir, _PE_DDL)
+    if not parts:
+        return spark.createDataFrame([], _PE_DDL)
+    return spark.read.schema(_PE_DDL).option("basePath", data_dir).parquet(
+        *[os.path.join(data_dir, f"p={p}") for p in parts]
+    )
+
+
+def _pe_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT event_id,
+                      strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      strftime(date_trunc('day', ts), '%Y-%m') AS ym,
+                      CAST(strftime(ts, '%d') AS INT) AS dom
+               FROM events),
+    v1 AS (SELECT * FROM e WHERE dom <= {_PE_DOM_SPLIT}),
+    v2 AS (SELECT * FROM e WHERE dom > {_PE_DOM_SPLIT}),
+    p1 AS (SELECT min(day) AS d FROM v1),
+    p2 AS (SELECT max(day) AS d FROM v2)
+    SELECT 0 AS stage_ord, 'v1_publish_day_spec' AS stage,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT day) AS BIGINT) AS n_dirs,
+           CAST(1 AS BIGINT) AS spec_id
+    FROM v1
+    UNION ALL SELECT 1, 'v2_append_month_spec', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT ym) AS BIGINT), CAST(2 AS BIGINT) FROM v2
+    UNION ALL SELECT 2, 'merged_read', CAST(count(*) AS BIGINT),
+           CAST((SELECT count(DISTINCT day) FROM v1)
+                + (SELECT count(DISTINCT ym) FROM v2) AS BIGINT),
+           CAST(2 AS BIGINT) FROM e
+    UNION ALL SELECT 3, 'probe_fine_spec',
+           CAST((SELECT count(*) FROM v1
+                 WHERE day = (SELECT d FROM p1)) AS BIGINT),
+           CAST((SELECT count(DISTINCT day) FROM v1
+                 WHERE day = (SELECT d FROM p1)) AS BIGINT),
+           CAST(1 AS BIGINT)
+    UNION ALL SELECT 4, 'probe_coarse_residual',
+           CAST((SELECT count(*) FROM v2
+                 WHERE day = (SELECT d FROM p2)) AS BIGINT),
+           CAST((SELECT count(DISTINCT ym) FROM v2
+                 WHERE ym = substr((SELECT d FROM p2), 1, 7)) AS BIGINT),
+           CAST(2 AS BIGINT)
+    UNION ALL SELECT 5, 'probe_coarse_scanned',
+           CAST((SELECT count(*) FROM v2
+                 WHERE ym = substr((SELECT d FROM p2), 1, 7)) AS BIGINT),
+           CAST((SELECT count(DISTINCT day) FROM v2
+                 WHERE ym = substr((SELECT d FROM p2), 1, 7)) AS BIGINT),
+           CAST(2 AS BIGINT)
+    ORDER BY stage_ord
+    """
+
+
+@query("pipeline_partition_evolution", oracle=_pe_oracle())
+def pipeline_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION: v1 publishes the month's first half
+    day-partitioned (spec 1 = identity(day)); the spec then coarsens
+    and v2 appends the second half month-partitioned (spec 2 =
+    month(day)) — v1's files are NOT rewritten. One merged scan unions
+    both eras. A day-probe against the fine era prunes to exactly its
+    day directory; the same probe shape against the coarse era prunes
+    to the month directory and re-tightens with a residual day filter
+    — stage 5 records the scan amplification the coarser spec costs
+    (rows/days scanned vs returned), which is the honest trade the
+    evolution made. Planning is metadata-only: probe days come from
+    the per-directory min/max day manifest, pruning from the dir
+    listing + each version's spec record; data is read only for the
+    probed directories and the merged census. At 100 TB: specs and
+    manifests are KBs; evolving the spec costs one JSON record, never
+    a rewrite; the repartition("p") before each write keeps one task
+    per output directory (salt the hot month when a single month
+    outgrows a task).
+
+    Reference: the day-keyed landing prefixes (REPORT:166-178) this
+    lets age into coarser layouts; Iceberg's partition-evolution spec
+    (public docs) for the per-snapshot spec-id semantics."""
+    root = _release_root(sf_dir, "partition_evolution")
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM").alias("ym"),
+        F.dayofmonth("ts").alias("dom"),
+    )
+
+    def _man(staged):
+        return staged.groupBy("p").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("day").cast("long").alias("n_days"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+
+    def _publish(df, version, spec_id, transform, parent):
+        data_dir = os.path.join(root, "data", f"v={version}")
+        write_partitioned(df.repartition("p"), data_dir, "p")
+        staged = read_parquet_or_empty(spark, data_dir, _PE_DDL)
+        _man(staged).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "manifest", f"v={version}")
+        )
+        _pe_write_spec(root, version, spec_id, transform)
+        assert _commit_cas(root, parent, version)
+
+    _publish(
+        e.where(F.col("dom") <= _PE_DOM_SPLIT)
+        .select("event_id", "user_id", "day")
+        .withColumn("p", F.col("day")),
+        1, 1, "identity", None,
+    )
+    _publish(
+        e.where(F.col("dom") > _PE_DOM_SPLIT)
+        .select("event_id", "user_id", "day", F.col("ym").alias("p")),
+        2, 2, "month", 1,
+    )
+
+    dirs1, dirs2 = _pe_dirs(root, 1), _pe_dirs(root, 2)
+    spec1, spec2 = _pe_read_spec(root, 1), _pe_read_spec(root, 2)
+
+    # planning reads: manifest-sized (one row per partition dir)
+    man1 = {
+        r["p"]: r
+        for r in spark.read.parquet(
+            os.path.join(root, "manifest", "v=1")
+        ).collect()
+    } if dirs1 else {}
+    man2 = {
+        r["p"]: r
+        for r in spark.read.parquet(
+            os.path.join(root, "manifest", "v=2")
+        ).collect()
+    } if dirs2 else {}
+
+    probe1 = min((r["min_day"] for r in man1.values()), default=None)
+    probe2 = max((r["max_day"] for r in man2.values()), default=None)
+
+    v1_n = _pe_read(spark, root, 1).count()
+    v2_n = _pe_read(spark, root, 2).count()
+    merged_n = _pe_read(spark, root, 1).unionByName(
+        _pe_read(spark, root, 2)
+    ).count()
+
+    if probe1 is not None:
+        hit1 = _pe_prune(dirs1, spec1, probe1)
+        fine_n = (
+            _pe_read(spark, root, 1, hit1)
+            .where(F.col("day") == probe1)
+            .count()
+        )
+    else:
+        hit1, fine_n = [], 0
+    if probe2 is not None:
+        hit2 = _pe_prune(dirs2, spec2, probe2)
+        scanned = _pe_read(spark, root, 2, hit2)
+        resid_n = scanned.where(F.col("day") == probe2).count()
+        scan_n = int(sum(man2[p]["n_rows"] for p in hit2))
+        scan_days = int(sum(man2[p]["n_days"] for p in hit2))
+    else:
+        hit2, resid_n, scan_n, scan_days = [], 0, 0, 0
+
+    rows = [
+        (0, "v1_publish_day_spec", v1_n, len(dirs1), 1),
+        (1, "v2_append_month_spec", v2_n, len(dirs2), 2),
+        (2, "merged_read", merged_n, len(dirs1) + len(dirs2), 2),
+        (3, "probe_fine_spec", fine_n, len(hit1), 1),
+        (4, "probe_coarse_residual", resid_n, len(hit2), 2),
+        (5, "probe_coarse_scanned", scan_n, scan_days, 2),
+    ]
+    return spark.createDataFrame(
+        [(a, b, int(c), int(d), e_) for a, b, c, d, e_ in rows],
+        "stage_ord int, stage string, n_rows long, n_dirs long, "
+        "spec_id long",
+    )

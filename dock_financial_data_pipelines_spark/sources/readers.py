@@ -1554,3 +1554,55 @@ def s21_zorder_layout_probe_sampled(
         .replace("CASTT", "STRING")
     )
     return spark.sql(stmt)
+
+
+# ---------------------------------------------------------------------------
+# S22 — hidden file-metadata column (_metadata): row→file lineage off
+# the scan itself, no path parsing. The reference's forensics question
+# is "which landed S3 object produced this row?" (REPORT:166-178, one
+# object per day per source); Spark answers it for free on any
+# file-based source via the _metadata struct (public API since 3.2:
+# file_path / file_name / file_size / row_index). The query writes a
+# status-partitioned copy (repartition by the partition key → exactly
+# one file per directory), reads it back, and audits per-partition:
+# row count, the row_index span inside the single file (dense 0..n-1,
+# so span == count), and the file census. At 100 TB this is the
+# ingest-audit join — rows to landed objects — done by the scan
+# operator, not a bookkeeping sidecar table.
+# ---------------------------------------------------------------------------
+@query(
+    "s22_file_metadata_lineage",
+    oracle="""
+    SELECT o_orderstatus AS part_key,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS row_index_span,
+           CAST(1 AS BIGINT) AS n_files
+    FROM orders GROUP BY 1
+    """,
+)
+def s22_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(
+        _workdir(f"meta_{sf_tag(sf_dir)}"), "orders_by_status"
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition("o_orderstatus")  # one task → one file per dir
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "o_orderstatus",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    return back.groupBy(
+        F.col("o_orderstatus").alias("part_key")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.max("ri") - F.min("ri") + F.lit(1))
+        .cast("long")
+        .alias("row_index_span"),
+        F.countDistinct("fp").cast("long").alias("n_files"),
+    )

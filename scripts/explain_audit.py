@@ -2515,6 +2515,27 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_partition_evolution", execute=True)
+    check(
+        "pipeline_partition_evolution",
+        "spec evolution never rewrites history: planning is spec "
+        "records + dir listing + manifest rows; the probed reads scan "
+        "only the pruned directories; the census is a driver-literal "
+        "table; no cartesian, no Python",
+        ("LocalTableScan" in p or "ExistingRDD" in p)
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "s22_file_metadata_lineage", execute=True)
+    check(
+        "s22_file_metadata_lineage",
+        "row→file lineage rides the scan's hidden _metadata struct "
+        "(no path-parsing UDF): one scan + one hash aggregate, "
+        "JVM-side end to end; no cartesian, no Python",
+        "Scan parquet" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
