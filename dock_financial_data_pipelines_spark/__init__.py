@@ -116,6 +116,7 @@ _SWEEP_FIRST = [
     "pipeline_mor_expire_guard",
     "pipeline_partition_evolution",
     "s22_file_metadata_lineage",
+    "pipeline_log_checkpoint",
     # rows-only (no SQL oracle; driver records spark_rows)
 ]
 _SWEEP_LAST = [

@@ -1323,6 +1323,11 @@ def _append_commit_log(root: str, version: int, parent: int) -> bool:
 
     os.makedirs(_log_dir(root), exist_ok=True)
     committed = _committed_versions(root)
+    if version in committed:
+        # belt for the compacted window: the O_EXCL create below can
+        # only guard versions whose per-commit file still exists; a
+        # checkpointed-then-compacted version must stay unrepeatable
+        return False
     last_ts = _commit_ts(root, committed[-1]) if committed else 0
     ts = max(_time.time_ns() // 1000, last_ts + 1)
     path = os.path.join(_log_dir(root), f"v{version}.commit")
@@ -1345,6 +1350,10 @@ def _commit_ts(root: str, version: int) -> int:
         ) as fh:
             parts = fh.read().strip().split(",")
     except FileNotFoundError:
+        # compacted into a checkpoint? resolve from there
+        _, entries = _read_last_checkpoint(root)
+        if version in entries:
+            return entries[version][1]
         return -1
     return int(parts[2]) if len(parts) > 2 else version
 
@@ -1365,9 +1374,93 @@ def _committed_versions(root: str) -> list:
         names = os.listdir(_log_dir(root))
     except FileNotFoundError:
         return []
-    return sorted(
+    tail = {
         int(n[1:-len(".commit")]) for n in names if n.endswith(".commit")
+    }
+    n, entries = _read_last_checkpoint(root)
+    if n is not None:
+        # entries <= N live in the checkpoint; their per-commit files
+        # may have been compacted away (set-union dedups the overlap
+        # window between checkpointing and compaction)
+        tail |= set(entries)
+    return sorted(tail)
+
+
+# ---------------------------------------------------------------------------
+# Commit-log CHECKPOINTS (Delta _last_checkpoint parity): after years
+# of commits, resolving the log means LISTing O(n_commits) objects —
+# on an object store that is paginated RPCs, and it grows forever. A
+# checkpoint rolls every entry <= N into ONE file; readers load it and
+# list only the tail (> N), and the per-commit files <= N become
+# deletable (log compaction) without losing history, parent lineage,
+# or AS-OF-timestamp resolution. Entries are immutable and append-only,
+# so checkpoint writing needs no lock: checkpoint(<=N) ∪ tail(>N) is
+# the full log under any interleaving with live committers.
+# ---------------------------------------------------------------------------
+def _read_last_checkpoint(root: str):
+    """(N, {version: (parent, ts)}) from the newest checkpoint, or
+    (None, {}). A checkpoint file without a swung pointer (crash
+    between the two renames) is simply not seen — same crash algebra
+    as committed-but-not-current."""
+    import json
+
+    try:
+        with open(os.path.join(_log_dir(root), "_last_checkpoint")) as fh:
+            n = int(fh.read().strip())
+        with open(
+            os.path.join(_log_dir(root), f"checkpoint.v{n}.json")
+        ) as fh:
+            data = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return None, {}
+    return (
+        data["version"],
+        {int(v): (int(p), int(t)) for v, p, t in data["entries"]},
     )
+
+
+def _write_log_checkpoint(root: str):
+    """Roll all committed entries into checkpoint.v{N}.json, then swing
+    _last_checkpoint to N — both by atomic rename, readers never see a
+    torn file. Returns N (None on an empty log). Safe concurrent with
+    committers: only immutable entries <= N are captured; commits
+    landing after the capture stay in the tail."""
+    import json
+
+    committed = _committed_versions(root)
+    if not committed:
+        return None
+    n = committed[-1]
+    entries = [
+        [v, _commit_parent(root, v), _commit_ts(root, v)]
+        for v in committed
+    ]
+    path = os.path.join(_log_dir(root), f"checkpoint.v{n}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": n, "entries": entries}, fh)
+    os.replace(tmp, path)
+    ptmp = os.path.join(_log_dir(root), "_last_checkpoint.tmp")
+    with open(ptmp, "w") as fh:
+        fh.write(str(n))
+    os.replace(ptmp, os.path.join(_log_dir(root), "_last_checkpoint"))
+    return n
+
+
+def _compact_log(root: str) -> int:
+    """Delete per-commit files covered by the newest checkpoint.
+    Returns how many were removed; 0 when no checkpoint exists (never
+    compact what isn't checkpointed). Idempotent and concurrency-safe:
+    a racing compactor just finds the file already gone."""
+    n, entries = _read_last_checkpoint(root)
+    if n is None:
+        return 0
+    removed = 0
+    for v in entries:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(_log_dir(root), f"v{v}.commit"))
+            removed += 1
+    return removed
 
 
 @contextlib.contextmanager
@@ -3933,8 +4026,17 @@ def pipeline_mor_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one that appears only in the DV chain is a MoR delete.
 # ---------------------------------------------------------------------------
 def _commit_parent(root: str, version: int) -> int:
-    with open(os.path.join(_log_dir(root), f"v{version}.commit")) as fh:
-        return int(fh.read().strip().split(",")[1])
+    try:
+        with open(
+            os.path.join(_log_dir(root), f"v{version}.commit")
+        ) as fh:
+            return int(fh.read().strip().split(",")[1])
+    except FileNotFoundError:
+        # compacted into a checkpoint? resolve from there
+        _, entries = _read_last_checkpoint(root)
+        if version in entries:
+            return entries[version][0]
+        raise
 
 
 def _version_kind(root: str, version: int) -> str:
@@ -4766,4 +4868,105 @@ def pipeline_partition_evolution(
         [(a, b, int(c), int(d), e_) for a, b, c, d, e_ in rows],
         "stage_ord int, stage string, n_rows long, n_dirs long, "
         "spec_id long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Commit-log checkpoint + compaction as a driver-visible query (the
+# protocol functions live next to the log primitives above). Iceberg
+# keeps history in a metadata tree, Delta in _last_checkpoint + a JSON
+# tail — either way, the point is the same: log resolution must stay
+# O(tail), not O(table lifetime), and old per-commit objects must be
+# deletable without losing lineage or AS-OF resolution.
+# ---------------------------------------------------------------------------
+_CKPT_BASE = 12   # commits before the checkpoint
+_CKPT_TAIL = 3    # commits landed after it
+
+
+def _ckpt_oracle() -> str:
+    b, t = _CKPT_BASE, _CKPT_TAIL
+    return f"""
+    SELECT 0 AS stage_ord, 'commits_before_checkpoint' AS stage,
+           CAST({b} AS BIGINT) AS value
+    UNION ALL SELECT 1, 'checkpoint_version', CAST({b} AS BIGINT)
+    UNION ALL SELECT 2, 'tail_commits_after', CAST({t} AS BIGINT)
+    UNION ALL SELECT 3, 'log_files_compacted', CAST({b} AS BIGINT)
+    UNION ALL SELECT 4, 'log_files_remaining', CAST({t} AS BIGINT)
+    UNION ALL SELECT 5, 'versions_resolved_after_compaction',
+           CAST({b + t} AS BIGINT)
+    UNION ALL SELECT 6, 'asof_mid_resolves_through_checkpoint',
+           CAST(1 AS BIGINT)
+    UNION ALL SELECT 7, 'parent_chain_intact', CAST(1 AS BIGINT)
+    UNION ALL SELECT 8, 'rows_visible_current', CAST({b + t} AS BIGINT)
+    """
+
+
+@query("pipeline_log_checkpoint", oracle=_ckpt_oracle())
+def pipeline_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG CHECKPOINT + COMPACTION: land {B} commits, checkpoint the
+    log (one JSON rolls up every entry; _last_checkpoint swings by
+    atomic rename), land {T} more, then DELETE the {B} checkpointed
+    per-commit files. Everything must still resolve — version census,
+    CURRENT, the full parent chain (walked through the checkpoint for
+    the compacted region), and AS OF a mid-history timestamp — and a
+    replayed commit of a compacted version number must still be
+    refused (the uniqueness guard moves from O_EXCL-on-file to the
+    checkpoint's version set). Census values are schedule-independent
+    constants; the only Spark work is the bounded final-state read.
+    At 100 TB the log is the ONLY structure every reader touches
+    before any data I/O: this keeps that touch O(tail) RPCs forever
+    instead of O(years of commits)."""
+    root = _release_root(sf_dir, "log_checkpoint")
+    os.makedirs(root, exist_ok=True)
+
+    rows = []
+    for i in range(1, _CKPT_BASE + 1):
+        rows = rows + [(i, 1, f"c{i}", 0)]
+        _storm_stage_raw(root, i, rows)
+        assert _commit_cas(root, i - 1 if i > 1 else None, i)
+    before = len(_committed_versions(root))
+    ts_mid = _commit_ts(root, _CKPT_BASE // 2)
+
+    ckpt_n = _write_log_checkpoint(root)
+
+    for i in range(_CKPT_BASE + 1, _CKPT_BASE + _CKPT_TAIL + 1):
+        rows = rows + [(i, 1, f"c{i}", 0)]
+        _storm_stage_raw(root, i, rows)
+        assert _commit_cas(root, i - 1, i)
+
+    compacted = _compact_log(root)
+    tail_files = len(
+        [n for n in os.listdir(_log_dir(root)) if n.endswith(".commit")]
+    )
+    resolved = _committed_versions(root)
+
+    # AS OF a timestamp now only reachable via the checkpoint
+    asof_ok = int(_resolve_asof_ts(root, ts_mid) == _CKPT_BASE // 2)
+    # parent chain walks HEAD -> None across the compacted region
+    chain_ok, cur, hops = 1, _resolve_current(root), 0
+    seen = set()
+    while cur is not None and cur != -1 and hops <= len(resolved):
+        seen.add(cur)
+        p = _commit_parent(root, cur)
+        cur = None if p == -1 else p
+        hops += 1
+    if seen != set(resolved):
+        chain_ok = 0
+    # a compacted version number must stay unrepeatable
+    assert _commit_cas(root, _resolve_current(root), 1) is False
+
+    out = [
+        (0, "commits_before_checkpoint", before),
+        (1, "checkpoint_version", ckpt_n),
+        (2, "tail_commits_after", len(resolved) - before),
+        (3, "log_files_compacted", compacted),
+        (4, "log_files_remaining", tail_files),
+        (5, "versions_resolved_after_compaction", len(resolved)),
+        (6, "asof_mid_resolves_through_checkpoint", asof_ok),
+        (7, "parent_chain_intact", chain_ok),
+        (8, "rows_visible_current", _read_visible(spark, root).count()),
+    ]
+    return spark.createDataFrame(
+        [(a, b, int(v)) for a, b, v in out],
+        "stage_ord int, stage string, value long",
     )

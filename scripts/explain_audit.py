@@ -2526,6 +2526,17 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "pipeline_log_checkpoint", execute=True)
+    check(
+        "pipeline_log_checkpoint",
+        "log checkpoint + compaction is pure metadata (atomic-rename "
+        "checkpoint, tail-only listing); the census is a "
+        "driver-literal table — Spark touched data only for the "
+        "bounded final-state read; no cartesian, no Python",
+        ("LocalTableScan" in p or "ExistingRDD" in p)
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     p = plan_of(spark, "s22_file_metadata_lineage", execute=True)
     check(
         "s22_file_metadata_lineage",

@@ -164,3 +164,109 @@ def test_file_metadata_lineage_matches_pandas(spark):
     # one task per partition dir -> dense row_index 0..n-1 in one file
     assert (got["row_index_span"] == got["n_rows"]).all()
     assert (got["n_files"] == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# Commit-log checkpoint + compaction (pure protocol, no Spark)
+# ---------------------------------------------------------------------------
+from dock_financial_data_pipelines_spark.plans.pipeline import (  # noqa: E402
+    _append_commit_log,
+    _commit_cas,
+    _commit_parent,
+    _commit_ts,
+    _committed_versions,
+    _compact_log,
+    _read_last_checkpoint,
+    _resolve_asof_ts,
+    _resolve_current,
+    _write_log_checkpoint,
+)
+
+
+def _land(root, n, start=1):
+    for v in range(start, start + n):
+        assert _commit_cas(root, v - 1 if v > 1 else None, v)
+
+
+def test_checkpoint_roundtrip_and_compaction(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _land(root, 5)
+    ts3 = _commit_ts(root, 3)
+    parents = {v: _commit_parent(root, v) for v in range(1, 6)}
+
+    assert _write_log_checkpoint(root) == 5
+    n, entries = _read_last_checkpoint(root)
+    assert n == 5 and set(entries) == {1, 2, 3, 4, 5}
+
+    _land(root, 2, start=6)                     # tail beyond checkpoint
+    assert _compact_log(root) == 5              # five files removed
+    names = os.listdir(os.path.join(root, "log"))
+    assert sorted(
+        x for x in names if x.endswith(".commit")
+    ) == ["v6.commit", "v7.commit"]
+
+    # everything still resolves through checkpoint + tail
+    assert _committed_versions(root) == [1, 2, 3, 4, 5, 6, 7]
+    assert _resolve_current(root) == 7
+    assert _commit_ts(root, 3) == ts3
+    for v, p in parents.items():
+        assert _commit_parent(root, v) == p
+    assert _resolve_asof_ts(root, ts3) == 3
+
+
+def test_compacted_version_number_stays_unrepeatable(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _land(root, 3)
+    _write_log_checkpoint(root)
+    _compact_log(root)
+    # the O_EXCL file is gone; the checkpoint belt must refuse anyway
+    assert _append_commit_log(root, 2, 1) is False
+    assert _commit_cas(root, _resolve_current(root), 2) is False
+    # a FRESH number above the head still lands
+    assert _commit_cas(root, 3, 4) is True
+
+
+def test_compact_refuses_without_checkpoint(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _land(root, 3)
+    assert _compact_log(root) == 0
+    assert _committed_versions(root) == [1, 2, 3]
+
+
+def test_orphaned_checkpoint_file_is_invisible(tmp_path):
+    """Crash between writing checkpoint.vN.json and swinging
+    _last_checkpoint: readers must not see the orphan."""
+    import json
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _land(root, 2)
+    with open(
+        os.path.join(root, "log", "checkpoint.v2.json"), "w"
+    ) as fh:
+        json.dump({"version": 2, "entries": [[1, -1, 10], [2, 1, 20]]}, fh)
+    assert _read_last_checkpoint(root) == (None, {})
+    assert _commit_ts(root, 9) == -1            # no phantom entries
+
+
+def test_second_checkpoint_spans_compacted_history(tmp_path):
+    """checkpoint -> compact -> more commits -> checkpoint again: the
+    new checkpoint must carry the OLD checkpoint's entries too (it
+    reads them through the fallback), so compacting twice never loses
+    the head of history."""
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _land(root, 4)
+    _write_log_checkpoint(root)
+    _compact_log(root)
+    _land(root, 3, start=5)
+    assert _write_log_checkpoint(root) == 7
+    _, entries = _read_last_checkpoint(root)
+    assert set(entries) == {1, 2, 3, 4, 5, 6, 7}
+    # only 5/6/7's files still exist — compaction counts real deletes
+    assert _compact_log(root) == 3
+    assert _committed_versions(root) == [1, 2, 3, 4, 5, 6, 7]
+    assert _commit_parent(root, 5) == 4
