@@ -1592,11 +1592,23 @@ def s22_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderstatus")
         .parquet(out)
     )
-    back = spark.read.parquet(out).select(
-        "o_orderstatus",
-        F.col("_metadata.file_path").alias("fp"),
-        F.col("_metadata.row_index").alias("ri"),
-    )
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        back = spark.read.parquet(out).select(
+            "o_orderstatus",
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+    except AnalysisException:
+        # 0-row source -> no partition dirs were written; _metadata
+        # only exists on real file scans, so return the empty result
+        # relation directly (same contract as read_parquet_or_empty)
+        return spark.createDataFrame(
+            [],
+            "part_key string, n_rows long, row_index_span long, "
+            "n_files long",
+        )
     return back.groupBy(
         F.col("o_orderstatus").alias("part_key")
     ).agg(
