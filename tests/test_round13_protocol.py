@@ -270,3 +270,49 @@ def test_second_checkpoint_spans_compacted_history(tmp_path):
     assert _compact_log(root) == 3
     assert _committed_versions(root) == [1, 2, 3, 4, 5, 6, 7]
     assert _commit_parent(root, 5) == 4
+
+
+def test_checkpoint_races_live_committers(tmp_path):
+    """A checkpointer+compactor loop racing a committer thread must
+    never lose an entry: entries <= N are immutable, so checkpoint(N)
+    ∪ tail(>N) is the full log under ANY interleaving. The committer
+    lands 40 sequential commits while the maintenance thread
+    checkpoints and compacts as fast as it can; afterwards the log
+    must resolve every version, the full parent chain, and CURRENT."""
+    import threading
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    stop = threading.Event()
+    errs = []
+
+    def maintain():
+        try:
+            while not stop.is_set():
+                _write_log_checkpoint(root)
+                _compact_log(root)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    t = threading.Thread(target=maintain)
+    t.start()
+    try:
+        _land(root, 40)
+    finally:
+        stop.set()
+        t.join()
+    assert not errs
+    # one final maintenance pass, then full resolution
+    _write_log_checkpoint(root)
+    _compact_log(root)
+    assert _committed_versions(root) == list(range(1, 41))
+    assert _resolve_current(root) == 40
+    chain = []
+    cur = 40
+    while cur != -1:
+        chain.append(cur)
+        cur = _commit_parent(root, cur)
+    assert chain == list(range(40, 0, -1))
+    # timestamps stay strictly monotone across the whole lineage
+    tss = [_commit_ts(root, v) for v in range(1, 41)]
+    assert all(b > a for a, b in zip(tss, tss[1:]))
