@@ -117,6 +117,8 @@ _SWEEP_FIRST = [
     "pipeline_partition_evolution",
     "s22_file_metadata_lineage",
     "pipeline_log_checkpoint",
+    "d8_udtf_dynamic_schema",
+    "pipeline_refs_catalog",
     # rows-only (no SQL oracle; driver records spark_rows)
 ]
 _SWEEP_LAST = [

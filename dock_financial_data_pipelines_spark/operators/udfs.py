@@ -271,3 +271,64 @@ def d7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     return src.mapInArrow(net, "l_orderkey bigint, net_price double")
+
+
+# ---------------------------------------------------------------------------
+# D8 — POLYMORPHIC Python UDTF (Spark 4 public API): the output schema
+# is not declared statically but computed by a static ``analyze()``
+# from the call's CONSTANT argument — the engine resolves a different
+# relation type per call site. The reference hand-parses its JSON
+# envelopes with fixed field lists (REPORT:92-112); a polymorphic
+# extractor is that utility done once: the field list rides the SQL
+# text, the planner gets real per-call columns (pruning, not a map
+# blob), and a typo'd field surfaces as an all-NULL column, not a
+# KeyError at executor depth. UDTFs are the D-surface slow path like
+# every Python eval — demonstrator-scoped here, bounded by the same
+# event_id predicate as the other D queries.
+# ---------------------------------------------------------------------------
+@query(
+    "d8_udtf_dynamic_schema",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS missing
+    FROM events WHERE event_id < 200
+    """,
+)
+def d8_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructField as SF_, StructType as ST_
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class JsonFields:
+        @staticmethod
+        def analyze(
+            props: AnalyzeArgument, fields: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not fields.isConstantExpression or fields.value is None:
+                raise ValueError(
+                    "json_fields: the field list must be a constant"
+                )
+            return AnalyzeResult(
+                ST_([SF_(c, LongType()) for c in fields.value.split(",")])
+            )
+
+        def eval(self, props: str, fields: str):
+            import json as _json
+
+            d = _json.loads(props) if props else {}
+            yield tuple(
+                int(d[c]) if d.get(c) is not None else None
+                for c in fields.split(",")
+            )
+
+    spark.udtf.register("json_fields", udtf(JsonFields))
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT e.event_id, j.k, j.missing
+        FROM events e,
+        LATERAL json_fields(e.props, 'k,missing') j
+        WHERE e.event_id < 200
+        """
+    )

@@ -4970,3 +4970,161 @@ def pipeline_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(a, b, int(v)) for a, b, v in out],
         "stage_ord int, stage string, value long",
     )
+
+
+# ---------------------------------------------------------------------------
+# REF CATALOG: tags + branches as first-class, queryable surface
+# (Iceberg refs parity). Branches are the movable pointers the layer
+# always had (_commit_pointer(ref=...): CURRENT, WAP audit branches);
+# TAGS are immutable named pointers — "release-1.0" must mean the same
+# bytes forever, so tag creation is O_EXCL (exists == refused) and a
+# tag can never be re-pointed. Retention composes: a vacuum policy
+# must not expire a version any ref still names (the ref-aware guard
+# wraps the layout-aware _expire_snapshot primitive — policy above,
+# mechanism below).
+# ---------------------------------------------------------------------------
+def _tags_dir(root: str) -> str:
+    return os.path.join(root, "tags")
+
+
+def _create_tag(root: str, name: str, version: int) -> bool:
+    """Immutable tag: O_EXCL create, refused if the tag exists OR the
+    version was never committed (a tag of nothing is a dangling ref)."""
+    if version not in _committed_versions(root):
+        return False
+    os.makedirs(_tags_dir(root), exist_ok=True)
+    try:
+        fd = os.open(
+            os.path.join(_tags_dir(root), name),
+            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+        )
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
+        fh.write(str(version))
+    return True
+
+
+def _list_tags(root: str) -> dict:
+    try:
+        names = os.listdir(_tags_dir(root))
+    except FileNotFoundError:
+        return {}
+    out = {}
+    for n in sorted(names):
+        with open(os.path.join(_tags_dir(root), n)) as fh:
+            out[n] = int(fh.read().strip())
+    return out
+
+
+def _list_branches(root: str) -> dict:
+    """Branch refs are the top-level pointer files (CURRENT included).
+    Directories (data/manifest/log/...) and in-flight .tmp files are
+    not refs."""
+    out = {}
+    for n in sorted(os.listdir(root)):
+        p = os.path.join(root, n)
+        if not os.path.isfile(p) or n.endswith(".tmp"):
+            continue
+        try:
+            out[n] = int(open(p).read().strip())
+        except ValueError:
+            continue
+    return out
+
+
+def _delete_branch(root: str, name: str) -> bool:
+    """Branches may be deleted (tags may not — immutability includes
+    lifetime). Idempotent under races."""
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(root, name))
+        return True
+    return False
+
+
+def _expire_unless_ref(root: str, version: int) -> bool:
+    """Ref-aware retention policy over the layout-aware primitive:
+    refuse while ANY tag or branch names the version, else delegate to
+    _expire_snapshot (which still guards CURRENT and live MoR
+    layouts). Policy above, mechanism below — automation calls THIS."""
+    if version in _list_tags(root).values():
+        return False
+    if version in _list_branches(root).values():
+        return False
+    return _expire_snapshot(root, version)
+
+
+def _refs_oracle() -> str:
+    return """
+    SELECT 0 AS stage_ord, 'refs_total' AS stage, CAST(5 AS BIGINT) AS value
+    UNION ALL SELECT 1, 'branches', CAST(2 AS BIGINT)
+    UNION ALL SELECT 2, 'tags', CAST(3 AS BIGINT)
+    UNION ALL SELECT 3, 'retag_refused', CAST(1 AS BIGINT)
+    UNION ALL SELECT 4, 'tag_uncommitted_refused', CAST(1 AS BIGINT)
+    UNION ALL SELECT 5, 'rows_at_tag_v1', CAST(1 AS BIGINT)
+    UNION ALL SELECT 6, 'rows_at_branch_v2', CAST(2 AS BIGINT)
+    UNION ALL SELECT 7, 'expire_tagged_refused', CAST(1 AS BIGINT)
+    UNION ALL SELECT 8, 'expire_branch_head_refused', CAST(1 AS BIGINT)
+    UNION ALL SELECT 9, 'expire_after_branch_delete', CAST(1 AS BIGINT)
+    UNION ALL SELECT 10, 'rows_at_current', CAST(4 AS BIGINT)
+    """
+
+
+@query("pipeline_refs_catalog", oracle=_refs_oracle())
+def pipeline_refs_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAGS + BRANCHES end to end: four commits; branch `nightly`
+    pinned at v2; tags `release-1.0`→v1, `audited`→v3, `head`→v4.
+    Re-pointing a tag is REFUSED (immutable forever), tagging an
+    uncommitted version is REFUSED (no dangling refs), reads at a tag
+    and at a branch see exactly those versions' rows, and the
+    ref-aware retention guard refuses to expire anything a ref still
+    names — until the branch is deleted, after which its version
+    expires normally. All census values are protocol constants; the
+    only Spark work is the bounded tag/branch/current reads. At
+    100 TB: a tag is ONE immutable file; the retention sweep consults
+    refs before bytes, so 'keep what release-X names' is metadata
+    policy, not a data copy."""
+    root = _release_root(sf_dir, "refs_catalog")
+    os.makedirs(root, exist_ok=True)
+
+    rows = []
+    for i in range(1, 5):
+        rows = rows + [(i, 1, f"c{i}", 0)]
+        _storm_stage_raw(root, i, rows)
+        assert _commit_cas(root, i - 1 if i > 1 else None, i)
+
+    _commit_pointer(root, 2, "nightly")
+    assert _create_tag(root, "release-1.0", 1)
+    assert _create_tag(root, "audited", 3)
+    assert _create_tag(root, "head", 4)
+    retag_refused = int(not _create_tag(root, "release-1.0", 2))
+    dangling_refused = int(not _create_tag(root, "future", 9))
+
+    tags, branches = _list_tags(root), _list_branches(root)
+    at_tag = len(_storm_read_raw(root, tags["release-1.0"]))
+    at_branch = len(
+        _storm_read_raw(root, _resolve_current(root, "nightly"))
+    )
+
+    expire_tagged = int(not _expire_unless_ref(root, 1))      # tag ref
+    expire_branch = int(not _expire_unless_ref(root, 2))      # branch ref
+    _delete_branch(root, "nightly")
+    expire_freed = int(_expire_unless_ref(root, 2))           # now dead
+
+    out = [
+        (0, "refs_total", len(tags) + len(branches)),
+        (1, "branches", len(branches)),
+        (2, "tags", len(tags)),
+        (3, "retag_refused", retag_refused),
+        (4, "tag_uncommitted_refused", dangling_refused),
+        (5, "rows_at_tag_v1", at_tag),
+        (6, "rows_at_branch_v2", at_branch),
+        (7, "expire_tagged_refused", expire_tagged),
+        (8, "expire_branch_head_refused", expire_branch),
+        (9, "expire_after_branch_delete", expire_freed),
+        (10, "rows_at_current", _read_visible(spark, root).count()),
+    ]
+    return spark.createDataFrame(
+        [(a, b, int(v)) for a, b, v in out],
+        "stage_ord int, stage string, value long",
+    )

@@ -2547,6 +2547,26 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "d8_udtf_dynamic_schema", execute=True)
+    check(
+        "d8_udtf_dynamic_schema",
+        "polymorphic UDTF resolves a per-call schema via analyze(); "
+        "the lateral join is the UDTF demonstrator's deliberate "
+        "Python surface (D-family), scoped by the pushed event_id "
+        "predicate; no cartesian product",
+        "PythonUDTF" in p and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_refs_catalog", execute=True)
+    check(
+        "pipeline_refs_catalog",
+        "tags/branches/retention-policy decisions are metadata-only "
+        "(ref file reads); the census is a driver-literal table; no "
+        "cartesian, no Python",
+        ("LocalTableScan" in p or "ExistingRDD" in p)
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0

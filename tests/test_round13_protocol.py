@@ -316,3 +316,59 @@ def test_checkpoint_races_live_committers(tmp_path):
     # timestamps stay strictly monotone across the whole lineage
     tss = [_commit_ts(root, v) for v in range(1, 41)]
     assert all(b > a for a, b in zip(tss, tss[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Tags + branches ref catalog (pure protocol, no Spark)
+# ---------------------------------------------------------------------------
+from dock_financial_data_pipelines_spark.plans.pipeline import (  # noqa: E402
+    _create_tag,
+    _delete_branch,
+    _expire_unless_ref,
+    _list_branches,
+    _list_tags,
+    _commit_pointer,
+)
+
+
+def test_tags_are_immutable_and_never_dangle(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _land(root, 3)
+    assert _create_tag(root, "rel", 2) is True
+    assert _create_tag(root, "rel", 3) is False      # immutable
+    assert _list_tags(root) == {"rel": 2}
+    assert _create_tag(root, "oops", 9) is False     # not committed
+    assert "oops" not in _list_tags(root)
+
+
+def test_branch_listing_excludes_dirs_and_tmp(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _land(root, 2)
+    _commit_pointer(root, 1, "nightly")
+    # an in-flight tmp file and the data/log dirs must not be refs
+    with open(os.path.join(root, "stale.tmp"), "w") as fh:
+        fh.write("1")
+    b = _list_branches(root)
+    assert b == {"CURRENT": 2, "nightly": 1}
+
+
+def test_ref_aware_expiry_policy(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    # data dirs so _expire_snapshot has something to sweep
+    for v in (1, 2, 3):
+        os.makedirs(os.path.join(root, "data", f"v={v}"))
+        assert _commit_cas(root, v - 1 if v > 1 else None, v)
+    assert _create_tag(root, "keep", 1)
+    _commit_pointer(root, 2, "wip")
+    assert _expire_unless_ref(root, 1) is False      # tagged
+    assert _expire_unless_ref(root, 2) is False      # branch head
+    assert _delete_branch(root, "wip") is True
+    assert _delete_branch(root, "wip") is False      # idempotent
+    assert _expire_unless_ref(root, 2) is True       # freed
+    assert not os.path.isdir(os.path.join(root, "data", "v=2"))
+    # the tag still pins v1 forever
+    assert _expire_unless_ref(root, 1) is False
+    assert os.path.isdir(os.path.join(root, "data", "v=1"))
