@@ -119,6 +119,10 @@ _SWEEP_FIRST = [
     "pipeline_log_checkpoint",
     "d8_udtf_dynamic_schema",
     "pipeline_refs_catalog",
+    "pipeline_shallow_clone",
+    "f11_collated_compare",
+    "s23_type_widened_read",
+    "j18_cbo_broadcast_advisor",
     # rows-only (no SQL oracle; driver records spark_rows)
 ]
 _SWEEP_LAST = [

@@ -416,3 +416,87 @@ def f10_array_exists_forall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("orders_all_low_discount"),
         F.sum("n_high_discount").cast("long").alias("high_discount_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F11 — collation-aware comparison (Spark 4 COLLATE): case-insensitive
+# grouping, DISTINCT, and prefix predicates expressed through the
+# UTF8_LCASE collation instead of lower()-normalizing every call site.
+# The fixture manufactures deterministic case variants of
+# c_mktsegment (custkey % 3 → lower / as-is / Capitalized), then
+# groups on `collate(seg, 'UTF8_LCASE')`: one row per case-class,
+# with the binary-distinct variant count proving the collation (not
+# the data) did the folding. The DuckDB twin is the lower()-normalized
+# form — semantically identical, which is exactly the point: COLLATE
+# moves the normalization from every expression into the comparison
+# semantics, so at 100 TB the grouping key stays the original bytes
+# (no derived column to materialize). Plan note (explain_audit pins
+# it): Spark 4 plans collated group keys as SortAggregate — hash
+# aggregation doesn't apply to collation-keyed groups yet — which is
+# the right trade at dim grain and worth knowing before putting a
+# collated key on a fact-table aggregate. The
+# collated group key itself is dropped from the output (its
+# representative bytes are nondeterministic by design); the stable
+# lower() label is emitted instead.
+# ---------------------------------------------------------------------------
+@query(
+    "f11_collated_compare",
+    oracle="""
+    WITH m AS (
+        SELECT CASE CAST(c_custkey % 3 AS INT)
+                 WHEN 0 THEN lower(c_mktsegment)
+                 WHEN 1 THEN c_mktsegment
+                 ELSE upper(substr(c_mktsegment, 1, 1))
+                      || lower(substr(c_mktsegment, 2))
+               END AS seg,
+               c_acctbal
+        FROM customer
+    )
+    SELECT lower(seg) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants,
+           CAST(sum(CASE WHEN lower(seg) LIKE 'b%' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_prefix_b,
+           round(sum(CAST(c_acctbal AS DECIMAL(27,2))), 2)::DOUBLE
+               AS acct_total
+    FROM m GROUP BY lower(seg)
+    """,
+)
+def f11_collated_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = F.col("c_mktsegment")
+    variant = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lower(s))
+        .when(F.col("c_custkey") % 3 == 1, s)
+        .otherwise(
+            F.concat(
+                F.upper(F.substring(s, 1, 1)),
+                F.lower(F.expr("substring(c_mktsegment, 2)")),
+            )
+        )
+    )
+    m = load(spark, sf_dir, "customer").select(
+        variant.alias("seg"), "c_acctbal"
+    )
+    from dock_financial_data_pipelines_spark.catalog import dec_sum
+
+    return (
+        m.groupBy(F.expr("collate(seg, 'UTF8_LCASE')").alias("ci"))
+        .agg(
+            F.min(F.lower(F.col("seg"))).alias("segment"),
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.countDistinct(F.col("seg")).cast("long").alias("n_case_variants"),
+            F.sum(
+                F.when(
+                    F.expr(
+                        "startswith(collate(seg, 'UTF8_LCASE'), "
+                        "collate('b', 'UTF8_LCASE'))"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_prefix_b"),
+            dec_sum("c_acctbal", scale=2).alias("acct_total"),
+        )
+        .drop("ci")
+    )

@@ -993,3 +993,100 @@ def j17_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_partitions")
     )
+
+
+# ---------------------------------------------------------------------------
+# j18_cbo_broadcast_advisor — the size/cardinality side of join
+# planning (the complement of j17's skew side): per-table statistics
+# (row count + estimated serialized bytes from physical column widths
+# and actual UTF-8 string lengths) drive the three CBO decisions a
+# 100 TB star join needs BEFORE execution: which side to broadcast
+# (est_bytes ≤ threshold → hash-relation ships to every executor,
+# zero fact shuffle), which table is the fact (largest — it anchors
+# the join tree and is never moved), and the dim join order
+# (ascending size — smallest hash relations first keeps intermediate
+# cardinality minimal, the greedy order a Selinger-style optimizer
+# would seed with). Stats are ONE narrow aggregate per table — the
+# ANALYZE TABLE pass — and the advisor's arithmetic is the same thing
+# Catalyst's CBO reads from the catalog; at 100 TB the byte estimate
+# comes from parquet footer metadata instead of a scan, same numbers.
+# The threshold is the fixture-scale stand-in for the production
+# 10 MB spark.sql.autoBroadcastJoinThreshold. The final ranking
+# window orders 7 table-stat rows — metadata grain, not data grain.
+# ---------------------------------------------------------------------------
+_J18_THRESH = 524288  # bytes; fixture-scale autoBroadcastJoinThreshold
+_J18_TABLES = {
+    # table -> (fixed bytes/row: int32|date=4-byte cols counted at
+    # their width, int64/double/timestamp at 8; string cols measured)
+    "region": (4, ["r_name"]),
+    "nation": (8, ["n_name"]),
+    "customer": (20, ["c_name", "c_mktsegment"]),
+    "supplier": (20, ["s_name"]),
+    "part": (20, ["p_name", "p_brand", "p_type"]),
+    "orders": (32, ["o_orderstatus", "o_orderpriority"]),
+    "lineitem": (68, ["l_returnflag", "l_linestatus"]),
+}
+
+
+def _j18_oracle() -> str:
+    parts = []
+    for tbl, (fixed, strs) in _J18_TABLES.items():
+        slen = " + ".join(f"coalesce(sum(strlen({c})), 0)" for c in strs)
+        parts.append(
+            f"SELECT '{tbl}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST({fixed} * count(*) + {slen} AS BIGINT) AS est_bytes"
+            f" FROM {tbl}"
+        )
+    stats = " UNION ALL ".join(parts)
+    return f"""
+    WITH stats AS ({stats}),
+    ranked AS (
+        SELECT tbl, n_rows, est_bytes,
+               CASE WHEN est_bytes = (SELECT max(est_bytes) FROM stats)
+                    THEN 'fact' ELSE 'dim' END AS role,
+               CASE WHEN est_bytes <= {_J18_THRESH}
+                    THEN 'broadcast' ELSE 'shuffle' END AS strategy,
+               CAST(CASE WHEN est_bytes <= {_J18_THRESH}
+                    THEN 0 ELSE est_bytes END AS BIGINT)
+                   AS est_shuffle_bytes,
+               CAST(row_number() OVER (ORDER BY est_bytes, tbl)
+                   AS BIGINT) AS join_rank
+        FROM stats
+    )
+    SELECT * FROM ranked
+    """
+
+
+@query("j18_cbo_broadcast_advisor", oracle=_j18_oracle())
+def j18_cbo_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    stats = None
+    for tbl, (fixed, strs) in _J18_TABLES.items():
+        slen = sum(
+            (F.coalesce(F.sum(F.octet_length(c)), F.lit(0)) for c in strs),
+            F.lit(0),
+        )
+        t = load(spark, sf_dir, tbl).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.lit(fixed) * F.count(F.lit(1)) + slen)
+            .cast("long")
+            .alias("est_bytes"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "est_bytes")
+        stats = t if stats is None else stats.unionAll(t)
+    w = Window.orderBy("est_bytes", "tbl")
+    wmax = Window.partitionBy()
+    b = F.col("est_bytes")
+    return stats.select(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        F.when(b == F.max(b).over(wmax), "fact").otherwise("dim").alias("role"),
+        F.when(b <= _J18_THRESH, "broadcast").otherwise("shuffle").alias(
+            "strategy"
+        ),
+        F.when(b <= _J18_THRESH, F.lit(0)).otherwise(b)
+        .cast("long")
+        .alias("est_shuffle_bytes"),
+        F.row_number().over(w).cast("long").alias("join_rank"),
+    )

@@ -5128,3 +5128,193 @@ def pipeline_refs_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(a, b, int(v)) for a, b, v in out],
         "stage_ord int, stage string, value long",
     )
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src` parity).
+# A clone is a NEW table root that shares the source's committed data
+# files by reference instead of copying them: creation cost is three
+# metadata writes (a `clone_source` path file, one layout record, one
+# log entry) no matter how many terabytes the source holds. The
+# layout's data-version sentinel `0` — a number real commits never
+# use, they start at 1 — means "the directory `clone_source` names",
+# which is how Delta's absolute-path file entries re-express here.
+# Writes to the clone append LOCAL data versions next to the foreign
+# base (layout data=[0, 2, ...]); the source never observes them.
+#
+# The shared-file lifecycle hazard is faithfully reproduced AND
+# solved: the source's vacuum does not know about clones (exactly
+# Delta's documented `VACUUM source breaks shallow clones`), so a
+# clone that must survive source retention first MATERIALIZES — copies
+# the foreign base into its own data/v=0 and atomically repoints
+# clone_source at the local copy (the layout record, immutable by
+# protocol, still resolves through the sentinel; no rewrite). After
+# that the clone is a deep clone and source expiry cannot touch it.
+# ---------------------------------------------------------------------------
+def _clone_src_path(clone_root: str) -> str:
+    with open(os.path.join(clone_root, "clone_source")) as fh:
+        return fh.read().strip()
+
+
+def _shallow_clone(src_root: str, clone_root: str) -> bool:
+    """Clone src's CURRENT snapshot into a fresh root by reference.
+    Zero data bytes move; the clone gets its own commit log, pointer,
+    and version numbering (starting at 1, parent-less)."""
+    v = _resolve_current(src_root)
+    if v is None:
+        return False
+    data_vs, dvs = _read_layout(src_root, v)
+    if data_vs != [v] or dvs:
+        # Only a plain copy-on-write snapshot fits the single-path
+        # clone_source representation. A MoR head (multi-dir + DVs) or
+        # another clone (sentinel 0) would need multi-path entries;
+        # refusing beats silently cloning a subset of the rows.
+        return False
+    os.makedirs(clone_root, exist_ok=True)
+    tmp = os.path.join(clone_root, "clone_source.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(os.path.join(src_root, "data", f"v={v}"))
+    os.replace(tmp, os.path.join(clone_root, "clone_source"))
+    if not _write_layout(clone_root, 1, [0], []):
+        return False
+    return _commit_cas(clone_root, None, 1)
+
+
+def _read_clone(
+    spark: SparkSession, clone_root: str, version=None
+) -> DataFrame:
+    """Layout-resolving clone reader: sentinel 0 → the clone_source
+    dir (foreign until materialized, local after), any other data
+    version → the clone's own data dir. A vanished foreign dir reads
+    as empty — the documented source-vacuum hazard surfaces as data
+    loss in the UNMATERIALIZED clone only, never an exception a
+    healthy pointer would belie."""
+    if version is None:
+        version = _resolve_current(clone_root)
+    if version is None:
+        return spark.createDataFrame([], _REL_SCHEMA_DDL)
+    data_vs, _ = _read_layout(clone_root, version)
+    out = None
+    for d in data_vs:
+        path = (
+            _clone_src_path(clone_root)
+            if d == 0
+            else os.path.join(clone_root, "data", f"v={d}")
+        )
+        df = read_parquet_or_empty(spark, path, _rel_schema())
+        out = df if out is None else out.unionAll(df)
+    return out
+
+
+def _clone_materialize(clone_root: str) -> bool:
+    """Upgrade shallow → deep: copy the foreign base into the clone's
+    own data/v=0 and atomically repoint clone_source at it. Idempotent
+    (a second call sees a local path and returns). At 100 TB this is
+    the one intentional data copy in the clone lifecycle — the price
+    of outliving the source's retention policy, paid only when
+    chosen."""
+    src = _clone_src_path(clone_root)
+    local = os.path.join(clone_root, "data", "v=0")
+    if os.path.abspath(src) == os.path.abspath(local):
+        return True
+    shutil.rmtree(local, ignore_errors=True)
+    shutil.copytree(src, local)
+    tmp = os.path.join(clone_root, "clone_source.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(local)
+    os.replace(tmp, os.path.join(clone_root, "clone_source"))
+    return True
+
+
+def _clone_local_parquet_count(clone_root: str) -> int:
+    n = 0
+    data = os.path.join(clone_root, "data")
+    for base, _dirs, files in os.walk(data):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def _clone_oracle() -> str:
+    return """
+    SELECT 0 AS stage_ord, 'source_rows_at_clone' AS stage,
+           CAST(5 AS BIGINT) AS value
+    UNION ALL SELECT 1, 'clone_zero_copy', CAST(1 AS BIGINT)
+    UNION ALL SELECT 2, 'clone_rows_at_head', CAST(5 AS BIGINT)
+    UNION ALL SELECT 3, 'clone_rows_after_append', CAST(7 AS BIGINT)
+    UNION ALL SELECT 4, 'source_rows_after_clone_append', CAST(5 AS BIGINT)
+    UNION ALL SELECT 5, 'materialized_local_files', CAST(1 AS BIGINT)
+    UNION ALL SELECT 6, 'source_expire_shared_ok', CAST(1 AS BIGINT)
+    UNION ALL SELECT 7, 'clone_rows_after_source_expire', CAST(7 AS BIGINT)
+    UNION ALL SELECT 8, 'unmaterialized_clone_rows_after_expire',
+           CAST(0 AS BIGINT)
+    UNION ALL SELECT 9, 'source_rows_final', CAST(6 AS BIGINT)
+    """
+
+
+@query("pipeline_shallow_clone", oracle=_clone_oracle())
+def pipeline_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE end to end: source commits v1 (3 rows) and v2
+    (5 rows); clone A references v2 by path (zero local parquet —
+    audited), reads 5 rows, appends 2 local rows (7) without the
+    source noticing (still 5); clone A materializes, clone B stays
+    shallow; the source advances to v3 and expires the shared v2 —
+    allowed, the source does not know its files are borrowed (Delta's
+    documented VACUUM-vs-shallow-clone hazard) — after which the
+    materialized clone still reads 7 and the unmaterialized clone
+    reads 0: the hazard and its mitigation in one census. All values
+    are protocol constants; Spark's work is the bounded clone reads."""
+    src = _release_root(sf_dir, "clone_src")
+    a = _release_root(sf_dir, "clone_a")
+    b = _release_root(sf_dir, "clone_b")
+    os.makedirs(src, exist_ok=True)
+
+    rows = [(i, 1, f"c{i}", 0) for i in range(1, 4)]
+    _storm_stage_raw(src, 1, rows)
+    assert _commit_cas(src, None, 1)
+    rows5 = rows + [(4, 1, "c4", 0), (5, 1, "c5", 0)]
+    _storm_stage_raw(src, 2, rows5)
+    assert _commit_cas(src, 1, 2)
+
+    assert _shallow_clone(src, a)
+    assert _shallow_clone(src, b)
+    src_at_clone = _read_visible(spark, src).count()
+    zero_copy = int(
+        _clone_local_parquet_count(a) == 0
+        and _clone_local_parquet_count(b) == 0
+    )
+    at_head = _read_clone(spark, a).count()
+
+    _storm_stage_raw(a, 2, [(6, 1, "c6", 1), (7, 1, "c7", 1)])
+    assert _write_layout(a, 2, [0, 2], [])
+    assert _commit_cas(a, 1, 2)
+    after_append = _read_clone(spark, a).count()
+    src_after_append = _read_visible(spark, src).count()
+
+    assert _clone_materialize(a)
+    materialized = int(
+        _clone_local_parquet_count(a) > 1  # base copy + local append
+    )
+
+    rows6 = rows5 + [(8, 1, "c8", 0)]
+    _storm_stage_raw(src, 3, rows6)
+    assert _commit_cas(src, 2, 3)
+    expire_ok = int(_expire_snapshot(src, 2))
+    a_after_expire = _read_clone(spark, a).count()
+    b_after_expire = _read_clone(spark, b).count()
+
+    out = [
+        (0, "source_rows_at_clone", src_at_clone),
+        (1, "clone_zero_copy", zero_copy),
+        (2, "clone_rows_at_head", at_head),
+        (3, "clone_rows_after_append", after_append),
+        (4, "source_rows_after_clone_append", src_after_append),
+        (5, "materialized_local_files", materialized),
+        (6, "source_expire_shared_ok", expire_ok),
+        (7, "clone_rows_after_source_expire", a_after_expire),
+        (8, "unmaterialized_clone_rows_after_expire", b_after_expire),
+        (9, "source_rows_final", _read_visible(spark, src).count()),
+    ]
+    return spark.createDataFrame(
+        [(i, s, int(v)) for i, s, v in out],
+        "stage_ord int, stage string, value long",
+    )

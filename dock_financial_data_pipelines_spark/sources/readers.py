@@ -1618,3 +1618,75 @@ def s22_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("row_index_span"),
         F.countDistinct("fp").cast("long").alias("n_files"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S23 — type-widened read (Iceberg v3 type promotion / Spark 4 parquet
+# widening): a landed dataset whose early generation wrote a column as
+# INT32 and whose later generation — after values outgrew the type —
+# writes INT64. One read with the widened schema serves both
+# generations: Spark 4's vectorized parquet reader up-casts INT32
+# pages to the requested LongType in place, so the old files are
+# NEVER rewritten (the type evolution is a schema-registry edit, not
+# a 100 TB rewrite — the same economics as S9's additive columns).
+# The fixture cuts orders in half by key parity: gen1 writes
+# (o_orderkey, cents) as int32, gen2 as int64; the pytest audits the
+# parquet footers to prove the physical types really differ. The
+# oracle states the same aggregate over the unsplit table — the
+# split+widen mechanism is what is under test.
+# ---------------------------------------------------------------------------
+@query(
+    "s23_type_widened_read",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(27,0))) AS BIGINT) AS cents_total,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents_max
+    FROM orders GROUP BY 1
+    """,
+)
+def s23_type_widened_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _workdir(f"widen_{sf_tag(sf_dir)}")
+    marker = os.path.join(out, "_built")
+    if not os.path.exists(marker):
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        # gen1: the narrow era — key parity 0, physically int32. The
+        # values all fit (fixture cents < 2^31); the WIDTH is what the
+        # era got wrong, which is exactly the production incident.
+        (
+            orders.where(F.col("o_orderkey") % 2 == 0)
+            .select(
+                F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                "o_orderstatus",
+                F.col("cents").cast("int").alias("cents"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "gen=1"))
+        )
+        # gen2: the widened era — key parity 1, physically int64.
+        (
+            orders.where(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_orderstatus", "cents")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "gen=2"))
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    widened = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, cents long"
+    ).parquet(os.path.join(out, "gen=1"), os.path.join(out, "gen=2"))
+    return widened.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("cents").cast("decimal(27,0)"))
+        .cast("long")
+        .alias("cents_total"),
+        F.max("cents").cast("long").alias("cents_max"),
+    )

@@ -2567,6 +2567,60 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "f11_collated_compare", execute=True)
+    check(
+        "f11_collated_compare",
+        "UTF8_LCASE collated grouping/DISTINCT/startswith stay "
+        "JVM-side (collation is comparison semantics, not a UDF): "
+        "sort-based aggregate over the pruned 3-column scan (collated "
+        "keys plan as SortAggregate in Spark 4), no Python, no "
+        "cartesian",
+        "SortAggregate" in p and "BatchEvalPython" not in p
+        and "CartesianProduct" not in p
+        and "ReadSchema: struct<c_custkey:bigint,c_acctbal:double,"
+        "c_mktsegment:string>" in p,
+    )
+
+    p = plan_of(spark, "s23_type_widened_read", execute=True)
+    check(
+        "s23_type_widened_read",
+        "widened read up-casts int32 pages in the vectorized scan "
+        "itself — one scan + hash aggregate, no per-generation "
+        "rewrite, no Python",
+        "Scan parquet" in p and "HashAggregate" in p
+        and "BatchEvalPython" not in p,
+    )
+    check(
+        "s23_type_widened_read",
+        "pruning survives the explicit widened schema — the scan "
+        "reads only the two columns the aggregate needs (o_orderkey "
+        "is pruned out despite being in the requested schema)",
+        "ReadSchema: struct<o_orderstatus:string,cents:bigint>" in p,
+    )
+
+    p = plan_of(spark, "j18_cbo_broadcast_advisor", execute=True)
+    check(
+        "j18_cbo_broadcast_advisor",
+        "ANALYZE-style stats pass: per-table narrow aggregates "
+        "unioned — column pruning leaves only measured string cols in "
+        "each scan; the 7-row ranking window is metadata-grain; no "
+        "Python, no cartesian",
+        "ReadSchema: struct<l_returnflag:string,l_linestatus:string>"
+        in p
+        and "BatchEvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_shallow_clone", execute=True)
+    check(
+        "pipeline_shallow_clone",
+        "shallow clone is three metadata writes (clone_source, layout, "
+        "log); Spark's work is the bounded clone/source reads and the "
+        "driver-literal census; no cartesian, no Python",
+        ("LocalTableScan" in p or "ExistingRDD" in p)
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
