@@ -123,6 +123,11 @@ _SWEEP_FIRST = [
     "f11_collated_compare",
     "s23_type_widened_read",
     "j18_cbo_broadcast_advisor",
+    "sql_pipe_syntax_report",
+    "sql_parameterized_query",
+    "sql_session_variables",
+    "d9_sql_body_udf",
+    "d10_arrow_native_udf",
     # rows-only (no SQL oracle; driver records spark_rows)
 ]
 _SWEEP_LAST = [

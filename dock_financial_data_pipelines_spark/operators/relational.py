@@ -1775,3 +1775,161 @@ def sql_recursive_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_RECURSIVE_BOM_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 `|>`): the same segment/year revenue report
+# a SQL-first consumer writes top-down instead of inside-out — each
+# stage (JOIN, WHERE, EXTEND, AGGREGATE, post-aggregate WHERE) is a
+# pipe operator applied to the previous result, in the order the
+# engine actually evaluates them. Catalyst resolves pipe stages to the
+# SAME logical plan as the nested form (the oracle is that nested
+# form, in DuckDB dialect), so pipes are free at any scale: this query
+# exists to pin that the modern entry path works end to end, not to
+# add an operator. The post-AGGREGATE WHERE is HAVING without the
+# keyword — it filters aggregate outputs by their visible aliases.
+# ---------------------------------------------------------------------------
+_SQL_PIPE_STMT = """
+FROM orders AS o
+|> JOIN customer AS c ON o.o_custkey = c.c_custkey
+|> WHERE o.o_totalprice > 5000
+|> EXTEND year(o.o_orderdate) AS yr
+|> AGGREGATE count(*) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(27,2))), 2)
+            AS DOUBLE) AS total
+   GROUP BY c.c_mktsegment AS mktsegment, yr
+|> WHERE n_orders > 2
+"""
+
+
+@query(
+    "sql_pipe_syntax_report",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           year(o.o_orderdate) AS yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(27,2))), 2)
+                AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 5000
+    GROUP BY 1, 2
+    HAVING count(*) > 2
+    """,
+)
+def sql_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    df = spark.sql(_SQL_PIPE_STMT)
+    # pipe AGGREGATE emits group cols first (mktsegment, yr, n_orders,
+    # total) and Spark's year() yields int where the oracle's is
+    # bigint; align the one numeric width explicitly.
+    return df.select(
+        "mktsegment",
+        F.col("yr").cast("long").alias("yr"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (named parameter markers): the prepared-statement
+# entry path — the SAME statement text serves every (segment, cutoff,
+# floor) binding, so a 100 TB deployment's plan cache keys on one
+# statement instead of a literal-exploded family, and user-supplied
+# values ride the args channel (no string splicing, no injection
+# surface). The oracle inlines the bindings — parameter resolution is
+# the mechanism under test, the relational semantics are shared.
+# ---------------------------------------------------------------------------
+_SQL_PARAM_STMT = """
+SELECT o.o_orderpriority AS priority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(27,2))), 2)
+            AS DOUBLE) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = :seg
+  AND o.o_orderdate >= CAST(:since AS TIMESTAMP)
+  AND o.o_totalprice > :floor_total
+GROUP BY 1
+"""
+_SQL_PARAM_ARGS = {
+    "seg": "BUILDING",
+    "since": "1996-01-01",
+    "floor_total": 1000.0,
+}
+
+
+@query(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(27,2))), 2)
+                AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_totalprice > 1000.0
+    GROUP BY 1
+    """,
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    df = spark.sql(_SQL_PARAM_STMT, args=_SQL_PARAM_ARGS)
+    return df.select(
+        "priority", F.col("n_orders").cast("long").alias("n_orders"), "total"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL session variables (Spark 4 DECLARE / SET VAR): a scalar computed
+# from the data ONCE (the latest order date minus 90 days) becomes a
+# session variable later statements reference by name — the SQL-native
+# form of the "compute a driver-side scalar, then parameterize the big
+# query with it" pattern the engine otherwise does with bounded
+# collect()s. At 100 TB the variable assignment is one agg (here a
+# footer-metadata max); the main scan then gets a FOLDED literal
+# predicate — pushed to parquet like any constant, which a correlated
+# scalar subquery inside the big query would not guarantee. The
+# oracle re-derives the same cutoff with a scalar subquery (DuckDB
+# has no session variables — same semantics, different plumbing).
+# ---------------------------------------------------------------------------
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_recent,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)
+                AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= (
+            SELECT max(o_orderdate) - INTERVAL 90 DAY FROM orders
+          )
+      AND o_totalprice > 500.0
+    GROUP BY 1
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE recent_cutoff TIMESTAMP")
+    spark.sql("DECLARE OR REPLACE VARIABLE floor_total DOUBLE DEFAULT 0.0")
+    spark.sql(
+        "SET VAR recent_cutoff ="
+        " (SELECT max(o_orderdate) - INTERVAL 90 DAY FROM orders)"
+    )
+    spark.sql("SET VAR floor_total = 500.0")
+    df = spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_recent,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2)
+                    AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderdate >= recent_cutoff
+          AND o_totalprice > floor_total
+        GROUP BY 1
+        """
+    )
+    return df.select(
+        "priority", F.col("n_recent").cast("long").alias("n_recent"), "total"
+    )

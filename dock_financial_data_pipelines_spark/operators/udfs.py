@@ -12,6 +12,7 @@ slice.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa  # module-level: arrow_udf type hints resolve here
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -331,4 +332,103 @@ def d8_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL json_fields(e.props, 'k,missing') j
         WHERE e.event_id < 200
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# D9 — SQL-body UDFs (Spark 4 `CREATE FUNCTION ... RETURN <expr>` /
+# `RETURNS TABLE`): user functions whose bodies are SQL, not Python.
+# Unlike D1-D5, Catalyst INLINES these into the calling plan — the
+# scalar classifier folds into the scan's codegen stage and the
+# table function becomes an ordinary subquery, so there is no Python
+# worker, no Arrow boundary, no serialization at any scale
+# (explain_audit pins BatchEvalPython absent). This is the right
+# default for shareable business logic at 100 TB: catalog-registered
+# like a UDF, costed like a view. The scalar fn buckets discounts;
+# the TVF parameterizes the priced-order band it aggregates.
+# ---------------------------------------------------------------------------
+@query(
+    "d9_sql_body_udf",
+    oracle="""
+    SELECT CASE WHEN l_discount < 0.03 THEN 'thin'
+                WHEN l_discount < 0.07 THEN 'mid'
+                ELSE 'deep' END AS discount_band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(27,4))), 2)::DOUBLE AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 10
+    GROUP BY 1
+    """,
+)
+def d9_sql_body_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION discount_band(d DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN d < 0.03 THEN 'thin'
+                    WHEN d < 0.07 THEN 'mid'
+                    ELSE 'deep' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION band_revenue(min_qty DOUBLE)
+        RETURNS TABLE(discount_band STRING, n_lines BIGINT, revenue DOUBLE)
+        RETURN SELECT discount_band(l_discount) AS discount_band,
+                      count(*) AS n_lines,
+                      CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(27,4))), 2) AS DOUBLE)
+                          AS revenue
+               FROM lineitem
+               WHERE l_quantity >= min_qty
+               GROUP BY 1
+        """
+    )
+    return spark.sql("SELECT * FROM band_revenue(10)")
+
+
+# ---------------------------------------------------------------------------
+# D10 — Arrow-native scalar UDF (Spark 4 `arrow_udf`): the D2 shape
+# with pyarrow.compute kernels instead of pandas — batches cross the
+# boundary as Arrow arrays and stay Arrow inside the UDF (no
+# pandas materialization round-trip), the cheapest Python boundary
+# Spark offers for vectorizable logic. Same per-row money convention
+# as D2 (floor(x*100+0.5)/100, then exact decimal accumulation), so
+# the oracle is the identical statement.
+# ---------------------------------------------------------------------------
+@query(
+    "d10_arrow_native_udf",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100
+                        AS DECIMAL(27,2))), 2)::DOUBLE
+               AS net_revenue,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def d10_arrow_native_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.compute as pc
+
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf(DoubleType())
+    def net_price(price: pa.Array, discount: pa.Array) -> pa.Array:
+        net = pc.multiply(price, pc.subtract(pa.scalar(1.0), discount))
+        cents = pc.floor(pc.add(pc.multiply(net, pa.scalar(100.0)),
+                                pa.scalar(0.5)))
+        return pc.divide(cents, pa.scalar(100.0))
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .withColumn("np", net_price("l_extendedprice", "l_discount"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("np").cast("decimal(27,2)")), 2)
+            .cast("double")
+            .alias("net_revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )

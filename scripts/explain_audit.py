@@ -2621,6 +2621,59 @@ def main() -> int:
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(spark, "sql_pipe_syntax_report", execute=True)
+    check(
+        "sql_pipe_syntax_report",
+        "pipe-syntax stages resolve to the same physical shape as the "
+        "nested form: pushed total filter, broadcast dim join, hash "
+        "aggregate; no Python",
+        "GreaterThan(o_totalprice,5000.0)" in p
+        and "BroadcastHashJoin" in p and "HashAggregate" in p
+        and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "sql_parameterized_query", execute=True)
+    check(
+        "sql_parameterized_query",
+        "named parameter markers bind to literals that reach the "
+        "scans: segment EqualTo pushed on customer, date/total pushed "
+        "on orders; broadcast join, no Python",
+        "EqualTo(c_mktsegment,BUILDING)" in p
+        and "GreaterThanOrEqual(o_orderdate,1996-01-01" in p
+        and "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "sql_session_variables", execute=True)
+    check(
+        "sql_session_variables",
+        "the data-derived session variable folds into a LITERAL "
+        "pushed predicate on the main scan (the win over a correlated "
+        "scalar subquery); no Python",
+        "GreaterThanOrEqual(o_orderdate," in p
+        and "HashAggregate" in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "d9_sql_body_udf", execute=True)
+    check(
+        "d9_sql_body_udf",
+        "SQL-body scalar fn + table fn INLINE into the calling plan — "
+        "no Python worker at all (the point of SQL UDFs vs D1-D5), "
+        "quantity filter pushed through the TVF parameter",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        and "GreaterThanOrEqual(l_quantity,10.0)" in p
+        and "HashAggregate" in p,
+    )
+
+    p = plan_of(spark, "d10_arrow_native_udf", execute=True)
+    check(
+        "d10_arrow_native_udf",
+        "arrow_udf crosses via ArrowEvalPython (the deliberate "
+        "Arrow-native Python surface, map-grain only) and the "
+        "aggregate stays JVM-side",
+        "ArrowEvalPython" in p and "BatchEvalPython" not in p
+        and "HashAggregate" in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0

@@ -1,5 +1,7 @@
 """Round-13 continuation scale probes: shallow clone, refs catalog,
-polymorphic UDTF, collated compare, type-widened read, CBO advisor.
+polymorphic UDTF, collated compare, type-widened read, CBO advisor,
+plus the SQL-surface batch (pipe syntax, parameter markers, session
+variables, SQL-body UDFs, arrow-native UDF).
 
 Expected shapes at 10x (/tmp/dock_sf1 from scripts/make_sf1_fixture.py):
 clone/refs/UDTF are metadata- or constant-grain (flat); f11 is one
@@ -37,6 +39,11 @@ NAMES = (
     "f11_collated_compare",
     "s23_type_widened_read",
     "j18_cbo_broadcast_advisor",
+    "sql_pipe_syntax_report",
+    "sql_parameterized_query",
+    "sql_session_variables",
+    "d9_sql_body_udf",
+    "d10_arrow_native_udf",
 )
 N = 3
 

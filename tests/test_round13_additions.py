@@ -251,3 +251,150 @@ def test_unmaterialized_clone_loses_rows_on_source_expire(tmp_path, spark):
     assert _commit_cas(src, 1, 2)
     assert _expire_snapshot(src, 1)
     assert _read_clone(spark, c).count() == 0  # the documented hazard
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface batch: pipe syntax, parameter markers, session variables,
+# SQL-body UDFs, arrow-native UDF — each vs a plain-pandas reference
+# ---------------------------------------------------------------------------
+def _orders_customer():
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    return o.merge(c, left_on="o_custkey", right_on="c_custkey")
+
+
+def test_pipe_syntax_matches_pandas(spark):
+    _skip_if_empty("orders")
+    m = _orders_customer()
+    m = m[m["o_totalprice"] > 5000]
+    m["yr"] = pd.to_datetime(m["o_orderdate"]).dt.year
+    exp = (
+        m.groupby(["c_mktsegment", "yr"])
+        .size()
+        .reset_index(name="n")
+    )
+    exp = exp[exp["n"] > 2].sort_values(["c_mktsegment", "yr"])
+    got = (
+        engine.QUERIES["sql_pipe_syntax_report"](spark, SF)
+        .toPandas()
+        .sort_values(["mktsegment", "yr"])
+    )
+    assert list(got["mktsegment"]) == list(exp["c_mktsegment"])
+    assert [int(x) for x in got["yr"]] == [int(x) for x in exp["yr"]]
+    assert [int(x) for x in got["n_orders"]] == [int(x) for x in exp["n"]]
+
+
+def test_parameterized_query_binds_args(spark):
+    _skip_if_empty("orders")
+    m = _orders_customer()
+    sel = m[
+        (m["c_mktsegment"] == "BUILDING")
+        & (pd.to_datetime(m["o_orderdate"]) >= pd.Timestamp("1996-01-01"))
+        & (m["o_totalprice"] > 1000.0)
+    ]
+    exp = sel.groupby("o_orderpriority").size().sort_index()
+    got = (
+        engine.QUERIES["sql_parameterized_query"](spark, SF)
+        .toPandas()
+        .set_index("priority")["n_orders"]
+        .sort_index()
+    )
+    assert list(got.index) == list(exp.index)
+    assert [int(x) for x in got] == [int(x) for x in exp]
+
+
+def test_parameterized_rebind_changes_result(spark):
+    """The SAME statement text with different args must produce the
+    other segment's numbers — proves values ride the args channel."""
+    from dock_financial_data_pipelines_spark.catalog import load
+    from dock_financial_data_pipelines_spark.operators.relational import (
+        _SQL_PARAM_STMT,
+    )
+
+    _skip_if_empty("orders")
+    m = _orders_customer()
+    load(spark, SF, "orders").createOrReplaceTempView("orders")
+    load(spark, SF, "customer").createOrReplaceTempView("customer")
+    for seg in ("MACHINERY", "AUTOMOBILE"):
+        sel = m[
+            (m["c_mktsegment"] == seg)
+            & (pd.to_datetime(m["o_orderdate"]) >= pd.Timestamp("1996-01-01"))
+            & (m["o_totalprice"] > 1000.0)
+        ]
+        got = spark.sql(
+            _SQL_PARAM_STMT,
+            args={"seg": seg, "since": "1996-01-01", "floor_total": 1000.0},
+        ).toPandas()
+        assert int(got["n_orders"].sum()) == len(sel)
+
+
+def test_session_variables_match_pandas(spark):
+    _skip_if_empty("orders")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cutoff = pd.to_datetime(o["o_orderdate"]).max() - pd.Timedelta(days=90)
+    sel = o[
+        (pd.to_datetime(o["o_orderdate"]) >= cutoff)
+        & (o["o_totalprice"] > 500.0)
+    ]
+    exp = sel.groupby("o_orderpriority").size().sort_index()
+    got = (
+        engine.QUERIES["sql_session_variables"](spark, SF)
+        .toPandas()
+        .set_index("priority")["n_recent"]
+        .sort_index()
+    )
+    assert list(got.index) == list(exp.index)
+    assert [int(x) for x in got] == [int(x) for x in exp]
+
+
+def test_sql_body_udf_matches_pandas_and_parameterizes(spark):
+    _skip_if_empty("lineitem")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+
+    def bands(min_qty):
+        sel = li[li["l_quantity"] >= min_qty]
+        b = pd.cut(
+            sel["l_discount"],
+            bins=[-1, 0.0299999, 0.0699999, 10],
+            labels=["thin", "mid", "deep"],
+        ).astype(str)
+        return sel.groupby(b, observed=True).size().sort_index()
+
+    got = (
+        engine.QUERIES["d9_sql_body_udf"](spark, SF)
+        .toPandas()
+        .set_index("discount_band")["n_lines"]
+        .sort_index()
+    )
+    exp = bands(10)
+    assert [int(x) for x in got] == [int(x) for x in exp]
+    # parameter flows: a different min_qty through the registered TVF
+    got30 = (
+        spark.sql("SELECT * FROM band_revenue(30)")
+        .toPandas()
+        .set_index("discount_band")["n_lines"]
+        .sort_index()
+    )
+    exp30 = bands(30)
+    assert [int(x) for x in got30] == [int(x) for x in exp30]
+
+
+def test_arrow_udf_agrees_with_pandas_udf_twin(spark):
+    """d10 (arrow_udf) and d2 (pandas_udf) implement the same money
+    convention — their outputs must agree to the cent."""
+    _skip_if_empty("lineitem")
+    d2 = (
+        engine.QUERIES["d2_pandas_udf_net_price"](spark, SF)
+        .toPandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    d10 = (
+        engine.QUERIES["d10_arrow_native_udf"](spark, SF)
+        .toPandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    assert list(d2["l_returnflag"]) == list(d10["l_returnflag"])
+    assert list(d2["net_revenue"]) == list(d10["net_revenue"])
+    assert list(d2["n"]) == list(d10["n"])
