@@ -114,6 +114,14 @@ HEADLINE_ROUNDS: list[tuple[str, int]] = [
     ("pipeline_snapshot_delete_vectors", 12),
     ("pipeline_incremental_matview", 12),
     ("sql_recursive_bom_rollup", 12),
+    # round-13 bearers: the flock-serialized CAS commit storm (the
+    # table-format layer's concurrency price), spec-evolved pruned
+    # reads, the inlined SQL-body UDF (zero-Python plan shape), and
+    # the Arrow-native UDF boundary (ArrowEvalPython steady-state).
+    ("pipeline_commit_storm", 13),
+    ("pipeline_partition_evolution", 13),
+    ("d9_sql_body_udf", 13),
+    ("d10_arrow_native_udf", 13),
 ]
 HEADLINE = [n for n, _ in HEADLINE_ROUNDS]
 # The no-broadcast skew probes re-run round-1/2 queries; tag them with

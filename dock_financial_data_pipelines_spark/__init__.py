@@ -100,14 +100,18 @@ _STALE_BEFORE = {
     "w19_bollinger_bands": 11,
 }
 
-# Round-13 sweep plan (same scheme as prior rounds): the three round-13
-# registrations (commit storm, backfill/catchup policy, layout-aware
-# MoR-expire guard) take the head slots — after r12 every other
+# Round-13 sweep plan (same scheme as prior rounds): every round-13
+# registration — the protocol trio (commit storm, backfill/catchup,
+# MoR-expire guard) plus the continuation batches (spec evolution,
+# _metadata lineage, log checkpoints, UDTF, refs, shallow clone,
+# collation, type widening, CBO advisor, the SQL-surface family,
+# commit constraints, row lineage, the streaming Python data source)
+# — takes the head slots in registration order; after r12 every other
 # registered query has a green latest driver verdict, so the remaining
-# 47 head slots rotate the least-recently-verified entries via
-# _SWEEP_LAST order (r12's snapshot-protocol family first — they were
-# verified in r12 but their commit-path internals were rewritten by the
-# r13 flock-serialized CAS section, so re-sampling them earliest is the
+# slots rotate the least-recently-verified entries via _SWEEP_LAST
+# order (r12's snapshot-protocol family first — they were verified in
+# r12 but their commit-path internals were rewritten by the r13
+# flock-serialized CAS section, so re-sampling them earliest is the
 # conservative order). The zero-never-sampled invariant holds.
 _SWEEP_FIRST = [
     # SQL-oracled, never driver-checked (slots 1-5)
@@ -128,6 +132,9 @@ _SWEEP_FIRST = [
     "sql_session_variables",
     "d9_sql_body_udf",
     "d10_arrow_native_udf",
+    "pipeline_commit_constraints",
+    "pipeline_row_lineage",
+    "x26_python_datasource_stream",
     # rows-only (no SQL oracle; driver records spark_rows)
 ]
 _SWEEP_LAST = [

@@ -5318,3 +5318,275 @@ def pipeline_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, s, int(v)) for i, s, v in out],
         "stage_ord int, stage string, value long",
     )
+
+
+# ---------------------------------------------------------------------------
+# COMMIT-TIME CONSTRAINTS (Delta `ALTER TABLE ... ADD CONSTRAINT` /
+# NOT NULL parity): the table declares invariants — here doc_id NOT
+# NULL and CHECK (tokens >= 0) — and every commit validates its
+# candidate rows BEFORE staging. A violating commit is refused
+# atomically: nothing stages, nothing publishes, CURRENT never moves,
+# and the refusal carries the per-constraint violation counts (the
+# error a writer needs to fix its batch). Validation is ONE Spark
+# aggregate over the candidate — at 100 TB that is a map-side count
+# over data the writer was about to shuffle anyway, the same cost
+# model that makes Delta constraints viable. Enforcement lives at the
+# COMMIT choke point, not in readers: a table whose every version
+# passed its invariants needs no defensive null-guards downstream —
+# the engine restatement of the reference's per-field null checks
+# (REPORT:83-96), moved from consumer code into the table contract.
+# ---------------------------------------------------------------------------
+_CC_CHECK_EXPR = "tokens >= 0"
+
+
+def _validate_constraints(df: DataFrame):
+    """(n_null_violations, n_check_violations) in one aggregate pass.
+    NULL tokens count as CHECK violations (a NULL can't satisfy a
+    CHECK in enforcement terms — Delta treats undetermined as
+    refused)."""
+    row = df.agg(
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0)).alias("nn"),
+        F.sum(
+            F.when(~F.coalesce(F.expr(_CC_CHECK_EXPR), F.lit(False)), 1)
+            .otherwise(0)
+        ).alias("nc"),
+    ).collect()[0]
+    return int(row.nn or 0), int(row.nc or 0)
+
+
+def _commit_checked(
+    spark: SparkSession, df: DataFrame, root: str, version: int, base
+):
+    """Validate → stage → CAS. Returns (landed, n_null, n_check);
+    a refusal stages nothing (the cheapest possible failure: the
+    constraint check reads the candidate, never writes)."""
+    n_null, n_check = _validate_constraints(df)
+    if n_null or n_check:
+        return False, n_null, n_check
+    _stage_version(spark, df, root, version)
+    return _commit_cas(root, base, version), n_null, n_check
+
+
+def _cc_oracle() -> str:
+    return """
+    SELECT 0 AS stage_ord, 'base_rows' AS stage, CAST(4 AS BIGINT) AS value
+    UNION ALL SELECT 1, 'violating_commit_refused', CAST(1 AS BIGINT)
+    UNION ALL SELECT 2, 'null_violations_reported', CAST(1 AS BIGINT)
+    UNION ALL SELECT 3, 'check_violations_reported', CAST(2 AS BIGINT)
+    UNION ALL SELECT 4, 'current_unmoved_after_refusal', CAST(1 AS BIGINT)
+    UNION ALL SELECT 5, 'rows_unchanged_after_refusal', CAST(4 AS BIGINT)
+    UNION ALL SELECT 6, 'nothing_staged_by_refusal', CAST(1 AS BIGINT)
+    UNION ALL SELECT 7, 'clean_commit_lands', CAST(1 AS BIGINT)
+    UNION ALL SELECT 8, 'rows_final', CAST(6 AS BIGINT)
+    """
+
+
+@query("pipeline_commit_constraints", oracle=_cc_oracle())
+def pipeline_commit_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Constraint enforcement end to end: v1 (4 clean rows) lands; a
+    candidate with one NULL doc_id and two negative token counts is
+    REFUSED with per-constraint counts (1 null, 2 check — the NULL
+    tokens row counts against CHECK, not NOT NULL), CURRENT stays at
+    v1 with its 4 rows and the refused candidate staged NOTHING; a
+    corrected candidate then lands as v2 with the final 6 rows."""
+    root = _release_root(sf_dir, "commit_constraints")
+    os.makedirs(root, exist_ok=True)
+
+    clean = spark.createDataFrame(
+        [(1, 10, "a", 0), (2, 20, "b", 0), (3, 30, "c", 1), (4, 40, "d", 1)],
+        _REL_SCHEMA_DDL,
+    )
+    landed1, _, _ = _commit_checked(spark, clean, root, 1, None)
+    assert landed1
+    base_rows = _read_visible(spark, root).count()
+
+    bad = spark.createDataFrame(
+        [
+            (None, 50, "e", 0),   # NOT NULL violation
+            (5, -7, "f", 0),      # CHECK violation
+            (6, None, "g", 1),    # NULL tokens: undetermined CHECK -> refused
+            (7, 70, "h", 1),      # clean row (refusal is all-or-nothing)
+        ],
+        _REL_SCHEMA_DDL,
+    )
+    landed2, n_null, n_check = _commit_checked(spark, bad, root, 2, 1)
+    nothing_staged = int(
+        not os.path.exists(os.path.join(root, "data", "v=2"))
+    )
+    cur_after = int(_resolve_current(root) == 1)
+    rows_after = _read_visible(spark, root).count()
+
+    fixed = spark.createDataFrame(
+        [(5, 7, "f", 0), (7, 70, "h", 1)], _REL_SCHEMA_DDL
+    )
+    landed3, _, _ = _commit_checked(
+        spark, _read_visible(spark, root).unionAll(fixed), root, 2, 1
+    )
+
+    out = [
+        (0, "base_rows", base_rows),
+        (1, "violating_commit_refused", int(not landed2)),
+        (2, "null_violations_reported", n_null),
+        (3, "check_violations_reported", n_check),
+        (4, "current_unmoved_after_refusal", cur_after),
+        (5, "rows_unchanged_after_refusal", rows_after),
+        (6, "nothing_staged_by_refusal", nothing_staged),
+        (7, "clean_commit_lands", int(landed3)),
+        (8, "rows_final", _read_visible(spark, root).count()),
+    ]
+    return spark.createDataFrame(
+        [(i, s, int(v)) for i, s, v in out],
+        "stage_ord int, stage string, value long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROW LINEAGE (Iceberg v3 row-lineage parity): every row gets a stable
+# engine-assigned _row_id at its FIRST commit, carried physically in
+# the data files, and maintenance operations preserve it — compaction
+# rewrites the file layout without touching ids, and a MERGE upsert
+# keeps the matched row's id while allocating fresh ids (above a
+# persisted high-watermark, one tiny metadata file) only for genuinely
+# new rows. Row ids are what make cross-snapshot row-level diffing,
+# CDC attribution, and incremental materialized-view maintenance
+# O(changed-rows) instead of O(table): "same id" means "same logical
+# row" across any number of rewrites. At 100 TB id assignment is
+# row_number over the commit's own batch plus a watermark read — no
+# global coordination beyond the commit the writer already does.
+# ---------------------------------------------------------------------------
+_RL_SCHEMA = "row_id long, doc_id long, tokens long"
+
+
+def _rl_write(root: str, version: int, rows, n_files: int = 1) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, "data", f"v={version}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    chunks = [rows[i::n_files] for i in range(n_files)]
+    for i, chunk in enumerate(chunks):
+        pq.write_table(
+            pa.table(
+                {
+                    "row_id": pa.array([r[0] for r in chunk], pa.int64()),
+                    "doc_id": pa.array([r[1] for r in chunk], pa.int64()),
+                    "tokens": pa.array([r[2] for r in chunk], pa.int64()),
+                }
+            ),
+            os.path.join(d, f"part-{i:05d}.parquet"),
+        )
+
+
+def _rl_read(root: str, version: int):
+    import pyarrow.parquet as pq
+
+    d = os.path.join(root, "data", f"v={version}")
+    out = []
+    for n in sorted(os.listdir(d)):
+        if n.endswith(".parquet"):
+            out.extend(
+                (r["row_id"], r["doc_id"], r["tokens"])
+                for r in pq.read_table(os.path.join(d, n)).to_pylist()
+            )
+    return sorted(out)
+
+
+def _rl_files(root: str, version: int) -> int:
+    d = os.path.join(root, "data", f"v={version}")
+    return sum(1 for n in os.listdir(d) if n.endswith(".parquet"))
+
+
+def _rl_hwm(root: str) -> int:
+    try:
+        with open(os.path.join(root, "rowid_hwm")) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def _rl_set_hwm(root: str, value: int) -> None:
+    tmp = os.path.join(root, "rowid_hwm.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(value))
+    os.replace(tmp, os.path.join(root, "rowid_hwm"))
+
+
+def _rl_oracle() -> str:
+    return """
+    SELECT 0 AS stage_ord, 'rows_v1' AS stage, CAST(4 AS BIGINT) AS value
+    UNION ALL SELECT 1, 'files_before_compaction', CAST(2 AS BIGINT)
+    UNION ALL SELECT 2, 'files_after_compaction', CAST(1 AS BIGINT)
+    UNION ALL SELECT 3, 'ids_preserved_by_compaction', CAST(1 AS BIGINT)
+    UNION ALL SELECT 4, 'updated_row_keeps_id', CAST(1 AS BIGINT)
+    UNION ALL SELECT 5, 'new_row_id_above_watermark', CAST(5 AS BIGINT)
+    UNION ALL SELECT 6, 'ids_unique_final', CAST(1 AS BIGINT)
+    UNION ALL SELECT 7, 'rows_final', CAST(5 AS BIGINT)
+    UNION ALL SELECT 8, 'watermark_final', CAST(5 AS BIGINT)
+    """
+
+
+@query("pipeline_row_lineage", oracle=_rl_oracle())
+def pipeline_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage end to end: v1 assigns ids 1-4 to four docs across
+    two files; v2 compacts to one differently-ordered file with the
+    (id, doc) pairs IDENTICAL; v3 merge-upserts — doc 20's token
+    update keeps id 2, new doc 50 takes id 5 from the persisted
+    watermark — and the final table has five unique ids with the
+    watermark advanced. Census values are protocol constants; Spark's
+    role is the bounded final census read."""
+    root = _release_root(sf_dir, "row_lineage")
+    os.makedirs(root, exist_ok=True)
+
+    docs = [(10, 100), (20, 200), (30, 300), (40, 400)]
+    v1 = [(i + 1, d, t) for i, (d, t) in enumerate(docs)]
+    _rl_write(root, 1, v1, n_files=2)
+    _rl_set_hwm(root, 4)
+    assert _commit_cas(root, None, 1)
+    files_before = _rl_files(root, 1)
+
+    # v2: compaction — new layout (one file, reverse doc order), ids
+    # byte-identical. The rewrite reads v1, never the watermark.
+    compacted = sorted(_rl_read(root, 1), key=lambda r: -r[1])
+    _rl_write(root, 2, compacted, n_files=1)
+    assert _commit_cas(root, 1, 2)
+    preserved = int(_rl_read(root, 2) == _rl_read(root, 1))
+
+    # v3: MERGE upsert — matched doc keeps its id; the new doc takes
+    # watermark+1 and the watermark advances with the commit.
+    base = {d: (rid, t) for rid, d, t in _rl_read(root, 2)}
+    hwm = _rl_hwm(root)
+    merged = []
+    for d, t_new in [(20, 250), (50, 500)]:
+        if d in base:
+            merged.append((base[d][0], d, t_new))
+        else:
+            hwm += 1
+            merged.append((hwm, d, t_new))
+    keep = [(rid, d, t) for rid, d, t in _rl_read(root, 2)
+            if d not in {20, 50}]
+    final = sorted(keep + merged)
+    _rl_write(root, 3, final, n_files=1)
+    _rl_set_hwm(root, hwm)
+    assert _commit_cas(root, 2, 3)
+
+    rows3 = _rl_read(root, 3)
+    by_doc = {d: rid for rid, d, t in rows3}
+    out = [
+        (0, "rows_v1", len(v1)),
+        (1, "files_before_compaction", files_before),
+        (2, "files_after_compaction", _rl_files(root, 2)),
+        (3, "ids_preserved_by_compaction", preserved),
+        (4, "updated_row_keeps_id", int(by_doc[20] == 2)),
+        (5, "new_row_id_above_watermark", by_doc[50]),
+        (6, "ids_unique_final",
+         int(len({r[0] for r in rows3}) == len(rows3))),
+        (7, "rows_final", len(rows3)),
+        (8, "watermark_final", _rl_hwm(root)),
+    ]
+    return spark.createDataFrame(
+        [(i, s, int(v)) for i, s, v in out],
+        "stage_ord int, stage string, value long",
+    )

@@ -2674,6 +2674,36 @@ def main() -> int:
         and "HashAggregate" in p,
     )
 
+    p = plan_of(spark, "pipeline_commit_constraints", execute=True)
+    check(
+        "pipeline_commit_constraints",
+        "constraint enforcement is one aggregate over the candidate "
+        "before staging; the census is a driver-literal table; no "
+        "cartesian, no Python",
+        ("LocalTableScan" in p or "ExistingRDD" in p)
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "pipeline_row_lineage", execute=True)
+    check(
+        "pipeline_row_lineage",
+        "row-id assignment/preservation is commit-local (watermark "
+        "file + per-commit row_number); census driver-literal; no "
+        "cartesian, no Python",
+        ("LocalTableScan" in p or "ExistingRDD" in p)
+        and "CartesianProduct" not in p and "BatchEvalPython" not in p,
+    )
+
+    p = plan_of(spark, "x26_python_datasource_stream", execute=True)
+    check(
+        "x26_python_datasource_stream",
+        "the streaming Python source's drains happen inside the query "
+        "(offset log in the checkpoint); the returned census is one "
+        "scan + hash aggregate over the parquet sink; no cartesian",
+        "Scan parquet" in p and "HashAggregate" in p
+        and "CartesianProduct" not in p,
+    )
+
     print(f"\n{'ALL PASS' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0

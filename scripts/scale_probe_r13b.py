@@ -44,6 +44,9 @@ NAMES = (
     "sql_session_variables",
     "d9_sql_body_udf",
     "d10_arrow_native_udf",
+    "pipeline_commit_constraints",
+    "pipeline_row_lineage",
+    "x26_python_datasource_stream",
 )
 N = 3
 

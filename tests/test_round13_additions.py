@@ -398,3 +398,113 @@ def test_arrow_udf_agrees_with_pandas_udf_twin(spark):
     assert list(d2["l_returnflag"]) == list(d10["l_returnflag"])
     assert list(d2["net_revenue"]) == list(d10["net_revenue"])
     assert list(d2["n"]) == list(d10["n"])
+
+
+# ---------------------------------------------------------------------------
+# Commit-time constraints — pure protocol + Spark validation pass
+# ---------------------------------------------------------------------------
+def test_constraint_validator_counts(spark):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _validate_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 5, "a", 0), (1, -1, "b", 0), (2, None, "c", 0), (3, 3, "d", 0)],
+        "doc_id long, tokens long, dg string, shard long",
+    )
+    n_null, n_check = _validate_constraints(df)
+    assert (n_null, n_check) == (1, 2)  # NULL tokens counts as CHECK
+
+
+def test_constraint_refusal_stages_nothing(tmp_path, spark):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_checked,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    bad = spark.createDataFrame(
+        [(None, 5, "a", 0)], "doc_id long, tokens long, dg string, shard long"
+    )
+    landed, n_null, n_check = _commit_checked(spark, bad, root, 1, None)
+    assert not landed and n_null == 1
+    assert not os.path.exists(os.path.join(root, "data", "v=1"))
+    assert _resolve_current(root) is None
+
+
+def test_constraint_empty_batch_is_clean(tmp_path, spark):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _commit_checked,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    empty = spark.createDataFrame(
+        [], "doc_id long, tokens long, dg string, shard long"
+    )
+    landed, n_null, n_check = _commit_checked(spark, empty, root, 1, None)
+    assert landed and (n_null, n_check) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Row lineage — pure protocol
+# ---------------------------------------------------------------------------
+def test_row_lineage_watermark_monotone(tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _rl_hwm,
+        _rl_set_hwm,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    assert _rl_hwm(root) == 0
+    _rl_set_hwm(root, 7)
+    assert _rl_hwm(root) == 7
+
+
+def test_row_lineage_compaction_preserves_ids(tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _rl_files,
+        _rl_read,
+        _rl_write,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    rows = [(i + 1, 10 * (i + 1), 100 * (i + 1)) for i in range(6)]
+    _rl_write(root, 1, rows, n_files=3)
+    assert _rl_files(root, 1) == 3
+    _rl_write(root, 2, sorted(rows, key=lambda r: -r[1]), n_files=1)
+    assert _rl_files(root, 2) == 1
+    assert _rl_read(root, 1) == _rl_read(root, 2)
+
+
+# ---------------------------------------------------------------------------
+# x26 — streaming Python data source: resume proof beyond the oracle
+# ---------------------------------------------------------------------------
+def test_pyds_stream_checkpoint_resumes(spark):
+    """The query's own census proves n_appearances=1; here the sink's
+    raw row count is pinned too (4 rows total, not 6 — days 0-1 were
+    not re-read by the second drain)."""
+    import tempfile
+
+    from dock_financial_data_pipelines_spark.catalog import (
+        read_parquet_or_empty,
+        sf_tag,
+    )
+
+    got = (
+        engine.QUERIES["x26_python_datasource_stream"](spark, SF)
+        .toPandas()
+        .sort_values("day")
+    )
+    assert list(got["n_appearances"]) == [1, 1, 1, 1]
+    sink = os.path.join(
+        tempfile.gettempdir(), "dock_fdp_spark",
+        f"pyds_stream_{sf_tag(SF)}", "sink",
+    )
+    raw = read_parquet_or_empty(
+        spark, sink,
+        "day string, ticket string, file_name string, n_keys int",
+    )
+    assert raw.count() == 4
