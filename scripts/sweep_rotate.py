@@ -99,7 +99,7 @@ def main() -> int:
         with open(path) as fh:
             rows = json.load(fh)
         print(f"# read {os.path.basename(path)}: {len(rows)} entries")
-    verified, hash_verified = engine._load_driver_verdicts()
+    verified, hash_verified, last_round = engine._load_driver_verdicts()
 
     allq = list(engine.QUERIES)
     never = [n for n in allq if n not in verified]
@@ -127,9 +127,15 @@ def main() -> int:
     print("    # rows-only (no SQL oracle; driver records spark_rows)")
     print(block(rows_never), end="")
     print("]")
-    print("_SWEEP_LAST = [")
-    print(block([n for n in allq if n in verified]), end="")
-    print("]")
+    # Since r14 the verified tail orders itself by driver-check recency
+    # (oldest latest-verdict first); nothing to paste for it. Show the
+    # slots the next sweep will actually take, with each name's last
+    # checked round, so the rotation is auditable at a glance.
+    print("\n# next sweep (live _reorder_registry order, %d slots):"
+          % BUDGET)
+    for i, n in enumerate(allq[:BUDGET], 1):
+        print(f"#   {i:2d}. {n}  (last checked: "
+              f"{'never' if n not in last_round else 'r%02d' % last_round[n]})")
     return 0
 
 

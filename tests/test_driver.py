@@ -97,7 +97,7 @@ def test_sweep_rotation_self_updates():
     import dock_financial_data_pipelines_spark as engine
 
     engine.load_all()
-    verified, hash_verified = engine._load_driver_verdicts()
+    verified, hash_verified, _last_round = engine._load_driver_verdicts()
 
     curated = set(engine._SWEEP_FIRST) | set(engine._SWEEP_LAST)
 
