@@ -115,6 +115,7 @@ _SWEEP_FIRST = [
     # silently deprioritize nothing but still trips the
     # sweep-lists-reference-registered-queries test, by design.
     "pipeline_commit_storm_mp",
+    "o_connect_compat_report",
 ]
 _SWEEP_LAST: list = []  # recency ordering replaced the curated tail in r14
 

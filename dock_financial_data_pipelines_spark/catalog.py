@@ -15,6 +15,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dock_financial_data_pipelines_spark.connect_compat import (
+    session_key as _session_key,
+)
 from dock_financial_data_pipelines_spark.session import tune
 
 TABLES = (
@@ -108,7 +111,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # directory-shaped datasets: a partition overwrite can leave the
         # top-level mtime unchanged, so never cache those.
         return _normalize_nanos(spark.read.parquet(path))
-    key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+    key = (_session_key(spark), path, os.path.getmtime(path))
     df = _LOAD_CACHE.get(key)
     if df is None:
         df = _normalize_nanos(spark.read.parquet(path))
@@ -171,7 +174,7 @@ def memo_index(spark: SparkSession, tag: str, build) -> DataFrame:
     """Return the materialized index for ``tag``, building it once per
     session. ``build`` must return an eagerly-materialized DataFrame
     (localCheckpoint) so cached plans don't chain lineage."""
-    key = (spark.sparkContext.applicationId, tag)
+    key = (_session_key(spark), tag)
     df = _INDEX_CACHE.get(key)
     if df is None:
         df = build()

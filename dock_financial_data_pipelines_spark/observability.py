@@ -23,6 +23,7 @@ the existing Spark machinery; reading them is a driver-side constant.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -153,12 +154,13 @@ def run_with_metrics(
     del rows
     wall_ms = (time.monotonic() - t0) * 1000.0
     acc = {v: 0 for v in _METRIC_KEYS.values()}
-    ok = False
-    try:
-        _walk_plan_metrics(df._jdf.queryExecution().executedPlan(), acc)
-        ok = True
-    except Exception:  # pragma: no cover - Connect sessions have no _jdf
-        pass
+    # connect_compat warns ONCE per session when the py4j plan handle
+    # is missing (Spark Connect) — the degradation is loud in the log
+    # AND recorded per-row as plan_metrics_ok=False, never a silent
+    # zero that reads as a measured zero.
+    from dock_financial_data_pipelines_spark import connect_compat
+
+    ok = connect_compat.plan_metrics(df, _walk_plan_metrics, acc)
     store.record(QueryMetrics(name, wall_ms, n_rows, plan_metrics_ok=ok, **acc))
     return n_rows
 
@@ -216,4 +218,118 @@ def o_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return store.to_df(spark).select(
         "query_name", "n_rows", "plan_metrics_ok"
+    )
+
+
+# ---------------------------------------------------------------------------
+# o_connect_compat_report — the Spark Connect degrade contract,
+# oracle-checked without a Connect server: every feature that
+# historically reached into py4j internals (plan metrics, cache
+# session keys, localCheckpoint release, package shipping) is driven
+# once through the live classic session and once through a
+# Connect-shaped facade (ConnectFacadeSession/DataFrame: no
+# sparkContext, no _jdf — the exact surface pyspark.sql.connect
+# exposes). The facade runs must take the documented fallback
+# (loudly: exactly one warning per feature, counted via a handler on
+# the compat logger), the classic runs must take the native path, and
+# the measured row counts must agree between the two. The env-gated
+# tests/test_connect_smoke.py repeats this against a REAL Connect
+# session where grpcio + a server exist; this query pins the contract
+# everywhere else. All census values are protocol constants.
+# ---------------------------------------------------------------------------
+@query(
+    "o_connect_compat_report",
+    oracle="""
+    SELECT 0 AS stage_ord, 'classic_is_connect' AS stage,
+           CAST(0 AS BIGINT) AS value
+    UNION ALL SELECT 1, 'facade_is_connect', CAST(1 AS BIGINT)
+    UNION ALL SELECT 2, 'facade_session_key_is_client_id', CAST(1 AS BIGINT)
+    UNION ALL SELECT 3, 'classic_plan_metrics_ok', CAST(1 AS BIGINT)
+    UNION ALL SELECT 4, 'facade_plan_metrics_ok', CAST(0 AS BIGINT)
+    UNION ALL SELECT 5, 'rows_agree_classic_vs_facade', CAST(1 AS BIGINT)
+    UNION ALL SELECT 6, 'degrade_warnings_emitted', CAST(1 AS BIGINT)
+    UNION ALL SELECT 7, 'classic_ship_mechanism_pyfile', CAST(1 AS BIGINT)
+    UNION ALL SELECT 8, 'facade_ship_mechanism_artifact', CAST(1 AS BIGINT)
+    UNION ALL SELECT 9, 'classic_checkpoint_released', CAST(1 AS BIGINT)
+    UNION ALL SELECT 10, 'facade_checkpoint_release_refused',
+           CAST(0 AS BIGINT)
+    """,
+)
+def o_connect_compat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import logging
+
+    from dock_financial_data_pipelines_spark import connect_compat as cc
+    from dock_financial_data_pipelines_spark.catalog import load
+
+    facade = cc.ConnectFacadeSession(spark)
+    orders = load(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    # deterministic start state for the exactly-once warning census
+    cc.reset_warnings()
+    records: list = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    cap = _Capture()
+    cc.log.addHandler(cap)
+    try:
+        store = MetricsStore()
+        run_with_metrics("classic", agg, store)
+        # TWO degraded runs: the warning must fire exactly once
+        run_with_metrics("facade_1", cc.ConnectFacadeDataFrame(agg), store)
+        run_with_metrics("facade_2", cc.ConnectFacadeDataFrame(agg), store)
+    finally:
+        cc.log.removeHandler(cap)
+    by_name = {m.query_name: m for m in store.runs}
+
+    # a uniquely-named probe file: addPyFile lands files on executor
+    # sys.path, so shipping a generically-named module would pollute it
+    import tempfile
+
+    probe_py = os.path.join(
+        tempfile.gettempdir(), "dock_fdp_connect_compat_probe.py"
+    )
+    with open(probe_py, "w") as fh:
+        fh.write("PROBE = True\n")
+    classic_ship = cc.ship_package(spark, probe_py)
+    facade_ship = cc.ship_package(facade, probe_py)
+
+    ckpt = agg.localCheckpoint()
+    released = cc.release_local_checkpoint(ckpt)
+    ckpt2 = agg.localCheckpoint()
+    facade_release = cc.release_local_checkpoint(
+        cc.ConnectFacadeDataFrame(ckpt2)
+    )
+    cc.release_local_checkpoint(ckpt2)  # real cleanup
+
+    rows = [
+        (0, "classic_is_connect", int(cc.is_connect(spark))),
+        (1, "facade_is_connect", int(cc.is_connect(facade))),
+        (2, "facade_session_key_is_client_id",
+         int(cc.session_key(facade) == "facade-session-0001")),
+        (3, "classic_plan_metrics_ok",
+         int(by_name["classic"].plan_metrics_ok)),
+        (4, "facade_plan_metrics_ok",
+         int(by_name["facade_1"].plan_metrics_ok
+             or by_name["facade_2"].plan_metrics_ok)),
+        (5, "rows_agree_classic_vs_facade",
+         int(by_name["classic"].n_rows == by_name["facade_1"].n_rows
+             == by_name["facade_2"].n_rows)),
+        (6, "degrade_warnings_emitted",
+         sum("plan-metrics" in m for m in records)),
+        (7, "classic_ship_mechanism_pyfile",
+         int(classic_ship == "pyfile")),
+        (8, "facade_ship_mechanism_artifact",
+         int(facade_ship == "artifact"
+             and facade.artifacts == [(probe_py, True)])),
+        (9, "classic_checkpoint_released", int(released)),
+        (10, "facade_checkpoint_release_refused", int(facade_release)),
+    ]
+    return spark.createDataFrame(
+        rows, "stage_ord int, stage string, value long"
     )

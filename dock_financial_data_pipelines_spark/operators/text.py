@@ -3530,9 +3530,11 @@ def _bpe_train_rounds(
     """
     from pyspark.sql import Window
 
-    memo_key = (
-        spark.sparkContext.applicationId, sf_dir, k_budget, min_pair
+    from dock_financial_data_pipelines_spark.connect_compat import (
+        session_key,
     )
+
+    memo_key = (session_key(spark), sf_dir, k_budget, min_pair)
     if memo_key in _BPE_MEMO:
         return _BPE_MEMO[memo_key]
 

