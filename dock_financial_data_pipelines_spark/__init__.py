@@ -116,6 +116,7 @@ _SWEEP_FIRST = [
     # sweep-lists-reference-registered-queries test, by design.
     "pipeline_commit_storm_mp",
     "o_connect_compat_report",
+    "r_loopback_real_stack",
 ]
 _SWEEP_LAST: list = []  # recency ordering replaced the curated tail in r14
 
@@ -246,6 +247,7 @@ def load_all() -> None:
     import dock_financial_data_pipelines_spark.operators.udfs  # noqa: F401
     import dock_financial_data_pipelines_spark.operators.windows  # noqa: F401
     import dock_financial_data_pipelines_spark.plans.pipeline  # noqa: F401
+    import dock_financial_data_pipelines_spark.sources.loopback  # noqa: F401
     import dock_financial_data_pipelines_spark.sources.readers  # noqa: F401
     import dock_financial_data_pipelines_spark.sources.pyds  # noqa: F401
     import dock_financial_data_pipelines_spark.sources.rest  # noqa: F401

@@ -233,15 +233,31 @@ def test_s3_remote_drives_sensor_and_transfer(tmp_path):
     assert open(landed, "rb").read() == b"zipbytes"
 
 
-def test_s3_remote_requires_boto3_without_injected_client():
-    import importlib.util
+def test_s3_remote_requires_boto3_without_injected_client(monkeypatch):
+    """No injected client and no boto3 → a clear construction-time
+    error. boto3 IS installed in this container now, so its absence is
+    simulated at the import seam (sys.modules[boto3]=None makes the
+    in-function import raise ImportError) — the test no longer skips
+    either way."""
+    import sys
 
     from dock_financial_data_pipelines_spark.sources.transports import S3Remote
 
-    if importlib.util.find_spec("boto3") is not None:
-        pytest.skip("boto3 present in this environment")
+    monkeypatch.setitem(sys.modules, "boto3", None)
     with pytest.raises(RuntimeError, match="boto3"):
         S3Remote("dock-bucket")
+
+
+def test_s3_remote_constructs_real_client_when_boto3_present():
+    """With boto3 present and no injected client, construction takes
+    the REAL branch: boto3.client('s3') is built (no network I/O at
+    construction time — boto3 resolves credentials lazily)."""
+    pytest.importorskip("boto3")
+    from dock_financial_data_pipelines_spark.sources.transports import S3Remote
+
+    remote = S3Remote("dock-bucket")
+    # the client is a genuine botocore S3 client, not a fake
+    assert type(remote._client).__module__.startswith("botocore")
 
 
 def test_sink_location_resolves_schemes():
