@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from dock_financial_data_pipelines_spark.catalog import load, memo_index, sf_tag
 from dock_financial_data_pipelines_spark.registry import ORACLES, query
+from dock_financial_data_pipelines_spark.session import release_local_checkpoint
 
 def _tokens():
     return F.split(F.col("text"), " ")
@@ -1597,6 +1598,11 @@ def l_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # (r14 probe note: unlike l_substring_span_pairs, sh's DISTINCT
+    # exchange subtree is identical under both consumers — freq and the
+    # join's left side — so Spark's ReusedExchange already evaluates
+    # the shingle explode + md5 once here; a pre-join checkpoint of sh
+    # measured as a wash and is deliberately not applied.)
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= _CONT_CAP
     )
@@ -1730,19 +1736,24 @@ def l_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
         ).alias("h"),
     )
+    # Materialize the positional-shingle index FIRST: freq and the
+    # capped join below both consume pos_sh, and without this the
+    # shingle explode + md5 hashing runs once per consumer — the r14
+    # probe measured the doubled hash pass as the dominant cost of this
+    # operator's eager build. At 100 TB this is the persisted
+    # positional-shingle index table, built in one corpus pass.
+    pos_sh = pos_sh.localCheckpoint(eager=True)
     freq = (
-        pos_sh.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
+        pos_sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
         .where(F.col("df") <= _SPAN_CAP)
         .select("h")
     )
-    # Materialize once: the pair join reads capped from BOTH sides, and
-    # without this the shingle explode + md5 hashing runs twice (the
-    # minhash-signature memo rationale; measured ~2x on the hot path).
-    # At 100 TB this is the persisted positional-shingle index table.
+    # Materialize once: the pair join reads capped from BOTH sides; the
+    # checkpoint also truncates lineage so the join sides share the
+    # staged index instead of replaying it.
     capped = pos_sh.join(freq, "h").localCheckpoint(eager=True)
+    release_local_checkpoint(pos_sh)  # superseded by capped
     a = capped.alias("a")
     b = capped.alias("b")
     matches = a.join(
@@ -2509,6 +2520,11 @@ def l_wrapper_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # (r14 probe note: unlike l_substring_span_pairs, sh's DISTINCT
+    # exchange subtree is identical under both consumers — freq and the
+    # join's left side — so Spark's ReusedExchange already evaluates
+    # the shingle explode + md5 once here; a pre-join checkpoint of sh
+    # measured as a wash and is deliberately not applied.)
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= _CONT_CAP
     )

@@ -31,7 +31,10 @@ from dock_financial_data_pipelines_spark.catalog import (
     sf_tag,
 )
 from dock_financial_data_pipelines_spark.registry import query
-from dock_financial_data_pipelines_spark.sources.sinks import write_partitioned
+from dock_financial_data_pipelines_spark.sources.sinks import (
+    write_metadata_parquet,
+    write_partitioned,
+)
 
 
 def balance_report(spark: SparkSession, sf_dir: str, as_of: str) -> DataFrame:
@@ -1557,8 +1560,9 @@ def _stage_version(
     df: DataFrame,
     root: str,
     version: int,
-    layout: str = "hive",
+    layout: str = "flat",
     write_tasks: int | None = None,
+    file_rows: int | None = None,
 ) -> DataFrame:
     """Stage data + manifest for ``version`` (writer-private until the
     CAS). A retry restages from scratch — the rmtree guards against a
@@ -1570,18 +1574,20 @@ def _stage_version(
     clobber the winner's files (on an object store the same guard is
     writer-unique staging paths + the O_EXCL log create).
 
-    ``layout='hive'`` (default) writes one shard=N directory per shard
-    — required wherever readers prune by directory (manifest-pruned
-    and bloom-skipped reads select shard=N paths). ``layout='flat'``
-    writes plain parquet files into v=N with shard as a data column:
-    logically identical through read_parquet_or_empty's explicit
-    schema, but the write commits per FILE instead of per partition
-    DIRECTORY — at a measured ~14 ms/dir of Hadoop commit overhead, a
-    hundreds-of-shards version is ~3x cheaper flat, and file-level
-    bin-packing is also what real table formats compact (files within
-    a partition, not directories). ``write_tasks`` sizes the flat
-    write's shuffle so small-file debris stays physically real (one
-    task → one file)."""
+    ``layout='flat'`` (default since r14) writes plain parquet files
+    into v=N with shard as a data column — the write commits per FILE
+    instead of per partition DIRECTORY, at a measured ~14 ms/dir of
+    Hadoop commit overhead, and file-level bin-packing is also what
+    real table formats compact (files within a partition, not
+    directories). ``layout='hive'`` writes one shard=N directory per
+    shard — required wherever a reader prunes by directory; NO
+    _stage_version reader does (the manifest-pruned and bloom-skipped
+    queries that select shard=N paths stage through write_partitioned
+    directly), which is why flat is safe as the default: the two
+    layouts are logically identical through read_parquet_or_empty's
+    explicit schema. ``write_tasks`` sizes the flat write's shuffle;
+    ``file_rows`` caps rows per output file (small-file debris from
+    ordinary-parallelism tasks instead of one task per file)."""
     if version in _committed_versions(root):
         raise ValueError(
             f"version {version} is committed and immutable; "
@@ -1592,16 +1598,39 @@ def _stage_version(
     shutil.rmtree(data_dir, ignore_errors=True)
     shutil.rmtree(man_dir, ignore_errors=True)
     if layout == "flat":
+        if not write_tasks and file_rows:
+            # An explicit task count: without one, AQE coalesces the
+            # tiny repartition("shard") to ONE post-shuffle partition
+            # and that single task writes every maxRecordsPerFile
+            # debris file serially (measured 4x slower). One task per
+            # core scales with the cluster, not with a local constant.
+            write_tasks = spark.sparkContext.defaultParallelism
         out = (
             df.repartition(write_tasks, "shard")
             if write_tasks
             else df.repartition("shard")
         )
-        out.write.mode("overwrite").parquet(data_dir)
+        writer = out.write.mode("overwrite")
+        if file_rows:
+            # Small-file debris via the writer's per-file row cap, not
+            # via task count: one shuffle partition per core (or
+            # write_tasks) with maxRecordsPerFile splitting each task's
+            # output into many physically real small files — measured
+            # 2x cheaper than a 256-task shuffle AND yields more debris
+            # files (a 256-task write leaves empty partitions that
+            # produce none).
+            writer = writer.option("maxRecordsPerFile", str(file_rows))
+        writer.parquet(data_dir)
     else:
         write_partitioned(df.repartition("shard"), data_dir, "shard")
     staged = read_parquet_or_empty(spark, data_dir, _rel_schema())
-    write_partitioned(
+    # The manifest is shard-count-sized metadata: compute it with one
+    # read-back scan of the staged files (the protocol's honesty proof,
+    # unchanged) and land it via the driver-side metadata writer — a
+    # full Spark write job here paid the whole per-directory commit
+    # protocol to publish a few KB (guide §5: the committer, not a
+    # distributed job, writes manifests; measured ~0.4 s/call at r14).
+    write_metadata_parquet(
         _shard_manifest(staged).withColumn(
             "part", (F.col("shard") % 4).cast("long")
         ),
@@ -1867,17 +1896,20 @@ def pipeline_compact_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Flat layout: the debris version holds hundreds of small FILES in
-    # one dir (write_tasks sized ~1 task per expected shard), which is
-    # both the physically honest small-file scenario and ~3x cheaper
-    # to stage than one directory per shard; no reader of this table
-    # prunes by shard= path, so the layouts are interchangeable here.
+    # one dir (file_rows caps each output file at ~one small shard's
+    # rows, so one ordinary write task emits many physically real small
+    # files), which is both the honest small-file scenario and far
+    # cheaper to stage than one directory per shard or one TASK per
+    # file (r14: a 256-task shuffle cost 2x more and produced FEWER
+    # debris files, empty partitions writing none); no reader of this
+    # table prunes by shard= path, so the layouts are interchangeable.
     _stage_version(
         spark,
         _pack_where(docs, "doc_id % 2 = 0", _COMPACT_SMALL_BUDGET),
         root,
         1,
         layout="flat",
-        write_tasks=256,
+        file_rows=10,
     )
     assert _commit_cas(root, None, 1)
 
@@ -2308,9 +2340,7 @@ def pipeline_manifest_pruned_read(
     man_dir = os.path.join(root, "manifest", "v=1")
     write_partitioned(packed.repartition("shard"), data_dir, "shard")
     staged = read_parquet_or_empty(spark, data_dir, _rel_schema())
-    _shard_manifest_stats(staged).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(man_dir)
+    write_metadata_parquet(_shard_manifest_stats(staged), man_dir)
     assert _commit_cas(root, None, 1)
 
     man = spark.read.parquet(man_dir)
@@ -3523,7 +3553,7 @@ def pipeline_zorder_cluster_rewrite(
             F.max("tb").alias("tmx"),
             F.sum(hit).alias("mh"),
         )
-        man.coalesce(1).write.mode("overwrite").parquet(man_dir)
+        write_metadata_parquet(man, man_dir)
         assert _commit_cas(root, base, version)
         return staged
 
@@ -3757,7 +3787,7 @@ def pipeline_manifest_bloom_skipping(
         .groupBy("shard", "word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
-    bloom.coalesce(1).write.mode("overwrite").parquet(man_dir)
+    write_metadata_parquet(bloom, man_dir)
     assert _commit_cas(root, None, 1)
 
     keys = (
@@ -5004,8 +5034,8 @@ def pipeline_partition_evolution(
         data_dir = os.path.join(root, "data", f"v={version}")
         write_partitioned(df.repartition("p"), data_dir, "p")
         staged = read_parquet_or_empty(spark, data_dir, _PE_DDL)
-        _man(staged).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(root, "manifest", f"v={version}")
+        write_metadata_parquet(
+            _man(staged), os.path.join(root, "manifest", f"v={version}")
         )
         _pe_write_spec(root, version, spec_id, transform)
         assert _commit_cas(root, parent, version)
