@@ -161,6 +161,47 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
     return df
 
 
+def local_frame(spark: SparkSession, rows: list, ddl) -> DataFrame:
+    """Small literal DataFrame built as a pure-JVM plan.
+
+    ``spark.createDataFrame(rows, ddl)`` routes tiny Python lists
+    through ``applySchemaToPythonRDD``: every evaluation of the plan
+    then launches a Python worker task just to unpickle a handful of
+    literal rows — measured ~0.25 s per occurrence per run at r14, paid
+    again on every bench pass. Constant report rows (census frames,
+    probe level tables, per-step trainer rows) are plan LITERALS, so
+    build them as one ``range(1) → inline(array(struct(...)))``
+    projection: evaluated entirely in the JVM, no Python boundary.
+
+    Values are cast to the DDL's exact types (``None`` included), so
+    the result is column-name and type identical to the
+    ``createDataFrame`` form. Frames beyond 64 rows (or non-tuple
+    rows) fall back to ``createDataFrame`` — a literal plan that big
+    costs more in Catalyst than the worker round-trip saves."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    schema = ddl
+    if isinstance(schema, str):
+        parsed = _parse_datatype_string(schema)
+        schema = (
+            parsed if isinstance(parsed, StructType)
+            else StructType.fromDDL(ddl)
+        )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    if len(rows) > 64:  # pragma: no cover - no current caller
+        return spark.createDataFrame(rows, schema)
+    structs = []
+    for r in rows:
+        cols = []
+        for field, v in zip(schema.fields, r):
+            c = F.lit(None) if v is None else F.lit(v)
+            cols.append(c.cast(field.dataType).alias(field.name))
+        structs.append(F.struct(*cols))
+    return spark.range(1).select(F.inline(F.array(*structs)))
+
+
 # (applicationId, tag) → materialized index DataFrame. The LSH / MinHash
 # / SimHash operators build a signature index over a fixture table and
 # probe it; at 100 TB that index is a persisted table built once — this

@@ -78,7 +78,9 @@ class MetricsStore:
             )
             for m in self.runs
         ]
-        return spark.createDataFrame(
+        from dock_financial_data_pipelines_spark.catalog import local_frame
+
+        return local_frame(spark, 
             rows,
             "query_name string, wall_ms double, n_rows long, "
             "shuffle_bytes_written long, shuffle_records_written long, "
@@ -188,7 +190,7 @@ def run_with_metrics(
     """,
 )
 def o_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dock_financial_data_pipelines_spark.catalog import load
+    from dock_financial_data_pipelines_spark.catalog import load, local_frame
 
     store = MetricsStore()
 
@@ -330,6 +332,8 @@ def o_connect_compat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (9, "classic_checkpoint_released", int(released)),
         (10, "facade_checkpoint_release_refused", int(facade_release)),
     ]
-    return spark.createDataFrame(
+    from dock_financial_data_pipelines_spark.catalog import local_frame
+
+    return local_frame(spark, 
         rows, "stage_ord int, stage string, value long"
     )

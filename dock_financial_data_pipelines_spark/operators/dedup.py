@@ -31,7 +31,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load, memo_index, sf_tag
+from dock_financial_data_pipelines_spark.catalog import load, local_frame, memo_index, sf_tag
 from dock_financial_data_pipelines_spark.registry import ORACLES, query
 from dock_financial_data_pipelines_spark.session import release_local_checkpoint
 
@@ -1197,7 +1197,7 @@ _SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8)
 )
 def l_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = l4_minhash_lsh_neardup(spark, sf_dir)
-    thr = spark.createDataFrame(
+    thr = local_frame(spark, 
         [(t,) for t in _SWEEP_THRESHOLDS], "t double"
     )
     p = (
@@ -1962,16 +1962,42 @@ _FUNNEL_MIN_TOKENS = 20
 def l_dedup_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # r14 restructure: the funnel used to materialize five COUNT
+    # branches (docs, d1, d2, d3, d4), each re-evaluating a strictly
+    # longer prefix of the window/join chain — the whole chain ran ~3x
+    # per report. Same set logic as boolean SURVIVAL FLAGS in one pass:
+    # s1 (exact-md5 keep-min), s2 (prefix8 keep-min among s1 — the
+    # min(when(s1, ...)) window over all docs is identical to the old
+    # min window over d1 rows), rm3 (LSH-verified pair drops among s2),
+    # then ONE aggregate emits every funnel count. The flag table is
+    # checkpointed because rm3 and the final aggregate both read it.
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    k1 = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-    d1 = (
-        docs.withColumn("k", k1).where(F.col("doc_id") == F.col("k")).drop("k")
+    flags = (
+        docs.select(
+            "doc_id",
+            F.size(_tokens()).alias("ntok"),
+            F.md5("text").alias("_dg"),
+            F.array_join(F.slice(_tokens(), 1, 8), " ").alias("_p8"),
+        )
+        .withColumn(
+            "s1",
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("_dg")),
+        )
+        .withColumn(
+            "s2",
+            F.col("s1")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("s1"), F.col("doc_id"))).over(
+                    Window.partitionBy("_p8")
+                )
+            ),
+        )
+        .select("doc_id", "ntok", "s1", "s2")
+        .localCheckpoint(eager=True)
     )
-    k2 = F.min("doc_id").over(
-        Window.partitionBy(F.array_join(F.slice(_tokens(), 1, 8), " "))
-    )
-    d2 = d1.withColumn("k", k2).where(F.col("doc_id") == F.col("k")).drop("k")
-    ids2 = d2.select("doc_id")
+    ids2 = flags.where("s2").select("doc_id")
     mh = l4_minhash_lsh_neardup(spark, sf_dir).select("doc_a", "doc_b")
     rm3 = (
         mh.join(ids2.withColumnRenamed("doc_id", "doc_a"), "doc_a", "leftsemi")
@@ -1979,32 +2005,51 @@ def l_dedup_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    d3 = d2.join(rm3, "doc_id", "left_anti")
-    d4 = d3.where(F.size(_tokens()) >= _FUNNEL_MIN_TOKENS)
-    counts = [
-        df.agg(F.count(F.lit(1)).cast("long").alias(f"n{i}"))
-        for i, df in enumerate([docs, d1, d2, d3, d4])
-    ]
-    joined = counts[0]
-    for c in counts[1:]:
-        joined = joined.crossJoin(F.broadcast(c))  # five 1-row frames
+    s3 = F.col("s2") & F.col("_rm").isNull()
+    agg = (
+        flags.join(rm3.withColumn("_rm", F.lit(1)), "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n0"),
+            # coalesce: SUM over an empty corpus is NULL, but the
+            # funnel's counts are 0 there (the old COUNT branches were).
+            F.coalesce(F.sum(F.col("s1").cast("long")), F.lit(0))
+            .cast("long")
+            .alias("n1"),
+            F.coalesce(F.sum(F.col("s2").cast("long")), F.lit(0))
+            .cast("long")
+            .alias("n2"),
+            F.coalesce(F.sum(s3.cast("long")), F.lit(0))
+            .cast("long")
+            .alias("n3"),
+            F.coalesce(
+                F.sum(
+                    (s3 & (F.col("ntok") >= _FUNNEL_MIN_TOKENS)).cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n4"),
+        )
+        .first()
+    )
+    release_local_checkpoint(flags)
     stages = [
         (1, "exact_md5", "n0", "n1"),
         (2, "prefix8", "n1", "n2"),
         (3, "minhash_lsh_j05", "n2", "n3"),
         (4, f"min_tokens_{_FUNNEL_MIN_TOKENS}", "n3", "n4"),
     ]
-    rows = None
-    for st, rule, a, b in stages:
-        r = joined.select(
-            F.lit(st).alias("stage"),
-            F.lit(rule).alias("rule"),
-            F.col(a).alias("docs_in"),
-            (F.col(a) - F.col(b)).alias("docs_removed"),
-            F.col(b).alias("docs_out"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows.orderBy("stage")
+    from dock_financial_data_pipelines_spark.catalog import local_frame
+
+    return local_frame(
+        spark,
+        [
+            (st, rule, int(agg[a]), int(agg[a]) - int(agg[b]), int(agg[b]))
+            for st, rule, a, b in stages
+        ],
+        "stage int, rule string, docs_in long, docs_removed long, "
+        "docs_out long",
+    ).orderBy("stage")
 
 
 # ---------------------------------------------------------------------------
@@ -2104,15 +2149,23 @@ def l_semdedup_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Independent recount: per-vector greatest-cosine-to-smaller-id
     # flag via aggregate — no DISTINCT, no left join.
-    a = cells.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+    # Norms factored out per ROW (the l_semantic_dedup idiom: sqrt(x·x)
+    # is the same double wherever computed, so every τ decision is
+    # bit-identical) — one interpreted higher-order dot per pair, not 3.
+    normed = cells.withColumn("nrm", F.sqrt(_dot("e", "e")))
+    a = normed.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    b = cells.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
+    b = normed.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = _dot("ea", "eb") / (
-        F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))
-    )
+    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     flagged = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
@@ -2427,7 +2480,7 @@ def l_dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l_minhash_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cfg = spark.createDataFrame(
+    cfg = local_frame(spark, 
         [(2, 6), (3, 4), (4, 3), (6, 2), (12, 1)], "b INT, r INT"
     )
     grid = spark.range(1, 20).select(F.col("id").cast("int").alias("g"))
@@ -2692,7 +2745,7 @@ def l_fingerprint_collision_audit(
 ) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     dist = docs.select(F.md5("text").alias("dg")).distinct()
-    widths = spark.createDataFrame(
+    widths = local_frame(spark, 
         [(24, 6), (32, 8), (40, 10)], "bits int, hexchars int"
     )
     fp = dist.crossJoin(F.broadcast(widths)).select(

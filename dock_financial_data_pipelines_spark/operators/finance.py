@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load, maybe_broadcast
+from dock_financial_data_pipelines_spark.catalog import load, local_frame, maybe_broadcast
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -382,7 +382,7 @@ _AMORT_GN = _AMORT_G[-1][1]
     """,
 )
 def q_amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = spark.createDataFrame(_AMORT_G, "t int, gt double")
+    g = local_frame(spark, _AMORT_G, "t int, gt double")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")

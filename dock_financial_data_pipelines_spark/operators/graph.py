@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import load, local_frame
 from dock_financial_data_pipelines_spark.registry import query
 
 _SCALE = 1_000_000_000_000  # fixed-point rank scale (1e12)
@@ -565,7 +565,7 @@ def g_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Empty graph: every peel round holds 0 nodes / 0 edges, the
         # median degree k is undefined (NULL), and the peel is trivially
         # converged — the same ladder the oracle's CTE chain emits.
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [(i, 0, 0, None, True) for i in range(_KCORE_ROUNDS + 1)],
             "round INT, n_nodes BIGINT, n_edges BIGINT, k BIGINT, "
             "converged BOOLEAN",
@@ -591,7 +591,7 @@ def g_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (r, int(n), int(m), int(k), converged) for r, n, m in counts
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "round INT, n_nodes BIGINT, n_edges BIGINT, k BIGINT, "
         "converged BOOLEAN",

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import dec_sum, load, maybe_broadcast
+from dock_financial_data_pipelines_spark.catalog import dec_sum, load, local_frame, maybe_broadcast
 from dock_financial_data_pipelines_spark.registry import query
 
 
@@ -2037,7 +2037,7 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             else __import__("math").floor((vf - vr) / vf * 1e6 + 0.5) / 1e6
         )
         out.append((c, vf / 1e6, vr / 1e6, eff))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         out,
         "channel STRING, p_conv_full DOUBLE, p_conv_removed DOUBLE, "
         "removal_effect DOUBLE",
@@ -4401,7 +4401,7 @@ _NPV_FACTORS = [
     """,
 )
 def q_npv_discounted_cashflow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    factors = spark.createDataFrame(_NPV_FACTORS, "t int, f double")
+    factors = local_frame(spark, _NPV_FACTORS, "t int, f double")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     nat = load(spark, sf_dir, "nation")

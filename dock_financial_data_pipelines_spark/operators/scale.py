@@ -23,7 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load, maybe_broadcast
+from dock_financial_data_pipelines_spark.catalog import load, local_frame, maybe_broadcast
 from dock_financial_data_pipelines_spark.registry import query
 
 _SALT_BUCKETS = 16
@@ -2450,7 +2450,7 @@ def a52_sample_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = o.select(
         "v", F.row_number().over(Window.orderBy("v", "okey")).alias("re")
     )
-    qs = spark.createDataFrame([(0.50,), (0.90,), (0.99,)], "q DOUBLE")
+    qs = local_frame(spark, [(0.50,), (0.90,), (0.99,)], "q DOUBLE")
     est = (
         qs.crossJoin(F.broadcast(nn))
         .join(
@@ -4720,7 +4720,7 @@ def a71_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         (F.row_number().over(Window.orderBy("day")) - 1).alias("rn"),
     )
-    sizes = spark.createDataFrame([(8,), (16,), (32,)], "sz int")
+    sizes = local_frame(spark, [(8,), (16,), (32,)], "sz int")
     blocks = idx.crossJoin(F.broadcast(sizes)).select(
         "sz", (F.col("rn") / F.col("sz")).cast("long").alias("blk"), "rn", "y"
     )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load, memo_index, sf_tag
+from dock_financial_data_pipelines_spark.catalog import load, local_frame, memo_index, sf_tag
 from dock_financial_data_pipelines_spark.registry import query
 
 _DOT = (
@@ -63,13 +63,21 @@ def l5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    # Norms factored out per VECTOR (sqrt(x·x) is the same double
+    # wherever computed; a/(nq*nc) groups identically to the oracle's
+    # a/(sqrt(qq)*sqrt(cc))): one interpreted higher-order dot per
+    # pair instead of three.
     queries = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(_dot("e", "e")).alias("nq"),
     )
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
-    cos = _dot("qe", "ce") / (
-        F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.sqrt(_dot("e", "e")).alias("nc"),
     )
+    cos = _dot("qe", "ce") / (F.col("nq") * F.col("nc"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
     )
@@ -298,12 +306,21 @@ def l5_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Exact re-rank of the candidate set only.
+    # Exact re-rank of the candidate set only. Norms factored out per
+    # VECTOR (sqrt(x·x) is the same double wherever computed; a/(nq*nc)
+    # groups identically to a/(sqrt(qq)*sqrt(cc))), so each candidate
+    # row pays ONE interpreted higher-order dot instead of three.
     queries = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(_dot("e", "e")).alias("nq"),
     )
-    cand_vecs = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
-    cos = _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce")))
+    cand_vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.sqrt(_dot("e", "e")).alias("nc"),
+    )
+    cos = _dot("qe", "ce") / (F.col("nq") * F.col("nc"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
     )
@@ -595,15 +612,45 @@ def l5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         centroids, "qe", _IVF_NPROBE,
     )
-    cos = _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce")))
+    # Norms factored out per VECTOR (sqrt(x·x) is the same double
+    # wherever it is computed, and a/(nq*nc) groups identically to the
+    # oracle's a/(sqrt(qq)*sqrt(cc)) — the l_semantic_dedup idiom), so
+    # each candidate row pays ONE interpreted higher-order dot instead
+    # of three.
+    cos = _dot("qe", "ce") / (F.col("nq") * F.col("nc"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
     )
+    # Candidate generation + dedup on KEYS ONLY (guide §2.3): the cell
+    # join and the DISTINCT used to carry both 64-dim double vectors
+    # (~1 KB/row) to deduplicate what (query_id, neighbor_id) already
+    # identifies. Vectors re-attach after the distinct — the 10-query
+    # side by broadcast, the corpus side by the id equi-join every IVF
+    # re-rank does (vector fetch by neighbor id).
     return (
-        queries.join(corpus, "cell")  # equi-join on the cell id
+        queries.select("query_id", "cell")
+        .join(corpus.select("neighbor_id", "cell"), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qe", "ce")
+        .select("query_id", "neighbor_id")
         .distinct()
+        .join(
+            F.broadcast(
+                emb.where(F.col("vec_id") < 10).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("e").alias("qe"),
+                    F.sqrt(_dot("e", "e")).alias("nq"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("e").alias("ce"),
+                F.sqrt(_dot("e", "e")).alias("nc"),
+            ),
+            "neighbor_id",
+        )
         .withColumn("cos_raw", cos)
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= 5)
@@ -740,19 +787,20 @@ def l_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
+    # Norms factored per vector (bit-identical; see l5_cosine_topk).
     probes = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("e").alias("qe"),
+        F.sqrt(_dot("e", "e")).alias("nq"),
     )
     cands = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neg_label"),
         F.col("e").alias("ce"),
+        F.sqrt(_dot("e", "e")).alias("nc"),
     )
-    cos = _dot("qe", "ce") / (
-        F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))
-    )
+    cos = _dot("qe", "ce") / (F.col("nq") * F.col("nc"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
     )
@@ -1770,9 +1818,9 @@ def l_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prk") <= 4)
         .select("query_id", "cell", "prk", "qe")
     )
-    nps = spark.createDataFrame([(1,), (2,), (4,)], "np INT")
+    nps = local_frame(spark, [(1,), (2,), (4,)], "np INT")
     probes = qp.join(F.broadcast(nps), qp.prk <= nps.np).select(
-        "np", "query_id", "cell", "qe"
+        "np", "query_id", "cell"
     )
     corpus = _ivf_assign(
         emb.select(
@@ -1782,30 +1830,45 @@ def l_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ce",
         _IVF_ASSIGN,
     )
-    cos = _dot("qe", "ce") / (
-        F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))
-    )
+    # Norms factored out per VECTOR (sqrt(x·x) is the same double
+    # wherever it is computed, and a/(nq*nc) groups identically to the
+    # oracle's a/(sqrt(qq)*sqrt(cc)) — the l_semantic_dedup idiom), so
+    # each candidate/truth row pays ONE interpreted higher-order dot
+    # instead of three.
+    cos = _dot("qe", "ce") / (F.col("nq") * F.col("nc"))
     wp = Window.partitionBy("np", "query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
     )
+    qn = q.withColumn("nq", F.sqrt(_dot("qe", "qe")))
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.sqrt(_dot("e", "e")).alias("nc"),
+    )
+    # Candidate generation and dedup on KEYS ONLY — the bucket join and
+    # the DISTINCT used to carry both 64-dim double vectors, shuffling
+    # ~1 KB per candidate row to deduplicate what three ints identify
+    # (guide §2.3: shuffle keys and metadata, attach payloads once).
+    # Vectors are re-attached after the distinct: the 10-query side by
+    # broadcast, the corpus side by the ordinary id equi-join every IVF
+    # re-rank does (vector fetch by neighbor id).
     predp = (
-        probes.join(corpus, "cell")
+        probes.join(corpus.select("neighbor_id", "cell"), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("np", "query_id", "neighbor_id", "qe", "ce")
+        .select("np", "query_id", "neighbor_id")
         .distinct()
+        .join(F.broadcast(qn), "query_id")
+        .join(nb, "neighbor_id")
         .withColumn("cos_raw", cos)
         .withColumn("pos", F.row_number().over(wp))
         .where(F.col("pos") <= 5)
         .select("np", "query_id", "neighbor_id")
     )
-    nb = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
-    )
     wt = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
     )
     truth = (
-        F.broadcast(q)
+        F.broadcast(qn)
         .join(nb, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_raw", cos)
         .withColumn("pos", F.row_number().over(wt))
@@ -1979,7 +2042,7 @@ def l_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(_PQ_K)
             .collect()  # bounded: K rows
         )
-        seeds = spark.createDataFrame(
+        seeds = local_frame(spark, 
             [(int(r["vec_id"]), c) for c, r in enumerate(seed_rows)],
             "vec_id LONG, cell INT",
         )

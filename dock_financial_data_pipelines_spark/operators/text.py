@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load
+from dock_financial_data_pipelines_spark.catalog import load, local_frame
 from dock_financial_data_pipelines_spark.registry import query
 from dock_financial_data_pipelines_spark.session import (
     release_local_checkpoint,
@@ -3650,7 +3650,7 @@ def _bpe_train_rounds(
             ).first()["t"]
         )
         steps.append(
-            spark.createDataFrame(
+            local_frame(spark, 
                 [(k, str(a), str(b), int(best["pc"]), tokens_after)],
                 _BPE_STEP_SCHEMA,
             )

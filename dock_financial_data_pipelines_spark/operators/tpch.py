@@ -963,29 +963,43 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21: suppliers solely responsible for late multi-supplier orders
     (no l_receiptdate/l_commitdate: "late" is ship-lag > 90 days, as in
-    the Q4/Q12 adaptations). EXISTS + NOT EXISTS over the same fact
-    decorrelate into a semi- and an anti-join, both equi on l_orderkey —
-    three passes over lineitem co-partitioned on one key at scale."""
+    the Q4/Q12 adaptations). The oracle keeps the EXISTS + NOT EXISTS
+    form; the engine folds both subqueries into ONE per-order
+    aggregate — EXISTS(other supplier) ⇔ the order has ≥ 2 distinct
+    suppliers, NOT EXISTS(other LATE supplier) ⇔ the order's distinct
+    late-supplier count is exactly 1 (l1 itself is late, so "no other
+    late supplier" is "one late supplier total"; lateness is per-order,
+    o_orderdate being unique per orderkey). That replaces the r13
+    semi-join + anti-join (three shuffled passes over lineitem) with a
+    single lineitem⋈orders subtree, referenced twice with identical
+    shape so Spark reuses its exchange: one shuffle of the fact, one
+    orderkey-grain aggregate, one co-partitioned join back (r14:
+    4 Exchanges on lineitem-sized data → 2 + ReusedExchange)."""
     from dock_financial_data_pipelines_spark.catalog import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(
         """
+        WITH lo AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END AS late
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ),
+        og AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+                       AS n_late_supp
+            FROM lo GROUP BY 1
+        )
         SELECT s.s_name, count(*) AS numwait
-        FROM supplier s
-        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
-        WHERE o.o_orderstatus = 'F'
-          AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-          AND EXISTS (
-              SELECT 1 FROM lineitem l2
-              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-          )
-          AND NOT EXISTS (
-              SELECT 1 FROM lineitem l3
-              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-          )
+        FROM lo l1
+        JOIN og ON og.l_orderkey = l1.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.late = 1 AND og.n_supp >= 2 AND og.n_late_supp = 1
         GROUP BY 1
         """
     )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from dock_financial_data_pipelines_spark.catalog import (
     dec_sum,
     load,
+    local_frame,
     read_parquet_or_empty,
     sf_tag,
 )
@@ -1220,7 +1221,7 @@ def pipeline_release_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2_data = read_parquet_or_empty(
         spark, os.path.join(root, "data", "v=2"), _rel_schema()
     )
-    retained_row = spark.createDataFrame(
+    retained_row = local_frame(spark, 
         [(4, "retained_versions", retained, 0, 0)],
         "stage_ord int, stage string, n_docs long, n_tokens long, "
         "n_shards long",
@@ -1710,7 +1711,11 @@ def _snap_stat(
 def _snap_const_row(
     spark: SparkSession, ord_: int, name: str, n_docs: int, n_shards: int
 ) -> DataFrame:
-    return spark.createDataFrame(
+    # local_frame, not createDataFrame: census rows are evaluated at
+    # every run of every protocol query, and the Python-local-relation
+    # path pays a Python worker task per evaluation (catalog.local_frame).
+    return local_frame(
+        spark,
         [(ord_, name, n_docs, 0, n_shards)],
         "stage_ord int, stage string, n_docs long, n_tokens long, "
         "n_shards long",
@@ -2029,7 +2034,7 @@ def pipeline_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     # capture the victim's stats EAGERLY: after the rmtree a lazy plan
     # over data/v=1 would read nothing
     v1_stats = _snap_stat(_read_version(spark, root, 1), 1, "expired_v1")
-    v1_row = spark.createDataFrame(
+    v1_row = local_frame(spark, 
         v1_stats.collect(), v1_stats.schema
     )
 
@@ -2786,11 +2791,11 @@ def pipeline_log_tail_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v, d in rows:
             d = d.withColumn("stage", F.lit(f"{call}_v{v}"))
             out = d if out is None else out.unionAll(d)
-    empty_row = spark.createDataFrame(
+    empty_row = local_frame(spark, 
         [(4, "c3_nothing_new", len(batch3), 0, 0)],
         "stage_ord int, stage string, n_ins long, n_del long, n_upd long",
     )
-    offset_row = spark.createDataFrame(
+    offset_row = local_frame(spark, 
         [(5, "final_offset", _consumer_offset(root, "A"), 0, 0)],
         "stage_ord int, stage string, n_ins long, n_del long, n_upd long",
     )
@@ -3168,7 +3173,7 @@ def pipeline_snapshot_delete_vectors(
         for n in os.listdir(os.path.join(root, "data"))
         if n.startswith("v=")
     ]
-    fs_row = spark.createDataFrame(
+    fs_row = local_frame(spark, 
         [(5, "data_versions_before_rewrite", len(data_dirs), 0, 0, 0)],
         "stage_ord int, stage string, n_docs long, n_tokens long, "
         "n_shards long, digest long",
@@ -4057,7 +4062,7 @@ def pipeline_mor_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row 6: the base data files were never rewritten by the MERGE
     after = _stat_set(os.path.join(root, "data", "v=1"))
     rewritten = 0 if before == after else 1
-    fs_row = spark.createDataFrame(
+    fs_row = local_frame(spark, 
         [(6, "base_files_rewritten", rewritten, 0, 0, 0)],
         "stage_ord int, stage string, n_docs long, n_tokens long, "
         "n_shards long, digest long",
@@ -4219,7 +4224,7 @@ def pipeline_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for v in _committed_versions(root):
         data_vs, dvs = _read_layout(root, v)
-        head = spark.createDataFrame(
+        head = local_frame(spark, 
             [
                 (
                     v,
@@ -4602,7 +4607,7 @@ def pipeline_commit_storm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (5, "writers_fully_landed", fully),
         (6, "orphan_dirs_after_gc", stats["orphan_dirs_left"]),
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(a, b, int(c)) for a, b, c in rows],
         "stage_ord int, stage string, value long",
     )
@@ -4665,7 +4670,7 @@ def pipeline_commit_storm_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (6, "orphan_dirs_after_gc", stats["orphan_dirs_left"]),
         (7, "stage_dirs_left", stage_left),
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(a, b, int(c)) for a, b, c in rows],
         "stage_ord int, stage string, value long",
     )
@@ -4777,7 +4782,7 @@ def pipeline_backfill_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (4, "force_rerun_equal", "", force_equal),
         (5, "catchup_false_published_days", "", published_nocatch),
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(a, b, c, int(v)) for a, b, c, v in rows],
         "stage_ord int, stage string, day string, value long",
     ).orderBy("stage_ord", "day")
@@ -4870,7 +4875,7 @@ def pipeline_mor_expire_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (5, "current_rows_after_expiry", int(agg["n"])),
         (6, "current_tokens_after_expiry", int(agg["t"])),
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(a, b, int(v)) for a, b, v in rows],
         "stage_ord int, stage string, value long",
     )
@@ -5104,7 +5109,7 @@ def pipeline_partition_evolution(
         (4, "probe_coarse_residual", resid_n, len(hit2), 2),
         (5, "probe_coarse_scanned", scan_n, scan_days, 2),
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(a, b, int(c), int(d), e_) for a, b, c, d, e_ in rows],
         "stage_ord int, stage string, n_rows long, n_dirs long, "
         "spec_id long",
@@ -5206,7 +5211,7 @@ def pipeline_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (7, "parent_chain_intact", chain_ok),
         (8, "rows_visible_current", _read_visible(spark, root).count()),
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(a, b, int(v)) for a, b, v in out],
         "stage_ord int, stage string, value long",
     )
@@ -5380,7 +5385,7 @@ def pipeline_refs_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         (9, "expire_after_branch_delete", expire_freed),
         (10, "rows_at_current", _read_visible(spark, root).count()),
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(a, b, int(v)) for a, b, v in out],
         "stage_ord int, stage string, value long",
     )
@@ -5577,7 +5582,7 @@ def pipeline_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         (8, "unmaterialized_clone_rows_after_expire", b_after_expire),
         (9, "source_rows_final", _read_visible(spark, src).count()),
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(i, s, int(v)) for i, s, v in out],
         "stage_ord int, stage string, value long",
     )
@@ -5657,7 +5662,7 @@ def pipeline_commit_constraints(
     root = _release_root(sf_dir, "commit_constraints")
     os.makedirs(root, exist_ok=True)
 
-    clean = spark.createDataFrame(
+    clean = local_frame(spark, 
         [(1, 10, "a", 0), (2, 20, "b", 0), (3, 30, "c", 1), (4, 40, "d", 1)],
         _REL_SCHEMA_DDL,
     )
@@ -5665,7 +5670,7 @@ def pipeline_commit_constraints(
     assert landed1
     base_rows = _read_visible(spark, root).count()
 
-    bad = spark.createDataFrame(
+    bad = local_frame(spark, 
         [
             (None, 50, "e", 0),   # NOT NULL violation
             (5, -7, "f", 0),      # CHECK violation
@@ -5681,7 +5686,7 @@ def pipeline_commit_constraints(
     cur_after = int(_resolve_current(root) == 1)
     rows_after = _read_visible(spark, root).count()
 
-    fixed = spark.createDataFrame(
+    fixed = local_frame(spark, 
         [(5, 7, "f", 0), (7, 70, "h", 1)], _REL_SCHEMA_DDL
     )
     landed3, _, _ = _commit_checked(
@@ -5699,7 +5704,7 @@ def pipeline_commit_constraints(
         (7, "clean_commit_lands", int(landed3)),
         (8, "rows_final", _read_visible(spark, root).count()),
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(i, s, int(v)) for i, s, v in out],
         "stage_ord int, stage string, value long",
     )
@@ -5849,7 +5854,7 @@ def pipeline_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (7, "rows_final", len(rows3)),
         (8, "watermark_final", _rl_hwm(root)),
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(i, s, int(v)) for i, s, v in out],
         "stage_ord int, stage string, value long",
     )

@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 from dock_financial_data_pipelines_spark.catalog import (
     dec_sum,
     events_stream_source,
+    local_frame,
     read_parquet_or_empty,
     sf_tag,
 )
@@ -1223,7 +1224,7 @@ def x15_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     shutil.rmtree(scratch, ignore_errors=True)
     rows = [(i + 1, n) for i, n in enumerate(progress)]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "batch_seq INT, num_input_rows BIGINT"
     )
 
@@ -2388,7 +2389,7 @@ def x25_stream_mor_upsert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     out = out.unionAll(
-        spark.createDataFrame(
+        local_frame(spark, 
             [(6, "layout_census", len(data_vs), len(dvs), n_data_dirs)],
             "stage_ord int, stage string, n_docs long, n_tokens long, "
             "n_shards long",
