@@ -199,7 +199,9 @@ def local_frame(spark: SparkSession, rows: list, ddl) -> DataFrame:
             c = F.lit(None) if v is None else F.lit(v)
             cols.append(c.cast(field.dataType).alias(field.name))
         structs.append(F.struct(*cols))
-    return spark.range(1).select(F.inline(F.array(*structs)))
+    # range(..., numPartitions=1): the default splits the 1-row range
+    # across every core, scheduling 31 empty tasks per evaluation.
+    return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
 
 
 # (applicationId, tag) → materialized index DataFrame. The LSH / MinHash

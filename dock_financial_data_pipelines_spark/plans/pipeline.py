@@ -5077,29 +5077,58 @@ def pipeline_partition_evolution(
     probe1 = min((r["min_day"] for r in man1.values()), default=None)
     probe2 = max((r["max_day"] for r in man2.values()), default=None)
 
-    v1_n = _pe_read(spark, root, 1).count()
-    v2_n = _pe_read(spark, root, 2).count()
-    merged_n = _pe_read(spark, root, 1).unionByName(
-        _pe_read(spark, root, 2)
-    ).count()
+    # One batched census job instead of five sequential count() actions
+    # (each count paid its own job launch; the reads are independent, so
+    # a union of 1-row aggregates lets Spark run every branch's scan in
+    # the same job — r14, guide §2.6's overlap principle applied to one
+    # action).
+    def _cnt(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("t"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
 
+    branches = [
+        _cnt(_pe_read(spark, root, 1), "v1"),
+        _cnt(_pe_read(spark, root, 2), "v2"),
+        _cnt(
+            _pe_read(spark, root, 1).unionByName(_pe_read(spark, root, 2)),
+            "merged",
+        ),
+    ]
     if probe1 is not None:
         hit1 = _pe_prune(dirs1, spec1, probe1)
-        fine_n = (
-            _pe_read(spark, root, 1, hit1)
-            .where(F.col("day") == probe1)
-            .count()
+        branches.append(
+            _cnt(
+                _pe_read(spark, root, 1, hit1).where(
+                    F.col("day") == probe1
+                ),
+                "fine",
+            )
         )
     else:
-        hit1, fine_n = [], 0
+        hit1 = []
     if probe2 is not None:
         hit2 = _pe_prune(dirs2, spec2, probe2)
-        scanned = _pe_read(spark, root, 2, hit2)
-        resid_n = scanned.where(F.col("day") == probe2).count()
+        branches.append(
+            _cnt(
+                _pe_read(spark, root, 2, hit2).where(
+                    F.col("day") == probe2
+                ),
+                "resid",
+            )
+        )
         scan_n = int(sum(man2[p]["n_rows"] for p in hit2))
         scan_days = int(sum(man2[p]["n_days"] for p in hit2))
     else:
-        hit2, resid_n, scan_n, scan_days = [], 0, 0, 0
+        hit2, scan_n, scan_days = [], 0, 0
+    census = None
+    for b in branches:
+        census = b if census is None else census.unionAll(b)
+    got = {r["t"]: int(r["n"]) for r in census.collect()}
+    v1_n, v2_n, merged_n = got["v1"], got["v2"], got["merged"]
+    fine_n = got.get("fine", 0)
+    resid_n = got.get("resid", 0)
 
     rows = [
         (0, "v1_publish_day_spec", v1_n, len(dirs1), 1),

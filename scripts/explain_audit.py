@@ -198,8 +198,10 @@ def main() -> int:
     p = plan_of(spark, "tpch_q21_waiting_suppliers", execute=True)
     check(
         "tpch_q21_waiting_suppliers",
-        "EXISTS/NOT EXISTS decorrelated to semi + anti equi-joins",
-        ("LeftSemi" in p or "ExistenceJoin" in p) and "LeftAnti" in p,
+        "EXISTS/NOT EXISTS folded into ONE per-order count-distinct "
+        "aggregate (Expand) joined back to the late lines — no semi/anti "
+        "re-passes over the fact (r14 rewrite)",
+        "Expand" in p and "LeftSemi" not in p and "LeftAnti" not in p,
     )
     check(
         "tpch_q21_waiting_suppliers",
@@ -1936,7 +1938,7 @@ def main() -> int:
         "each round's argmax + token count collected as model-sized "
         "scalars, so no step frame pins a superseded round table), "
         "NOT K stacked window/join rounds; no join, no Python",
-        "Union" in p and "Scan ExistingRDD" in p
+        "Union" in p and ("Scan ExistingRDD" in p or "inline(" in p)
         and "Window" not in p  # rounds ran eagerly, not in this plan
         and "Join" not in p
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
@@ -1949,7 +1951,7 @@ def main() -> int:
         "K=8 trainer (the join-free window round body keeps planning "
         "cost LINEAR in K — the joined form grew a 3^K-bit stats "
         "product); no join, no Python",
-        "Union" in p and "Scan ExistingRDD" in p and "Window" not in p
+        "Union" in p and ("Scan ExistingRDD" in p or "inline(" in p) and "Window" not in p
         and "Join" not in p and "BatchEvalPython" not in p,
     )
 
@@ -2392,7 +2394,7 @@ def main() -> int:
         "returned census is a driver-literal table — Spark touched "
         "data only for the bounded final-state read; no cartesian, "
         "no Python in the plan",
-        ("LocalTableScan" in p or "ExistingRDD" in p)
+        ("LocalTableScan" in p or "ExistingRDD" in p or "inline(" in p)
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
@@ -2402,7 +2404,7 @@ def main() -> int:
         "each day publishes via dynamic partition overwrite and reads "
         "back grouped by the partition column; the returned census is "
         "a driver-literal table; no cartesian, no Python",
-        ("LocalTableScan" in p or "ExistingRDD" in p)
+        ("LocalTableScan" in p or "ExistingRDD" in p or "inline(" in p)
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
@@ -2412,7 +2414,7 @@ def main() -> int:
         "retention × merge-on-read: refusal/reclaim decisions are "
         "metadata-only (layout-record reads); the census is a "
         "driver-literal table; no cartesian, no Python",
-        ("LocalTableScan" in p or "ExistingRDD" in p)
+        ("LocalTableScan" in p or "ExistingRDD" in p or "inline(" in p)
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
@@ -2522,7 +2524,7 @@ def main() -> int:
         "records + dir listing + manifest rows; the probed reads scan "
         "only the pruned directories; the census is a driver-literal "
         "table; no cartesian, no Python",
-        ("LocalTableScan" in p or "ExistingRDD" in p)
+        ("LocalTableScan" in p or "ExistingRDD" in p or "inline(" in p)
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
@@ -2533,7 +2535,7 @@ def main() -> int:
         "checkpoint, tail-only listing); the census is a "
         "driver-literal table — Spark touched data only for the "
         "bounded final-state read; no cartesian, no Python",
-        ("LocalTableScan" in p or "ExistingRDD" in p)
+        ("LocalTableScan" in p or "ExistingRDD" in p or "inline(" in p)
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
@@ -2563,7 +2565,7 @@ def main() -> int:
         "tags/branches/retention-policy decisions are metadata-only "
         "(ref file reads); the census is a driver-literal table; no "
         "cartesian, no Python",
-        ("LocalTableScan" in p or "ExistingRDD" in p)
+        ("LocalTableScan" in p or "ExistingRDD" in p or "inline(" in p)
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
@@ -2617,7 +2619,7 @@ def main() -> int:
         "shallow clone is three metadata writes (clone_source, layout, "
         "log); Spark's work is the bounded clone/source reads and the "
         "driver-literal census; no cartesian, no Python",
-        ("LocalTableScan" in p or "ExistingRDD" in p)
+        ("LocalTableScan" in p or "ExistingRDD" in p or "inline(" in p)
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
@@ -2680,7 +2682,7 @@ def main() -> int:
         "constraint enforcement is one aggregate over the candidate "
         "before staging; the census is a driver-literal table; no "
         "cartesian, no Python",
-        ("LocalTableScan" in p or "ExistingRDD" in p)
+        ("LocalTableScan" in p or "ExistingRDD" in p or "inline(" in p)
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
@@ -2690,7 +2692,7 @@ def main() -> int:
         "row-id assignment/preservation is commit-local (watermark "
         "file + per-commit row_number); census driver-literal; no "
         "cartesian, no Python",
-        ("LocalTableScan" in p or "ExistingRDD" in p)
+        ("LocalTableScan" in p or "ExistingRDD" in p or "inline(" in p)
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
