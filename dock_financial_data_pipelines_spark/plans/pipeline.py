@@ -442,26 +442,46 @@ def pipeline_training_data_release(
             + F.lit(_MODEL_B)
         ).cast("long").alias("logit"),
     )
-    gate = t.where(F.col("logit") >= 0)
-    dedup = (
-        gate.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # r14 restructure: the raw/gate/dedup census branches used to
+    # re-evaluate progressively longer prefixes of the scoring + window
+    # chain (the chain ran ~4x per report, once more for the export
+    # write). Same set logic as survival flags over ONE checkpointed
+    # pass: gate = logit >= 0, keep = gate AND min-doc_id among gated
+    # rows of the md5(text) group (identical to row_number()==1 over
+    # the gated frame). The export write and every census read the
+    # flag table; the three funnel rows collapse to one aggregate.
+    flags = (
+        t.withColumn("gate", F.col("logit") >= 0)
+        .withColumn(
+            "keep",
+            F.col("gate")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("gate"), F.col("doc_id"))).over(
+                    Window.partitionBy(F.md5("text"))
+                )
             ),
         )
-        .where(F.col("rn") == 1)
-        .select("doc_id", "text", "tokens")
+        .select("doc_id", "text", "tokens", "gate", "keep")
+        .localCheckpoint(eager=True)
     )
     cum = F.sum("tokens").over(
         Window.orderBy("doc_id").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
     )
-    packed = dedup.withColumn("cum", cum).withColumn(
-        "shard",
-        F.expr(f"(cum - tokens) div {_EXPORT_TOKEN_BUDGET}").cast("long"),
-    ).drop("cum")
+    packed = (
+        flags.where("keep")
+        .select("doc_id", "text", "tokens")
+        .withColumn("cum", cum)
+        .withColumn(
+            "shard",
+            F.expr(f"(cum - tokens) div {_EXPORT_TOKEN_BUDGET}").cast(
+                "long"
+            ),
+        )
+        .drop("cum")
+    )
     out = os.path.join(
         tempfile.gettempdir(),
         "dock_fdp_spark",
@@ -480,27 +500,45 @@ def pipeline_training_data_release(
     )
     back = read_parquet_or_empty(spark, out, schema)
 
-    def stat(df, ord_, name, with_shards=False):
-        return df.agg(
-            F.lit(ord_).cast("int").alias("stage_ord"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("tokens"), F.lit(0))
-            .cast("long")
-            .alias("n_tokens"),
-            (
-                F.countDistinct("shard")
-                if with_shards
-                else F.lit(0)
-            ).cast("long").alias("n_shards"),
-        ).select("stage_ord", "stage", "n_docs", "n_tokens", "n_shards")
-
-    return (
-        stat(t, 0, "raw")
-        .unionAll(stat(gate, 1, "model_gate"))
-        .unionAll(stat(dedup, 2, "exact_dedup"))
-        .unionAll(stat(back, 3, "packed_export", with_shards=True))
+    funnel = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.coalesce(F.sum(F.when(F.col("gate"), F.col("tokens"))), F.lit(0))
+        .cast("long")
+        .alias("t1"),
+        F.coalesce(F.sum(F.col("gate").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("keep"), F.col("tokens"))), F.lit(0))
+        .cast("long")
+        .alias("t2"),
+        F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n2"),
+        F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("t0"),
+    ).first()
+    from dock_financial_data_pipelines_spark.session import (
+        release_local_checkpoint,
     )
+
+    release_local_checkpoint(flags)
+    head = local_frame(
+        spark,
+        [
+            (0, "raw", int(funnel["n0"]), int(funnel["t0"]), 0),
+            (1, "model_gate", int(funnel["n1"]), int(funnel["t1"]), 0),
+            (2, "exact_dedup", int(funnel["n2"]), int(funnel["t2"]), 0),
+        ],
+        "stage_ord int, stage string, n_docs long, n_tokens long, "
+        "n_shards long",
+    )
+    back_row = back.agg(
+        F.lit(3).cast("int").alias("stage_ord"),
+        F.lit("packed_export").alias("stage"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.countDistinct("shard").cast("long").alias("n_shards"),
+    ).select("stage_ord", "stage", "n_docs", "n_tokens", "n_shards")
+    return head.unionAll(back_row)
 
 
 # ---------------------------------------------------------------------------
@@ -1922,14 +1960,41 @@ def pipeline_compact_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stage_version(spark, compacted, root, 2, layout="flat")
     assert _commit_cas(root, 1, 2)
 
-    def stat(df, ord_, name):
-        return _snap_stat(df, ord_, name, digest=True)
+    # Census in ONE pass per distinct read path: v1 (version-pinned
+    # time travel), v2 (version-pinned) and CURRENT (pointer-resolved)
+    # each scan once; the v1 numbers serve both the publish-time row
+    # and the time-travel row (the lazy 4-branch form already evaluated
+    # both at the same instant, but scanned the 250-file debris version
+    # twice for identical aggregates — r14).
+    census = (
+        _snap_stat(_read_version(spark, root, 1), 0, "v1", digest=True)
+        .unionAll(
+            _snap_stat(_read_version(spark, root, 2), 1, "v2", digest=True)
+        )
+        .unionAll(
+            _snap_stat(_read_visible(spark, root), 3, "cur", digest=True)
+        )
+        .collect()
+    )
+    by = {r["stage"]: r for r in census}
+    v1, v2, cur = by["v1"], by["v2"], by["cur"]
 
-    return (
-        stat(_read_version(spark, root, 1), 0, "v1_small_shards")
-        .unionAll(stat(_read_version(spark, root, 2), 1, "v2_compacted"))
-        .unionAll(stat(_read_version(spark, root, 1), 2, "timetravel_v1"))
-        .unionAll(stat(_read_visible(spark, root), 3, "current"))
+    def row(r, ord_, name):
+        return (
+            ord_, name, int(r["n_docs"]), int(r["n_tokens"]),
+            int(r["n_shards"]), int(r["digest"]),
+        )
+
+    return local_frame(
+        spark,
+        [
+            row(v1, 0, "v1_small_shards"),
+            row(v2, 1, "v2_compacted"),
+            row(v1, 2, "timetravel_v1"),
+            row(cur, 3, "current"),
+        ],
+        "stage_ord int, stage string, n_docs long, n_tokens long, "
+        "n_shards long, digest long",
     )
 
 
@@ -3197,12 +3262,23 @@ def pipeline_snapshot_delete_vectors(
             "stage_ord", "stage", "n_docs", "n_tokens", "n_shards", "digest"
         )
 
-    all_deleted = dv1.unionAll(dv2).distinct()
+    # Census reads the COMMITTED DV artifacts (dv/v=2, dv/v=3) instead
+    # of re-deriving the delete sets from the base data — cheaper (the
+    # key files are tiny) and more honest: the report counts what the
+    # commits actually staged (r14; values identical by construction,
+    # the files were written from exactly these frames).
+    dv1_back = read_parquet_or_empty(
+        spark, os.path.join(root, "dv", "v=2"), _DV_DDL
+    )
+    dv2_back = read_parquet_or_empty(
+        spark, os.path.join(root, "dv", "v=3"), _DV_DDL
+    )
+    all_deleted = dv1_back.unionAll(dv2_back).distinct()
     return (
         _snap_stat(_read_version(spark, root, 1), 0, "base_v1", digest=True)
-        .unionAll(keys_stat(dv1, 1, "dv_v2_keys"))
+        .unionAll(keys_stat(dv1_back, 1, "dv_v2_keys"))
         .unionAll(_snap_stat(mor2, 2, "mor_read_v2", digest=True))
-        .unionAll(keys_stat(dv2, 3, "dv_v3_keys"))
+        .unionAll(keys_stat(dv2_back, 3, "dv_v3_keys"))
         .unionAll(_snap_stat(mor3, 4, "mor_read_v3", digest=True))
         .unionAll(fs_row)
         .unionAll(_snap_stat(v4, 6, "compacted_v4", digest=True))
