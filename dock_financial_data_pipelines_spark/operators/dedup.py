@@ -1736,12 +1736,15 @@ def l_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
         ).alias("h"),
     )
-    # Materialize the positional-shingle index FIRST: freq and the
-    # capped join below both consume pos_sh, and without this the
-    # shingle explode + md5 hashing runs once per consumer — the r14
-    # probe measured the doubled hash pass as the dominant cost of this
-    # operator's eager build. At 100 TB this is the persisted
-    # positional-shingle index table, built in one corpus pass.
+    # Materialize the positional-shingle index ONCE: freq and both pair-
+    # join sides consume pos_sh, and without this the shingle explode +
+    # md5 hashing runs once per consumer — the r14 probe measured the
+    # doubled hash pass as the dominant cost of this operator's eager
+    # build. At 100 TB this is the persisted positional-shingle index
+    # table, built in one corpus pass. capped itself stays LAZY: its
+    # freq-join subtree is identical under both self-join aliases, so
+    # Spark's ReusedExchange evaluates it once — a second checkpoint
+    # measured strictly slower (materialization cost, no reuse gain).
     pos_sh = pos_sh.localCheckpoint(eager=True)
     freq = (
         pos_sh.groupBy("h")
@@ -1749,11 +1752,7 @@ def l_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= _SPAN_CAP)
         .select("h")
     )
-    # Materialize once: the pair join reads capped from BOTH sides; the
-    # checkpoint also truncates lineage so the join sides share the
-    # staged index instead of replaying it.
-    capped = pos_sh.join(freq, "h").localCheckpoint(eager=True)
-    release_local_checkpoint(pos_sh)  # superseded by capped
+    capped = pos_sh.join(freq, "h")
     a = capped.alias("a")
     b = capped.alias("b")
     matches = a.join(
