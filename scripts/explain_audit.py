@@ -2280,9 +2280,11 @@ def main() -> int:
     check(
         "pipeline_compact_snapshot",
         "compaction identity is proven by xor-digest hash-aggregates "
-        "over the two version scans — shard-grain output, no "
-        "all-pairs compare; no cartesian, no Python",
-        "Scan parquet" in p and "HashAggregate" in p
+        "over one scan per distinct read path (run eagerly, r14 — one "
+        "pass each for the v1 time-travel pin, the v2 version pin and "
+        "the CURRENT pointer resolution); the returned census is a "
+        "driver-literal table; no cartesian, no Python",
+        ("LocalTableScan" in p or "ExistingRDD" in p or "inline(" in p)
         and "CartesianProduct" not in p and "BatchEvalPython" not in p,
     )
 
