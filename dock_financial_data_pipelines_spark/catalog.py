@@ -192,6 +192,15 @@ def local_frame(spark: SparkSession, rows: list, ddl) -> DataFrame:
         return spark.createDataFrame([], schema)
     if len(rows) > 64:  # pragma: no cover - no current caller
         return spark.createDataFrame(rows, schema)
+    # Shape guard (r15, ADVICE): zip() would silently truncate a short
+    # row or iterate a dict's keys — fall back to createDataFrame for
+    # anything that is not a full-width tuple/list/Row, matching the
+    # docstring's promise (createDataFrame errors on bad shapes).
+    if not all(
+        isinstance(r, (tuple, list)) and len(r) == len(schema.fields)
+        for r in rows
+    ):
+        return spark.createDataFrame(rows, schema)
     structs = []
     for r in rows:
         cols = []

@@ -2577,11 +2577,25 @@ def l_wrapper_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join's left side — so Spark's ReusedExchange already evaluates
     # the shingle explode + md5 once here; a pre-join checkpoint of sh
     # measured as a wash and is deliberately not applied.)
+    from pyspark.sql import Window
+
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= _CONT_CAP
     )
-    capped = sh.join(freq.select("h"), "h").localCheckpoint(eager=True)
-    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # r15: each capped row carries its document's capped-set SIZE into
+    # the checkpoint (count window at doc_id grain — one exchange of
+    # the capped index, paid once inside the materialization), so the
+    # pair aggregate can group by (doc, size) pairs directly and the
+    # two post-aggregation sizes joins — which re-shuffled the PAIR
+    # set by doc_a and again by doc_b — disappear (guide §2.4). sz is
+    # functionally dependent on doc_id, so the groups are identical.
+    capped = (
+        sh.join(freq.select("h"), "h")
+        .withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .localCheckpoint(eager=True)
+    )
     a = capped.alias("a")
     b = capped.alias("b")
     inter = (
@@ -2591,15 +2605,12 @@ def l_wrapper_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("size_a"),
+            F.col("b.sz").alias("size_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")
     )
     cont = F.col("n_common").cast("double") / F.least(
         F.col("size_a"), F.col("size_b")
@@ -2609,9 +2620,7 @@ def l_wrapper_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where((cont >= 0.8) & (jac < 0.5))
+        inter.where((cont >= 0.8) & (jac < 0.5))
         .select(
             "doc_a",
             "doc_b",

@@ -2510,22 +2510,28 @@ def q_duplicate_payments_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dd").alias("dd_b"),
         F.col("cents").alias("cents_b"),
     )
-    cand = (
-        probes.join(
-            c,
-            (F.col("cust") == F.col("cust_b"))
-            & (F.col("bucket") == F.expr("dd_b div 7"))
-            & (F.col("okey") < F.col("okey_b")),
-        )
-        .select(
-            "cust",
-            F.col("okey").alias("okey_a"),
-            "okey_b",
-            F.col("cents").alias("cents_a"),
-            "cents_b",
-            F.abs(F.col("dd") - F.col("dd_b")).alias("day_gap"),
-        )
-        .distinct()
+    # No DISTINCT (r15): the oracle's DISTINCT is provably a no-op
+    # here, so the engine drops its Exchange + two HashAggregates over
+    # the candidate set. Proof: a pair (a, b) joins when
+    # bucket(a) + off == bucket(b) for off ∈ {-1, 0, 1}; bucket(b) is a
+    # single value, so EXACTLY ONE probe offset satisfies the equality
+    # (the three probe rows of `a` carry three distinct bucket values),
+    # and okey_a < okey_b orients each pair once — candidate rows are
+    # already unique. The oracle keeps DISTINCT (its comment predates
+    # the proof); the hash compare would catch any duplicate this
+    # reasoning missed.
+    cand = probes.join(
+        c,
+        (F.col("cust") == F.col("cust_b"))
+        & (F.col("bucket") == F.expr("dd_b div 7"))
+        & (F.col("okey") < F.col("okey_b")),
+    ).select(
+        "cust",
+        F.col("okey").alias("okey_a"),
+        "okey_b",
+        F.col("cents").alias("cents_a"),
+        "cents_b",
+        F.abs(F.col("dd") - F.col("dd_b")).alias("day_gap"),
     )
     f2 = lambda col: F.floor(col.cast("double") / 100 * 1e2 + F.lit(0.5)) / 1e2
     return (

@@ -2062,13 +2062,16 @@ def l_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("d")
                 )
             )
-            wv = Window.partitionBy("vec_id", "sub").orderBy(
-                F.col("d"), F.col("cell")
-            )
+            # argmin as an AGGREGATE, not a row_number window (r15):
+            # min over struct(d, cell) is the same (d, cell)-lexicographic
+            # tie-break as ORDER BY d, cell / rk=1, but hash-aggregates
+            # with map-side partials instead of Exchange+Sort+Window —
+            # the K candidate rows per (vec_id, sub) collapse before the
+            # shuffle (guide §2.3 "aggregate before you shuffle").
             a = (
-                d.withColumn("rk", F.row_number().over(wv))
-                .where(F.col("rk") == 1)
-                .select("vec_id", "sub", "cell")
+                d.groupBy("vec_id", "sub")
+                .agg(F.min(F.struct("d", "cell")).alias("m"))
+                .select("vec_id", "sub", F.col("m.cell").alias("cell"))
             )
             m = (
                 a.join(comp, ["vec_id", "sub"])
@@ -2095,11 +2098,16 @@ def l_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d")
         )
     )
-    wv = Window.partitionBy("vec_id", "sub").orderBy(F.col("d"), F.col("cell"))
+    # Same argmin-as-aggregate shape as the Lloyd iterations above.
     afin = (
-        dfin.withColumn("rk", F.row_number().over(wv))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "sub", "cell", "d")
+        dfin.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d", "cell")).alias("m"))
+        .select(
+            "vec_id",
+            "sub",
+            F.col("m.cell").alias("cell"),
+            F.col("m.d").alias("d"),
+        )
     )
     return (
         afin.groupBy(

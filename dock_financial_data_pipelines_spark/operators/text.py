@@ -665,58 +665,61 @@ def l_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Single corpus scan: words and bigrams explode together as tagged
-    # (kind, key) structs, so the whole query is one scan + two shuffles
-    # (terms, then doc_id) and no join — the previous shape scanned the
-    # corpus twice and rejoined. Frequency shuffles key on xxhash64 of
-    # the token/bigram, not the raw string (the contamination-audit
-    # trick): counts, distinct counts and maxima are hash-invariant
-    # modulo a ~n²/2^65 collision, and the raw-string oracle would fail
-    # the hash compare if one ever merged two terms at fixture scale.
-    # A 1-word doc must yield ZERO bigrams: sequence(1, size-1) would be
-    # sequence(1, 0) = [1, 0] (Spark sequences run descending), so the
-    # bigram arm is guarded with an explicit size >= 2 test — matching
-    # DuckDB's empty range(1, 1) and the oracle's inner join dropping
-    # bigram-less docs.
+    # ZERO-SHUFFLE form (r15): every statistic here is per-document, so
+    # nothing needs to leave its scan task (guide §2.4 — the cheapest
+    # shuffle is none). Per doc: sort the token-hash array and take run
+    # lengths in ONE aggregate() pass — max run = top term count,
+    # number of runs = distinct count; n_words/n_bigrams are array
+    # sizes. Replaces the r14 explode + groupBy(doc_id, term) +
+    # groupBy(doc_id) shape (two exchanges of term-grain rows);
+    # measured 1.4 s → 0.83 s at sf0.1 with bit-identical output, and
+    # at 100 TB the operator becomes embarrassingly parallel map work.
+    # Hashes, not raw strings, keep the per-doc sort cheap (the
+    # contamination-audit trick): counts/maxima are hash-invariant
+    # modulo a ~n²/2^65 collision, which the hash compare would catch
+    # at fixture scale.
+    # A 1-word doc must yield ZERO bigrams, and the two-branch oracle's
+    # inner join drops bigram-less docs — the size >= 2 filter is that
+    # same condition applied before any work happens.
     # Tokenize ONCE into a projected column: Spark does not
     # common-subexpression-eliminate `split(text,' ')` across lambda
-    # bodies, so inlining it re-splits the text per reference — measured
-    # 3.7× slower at sf0.1 (2.2 s vs 0.6 s) than this projection.
+    # bodies, so inlining it re-splits the text per reference.
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
     )
-    terms = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "concat("
-                " transform(ws, x -> named_struct('kind', 0, 'k', xxhash64(x))),"
-                " CASE WHEN size(ws) < 2"
-                "      THEN array()"
-                "      ELSE transform(sequence(1, size(ws) - 1),"
-                "        i -> named_struct('kind', 1, 'k',"
-                "          xxhash64(concat(ws[i-1], ' ', ws[i])))) END)"
-            )
-        ).alias("t"),
-    )
-    stats = (
-        terms.groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("t.kind") == 0, F.col("cnt"))).alias("n_words"),
-            F.count(F.when(F.col("t.kind") == 0, F.lit(1))).alias("n_distinct"),
-            F.max(F.when(F.col("t.kind") == 0, F.col("cnt"))).alias("top_word_cnt"),
-            F.sum(F.when(F.col("t.kind") == 1, F.col("cnt"))).alias("n_bigrams"),
-            F.max(F.when(F.col("t.kind") == 1, F.col("cnt"))).alias("top_bigram_cnt"),
+
+    def run_stats(arr: str) -> str:
+        # (max run length, number of runs) over the sorted hash array:
+        # state = (prev value, current run, max run, distinct runs).
+        return (
+            f"aggregate(array_sort({arr}),"
+            " named_struct('prev', CAST(NULL AS BIGINT), 'run', 0,"
+            "              'mx', 0, 'nd', 0),"
+            " (a, x) -> named_struct("
+            "   'prev', x,"
+            "   'run', CASE WHEN a.prev <=> x THEN a.run + 1 ELSE 1 END,"
+            "   'mx', CASE WHEN a.prev <=> x"
+            "              THEN greatest(a.mx, a.run + 1)"
+            "              ELSE greatest(a.mx, 1) END,"
+            "   'nd', CASE WHEN a.prev <=> x THEN a.nd ELSE a.nd + 1 END),"
+            " a -> named_struct('mx', a.mx, 'nd', a.nd))"
         )
-        # Inner-join semantics of the two-branch oracle: a doc with no
-        # bigrams (single word) has no bigram_stats row and is dropped.
-        .where(F.col("n_bigrams").isNotNull())
+
+    stats = docs.where(F.expr("size(ws) >= 2")).select(
+        "doc_id",
+        F.expr("CAST(size(ws) AS BIGINT)").alias("n_words"),
+        F.expr(run_stats("transform(ws, x -> xxhash64(x))")).alias("w"),
+        F.expr(
+            run_stats(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> xxhash64(concat(ws[i-1], ' ', ws[i])))"
+            )
+        ).alias("b"),
+        F.expr("CAST(size(ws) - 1 AS BIGINT)").alias("n_bigrams"),
     )
-    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_words")
-    top_word_frac = F.col("top_word_cnt").cast("double") / F.col("n_words")
-    top_bigram_frac = F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams")
+    distinct_ratio = F.col("w.nd").cast("double") / F.col("n_words")
+    top_word_frac = F.col("w.mx").cast("double") / F.col("n_words")
+    top_bigram_frac = F.col("b.mx").cast("double") / F.col("n_bigrams")
     return stats.select(
         "doc_id",
         "n_words",

@@ -964,17 +964,20 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21: suppliers solely responsible for late multi-supplier orders
     (no l_receiptdate/l_commitdate: "late" is ship-lag > 90 days, as in
     the Q4/Q12 adaptations). The oracle keeps the EXISTS + NOT EXISTS
-    form; the engine folds both subqueries into ONE per-order
-    aggregate — EXISTS(other supplier) ⇔ the order has ≥ 2 distinct
-    suppliers, NOT EXISTS(other LATE supplier) ⇔ the order's distinct
-    late-supplier count is exactly 1 (l1 itself is late, so "no other
-    late supplier" is "one late supplier total"; lateness is per-order,
-    o_orderdate being unique per orderkey). That replaces the r13
-    semi-join + anti-join (three shuffled passes over lineitem) with a
-    single lineitem⋈orders subtree, referenced twice with identical
-    shape so Spark reuses its exchange: one shuffle of the fact, one
-    orderkey-grain aggregate, one co-partitioned join back (r14:
-    4 Exchanges on lineitem-sized data → 2 + ReusedExchange)."""
+    form; the engine folds both subqueries into per-order window
+    aggregates over ONE pass of lineitem⋈orders — EXISTS(other
+    supplier) ⇔ the order has ≥ 2 distinct suppliers, NOT EXISTS(other
+    LATE supplier) ⇔ the order's distinct late-supplier count is
+    exactly 1 (l1 itself is late, so "no other late supplier" is "one
+    late supplier total"; lateness is per-order, o_orderdate being
+    unique per orderkey). r14's aggregate-then-join-back form computed
+    the lineitem⋈orders subtree TWICE (the og-side partial aggregate
+    made its Exchange child differ from the l1 side, so no
+    ReusedExchange fired); the window form shuffles the fact ONCE by
+    l_orderkey and evaluates both distinct counts in the same Window
+    operator (size(collect_set(...)) — per-order groups are ≤7 rows in
+    TPC-H, so the set state is bounded). r15: 2 Exchanges + double
+    subtree → 1 Exchange, fact scanned once."""
     from dock_financial_data_pipelines_spark.catalog import register_views
 
     register_views(spark, sf_dir)
@@ -988,18 +991,18 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN orders o ON o.o_orderkey = l.l_orderkey
             WHERE o.o_orderstatus = 'F'
         ),
-        og AS (
-            SELECT l_orderkey,
-                   count(DISTINCT l_suppkey) AS n_supp,
-                   count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
-                       AS n_late_supp
-            FROM lo GROUP BY 1
+        flagged AS (
+            SELECT l_suppkey, late,
+                   size(collect_set(l_suppkey)
+                        OVER (PARTITION BY l_orderkey)) AS n_supp,
+                   size(collect_set(CASE WHEN late = 1 THEN l_suppkey END)
+                        OVER (PARTITION BY l_orderkey)) AS n_late_supp
+            FROM lo
         )
         SELECT s.s_name, count(*) AS numwait
-        FROM lo l1
-        JOIN og ON og.l_orderkey = l1.l_orderkey
+        FROM flagged l1
         JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-        WHERE l1.late = 1 AND og.n_supp >= 2 AND og.n_late_supp = 1
+        WHERE l1.late = 1 AND l1.n_supp >= 2 AND l1.n_late_supp = 1
         GROUP BY 1
         """
     )

