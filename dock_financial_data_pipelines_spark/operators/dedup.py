@@ -31,7 +31,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dock_financial_data_pipelines_spark.catalog import load, local_frame, memo_index, sf_tag
+from dock_financial_data_pipelines_spark.catalog import (
+    load,
+    local_frame,
+    memo_index,
+    sf_tag,
+)
 from dock_financial_data_pipelines_spark.registry import ORACLES, query
 from dock_financial_data_pipelines_spark.session import release_local_checkpoint
 
@@ -2577,25 +2582,11 @@ def l_wrapper_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join's left side — so Spark's ReusedExchange already evaluates
     # the shingle explode + md5 once here; a pre-join checkpoint of sh
     # measured as a wash and is deliberately not applied.)
-    from pyspark.sql import Window
-
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= _CONT_CAP
     )
-    # r15: each capped row carries its document's capped-set SIZE into
-    # the checkpoint (count window at doc_id grain — one exchange of
-    # the capped index, paid once inside the materialization), so the
-    # pair aggregate can group by (doc, size) pairs directly and the
-    # two post-aggregation sizes joins — which re-shuffled the PAIR
-    # set by doc_a and again by doc_b — disappear (guide §2.4). sz is
-    # functionally dependent on doc_id, so the groups are identical.
-    capped = (
-        sh.join(freq.select("h"), "h")
-        .withColumn(
-            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    capped = sh.join(freq.select("h"), "h").localCheckpoint(eager=True)
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = capped.alias("a")
     b = capped.alias("b")
     inter = (
@@ -2605,12 +2596,23 @@ def l_wrapper_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("size_a"),
-            F.col("b.sz").alias("size_b"),
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # r15 probe note: carrying sz through the pair join via a count
+    # window inside the checkpoint was tried and REVERTED — the window
+    # (exchange + sort of the whole capped index, paid eagerly in the
+    # materialization) cost more than the two sizes joins it removed
+    # (bench median 3.36 → 4.20 s). A forced broadcast of sizes was
+    # also rejected: AQE already broadcasts the doc-count-sized frame
+    # at this SF, and at 100 TB sizes is corpus-sized — a hint would
+    # pin a plan that cannot scale. The r14 shape stands.
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")
     )
     cont = F.col("n_common").cast("double") / F.least(
         F.col("size_a"), F.col("size_b")
@@ -2620,7 +2622,9 @@ def l_wrapper_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return (
-        inter.where((cont >= 0.8) & (jac < 0.5))
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where((cont >= 0.8) & (jac < 0.5))
         .select(
             "doc_a",
             "doc_b",

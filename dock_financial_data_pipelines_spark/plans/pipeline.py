@@ -921,14 +921,23 @@ def _local_shard_manifest(data_dir: str):
                 total_bytes += os.path.getsize(p)
     if total_bytes > _LOCAL_MANIFEST_MAX_BYTES:
         return None
-    total_rows = 0
-    for p in files:
-        total_rows += pq.ParquetFile(p).metadata.num_rows
-        if total_rows > _LOCAL_MANIFEST_MAX_ROWS:
-            return None
+    # ONE threaded dataset read over the whole file list — a per-file
+    # read_table loop costs ~3-5 ms of open/footer overhead per file,
+    # which the small-file-debris stagers (hundreds of
+    # maxRecordsPerFile files) turned into a second's worth of serial
+    # driver work (measured: compact_snapshot +1.1 s on the first cut
+    # of this fold). The row cap is enforced on the materialized
+    # table: the bytes gate above already bounds the read itself.
+    if files:
+        tbl = pq.ParquetDataset(files).read(
+            columns=["doc_id", "tokens", "shard"], use_threads=True
+        )
+    else:
+        tbl = None
+    if tbl is not None and tbl.num_rows > _LOCAL_MANIFEST_MAX_ROWS:
+        return None  # pragma: no cover - scale fallback
     stats: dict = {}
-    for p in files:
-        tbl = pq.read_table(p, columns=["doc_id", "tokens", "shard"])
+    if tbl is not None:
         doc_ids = tbl.column("doc_id").to_pylist()
         toks = tbl.column("tokens").to_pylist()
         shards = tbl.column("shard").to_pylist()
