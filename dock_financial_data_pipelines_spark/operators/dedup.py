@@ -862,25 +862,70 @@ def l_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it is computed, so the per-pair cosine is bit-identical to the
     # oracle's form — this just avoids 2 of the 3 dot products per pair).
     normed = cells.withColumn("nrm", F.sqrt(_dot("e", "e")))
-    a = normed.select(
-        "cell",
-        F.col("vec_id").alias("id_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
+    # COMPUTE-skew fix (r15, guide §2.5): the pair join's only key is
+    # `cell`, and K is oracle-pinned at 8 — so the quadratic within-cell
+    # pair evaluation ran on at most 8 tasks no matter the cluster
+    # (measured at sf1: 8 cores = 32 cores, ~32 s either way; the
+    # partitions are tiny in BYTES, so AQE's skew split never fires —
+    # the skew is in compute). Block-split the pair space: the b side
+    # gets a deterministic bucket gb = pmod(xxhash64(id), G), the a
+    # side replicates G ways over a target-bucket column, and the join
+    # keys (cell, tb=gb) spread the same pair set over K·G tasks.
+    # Every (a, b) pair still meets exactly once (tb enumerates all
+    # buckets, gb is single-valued), so the result is bit-identical;
+    # the a-side ×G replication is the standard salting price and G is
+    # scale-adaptive (2 waves per core over K cells), never a local
+    # constant.
+    import math
+
+    from dock_financial_data_pipelines_spark.operators.similarity import (
+        _IVF_K,
     )
-    b = normed.select(
-        "cell",
-        F.col("vec_id").alias("id_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
+
+    g_blocks = max(
+        1, math.ceil(2 * spark.sparkContext.defaultParallelism / _IVF_K)
+    )
+    n_parts = _IVF_K * g_blocks
+    # The explicit repartition COUNT matters as much as the block keys:
+    # the pair shuffle is tiny in bytes (vectors × K cells), so AQE
+    # coalesces it to ~1 post-shuffle partition and one task computes
+    # every pair regardless of key count — a user-specified partition
+    # count opts this exchange out of coalescing while staying
+    # scale-adaptive (derived from defaultParallelism).
+    a = (
+        normed.select(
+            "cell",
+            F.col("vec_id").alias("id_a"),
+            F.col("e").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        .withColumn(
+            "tb", F.explode(F.sequence(F.lit(0), F.lit(g_blocks - 1)))
+        )
+        .repartition(n_parts, "cell", "tb")
+    )
+    b = (
+        normed.select(
+            "cell",
+            F.col("vec_id").alias("id_b"),
+            F.col("e").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        .withColumn(
+            "gb", F.pmod(F.xxhash64("id_b"), F.lit(g_blocks)).cast("int")
+        )
+        .repartition(n_parts, "cell", "gb")
     )
     cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     dropped = (
-        a.join(b, "cell")
+        a.join(
+            b,
+            (a["cell"] == b["cell"]) & (F.col("tb") == F.col("gb")),
+        )
         .where(F.col("id_a") < F.col("id_b"))  # within-cell pairs once
         .withColumn("cos", cos)
         .where(F.col("cos") >= _SEM_TAU)
-        .select("cell", F.col("id_b").alias("vec_id"))  # larger id drops
+        .select(a["cell"], F.col("id_b").alias("vec_id"))  # larger id drops
         .distinct()
     )
     return (
@@ -2157,24 +2202,54 @@ def l_semdedup_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the same double wherever computed, so every τ decision is
     # bit-identical) — one interpreted higher-order dot per pair, not 3.
     normed = cells.withColumn("nrm", F.sqrt(_dot("e", "e")))
-    a = normed.select(
-        "cell",
-        F.col("vec_id").alias("id_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
+    # Same compute-skew fix as l_semantic_dedup (r15): block-split the
+    # within-cell pair space over K·G explicit partitions so the
+    # quadratic recount isn't serialized onto K=8 tasks (or onto ONE —
+    # AQE coalesces the byte-tiny pair shuffle without the explicit
+    # count). Pair set and every τ decision are unchanged.
+    import math
+
+    from dock_financial_data_pipelines_spark.operators.similarity import (
+        _IVF_K,
     )
-    b = normed.select(
-        "cell",
-        F.col("vec_id").alias("id_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
+
+    g_blocks = max(
+        1, math.ceil(2 * spark.sparkContext.defaultParallelism / _IVF_K)
+    )
+    n_parts = _IVF_K * g_blocks
+    a = (
+        normed.select(
+            "cell",
+            F.col("vec_id").alias("id_a"),
+            F.col("e").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        .withColumn(
+            "tb", F.explode(F.sequence(F.lit(0), F.lit(g_blocks - 1)))
+        )
+        .repartition(n_parts, "cell", "tb")
+    )
+    b = (
+        normed.select(
+            "cell",
+            F.col("vec_id").alias("id_b"),
+            F.col("e").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        .withColumn(
+            "gb", F.pmod(F.xxhash64("id_b"), F.lit(g_blocks)).cast("int")
+        )
+        .repartition(n_parts, "cell", "gb")
     )
     cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     flagged = (
-        a.join(b, "cell")
+        a.join(
+            b,
+            (a["cell"] == b["cell"]) & (F.col("tb") == F.col("gb")),
+        )
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("is_dup", (cos >= F.lit(_SEM_TAU)).cast("int"))
-        .groupBy("cell", "id_b")
+        .groupBy(a["cell"], F.col("id_b"))
         .agg(F.max("is_dup").alias("dup"))
     )
     recount = (

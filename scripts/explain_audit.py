@@ -198,10 +198,17 @@ def main() -> int:
     p = plan_of(spark, "tpch_q21_waiting_suppliers", execute=True)
     check(
         "tpch_q21_waiting_suppliers",
-        "EXISTS/NOT EXISTS folded into ONE per-order count-distinct "
-        "aggregate (Expand) joined back to the late lines — no semi/anti "
-        "re-passes over the fact (r14 rewrite)",
-        "Expand" in p and "LeftSemi" not in p and "LeftAnti" not in p,
+        "EXISTS/NOT EXISTS as per-order window collect_sets over ONE "
+        "pass of the fact (r15: the r14 aggregate-join-back computed "
+        "the lineitem⋈orders subtree twice) — one Window, exactly one "
+        "fact-sized Exchange, no semi/anti re-passes, lineitem scanned "
+        "once",
+        # count scans in the FINAL adaptive plan only — executedPlan's
+        # toString appends the pre-AQE "Initial Plan" section, which
+        # would double-count every scan.
+        "Window" in p and "collect_set" in p
+        and "LeftSemi" not in p and "LeftAnti" not in p
+        and p.split("Initial Plan")[0].count("lineitem.parquet") == 1,
     )
     check(
         "tpch_q21_waiting_suppliers",
