@@ -987,6 +987,53 @@ def _manifest_pa_fields():
     ]
 
 
+def _pe_local_manifest(data_dir: str):
+    """Committer-side per-directory stats for the partition-evolution
+    manifests (hive layout: the partition value lives in the p=… dir
+    name) — bit-identical to the Spark aggregate it replaces: n_rows =
+    count, n_days = count distinct non-null day, min/max day null-
+    skipped (None when all null; Python and Spark string min/max are
+    both byte-lexicographic). Returns None past the driver bounds or
+    on an unexpected layout — the Spark aggregate fallback runs then."""
+    import pyarrow.parquet as pq
+
+    by_dir: dict = {}
+    total_bytes = 0
+    for dirpath, _dirnames, filenames in os.walk(data_dir):
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                by_dir.setdefault(dirpath, []).append(p)
+                total_bytes += os.path.getsize(p)
+    if total_bytes > _LOCAL_MANIFEST_MAX_BYTES:
+        return None  # pragma: no cover - scale fallback
+    rows = []
+    total_rows = 0
+    for dirpath in sorted(by_dir):
+        base = os.path.basename(dirpath)
+        # '%' marks a hive-escaped char in the dir name; parsing it
+        # verbatim would round-trip a different value — fall back.
+        if not base.startswith("p=") or "%" in base:
+            return None  # pragma: no cover - unexpected layout
+        tbl = pq.ParquetDataset(by_dir[dirpath]).read(
+            columns=["day"], use_threads=True
+        )
+        total_rows += tbl.num_rows
+        if total_rows > _LOCAL_MANIFEST_MAX_ROWS:
+            return None  # pragma: no cover - scale fallback
+        days = [d for d in tbl.column("day").to_pylist() if d is not None]
+        rows.append(
+            {
+                "p": base[2:],
+                "n_rows": tbl.num_rows,
+                "n_days": len(set(days)),
+                "min_day": min(days) if days else None,
+                "max_day": max(days) if days else None,
+            }
+        )
+    return rows
+
+
 def _publish_version(
     spark: SparkSession, df: DataFrame, root: str, version: int
 ) -> DataFrame:
@@ -5262,22 +5309,50 @@ def pipeline_partition_evolution(
         )
 
     def _publish(df, version, spec_id, transform, parent):
+        """Publish one era; returns the manifest rows when the
+        committer computed them driver-side (r15 fold, same rationale
+        as _local_shard_manifest: the per-dir stats derive from a
+        pyarrow read-back of the committed files — one Spark action
+        per era instead of two, and the planning collects below reuse
+        the same committed-bytes-derived rows), or None when the era
+        exceeded the driver bounds and the Spark aggregate + collect
+        path ran instead."""
         data_dir = os.path.join(root, "data", f"v={version}")
+        man_dir = os.path.join(root, "manifest", f"v={version}")
         write_partitioned(df.repartition("p"), data_dir, "p")
-        staged = read_parquet_or_empty(spark, data_dir, _PE_DDL)
-        write_metadata_parquet(
-            _man(staged), os.path.join(root, "manifest", f"v={version}")
-        )
+        rows = _pe_local_manifest(data_dir)
+        if rows is not None:
+            import pyarrow as pa
+
+            from dock_financial_data_pipelines_spark.sources.sinks import (
+                write_rows_pyarrow,
+            )
+
+            write_rows_pyarrow(
+                rows,
+                [
+                    pa.field("p", pa.string()),
+                    pa.field("n_rows", pa.int64()),
+                    pa.field("n_days", pa.int64()),
+                    pa.field("min_day", pa.string()),
+                    pa.field("max_day", pa.string()),
+                ],
+                man_dir,
+            )
+        else:  # pragma: no cover - scale fallback
+            staged = read_parquet_or_empty(spark, data_dir, _PE_DDL)
+            write_metadata_parquet(_man(staged), man_dir)
         _pe_write_spec(root, version, spec_id, transform)
         assert _commit_cas(root, parent, version)
+        return rows
 
-    _publish(
+    rows1 = _publish(
         e.where(F.col("dom") <= _PE_DOM_SPLIT)
         .select("event_id", "user_id", "day")
         .withColumn("p", F.col("day")),
         1, 1, "identity", None,
     )
-    _publish(
+    rows2 = _publish(
         e.where(F.col("dom") > _PE_DOM_SPLIT)
         .select("event_id", "user_id", "day", F.col("ym").alias("p")),
         2, 2, "month", 1,
@@ -5286,19 +5361,33 @@ def pipeline_partition_evolution(
     dirs1, dirs2 = _pe_dirs(root, 1), _pe_dirs(root, 2)
     spec1, spec2 = _pe_read_spec(root, 1), _pe_read_spec(root, 2)
 
-    # planning reads: manifest-sized (one row per partition dir)
-    man1 = {
-        r["p"]: r
-        for r in spark.read.parquet(
-            os.path.join(root, "manifest", "v=1")
-        ).collect()
-    } if dirs1 else {}
-    man2 = {
-        r["p"]: r
-        for r in spark.read.parquet(
-            os.path.join(root, "manifest", "v=2")
-        ).collect()
-    } if dirs2 else {}
+    # planning reads: manifest-sized (one row per partition dir). The
+    # committer path already holds the committed manifests' rows;
+    # only the scale fallback re-reads them through Spark.
+    man1 = (
+        {r["p"]: r for r in rows1}
+        if rows1 is not None
+        else {
+            r["p"]: r
+            for r in spark.read.parquet(
+                os.path.join(root, "manifest", "v=1")
+            ).collect()
+        }
+        if dirs1
+        else {}
+    )
+    man2 = (
+        {r["p"]: r for r in rows2}
+        if rows2 is not None
+        else {
+            r["p"]: r
+            for r in spark.read.parquet(
+                os.path.join(root, "manifest", "v=2")
+            ).collect()
+        }
+        if dirs2
+        else {}
+    )
 
     probe1 = min((r["min_day"] for r in man1.values()), default=None)
     probe2 = max((r["max_day"] for r in man2.values()), default=None)

@@ -119,6 +119,48 @@ def test_local_manifest_row_cap_falls_back(tmp_path, spark):
         pl._LOCAL_MANIFEST_MAX_ROWS = old
 
 
+def test_pe_local_manifest_matches_spark_aggregate(spark, tmp_path):
+    from dock_financial_data_pipelines_spark.plans.pipeline import (
+        _PE_DDL,
+        _pe_local_manifest,
+    )
+    from dock_financial_data_pipelines_spark.sources.sinks import (
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "1998-01-01", "1998-01-01"),
+            (2, 11, "1998-01-01", "1998-01-01"),
+            (3, 12, "1998-01-02", "1998-01-02"),
+            (4, 13, None, "1998-01-02"),  # null day: skipped by
+            (5, 14, "1998-02-03", "1998-02"),  # distinct/min/max
+        ],
+        _PE_DDL,
+    )
+    data_dir = str(tmp_path / "pe_data")
+    write_partitioned(df.repartition("p"), data_dir, "p")
+    want = {
+        r["p"]: (r["n_rows"], r["n_days"], r["min_day"], r["max_day"])
+        for r in read_parquet_or_empty(spark, data_dir, _PE_DDL)
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("day").cast("long").alias("n_days"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+        .collect()
+    }
+    got_rows = _pe_local_manifest(data_dir)
+    assert got_rows is not None
+    got = {
+        r["p"]: (r["n_rows"], r["n_days"], r["min_day"], r["max_day"])
+        for r in got_rows
+    }
+    assert got == want
+
+
 def test_matview_fused_deltas_match_mv_agg(spark, sf_dir):
     from dock_financial_data_pipelines_spark.plans.pipeline import _mv_agg
 
