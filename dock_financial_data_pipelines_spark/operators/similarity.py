@@ -1845,36 +1845,42 @@ def l_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("ce"),
         F.sqrt(_dot("e", "e")).alias("nc"),
     )
-    # Candidate generation and dedup on KEYS ONLY — the bucket join and
-    # the DISTINCT used to carry both 64-dim double vectors, shuffling
-    # ~1 KB per candidate row to deduplicate what three ints identify
-    # (guide §2.3: shuffle keys and metadata, attach payloads once).
-    # Vectors are re-attached after the distinct: the 10-query side by
-    # broadcast, the corpus side by the ordinary id equi-join every IVF
-    # re-rank does (vector fetch by neighbor id).
+    # The recall audit needs GROUND TRUTH, so the full query×corpus
+    # cosine table exists in this query no matter what. r15: compute it
+    # ONCE (it replaces the r14 truth checkpoint — same single action,
+    # 3 int/double columns per pair) and let BOTH the truth ranking and
+    # the candidate re-rank read it, instead of re-evaluating an
+    # interpreted dot for every (np, candidate) row (guide §2.4: don't
+    # compute things twice; the reused value is literally the same
+    # double, so every ranking decision is unchanged). Candidate
+    # generation and dedup stay on KEYS ONLY (r14, guide §2.3) — the
+    # pair table attaches by the (query_id, neighbor_id) equi-join.
+    # This reuse is audit-specific: a production IVF re-rank computes
+    # candidate dots only; here the brute-force table is the query's
+    # own contract.
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    pairs = (
+        F.broadcast(qn)
+        .join(nb, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .localCheckpoint(eager=True)
+    )
     predp = (
         probes.join(corpus.select("neighbor_id", "cell"), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("np", "query_id", "neighbor_id")
         .distinct()
-        .join(F.broadcast(qn), "query_id")
-        .join(nb, "neighbor_id")
-        .withColumn("cos_raw", cos)
+        .join(pairs, ["query_id", "neighbor_id"])
         .withColumn("pos", F.row_number().over(wp))
         .where(F.col("pos") <= 5)
         .select("np", "query_id", "neighbor_id")
     )
-    wt = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id")
-    )
     truth = (
-        F.broadcast(qn)
-        .join(nb, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_raw", cos)
-        .withColumn("pos", F.row_number().over(wt))
+        pairs.withColumn("pos", F.row_number().over(wt))
         .where(F.col("pos") <= 5)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)  # read by hits AND the totals row
     )
     tt = truth.agg(
         F.count(F.lit(1)).alias("n_truth"),
