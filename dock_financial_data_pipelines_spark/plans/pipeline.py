@@ -956,14 +956,18 @@ def _local_shard_manifest(data_dir: str):
                     16,
                 )
                 acc[2] = d if acc[2] is None else acc[2] ^ d
+    # A null shard would need the hive default-partition dir name the
+    # distributed writer produces — fall back rather than write a
+    # literal 'part=None' path (no current stager derives a null
+    # shard; this is the same guard write_metadata_parquet carries).
+    if None in stats:
+        return None  # pragma: no cover - defensive fallback
     rows = []
-    for shard in sorted(stats, key=lambda s: (s is None, s)):
+    for shard in sorted(stats):
         n_docs, n_tokens, digest = stats[shard]
         # part = shard % 4 with Java remainder semantics (sign follows
         # the dividend), matching the Spark expression it replaces.
-        part = None
-        if shard is not None:
-            part = shard % 4 if shard >= 0 else -((-shard) % 4)
+        part = shard % 4 if shard >= 0 else -((-shard) % 4)
         rows.append(
             {
                 "shard": shard,
