@@ -1642,9 +1642,13 @@ def l_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.expr(
-                "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
-            ).alias("h"),
+            # xxhash64, not the md5-60bit idiom (r15): h is INTERNAL —
+            # the output carries only ids and set cardinalities, which
+            # are hash-invariant modulo a ~n²/2^65 collision (the
+            # l_repetition_stats argument; the oracle keeps md5 and the
+            # hash compare would catch a divergent collision). The md5
+            # string path cost ~2x the whole index build.
+            F.expr("xxhash64(shingle)").alias("h"),
         )
         .distinct()
     )
@@ -1782,9 +1786,8 @@ def l_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "i",
-        F.expr(
-            "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
-        ).alias("h"),
+        # xxhash64, not md5-60bit: h is internal (see l_containment_pairs).
+        F.expr("xxhash64(shingle)").alias("h"),
     )
     # Materialize the positional-shingle index ONCE: freq and both pair-
     # join sides consume pos_sh, and without this the shingle explode +
@@ -2646,9 +2649,13 @@ def l_wrapper_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.expr(
-                "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
-            ).alias("h"),
+            # xxhash64, not the md5-60bit idiom (r15): h is INTERNAL —
+            # the output carries only ids and set cardinalities, which
+            # are hash-invariant modulo a ~n²/2^65 collision (the
+            # l_repetition_stats argument; the oracle keeps md5 and the
+            # hash compare would catch a divergent collision). The md5
+            # string path cost ~2x the whole index build.
+            F.expr("xxhash64(shingle)").alias("h"),
         )
         .distinct()
     )
@@ -3416,9 +3423,13 @@ def l_dedup_stage_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.expr(
-                "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
-            ).alias("h"),
+            # xxhash64, not the md5-60bit idiom (r15): h is INTERNAL —
+            # the output carries only ids and set cardinalities, which
+            # are hash-invariant modulo a ~n²/2^65 collision (the
+            # l_repetition_stats argument; the oracle keeps md5 and the
+            # hash compare would catch a divergent collision). The md5
+            # string path cost ~2x the whole index build.
+            F.expr("xxhash64(shingle)").alias("h"),
         )
         .distinct()
     )
